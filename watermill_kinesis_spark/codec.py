@@ -1,0 +1,152 @@
+"""Wire-envelope codec as pure DataFrame→DataFrame transforms.
+
+Reference behavior being reproduced (Spark-first, not ported):
+
+- marshal: message → JSON envelope with base64 payload; the Kinesis
+  partition key is pulled from ``metadata["partitionKey"]``
+  (reference marshaller.go:52-71).
+- unmarshal: record → message; base64-decode payload, merge wire
+  ``headers`` into metadata, then inject ``partitionKey``, ``shardID``
+  and RFC3339 ``approximateArrivalTimestamp`` — system keys overwrite
+  header keys, matching the map-assignment order in
+  reference marshaller.go:35-40 and subscriber.go:60.
+- corrupt-record skip: a record whose envelope fails to parse is
+  dropped, not fatal (reference subscriber.go:54-59). Here malformed
+  JSON / invalid base64 decode to NULL and ``skip_corrupt`` filters
+  them out; ``split_corrupt`` exposes the dead-letter branch instead
+  of silently dropping (an improvement over the reference).
+
+All of this is built-in Spark SQL expressions — JVM-side, codegen'd,
+no Python in the hot path — so it runs at scan speed on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from watermill_kinesis_spark.schema import (
+    ENVELOPE_DATA_FIELD,
+    ENVELOPE_HEADERS_FIELD,
+    ENVELOPE_SCHEMA,
+    ENVELOPE_UUID_FIELD,
+    META_ARRIVAL_TS,
+    META_PARTITION_KEY,
+    META_SHARD_ID,
+)
+
+# RFC3339 in UTC (reference marshaller.go:40 formats with time.RFC3339).
+RFC3339_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+# Strict base64 shape; used to reject corrupt payloads portably instead
+# of relying on engine-specific lenient/strict unbase64 behavior.
+_BASE64_RE = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+
+def envelope_json(
+    uuid: Column, payload: Column, metadata: Column
+) -> Column:
+    """JSON envelope text for one message (marshal side).
+
+    ``to_json(struct(...))`` keeps field order (uuid, data, headers),
+    matching the reference's ``MessageData`` struct order
+    (marshaller.go:16-20).
+    """
+    return F.to_json(
+        F.struct(
+            uuid.alias(ENVELOPE_UUID_FIELD),
+            F.base64(payload).alias(ENVELOPE_DATA_FIELD),
+            metadata.alias(ENVELOPE_HEADERS_FIELD),
+        )
+    )
+
+
+def marshal(
+    df: DataFrame,
+    uuid_col: str = "uuid",
+    payload_col: str = "payload",
+    metadata_col: str = "metadata",
+) -> DataFrame:
+    """Messages → wire entries ``(data, partition_key)``.
+
+    Spark analogue of the reference's JSONMarshaller
+    (marshaller.go:52-71): one PutRecords request entry per row.
+    """
+    return df.select(
+        envelope_json(
+            F.col(uuid_col), F.col(payload_col), F.col(metadata_col)
+        ).alias("data"),
+        F.col(metadata_col).getItem(META_PARTITION_KEY).alias("partition_key"),
+    )
+
+
+def _decode_payload(b64: Column) -> Column:
+    # NULL (corrupt) unless the text is well-formed base64; avoids
+    # ANSI-mode decode errors and keeps poison records non-fatal.
+    return F.when(b64.rlike(_BASE64_RE), F.unbase64(b64))
+
+
+def unmarshal(
+    df: DataFrame,
+    data_col: str = "data",
+    shard_id_col: str | None = "shard_id",
+    arrival_ts_col: str | None = "approximate_arrival_timestamp",
+    partition_key_col: str | None = "partition_key",
+    drop_corrupt: bool = False,
+) -> DataFrame:
+    """Wire records → messages ``(uuid, payload, metadata)``.
+
+    Spark analogue of JSONUnmarshaller + per-record enrichment
+    (marshaller.go:28-50, subscriber.go:60). Corrupt rows surface as
+    ``uuid IS NULL``; pass ``drop_corrupt=True`` for the reference's
+    skip behavior (subscriber.go:54-59).
+    """
+    env = F.from_json(F.col(data_col), ENVELOPE_SCHEMA)
+    parsed = df.withColumn("_env", env)
+
+    headers = F.coalesce(
+        F.col(f"_env.{ENVELOPE_HEADERS_FIELD}"),
+        F.create_map().cast("map<string,string>"),
+    )
+    system_entries = []
+    if partition_key_col is not None and partition_key_col in df.columns:
+        system_entries.append(
+            F.create_map(F.lit(META_PARTITION_KEY), F.col(partition_key_col))
+        )
+    if shard_id_col is not None and shard_id_col in df.columns:
+        system_entries.append(F.create_map(F.lit(META_SHARD_ID), F.col(shard_id_col)))
+    if arrival_ts_col is not None and arrival_ts_col in df.columns:
+        system_entries.append(
+            F.create_map(
+                F.lit(META_ARRIVAL_TS),
+                F.date_format(F.col(arrival_ts_col), RFC3339_FORMAT),
+            )
+        )
+    metadata = headers
+    if system_entries:
+        # LAST_WIN dedup policy (session.py) ⇒ system keys overwrite
+        # header keys, as in the reference.
+        metadata = F.map_concat(headers, *system_entries)
+
+    out = parsed.select(
+        F.col(f"_env.{ENVELOPE_UUID_FIELD}").alias("uuid"),
+        _decode_payload(F.col(f"_env.{ENVELOPE_DATA_FIELD}")).alias("payload"),
+        F.when(F.col(f"_env.{ENVELOPE_UUID_FIELD}").isNotNull(), metadata).alias(
+            "metadata"
+        ),
+    )
+    if drop_corrupt:
+        out = skip_corrupt(out)
+    return out
+
+
+def skip_corrupt(messages: DataFrame) -> DataFrame:
+    """Drop poison messages (NULL uuid ⇒ envelope failed to parse)."""
+    return messages.filter(F.col("uuid").isNotNull())
+
+
+def split_corrupt(df: DataFrame, data_col: str = "data") -> tuple[DataFrame, DataFrame]:
+    """(good_records, dead_letter_records) — DLQ branch the reference lacks."""
+    ok = F.from_json(F.col(data_col), ENVELOPE_SCHEMA).getField(
+        ENVELOPE_UUID_FIELD
+    ).isNotNull()
+    return df.filter(ok), df.filter(~ok)

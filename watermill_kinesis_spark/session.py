@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode here is a stand-in for a multi-executor cluster: every config
+below is chosen to also make sense at 1000-executor / 100 TB scale
+(AQE on, skew-join handling on, Arrow for the Python boundary, UTC
+timestamps for cross-engine determinism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "watermill-kinesis-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Notes on knobs:
+    - ``spark.sql.shuffle.partitions``: sized to cores locally; on a real
+      cluster AQE coalescing makes the initial number less critical.
+    - ``spark.sql.adaptive.*``: runtime re-planning — skew-join splitting
+      and partition coalescing are essential at 100 TB.
+    - ``spark.sql.mapKeyDedupPolicy=LAST_WIN``: the unmarshal path merges
+      wire ``headers`` with system keys (``partitionKey``, ``shardID``,
+      ``approximateArrivalTimestamp``) and the system value wins, matching
+      the reference's map-overwrite semantics (marshaller.go:35-40).
+    - UTC session timezone: parquet timestamps compare bit-identically
+      against the DuckDB oracle.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
