@@ -1,0 +1,89 @@
+"""Codec semantics tests — the engine analogue of the reference's
+round-trip contract (marshaller.go) and poison-record behavior
+(subscriber.go:54-59)."""
+
+from pyspark.sql import Row, functions as F
+
+from watermill_kinesis_spark import codec
+from watermill_kinesis_spark.schema import (
+    MESSAGE_SCHEMA,
+    META_ARRIVAL_TS,
+    META_PARTITION_KEY,
+    META_SHARD_ID,
+    WIRE_RECORD_SCHEMA,
+)
+
+
+def _messages(spark, rows):
+    return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+
+def test_marshal_roundtrip(spark):
+    msgs = _messages(
+        spark,
+        [
+            ("u1", b"hello world", {"partitionKey": "pk1", "h1": "v1"}),
+            ("u2", b"\x00\xffbin", {"partitionKey": "pk2"}),
+            ("u3", None, {"partitionKey": "pk3"}),  # reference test publishes nil payloads
+        ],
+    )
+    wire = codec.marshal(msgs)
+    assert wire.columns == ["data", "partition_key"]
+    back = codec.unmarshal(wire, partition_key_col=None).orderBy("uuid").collect()
+    assert [r.uuid for r in back] == ["u1", "u2", "u3"]
+    assert bytes(back[0].payload) == b"hello world"
+    assert bytes(back[1].payload) == b"\x00\xffbin"
+    assert back[0].metadata["h1"] == "v1"
+    assert back[0].metadata[META_PARTITION_KEY] == "pk1"
+
+
+def test_marshal_partition_key_extraction(spark):
+    msgs = _messages(spark, [("u1", b"x", {"partitionKey": "pk9", "o": "y"})])
+    row = codec.marshal(msgs).collect()[0]
+    assert row.partition_key == "pk9"
+    assert '"watermill_message_uuid":"u1"' in row.data
+
+
+def test_unmarshal_injects_system_metadata(spark):
+    msgs = _messages(spark, [("u1", b"x", {"partitionKey": "stale", "h": "v"})])
+    wire = codec.marshal(msgs).select(
+        "data",
+        F.lit("pk-fresh").alias("partition_key"),
+        F.lit("seq-1").alias("sequence_number"),
+        F.lit("shardId-000000000001").alias("shard_id"),
+        F.to_timestamp(F.lit("2024-05-06 07:08:09")).alias(
+            "approximate_arrival_timestamp"
+        ),
+    )
+    m = codec.unmarshal(wire).collect()[0].metadata
+    # system keys overwrite header keys (reference marshaller.go:35-40)
+    assert m[META_PARTITION_KEY] == "pk-fresh"
+    assert m[META_SHARD_ID] == "shardId-000000000001"
+    assert m[META_ARRIVAL_TS] == "2024-05-06T07:08:09Z"
+    assert m["h"] == "v"
+
+
+def test_corrupt_records_skipped_not_fatal(spark):
+    rows = [
+        ('{"watermill_message_uuid":"ok1","data":"aGk=","headers":{}}', None, None, None, None),
+        ("not json at all", None, None, None, None),
+        ('{"watermill_message_uuid":"ok2","data":"!!!invalid-b64","headers":{}}', None, None, None, None),
+    ]
+    wire = spark.createDataFrame(rows, WIRE_RECORD_SCHEMA)
+    out = codec.unmarshal(wire, drop_corrupt=True).orderBy("uuid").collect()
+    # bad JSON dropped entirely; bad base64 keeps the message, nulls the payload
+    assert [r.uuid for r in out] == ["ok1", "ok2"]
+    assert bytes(out[0].payload) == b"hi"
+    assert out[1].payload is None
+
+
+def test_split_corrupt_dead_letter(spark):
+    rows = [
+        ('{"watermill_message_uuid":"ok1","data":"aGk=","headers":{}}', None, None, None, None),
+        ("garbage", None, None, None, None),
+    ]
+    wire = spark.createDataFrame(rows, WIRE_RECORD_SCHEMA)
+    good, dead = codec.split_corrupt(wire)
+    assert good.count() == 1
+    assert dead.count() == 1
+    assert dead.collect()[0].data == "garbage"

@@ -1,0 +1,136 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle at the given
+sf_dir, then compares row count, sorted column names, and an
+order-insensitive canonicalization of all values (strict: floats must be
+bit-identical). Usage:
+
+    PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from watermill_kinesis_spark.registry import all_specs  # noqa: E402
+from watermill_kinesis_spark.session import get_spark  # noqa: E402
+from watermill_kinesis_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        return repr(f)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "∅"
+        return v.isoformat()
+    if isinstance(v, np.datetime64):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return "∅"
+    return str(v)
+
+
+def canon_df(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(canon_cell(df.iloc[i][c]) for c in cols) for i in range(len(df))
+    ]
+    rows.sort()
+    return cols, rows
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    names = [a for a in argv if "/" not in a]
+
+    specs = all_specs()
+    if names:
+        specs = {n: specs[n] for n in names}
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in specs.items():
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark query raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS  {name}: rows={len(sdf)} cols={sorted(sdf.columns)} ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: oracle SQL raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        scols, srows = canon_df(sdf)
+        ocols, orows = canon_df(odf)
+        ok = True
+        msgs = []
+        if scols != ocols:
+            ok = False
+            msgs.append(f"cols spark={scols} oracle={ocols}")
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if ok and srows != orows:
+            ok = False
+            bad = [
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(srows, orows))
+                if a != b
+            ][:3]
+            msgs.append(f"{sum(a != b for a, b in zip(srows, orows))} mismatched rows; first: {bad}")
+        if ok:
+            print(f"PASS  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: " + " | ".join(msgs))
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -8,7 +8,9 @@ from watermill_kinesis_spark.session import get_spark
 SF = "/root/testdata/sf0.001"
 
 spark = get_spark("probe", cpus=8)
-events = spark.read.parquet(f"{SF}/events.parquet")
+from watermill_kinesis_spark.sources.tables import load_table
+events = load_table(spark, SF, "events")
+events.createOrReplaceTempView("events_v")
 orders = spark.read.parquet(f"{SF}/orders.parquet")
 print("events spark schema:", events.schema.simpleString())
 print("orders spark schema:", orders.schema.simpleString())
@@ -27,7 +29,7 @@ sp = spark.sql(
     SELECT event_type,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
            COUNT(*) AS n
-    FROM parquet.`{sf}/events.parquet` GROUP BY event_type ORDER BY event_type
+    FROM events_v GROUP BY event_type ORDER BY event_type
     """.format(sf=SF)
 ).toPandas()
 du = con.execute(
@@ -46,7 +48,7 @@ print("counts dtype:", sp.n.dtype, du.n.dtype)
 
 # plain double sum difference
 sp2 = spark.sql(
-    f"SELECT SUM(value) AS s FROM parquet.`{SF}/events.parquet`"
+    f"SELECT SUM(value) AS s FROM events_v"
 ).toPandas().s[0]
 du2 = con.execute(f"SELECT SUM(value) AS s FROM '{SF}/events.parquet'").fetchdf().s[0]
 print("plain double sum:", repr(sp2), repr(du2), "equal:", sp2 == du2)
@@ -72,7 +74,7 @@ print("envelopes equal:", sp3 == du3)
 
 # timestamp round trip: group events by hour
 sp4 = spark.sql(
-    f"SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM parquet.`{SF}/events.parquet` GROUP BY 1 ORDER BY 1 LIMIT 3"
+    f"SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events_v GROUP BY 1 ORDER BY 1 LIMIT 3"
 ).toPandas()
 du4 = con.execute(
     f"SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1 LIMIT 3"
@@ -82,12 +84,12 @@ print(du4, du4.dtypes, sep="\n")
 
 # window() tumbling start equals date_trunc
 sp5 = spark.sql(
-    f"SELECT window(ts, '1 hour').start AS h, COUNT(*) AS n FROM parquet.`{SF}/events.parquet` GROUP BY 1 ORDER BY 1 LIMIT 3"
+    f"SELECT window(ts, '1 hour').start AS h, COUNT(*) AS n FROM events_v GROUP BY 1 ORDER BY 1 LIMIT 3"
 ).toPandas()
 print(sp5)
 
 # ts values: any sub-second components?
-print(spark.sql(f"SELECT ts FROM parquet.`{SF}/events.parquet` LIMIT 5").toPandas())
+print(spark.sql(f"SELECT ts FROM events_v LIMIT 5").toPandas())
 print(con.execute(f"SELECT ts FROM '{SF}/events.parquet' LIMIT 5").fetchdf())
 
 # hex / md5

@@ -123,9 +123,16 @@ def unmarshal(
         )
     metadata = headers
     if system_entries:
-        # LAST_WIN dedup policy (session.py) ⇒ system keys overwrite
-        # header keys, as in the reference.
-        metadata = F.map_concat(headers, *system_entries)
+        # System keys overwrite header keys, as in the reference
+        # (marshaller.go:35-40). Conflicting keys are stripped from the
+        # headers first so the merge is well-defined under any
+        # ``spark.sql.mapKeyDedupPolicy`` — the engine must not depend
+        # on session config it doesn't own.
+        system = F.map_concat(*system_entries) if len(system_entries) > 1 else system_entries[0]
+        safe_headers = F.map_filter(
+            headers, lambda k, _: ~F.array_contains(F.map_keys(system), k)
+        )
+        metadata = F.map_concat(safe_headers, system)
 
     out = parsed.select(
         F.col(f"_env.{ENVELOPE_UUID_FIELD}").alias("uuid"),

@@ -1,0 +1,160 @@
+"""Message-layer operators: the reference's codec semantics as queries.
+
+The batch stand-in for a Kinesis stream is the ``events`` table
+(TESTDATA.md): ``event_id`` plays the message UUID, ``props`` (a JSON
+string) the payload, ``user_id`` the partition key — mirroring the
+reference example where the user sets ``partitionKey`` before publish
+(reference example/cmd/publish/main.go:25-26).
+
+Operators covered (SURVEY.md §2-A): #2 JSONMarshaller, #3
+JSONUnmarshaller, #4 corrupt-record skip, #11 partition-key routing
+(batch view).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark import codec
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.schema import META_PARTITION_KEY
+from watermill_kinesis_spark.sources.tables import load_table
+
+#: DuckDB fragment producing byte-identical envelopes to ``codec.marshal``
+#: over the same message construction (verified bit-equal incl. JSON
+#: escaping and base64).
+_ORACLE_ENV = """
+    to_json(struct_pack(
+        watermill_message_uuid := CAST(event_id AS VARCHAR),
+        data := to_base64(encode(props)),
+        headers := MAP(['partitionKey','eventType'],
+                       [CAST(user_id AS VARCHAR), event_type])
+    ))::VARCHAR
+""".strip()
+
+
+def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical messages (uuid, payload, metadata)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.col("props").cast("binary").alias("payload"),
+        F.create_map(
+            F.lit(META_PARTITION_KEY),
+            F.col("user_id").cast("string"),
+            F.lit("eventType"),
+            F.col("event_type"),
+        ).alias("metadata"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+
+
+@query(
+    "envelope_encode",
+    oracle=f"""
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS partition_key,
+           {_ORACLE_ENV} AS data
+    FROM events
+    """,
+    tags=("codec", "layer-a"),
+)
+def envelope_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marshal messages into the wire envelope (reference marshaller.go:52-71)."""
+    msgs = messages_from_events(spark, sf_dir)
+    return msgs.select(
+        "event_id",
+        F.col("metadata").getItem(META_PARTITION_KEY).alias("partition_key"),
+        codec.envelope_json(
+            F.col("uuid"), F.col("payload"), F.col("metadata")
+        ).alias("data"),
+    )
+
+
+@query(
+    "envelope_decode",
+    oracle=f"""
+    WITH enc AS (SELECT {_ORACLE_ENV} AS env FROM events)
+    SELECT CAST(json_extract_string(env, '$.watermill_message_uuid') AS BIGINT) AS event_id,
+           decode(from_base64(json_extract_string(env, '$.data'))) AS payload_text,
+           json_extract_string(env, '$.headers.partitionKey') AS partition_key,
+           json_extract_string(env, '$.headers.eventType') AS event_type
+    FROM enc
+    """,
+    tags=("codec", "layer-a"),
+)
+def envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: marshal → unmarshal (reference marshaller.go:28-50)."""
+    msgs = messages_from_events(spark, sf_dir)
+    wire = codec.marshal(msgs)
+    decoded = codec.unmarshal(wire, partition_key_col=None)
+    return decoded.select(
+        F.col("uuid").cast("bigint").alias("event_id"),
+        F.col("payload").cast("string").alias("payload_text"),
+        F.col("metadata").getItem(META_PARTITION_KEY).alias("partition_key"),
+        F.col("metadata").getItem("eventType").alias("event_type"),
+    )
+
+
+@query(
+    "corrupt_skip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_ok
+    FROM events
+    WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    """,
+    tags=("codec", "layer-a"),
+)
+def corrupt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison records are skipped, not fatal (reference subscriber.go:54-59).
+
+    Every 97th envelope is mangled into invalid JSON; the decode path
+    must null it out and ``skip_corrupt`` drops it.
+    """
+    msgs = messages_from_events(spark, sf_dir)
+    wire = msgs.select(
+        "event_id",
+        codec.envelope_json(F.col("uuid"), F.col("payload"), F.col("metadata")).alias(
+            "data"
+        ),
+    ).withColumn(
+        "data",
+        F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("{broken"), F.col("data")))
+        .otherwise(F.col("data")),
+    )
+    decoded = codec.unmarshal(wire, partition_key_col=None, drop_corrupt=True)
+    return (
+        decoded.select(F.col("metadata").getItem("eventType").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_ok"))
+    )
+
+
+@query(
+    "partition_key_group",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS partition_key,
+           COUNT(*) AS n_messages,
+           COUNT(DISTINCT event_type) AS n_event_types
+    FROM events
+    GROUP BY CAST(user_id AS VARCHAR)
+    """,
+    tags=("routing", "layer-a"),
+)
+def partition_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch view of partition-key routing (reference marshaller.go:65-69):
+    same key ⇒ same shard; here, group messages by their routing key."""
+    msgs = messages_from_events(spark, sf_dir)
+    return (
+        msgs.groupBy(
+            F.col("metadata").getItem(META_PARTITION_KEY).alias("partition_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.countDistinct(F.col("metadata").getItem("eventType")).alias(
+                "n_event_types"
+            ),
+        )
+    )
