@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the `noop` sink (full plan runs on executors,
+nothing is collected to the driver) so timings reflect the distributed
+plan, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: the queries that define the engine's headline throughput — scan/agg,
+#: multi-join, window, as-of, event-time window, and the LLM-pipeline ops
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "agg_hash",
+    "join_inner",
+    "window_rank",
+    "topk_per_group",
+    "join_asof_events",
+    "stream_tumbling_window",
+    "dedup_exact",
+    "dedup_fuzzy_minhash",
+    "similarity_topk",
+    "text_stats",
+]
+
+
+def main() -> int:
+    from watermill_kinesis_spark.registry import queries
+    from watermill_kinesis_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=int(CPUS))
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the query, not session startup
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

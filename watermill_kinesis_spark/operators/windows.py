@@ -1,0 +1,191 @@
+"""Event-time operators: as-of join and tumbling/sliding/session windows.
+
+These are the batch-verifiable faces of the streaming semantics in
+SURVEY.md §2-C (`stream_*` rows run the same logic under Structured
+Streaming in ``watermill_kinesis_spark/streaming``). ``events.ts`` plays
+the reference's arrival timestamp (marshaller.go:40), upgraded to a real
+timestamp column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.functions.exact import dsum, sql_dsum
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS asof_orderkey,
+           o_orderdate AS asof_orderdate,
+           o_totalprice AS asof_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "event-time"),
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event time (ties broken by max order key). DuckDB spells
+    this ASOF JOIN; Spark lacks a native one.
+
+    Implementation is the scale-correct union-scan pattern, not a range
+    join: tag both sides, sort within user by (time, order-before-event),
+    and carry the last seen order forward with
+    ``last(..., ignorenulls)``. One shuffle on user_id, zero row
+    explosion — an interval join would blow up as |orders per user|
+    grows, this stays O(n log n) per key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    # Orders sort before events at equal t (is_order DESC) so a same-
+    # instant order is visible to the event; among equal-t orders the
+    # last row wins ⇒ ascending o_orderkey picks the max key.
+    w = (
+        W.partitionBy("uid")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_order") == 1,
+            F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.unionByName(od)
+        .withColumn("asof", carried)
+        .where(F.col("is_order") == 0)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            F.col("asof.o_orderkey").alias("asof_orderkey"),
+            F.col("asof.o_orderdate").alias("asof_orderdate"),
+            F.col("asof.o_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "event-time", "streaming-equivalent"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time window (batch face of the streaming
+    aggregation; identical code runs under readStream + withWatermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1
+    """,
+    tags=("window", "event-time", "streaming-equivalent"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes: each event lands in 4
+    overlapping windows. Spark expands this internally exactly like the
+    oracle's explicit k∈0..3 replication."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("window", "event-time", "streaming-equivalent"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap
+    (``session_window`` in batch; the same expression works on a stream
+    with a watermark). Session end = last event + gap, Spark's
+    convention; the oracle reproduces it with lag/cumsum
+    sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

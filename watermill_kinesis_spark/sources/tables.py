@@ -40,12 +40,21 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which the
     Spark reader rejects; read it as a long and floor-truncate to µs
     (``ts div 1000``), which matches DuckDB's own ns→µs scan truncation,
-    so oracle comparisons stay bit-identical."""
+    so oracle comparisons stay bit-identical.
+
+    ``ts`` is exposed as TIMESTAMP_NTZ (naive UTC) so query results do
+    not depend on whatever session timezone the caller's SparkSession
+    happens to use — DuckDB timestamps are naive as well. The UTC pin
+    makes the intermediate TIMESTAMP→NTZ hop exact.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     from pyspark.sql import functions as F
 
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
