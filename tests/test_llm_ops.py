@@ -1,0 +1,124 @@
+"""Tests for the LLM-pipeline operators: the approximate paths
+(MinHash-LSH, SimHash, ANN-LSH) are audited against their exact
+oracle-verified baselines — the same relationship a 100 TB deployment
+relies on (run the cheap approximate op, sample-audit with the exact
+one)."""
+
+from __future__ import annotations
+
+import pytest
+
+from watermill_kinesis_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fuzzy_minhash,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from watermill_kinesis_spark.operators.multimodal import (
+    decode_image_features,
+    multimodal_feature_extract,
+)
+from watermill_kinesis_spark.operators.similarity import (
+    TOP_K,
+    similarity_ann_lsh,
+    similarity_topk,
+)
+from watermill_kinesis_spark.operators.text import doc_fingerprint, text_stats
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH banding (16×8) must catch essentially all true Jaccard≥0.6
+    pairs; at J≥0.6 the S-curve gives each pair ≥79% per-band union —
+    on the testdata the catch is complete."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_fuzzy_minhash(spark, sf_dir).collect()}
+    assert lsh <= exact or not exact, "LSH verify stage must not admit false pairs"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} true pairs)"
+
+
+def test_simhash_pairs_are_near_dups(spark, sf_dir):
+    """Hamming≤3 on 64-bit simhash implies high token overlap; verify
+    every reported pair shares most distinct tokens."""
+    pairs = dedup_simhash(spark, sf_dir).limit(20).collect()
+    if not pairs:
+        pytest.skip("no simhash pairs at this sf")
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for p in pairs:
+        a, b = docs[p.doc_a], docs[p.doc_b]
+        jacc = len(a & b) / len(a | b)
+        assert jacc > 0.5, f"simhash pair ({p.doc_a},{p.doc_b}) jaccard {jacc:.2f}"
+
+
+def test_dedup_exact_keeps_lowest_id(spark, sf_dir):
+    out = dedup_exact(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_distinct <= n_docs
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    """Banded sign-LSH top-k vs brute force: demand ≥40% overlap in the
+    top-k sets (8 bands × 6 bits is tuned for ~0.5-cos neighbors; exact
+    recall is data-dependent — the invariant is 'finds mostly the same
+    neighbors, never a better-than-exact one')."""
+    exact = {}
+    for r in similarity_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in similarity_ann_lsh(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert exact, "exact top-k returned nothing"
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.items() and exact.values())
+    assert hits / total >= 0.4, f"ANN recall {hits}/{total}"
+    for q, nbrs in approx.items():
+        assert len(nbrs) <= TOP_K
+
+
+def test_multimodal_stub_contract(spark, sf_dir):
+    """The real decoder is explicitly unimplemented; the fake decoder's
+    plumbing produces one typed feature row per asset."""
+    with pytest.raises(NotImplementedError):
+        decode_image_features(b"\x89PNG...")
+    feats = multimodal_feature_extract(spark, sf_dir)
+    rows = feats.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows[:10]:
+        assert r.n_bytes > 0 and r.width >= 16 and r.height >= 16
+        assert r.mode in ("RGB", "L")
+
+
+def test_text_stats_invariants(spark, sf_dir):
+    for r in text_stats(spark, sf_dir).limit(50).collect():
+        assert r.n_distinct_tokens <= r.n_tokens
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert r.n_chars >= r.n_tokens  # tokens are ≥1 char + separators
+
+
+def test_fingerprint_is_content_hash(spark, sf_dir):
+    """Same text ⇒ same fingerprint; fingerprint in [0, FP_MOD)."""
+    from watermill_kinesis_spark.operators.text import FP_MOD
+
+    rows = doc_fingerprint(spark, sf_dir).collect()
+    assert all(0 <= r.fingerprint < FP_MOD for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    text_by_id = {r.doc_id: r.text for r in docs}
+    fp_by_id = {r.doc_id: r.fingerprint for r in rows}
+    by_text = {}
+    for did, t in text_by_id.items():
+        by_text.setdefault(t, set()).add(fp_by_id[did])
+    for t, fps in by_text.items():
+        assert len(fps) == 1, "identical text must fingerprint identically"

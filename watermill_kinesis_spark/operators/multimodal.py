@@ -1,0 +1,174 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata
+(north-star LLM-pipeline layer).
+
+This is the reference's own data model scaled up: a Watermill message
+payload is opaque bytes with a string→string metadata map
+(marshaller.go:42-49), and that is exactly how a 100 TB multimodal lake
+stores images/audio/video — a binary column plus typed metadata, decoded
+only at the edge of the pipeline.
+
+The decode step itself is STUBBED (no image/audio libs in this
+container): ``decode_image_features`` raises ``NotImplementedError``
+with the real implementation documented, and the registered query uses
+a deterministic fake decoder. Everything AROUND the stub — the binary
+column handling, the metadata map, the Arrow batch shape through
+``mapInPandas``, the partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+#: schema of a multimodal asset row — payload is opaque, metadata typed
+ASSET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+
+def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multimodal asset rows: utf-8 payload bytes + a
+    metadata map carrying mime/source/lang (mirrors the reference's
+    metadata keys, marshaller.go:12-14)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("mime"), F.lit("text/plain"),
+            F.lit("source"), F.col("source"),
+            F.lit("lang"), F.col("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_features(payload: bytes) -> tuple[int, int, str]:
+    """REAL image decode — intentionally unimplemented here.
+
+    Production implementation (requires Pillow, not in this container):
+
+        from PIL import Image
+        import io
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, img.mode
+
+    The Spark-side plumbing (binary column in, Arrow batches through
+    mapInPandas, typed feature rows out) is identical for the real and
+    fake decoders; swap the function, nothing else changes.
+    """
+    raise NotImplementedError("image decode requires Pillow; see docstring")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in decoder: derives pseudo-dimensions from
+    payload bytes so tests have stable expectations."""
+    n = len(payload)
+    width = 16 + (n % 320)
+    height = 16 + ((n * 7919) % 240)
+    mode = "RGB" if n % 2 == 0 else "L"
+    return width, height, mode
+
+
+@query("multimodal_feature_extract", tags=("multimodal", "llm-pipeline"))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``:
+    executors receive Arrow record batches, run the (stub) decoder per
+    payload, and emit typed feature rows. This is the canonical
+    multimodal pattern — Python touches each asset exactly once, in
+    columnar batches, after all relational pruning has happened
+    JVM-side. Rows-only check (binary+UDF, not SQL-expressible)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mode": [f[2] for f in feats],
+                }
+            )
+
+    return assets(spark, sf_dir).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column statistics computed entirely JVM-side: byte length
+    and SHA-256 content digest (the content-addressing key a multimodal
+    lake dedups and shards by)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )
+
+
+@query(
+    "multimodal_meta_rollup",
+    oracle="""
+    SELECT lang AS meta_lang,
+           source AS meta_source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_meta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage accounting grouped by metadata-map entries — exercises
+    map-typed columns as first-class group keys (`meta['lang']`), the
+    query shape behind 'how many bytes of German audio do we hold'."""
+    a = assets(spark, sf_dir)
+    return a.groupBy(
+        F.col("meta").getItem("lang").alias("meta_lang"),
+        F.col("meta").getItem("source").alias("meta_source"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+        F.max(F.octet_length("payload")).cast("bigint").alias("max_bytes"),
+    )

@@ -1,0 +1,208 @@
+"""Similarity search over the ``embeddings`` table (north-star
+LLM-pipeline layer).
+
+Two tiers, per SURVEY.md §2-C:
+- ``similarity_topk`` — brute-force cosine top-k, the exact baseline.
+  Queries are broadcast; the big side is scanned once, never shuffled
+  for the join; per-group top-k goes through WindowGroupLimit so only
+  k rows per query survive the exchange.
+- ``similarity_ann_lsh`` — sign-random-projection LSH buckets, the
+  100 TB path: the corpus is hashed once into 2^16 buckets; a query
+  probes only its own bucket. Recall is tunable by bands/bits.
+
+Dot products use ``zip_with`` + ``aggregate`` folds (JVM codegen,
+index-ordered — deterministic). The oracle compares (query, neighbor,
+rank) identity only: scores stay engine-internal so a 1-ulp float
+difference can't flake the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 8
+#: LSH: bands × bits-per-band. A pair is a candidate if ANY band's
+#: sign-bit code matches (OR-amplification) — bands trade precision for
+#: recall exactly like MinHash banding.
+LSH_BANDS, LSH_BITS = 16, 4
+EMB_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "llm-pipeline"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a query set: broadcast the
+    queries, scan the corpus once, WindowGroupLimit keeps k rows per
+    query inside the shuffle. O(|corpus|·|queries|·dim) compute but
+    only O(|queries|·k) rows move."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb")))).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(n: int = LSH_BANDS * LSH_BITS) -> list[list[float]]:
+    """Deterministic pseudo-random Gaussian hyperplanes (Box–Muller over
+    a seeded LCG — no numpy, reproducible anywhere)."""
+    import math
+
+    state = 0x5DEECE66D
+    planes: list[list[float]] = []
+    for _ in range(n):
+        v = []
+        for _ in range(EMB_DIM // 2):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            u1 = (state >> 11) / float(1 << 52) or 1e-12
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            u2 = (state >> 11) / float(1 << 52)
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2.0 * math.pi * u2))
+            v.append(r * math.sin(2.0 * math.pi * u2))
+        planes.append(v)
+    return planes
+
+
+def lsh_band_codes(emb_col) -> F.Column:
+    """Array of LSH_BANDS sign-projection codes; code b packs LSH_BITS
+    sign bits of the band's hyperplanes. Pure column expression —
+    usable on a stream as well as in batch."""
+    planes = _hyperplanes()
+    codes = []
+    for band in range(LSH_BANDS):
+        bits = []
+        for i in range(LSH_BITS):
+            p = planes[band * LSH_BITS + i]
+            plane = F.array(*[F.lit(x) for x in p])
+            bits.append(
+                F.when(_dot(emb_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            )
+        code = bits[0]
+        for b in bits[1:]:
+            code = code + b
+        codes.append(code.cast("int"))
+    return F.array(*codes)
+
+
+@query("similarity_ann_lsh", tags=("similarity", "lsh", "llm-pipeline"))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: corpus hashed once into 16 band buckets of 4 sign
+    bits each; a query meets only rows sharing ≥1 band bucket (shuffle
+    keyed on (band, code) — no broadcast needed at 100 TB; co-bucket
+    rows co-locate). Exact cosine re-rank on the candidate union.
+    Rows-only check: bucket membership is LSH-approximate by design;
+    recall is audited in tests against the exact `similarity_topk`."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        F.posexplode(lsh_band_codes(F.col("emb"))).alias("band", "code"),
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        "band",
+        "code",
+    )
+    cand = (
+        e.join(q, ["band", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb")))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+@query(
+    "similarity_label_centroids",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings)
+    SELECT label, COUNT(DISTINCT i) AS dim,
+           CAST(COUNT(*) / COUNT(DISTINCT i) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(x AS DECIMAL(16,6))) AS DOUBLE) AS sum_all_components
+    FROM ex GROUP BY label
+    """,
+    tags=("similarity", "agg", "llm-pipeline"),
+)
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics via posexplode — the vector-column
+    aggregation pattern (centroids, IVF coarse quantizers) expressed
+    relationally. Component sums go through exact decimal so the result
+    is partition-order independent."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("emb").alias("i", "x"))
+    return ex.groupBy("label").agg(
+        F.countDistinct("i").alias("dim"),
+        (F.count(F.lit(1)) / F.countDistinct("i")).cast("bigint").alias("n_vectors"),
+        # scale 6, not 10: DuckDB's double→decimal cast rounds via a
+        # double multiply, which disagrees with exact decimal rounding
+        # ~2e-6/element at scale 10; at scale 6 the engines agree
+        F.sum(F.col("x").cast("decimal(16,6)")).cast("double").alias(
+            "sum_all_components"
+        ),
+    )

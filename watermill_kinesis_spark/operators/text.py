@@ -1,0 +1,190 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+LLM-pipeline layer; no analogue in the reference — its payloads are
+opaque bytes, `marshaller.go:42-47`).
+
+Everything here is JVM-side built-in functions (split / higher-order
+array functions / regexp), zero Python UDFs — at 100 TB these all run
+inside whole-stage codegen, and tokenization happens exactly once per
+expression tree.
+
+Cross-engine determinism: every statistic is integer-derived (counts,
+lengths) with at most one final int→double division, which is exact in
+IEEE-754 on both engines, so oracle hashes are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+#: tiny stopword list matching the synthetic corpus vocabulary
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+#: polynomial rolling-hash parameters (Rabin–Karp); 257 > any byte,
+#: modulus keeps acc*257+c < 2^48 — no bigint overflow in either engine
+FP_BASE = 257
+FP_MOD = 1_000_000_007
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           CAST(CAST(length(replace(text, ' ', '')) AS BIGINT) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains({list(STOPWORDS)}, t))) AS BIGINT)
+               AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains({list(STOPWORDS)}, t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: char/token/distinct-token counts,
+    mean token length, stopword ratio. The standard first-pass quality
+    filter of an LLM data pipeline (cf. Gopher/C4 heuristics)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+                "bigint"
+            ).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+               AS total_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+               AS max_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""BPE-ish token counting: `\w+|[^\w\s]` splits words from
+    punctuation the way byte-pair pretokenizers do, aggregated per
+    source. Regex runs JVM-side once per row."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.max(n_tok).cast("bigint").alias("max_tokens"),
+    )
+
+
+@query(
+    "lang_filter",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr')
+    GROUP BY lang, source
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language allow-list filter + per-(lang, source) rollup — the
+    partition-prunable corpus selection step."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.where(F.col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "lang_id_stopword",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains({list(STOPWORDS)}, t))) AS BIGINT)
+               AS marker_hits,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> list_contains({list(STOPWORDS)}, t))) >= 3
+                THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM documents
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count function-word markers, threshold to
+    a prediction. (With real corpora the marker lists are per-language
+    char n-grams; the mechanism — token match + threshold, one pass, no
+    UDF — is the scale-relevant part.)"""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        "lang",
+        hits.cast("bigint").alias("marker_hits"),
+        F.when(hits >= 3, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+               (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint", "llm-pipeline"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin–Karp polynomial fingerprint of the full document, computed
+    with higher-order fold — an engine-independent content hash (unlike
+    xxhash64/sha, the arithmetic is identical in any engine, so
+    fingerprints can be joined across systems). DuckDB's ``list_reduce``
+    seeds with the first element; a 0-seeded fold is identical because
+    ``0*base + c0 = c0``."""
+    d = _docs(spark, sf_dir)
+    chars = F.transform(
+        F.split(F.col("text"), ""), lambda ch: F.ascii(ch).cast("bigint")
+    )
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
