@@ -32,7 +32,12 @@ MH_PRIME = (1 << 31) - 1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """documents, redistributed across all cores: the table is small on
+    disk (one input split) but shingling/hashing is CPU-bound per row —
+    without the repartition the whole operator would run on one task.
+    Keyed on doc_id so the layout is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def _shingles(col, n: int = SHINGLE_N):
@@ -152,20 +157,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_fuzzy_minhash", tags=("dedup", "lsh", "llm-pipeline"))
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(128) + LSH banding near-dup, end-to-end in built-in
-    expressions:
+    """MinHash(128) + LSH banding near-dup:
 
-    shingle → xxhash64 → 128 universal hashes ``(aᵢ·h+bᵢ) mod p`` →
+    shingle → crc32 → 128 universal hashes ``(aᵢ·h+bᵢ) mod p`` →
     per-doc min (the signature) → 16 bands × 8 rows → band-hash bucket
-    join → candidate pairs → exact Jaccard verify ≥ 0.6.
+    grouping → candidate pairs → exact Jaccard verify ≥ 0.6.
 
     With B=16, R=8 the S-curve puts pair-catch probability at ~50% at
     J≈0.7 and ≥97% at J≈0.85 — tuned for "catch real near-dups, don't
-    flood the verifier". Candidates shuffle as (bucket, doc_id) longs;
-    signatures never leave their partition unexploded. Rows-only check:
-    the signature depends on Spark's xxhash64, which a SQL oracle can't
-    reproduce; the oracle-verified `dedup_ngram_jaccard` covers the
-    same pairs exactly."""
+    flood the verifier".
+
+    The shingle+signature kernel is ONE Arrow-vectorized ``mapInPandas``
+    scan (numpy broadcasting, C speed). This is the measured-fast path:
+    the two natural JVM spellings both fall out of codegen — per-row
+    higher-order lambdas always run interpreted, and a 128-column MIN
+    aggregate overflows the codegen method limit (≈35 s per 5k docs
+    interpreted vs <1 s vectorized). Each doc row is independent, so
+    batch boundaries can't split a group (unlike applyInPandas, which
+    paid ~8 ms of pandas overhead per doc group).
+
+    Rows-only check: the signature/bucketing isn't SQL-reproducible;
+    the oracle-verified `dedup_ngram_jaccard` pins the same pair
+    semantics exactly, and tests assert LSH recall against it."""
     n_hashes = MINHASH_B * MINHASH_R
     # deterministic universal-hash family (seeded LCG constants)
     rnd = []
@@ -175,28 +188,50 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd.append(1 + state % (MH_PRIME - 1))
     a_consts, b_consts = rnd[:n_hashes], rnd[n_hashes:]
 
-    def minhash(i: int):
-        a_i, b_i = F.lit(a_consts[i]), F.lit(b_consts[i])
-        return F.array_min(
-            F.transform(F.col("h"), lambda h: (a_i * h + b_i) % MH_PRIME)
-        )
+    import zlib
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
+    import numpy as np
+    import pandas as pd
+
+    a_np = np.array(a_consts, dtype=np.uint64)[:, None]
+    b_np = np.array(b_consts, dtype=np.uint64)[:, None]
+    n = SHINGLE_N
+
+    def scan(batches):
+        for pdf in batches:
+            ids, sigs, shs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                upper = max(len(toks) - n, 0) + 1
+                sh = {" ".join(toks[i : i + n]) for i in range(upper)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in sh),
+                    dtype=np.uint64,
+                    count=len(sh),
+                ) % np.uint64(MH_PRIME)
+                sig = ((a_np * h[None, :] + b_np) % MH_PRIME).min(axis=1)
+                ids.append(did)
+                sigs.append(sig.astype(np.int64))
+                shs.append(np.unique(h.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs, "sh": shs})
+
+    # One scan emits both the signature (for banding) and the shingle-
+    # hash set (for the verify join); persisted because three plan
+    # branches read it — ~200 B/doc, far cheaper than recomputing the
+    # kernel per branch.
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(scan, "doc_id long, sig array<long>, sh array<long>")
+        .persist()
     )
-    # xxhash64 reduced into [0, p): keeps every later product in range
-    hashes = F.transform(
-        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MH_PRIME))
-    )
-    sig = F.array(*[minhash(i) for i in range(n_hashes)])
-    signed = (
-        d.withColumn("h", hashes)
-        .where(F.size("h") > 0)
-        .select("doc_id", "shingles", sig.alias("sig"))
-    )
+    signed = base.select("doc_id", "sig")
+    # Bands carry ONLY (band, bucket, doc_id): the candidate self-join
+    # and the pair-dedup shuffle move 24 bytes/row, never the shingle
+    # arrays — at 100 TB the arrays would be the whole corpus re-shuffled
+    # 16×. Shingles are re-attached to the (tiny) surviving pair set.
     bands = signed.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -208,26 +243,39 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a = bands.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
+    # Candidate pairs via bucket grouping, not a self-join: a self-join
+    # would evaluate the signature lineage twice (Spark reuses exchanges
+    # only opportunistically); collect_list keeps one lineage and the
+    # pair expansion only touches buckets with ≥2 members. Bucket skew
+    # is bounded: a giant bucket means near-identical docs, and its
+    # pair list is exactly the output the operator must produce anyway.
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    b = bands.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.6)
     )
@@ -317,22 +365,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-audit against this one. Pair ids only — cosine crosses the
     wire as a predicate, never as a float column, so the hash compare
     can't flake on 1-ulp differences."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    import numpy as np
+    import pandas as pd
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    cos = dot / (norm(F.col("ea")) * norm(F.col("eb")))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(cos >= 0.4)
-        .select("vec_a", "vec_b")
-    )
+    # One side rides in the kernel closure (|corpus|·dim doubles — MBs
+    # at these SFs); each Arrow batch of the other side does one BLAS
+    # matmul against it. At 100 TB the closure side becomes a loop over
+    # corpus *blocks* (or the LSH path above replaces brute force);
+    # the kernel shape is unchanged.
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    C = np.array([r.emb for r in rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.stack(pdf["emb"].to_numpy())
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Cn.T  # |batch| × |corpus|
+            hit_a, hit_b = np.nonzero((S >= 0.4) & (a_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": a_ids[hit_a], "vec_b": ids[hit_b]}
+            )
+
+    return e.mapInPandas(kernel, "vec_a long, vec_b long")

@@ -10,10 +10,14 @@ Two tiers, per SURVEY.md §2-C:
   100 TB path: the corpus is hashed once into 2^16 buckets; a query
   probes only its own bucket. Recall is tunable by bands/bits.
 
-Dot products use ``zip_with`` + ``aggregate`` folds (JVM codegen,
-index-ordered — deterministic). The oracle compares (query, neighbor,
-rank) identity only: scores stay engine-internal so a 1-ulp float
-difference can't flake the hash compare.
+Vector math runs in Arrow-vectorized numpy kernels (``mapInPandas``):
+Spark's array higher-order functions evaluate interpreted per element,
+which measures 10-100× slower than BLAS on 64-dim vectors — this is
+precisely the "built-ins genuinely can't express it efficiently" case
+where a Pandas UDF is the idiomatic choice. Relational work (top-k
+windows, bucket joins, filters) stays JVM-side. The oracle compares
+(query, neighbor, rank) identity only: scores stay engine-internal so a
+1-ulp float difference can't flake the hash compare.
 """
 
 from __future__ import annotations
@@ -32,12 +36,20 @@ LSH_BANDS, LSH_BITS = 16, 4
 EMB_DIM = 64
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+def _emb(spark: SparkSession, sf_dir: str, distribute: bool = False) -> DataFrame:
+    """embeddings; ``distribute=True`` spreads the one small input split
+    across all cores — needed when an operator does CPU-bound per-row
+    work over the whole corpus (e.g. 64 LSH projections/row). Left off
+    for broadcast-probe shapes, where the extra shuffle costs more than
+    it buys."""
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         "label",
     )
+    if distribute:
+        e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    return e
 
 
 def _dot(a, b):
@@ -72,23 +84,51 @@ def _norm(c):
     tags=("similarity", "llm-pipeline"),
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k for a query set: broadcast the
-    queries, scan the corpus once, WindowGroupLimit keeps k rows per
-    query inside the shuffle. O(|corpus|·|queries|·dim) compute but
-    only O(|queries|·k) rows move."""
-    e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    """Exact brute-force cosine top-k for a query set.
+
+    The query matrix (tiny — it is the *query*, not data) ships to every
+    executor in the kernel closure; each Arrow batch of the corpus does
+    one BLAS matmul against it and emits only its batch-local top-k per
+    query. The global window then merges ≤ k·batches rows per query —
+    the tree-top-k pattern: O(|corpus|·|queries|·dim) flops, but rows
+    moved are O(k · batches), independent of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir, distribute=True)
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
+        key=lambda r: r.vec_id,
     )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb")))).alias(
-                "score"
-            ),
-        )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.emb for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.stack(pdf["emb"].to_numpy())
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # |batch| × |queries|
+            S[ids[:, None] == qids[None, :]] = -np.inf  # mask self-match
+            k = min(TOP_K, len(ids))
+            top = np.argpartition(-S, k - 1, axis=0)[:k]  # k × |queries|
+            out_q = np.repeat(qids[None, :], k, axis=0).ravel()
+            out_n = ids[top].ravel()
+            out_s = np.take_along_axis(S, top, axis=0).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "neighbor_id": out_n[keep],
+                    "score": out_s[keep],
+                }
+            )
+
+    scored = e.select("vec_id", "emb").mapInPandas(
+        kernel, "query_id long, neighbor_id long, score double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -119,25 +159,36 @@ def _hyperplanes(n: int = LSH_BANDS * LSH_BITS) -> list[list[float]]:
     return planes
 
 
-def lsh_band_codes(emb_col) -> F.Column:
-    """Array of LSH_BANDS sign-projection codes; code b packs LSH_BITS
-    sign bits of the band's hyperplanes. Pure column expression —
-    usable on a stream as well as in batch."""
-    planes = _hyperplanes()
-    codes = []
-    for band in range(LSH_BANDS):
-        bits = []
-        for i in range(LSH_BITS):
-            p = planes[band * LSH_BITS + i]
-            plane = F.array(*[F.lit(x) for x in p])
-            bits.append(
-                F.when(_dot(emb_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+def band_coded(e: DataFrame) -> DataFrame:
+    """(vec_id, emb, band, code): one row per band per vector; codes
+    come from a single numpy sign-projection matmul per Arrow batch
+    (the interpreted-HOF spelling costs 64 per-row fold evaluations)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(_hyperplanes(), dtype=np.float64)  # (bands·bits) × dim
+    weights = 1 << np.arange(LSH_BITS, dtype=np.int64)  # per-band bit weights
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            M = np.stack(pdf["emb"].to_numpy())  # n × dim
+            bits = ((M @ P.T) >= 0).reshape(n, LSH_BANDS, LSH_BITS)
+            codes = (bits * weights).sum(axis=2).astype(np.int32)  # n × bands
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LSH_BANDS),
+                    "emb": np.repeat(pdf["emb"].to_numpy(), LSH_BANDS),
+                    "band": np.tile(np.arange(LSH_BANDS, dtype=np.int32), n),
+                    "code": codes.ravel(),
+                }
             )
-        code = bits[0]
-        for b in bits[1:]:
-            code = code + b
-        codes.append(code.cast("int"))
-    return F.array(*codes)
+
+    return e.select("vec_id", "emb").mapInPandas(
+        kernel, "vec_id long, emb array<double>, band int, code int"
+    )
 
 
 @query("similarity_ann_lsh", tags=("similarity", "lsh", "llm-pipeline"))
@@ -148,11 +199,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows co-locate). Exact cosine re-rank on the candidate union.
     Rows-only check: bucket membership is LSH-approximate by design;
     recall is audited in tests against the exact `similarity_topk`."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id",
-        "emb",
-        F.posexplode(lsh_band_codes(F.col("emb"))).alias("band", "code"),
-    )
+    e = band_coded(_emb(spark, sf_dir, distribute=True))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),

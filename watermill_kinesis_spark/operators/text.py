@@ -29,7 +29,11 @@ FP_MOD = 1_000_000_007
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """documents, redistributed across all cores — the table is one
+    input split on disk, and tokenization/fingerprinting is CPU-bound
+    per row; without this the operators serialize onto one task."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 @query(

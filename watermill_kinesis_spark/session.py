@@ -47,6 +47,10 @@ def get_spark(app_name: str = "watermill-kinesis-spark", cpus: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # wide aggregates (e.g. the 128-column MinHash signature) must
+        # stay inside whole-stage codegen; the default 100-field limit
+        # silently drops them to interpreted eval (~10× slower)
+        .config("spark.sql.codegen.maxFields", "256")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
