@@ -1,0 +1,205 @@
+"""Streaming-layer tests, mirroring the reference's own test strategy
+(SURVEY.md §5) Spark-first:
+
+- codec round trip through a real stream, corrupt records skipped
+  (reference subscriber.go:54-59)
+- the no-loss/no-dup count invariant from subscriber_test.go:27-102,
+  here as checkpointed restart + replay + uuid dedup = exactly-once
+- publish chunking >500 and per-record failure retry — the two bugs
+  the reference left open (publisher.go:65 TODO, publisher.go:84)
+- per-key shard routing (marshaller.go:65-69)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from watermill_kinesis_spark import codec
+from watermill_kinesis_spark.schema import MESSAGE_SCHEMA
+from watermill_kinesis_spark.streaming import (
+    CollectingPublisher,
+    DirectoryPublisher,
+    publish_batch,
+    subscribe,
+    write_stream_files,
+)
+from watermill_kinesis_spark.streaming.sink import PutRecordsEntry, put_chunked
+
+
+def _messages(spark, n=100):
+    rows = [
+        Row(
+            uuid=f"u-{i}",
+            payload=f"payload-{i}".encode(),
+            metadata={"partitionKey": f"k{i % 7}", "seq": str(i)},
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+
+def test_put_chunked_splits_above_500(spark):
+    pub = CollectingPublisher()
+    entries = [PutRecordsEntry(f"d{i}", f"k{i%3}") for i in range(1201)]
+    n = put_chunked(pub, entries)
+    assert n == 1201
+    assert [len(c) for c in pub.calls] == [500, 500, 201]
+
+
+def test_put_chunked_retries_partial_failures(spark):
+    pub = CollectingPublisher(fail_first=5)
+    entries = [PutRecordsEntry(f"d{i}", None) for i in range(10)]
+    n = put_chunked(pub, entries)
+    assert n == 10
+    assert len(pub.records) == 10  # every failed record eventually landed
+    assert len(pub.calls) == 2  # one retry call for the 5 failures
+
+
+def test_put_chunked_raises_after_retry_budget(spark):
+    class AlwaysFail:
+        def put_records(self, entries):
+            from watermill_kinesis_spark.streaming.sink import PutRecordsResult
+
+            return PutRecordsResult(failed_indexes=list(range(len(entries))))
+
+    with pytest.raises(RuntimeError, match="failed after"):
+        put_chunked(AlwaysFail(), [PutRecordsEntry("d", None)], max_retries=2)
+
+
+def test_stream_roundtrip_with_corrupt_skip(spark, tmp_path):
+    topic = str(tmp_path / "topic")
+    msgs = _messages(spark, 60)
+    write_stream_files(msgs, topic, n_shards=3)
+    # poison record injected into one shard file (subscriber.go:54-59)
+    poison = json.dumps(
+        {
+            "data": "{not valid json",
+            "partition_key": "k0",
+            "sequence_number": "999",
+            "shard_id": "shard-0",
+            "approximate_arrival_timestamp": None,
+        }
+    )
+    with open(os.path.join(topic, "shard-0-poison.json"), "w") as f:
+        f.write(poison + "\n")
+
+    decoded = subscribe(spark, topic)
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("rt_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("rt_test").collect()
+    assert len(out) == 60  # poison skipped, nothing else lost
+    by_uuid = {r.uuid: r for r in out}
+    assert by_uuid["u-3"].payload == b"payload-3"
+    assert by_uuid["u-3"].metadata["seq"] == "3"
+    # system keys injected on consume (marshaller.go:35-40, subscriber.go:60)
+    assert by_uuid["u-3"].metadata["partitionKey"] == "k3"
+    assert by_uuid["u-3"].metadata["shardID"].startswith("shard-")
+
+
+def test_same_key_same_shard(spark, tmp_path):
+    """Kinesis routing contract: one partition key never spans shards."""
+    topic = str(tmp_path / "topic")
+    write_stream_files(_messages(spark, 200), topic, n_shards=4)
+    shard_of: dict[str, set] = {}
+    for fname in os.listdir(topic):
+        with open(os.path.join(topic, fname)) as f:
+            for line in f:
+                rec = json.loads(line)
+                shard_of.setdefault(rec["partition_key"], set()).add(rec["shard_id"])
+    assert shard_of and all(len(s) == 1 for s in shard_of.values())
+
+
+def test_restart_replay_exactly_once(spark, tmp_path):
+    """The subscriber_test.go invariant under failure: process batch 1,
+    'crash', deliver batch 2 after restart from the SAME checkpoint —
+    every message delivered at least once, and uuid-dedup yields
+    exactly the written set."""
+    topic = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    m1 = _messages(spark, 50)
+    write_stream_files(m1, topic, n_shards=2, file_label="b0")
+
+    def run_once():
+        decoded = subscribe(spark, topic)
+        q = (
+            decoded.selectExpr("uuid", "CAST(payload AS STRING) AS body")
+            .writeStream.format("json")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # first run commits batch 0
+    time.sleep(0.2)
+    rows2 = [
+        Row(uuid=f"u-{i}", payload=b"second", metadata={"partitionKey": "k"})
+        for i in range(50, 80)
+    ]
+    write_stream_files(
+        spark.createDataFrame(rows2, MESSAGE_SCHEMA), topic, n_shards=2, file_label="b1"
+    )
+    run_once()  # restart from checkpoint: only new files processed
+
+    delivered = spark.read.json(out_dir)
+    # no loss: all 80 unique messages present exactly once in the sink
+    assert delivered.count() == 80
+    assert delivered.select("uuid").distinct().count() == 80
+
+
+def test_envelope_matches_reference_wire_format(spark):
+    """The on-disk record's data field is the exact MessageData JSON
+    shape from marshaller.go:16-20."""
+    msgs = _messages(spark, 1)
+    wire = codec.marshal(msgs).collect()[0]
+    env = json.loads(wire.data)
+    assert set(env) == {"watermill_message_uuid", "data", "headers"}
+    assert env["watermill_message_uuid"] == "u-0"
+    import base64
+
+    assert base64.b64decode(env["data"]) == b"payload-0"
+    assert env["headers"]["partitionKey"] == "k0"
+    assert wire.partition_key == "k0"
+
+
+def test_publish_batch_through_directory_publisher(spark, tmp_path):
+    """publish → directory 'service' → subscribe: the sink and source
+    interoperate on the wire format."""
+    topic = str(tmp_path / "svc_topic")
+    msgs = _messages(spark, 30)
+    publish_batch(msgs, lambda: DirectoryPublisher(topic, n_shards=2))
+    back = codec.unmarshal(
+        spark.read.json(topic), drop_corrupt=True
+    )
+    rows = back.collect()
+    assert len(rows) == 30
+    assert {r.uuid for r in rows} == {f"u-{i}" for i in range(30)}
+
+
+def test_watermark_late_drop_semantics(spark, sf_dir):
+    """Replayed ancient events must not re-open closed windows."""
+    from watermill_kinesis_spark.operators.streaming_batch import watermark_late_drop
+
+    row = watermark_late_drop(spark, sf_dir).collect()[0]
+    assert row.n_late_input > 0, "testdata must produce a late batch"
+    assert row.n_counted <= row.n_fresh_input
+
+
+def test_stream_dedup_uuid_exactly_once(spark, sf_dir):
+    from watermill_kinesis_spark.operators.streaming_batch import stream_dedup_uuid
+
+    row = stream_dedup_uuid(spark, sf_dir).collect()[0]
+    assert row.n_delivered == row.n_unique

@@ -1,0 +1,188 @@
+"""Streaming-semantics operators, registry-facing.
+
+Each query here runs a REAL Structured Streaming query (file source →
+``availableNow`` trigger → memory sink) and returns its result — these
+are rows-only checks because the semantics (watermark late-drop,
+within-watermark dedup, checkpointed redelivery) exist only on streams;
+the window *arithmetic* itself is oracle-verified in batch by
+operators/windows.py (SURVEY.md §2-C, driver contract note on
+non-SQL-expressible ops).
+
+Topic directories and checkpoints live under a per-query temp dir; the
+memory-sink table name is unique per run so repeated driver invocations
+don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+from watermill_kinesis_spark.streaming import source as stream_source
+from watermill_kinesis_spark.streaming.semantics import dedup_by_uuid
+
+
+def _event_messages(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
+    """events → canonical messages; event time rides in the metadata
+    map as an ISO string (the payload stays opaque, like the
+    reference's model)."""
+    ev = load_table(spark, sf_dir, "events")
+    if where is not None:
+        ev = ev.where(where)
+    return ev.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.encode("props", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("partitionKey"), F.col("user_id").cast("string"),
+            F.lit("eventType"), F.col("event_type"),
+            F.lit("eventTime"), F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        ).alias("metadata"),
+    )
+
+
+def _run_available_now(stream_df: DataFrame, name: str, checkpoint: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+@query("stream_roundtrip_counts", tags=("streaming",))
+def stream_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish→subscribe round trip through the wire format on a real
+    stream: events become messages, land in a sharded topic directory,
+    are re-read with ``readStream`` + envelope decode (corrupt-skip
+    on), and counted per event type. Verifies the full §3.1/§3.2
+    lifecycle — marshal → transport → unmarshal — end to end."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_stream_{run_id}_")
+    topic = os.path.join(base, "topic")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 2000)
+    stream_source.write_stream_files(msgs, topic, n_shards=4)
+    decoded = stream_source.subscribe(spark, topic)
+    counted = decoded.select(
+        F.col("metadata").getItem("eventType").alias("event_type"),
+        F.col("metadata").getItem("shardID").alias("shard_id"),
+    )
+    name = f"roundtrip_{run_id}"
+    _run_available_now(counted, name, os.path.join(base, "ckpt"))
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("stream_dedup_uuid", tags=("streaming",))
+def stream_dedup_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → effective exactly-once: batch 1 of the topic is
+    fully duplicated into batch 2 (simulated redelivery after a crash,
+    reference README.md:51-53), and ``dropDuplicatesWithinWatermark``
+    on the message uuid suppresses every replay. Output counts equal
+    the unique-message count."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_dedup_{run_id}_")
+    topic = os.path.join(base, "topic")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 1000)
+    # batch0: all messages; batch1: the same messages again (redelivery)
+    stream_source.write_stream_files(msgs, topic, file_label="b0")
+    stream_source.write_stream_files(msgs, topic, file_label="b1")
+    decoded = stream_source.subscribe(spark, topic).withColumn(
+        "event_time", F.col("metadata").getItem("eventTime").cast("timestamp")
+    )
+    deduped = dedup_by_uuid(decoded, delay="1 hour")
+    name = f"dedup_{run_id}"
+    _run_available_now(
+        deduped.select("uuid"), name, os.path.join(base, "ckpt")
+    )
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.countDistinct("uuid").alias("n_unique"),
+    )
+
+
+@query("watermark_late_drop", tags=("streaming",))
+def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics across a checkpointed restart: run 1
+    processes the fresh events and commits its watermark; run 2 (same
+    checkpoint — the crash/replay path) delivers only *ancient* events,
+    ≥ 48 h older than the committed watermark, whose 6-hour windows are
+    long closed — every one is dropped by late-record filtering
+    (visible as ``numRowsDroppedByWatermark``). Two separate runs
+    because Spark's late filter uses the watermark committed by the
+    PREVIOUS batch: in-run it lags one micro-batch, across restart it
+    gates immediately. Output exposes n_fresh/n_late inputs so the
+    drop is visible: n_counted ≤ n_fresh despite n_late extra rows."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_wm_{run_id}_")
+    topic = os.path.join(base, "topic")
+    ev = load_table(spark, sf_dir, "events")
+    fresh = _event_messages(spark, sf_dir, F.col("event_id") < 2000)
+    # the reference point is the FRESH batch's own max event time —
+    # that is what the watermark will be derived from after batch 0
+    cutoff = ev.where(F.col("event_id") < 2000).agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    late_bound = cutoff - datetime.timedelta(hours=48)
+    # batch 1 re-delivers OLD events from batch 0's range (event ids
+    # correlate with time in the testdata, so a disjoint id range would
+    # not be late) — the classic replay-after-crash arrival pattern
+    late = _event_messages(
+        spark,
+        sf_dir,
+        (F.col("event_id") < 2000) & (F.col("ts") < F.lit(late_bound)),
+    )
+    ckpt = os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+
+    def run_once() -> None:
+        decoded = stream_source.subscribe(spark, topic).withColumn(
+            "event_time", F.col("metadata").getItem("eventTime").cast("timestamp")
+        )
+        windowed = (
+            decoded.withWatermark("event_time", "1 hour")
+            .groupBy(F.window("event_time", "6 hours"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n",
+            )
+        )
+        q = (
+            windowed.writeStream.format("json")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stream_source.write_stream_files(fresh, topic, file_label="b0")
+    run_once()  # commits the fresh watermark
+    stream_source.write_stream_files(late, topic, file_label="b1")
+    run_once()  # replay run: every late row gated by the watermark
+    n_fresh, n_late = fresh.count(), late.count()
+    return spark.read.json(out_dir).agg(
+        F.sum("n").cast("bigint").alias("n_counted"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.lit(n_fresh).alias("n_fresh_input"),
+        F.lit(n_late).alias("n_late_input"),
+    )

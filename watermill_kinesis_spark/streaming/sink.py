@@ -1,0 +1,183 @@
+"""Kinesis-like publish sink.
+
+Reference behavior reproduced and repaired (SURVEY.md §2-A #1, §3.1):
+- ``Publish`` marshals messages and calls ``PutRecords``
+  (reference publisher.go:64-86). The reference hard-errors above 500
+  records (its batch split is a ``TODO``, reference publisher.go:65)
+  and **discards** the ``PutRecords`` response, silently dropping
+  partial failures (reference publisher.go:84). This sink chunks to
+  ≤500 per call and retries failed entries with bounded attempts.
+- The reference's builder bug — ``Build()`` never wires the marshaller
+  (reference publisher.go:53-57) — has no analogue here: the codec is
+  applied inline, there is no mutable builder state.
+
+Scale design: the sink runs ``foreachPartition`` inside
+``foreachBatch`` — every executor core publishes its own partition
+concurrently; the service client is constructed per partition (never
+serialized from the driver). Repartitioning by partition key before
+publish preserves per-key ordering end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from watermill_kinesis_spark import codec
+from watermill_kinesis_spark.schema import MAX_RECORDS_PER_PUT
+
+
+class PutRecordsEntry:
+    """One wire record: (data, partition_key) — the shape of a Kinesis
+    PutRecordsRequestEntry (reference marshaller.go:61-70)."""
+
+    __slots__ = ("data", "partition_key")
+
+    def __init__(self, data: str, partition_key: str | None):
+        self.data = data
+        self.partition_key = partition_key
+
+
+class PutRecordsResult:
+    """Per-call result with per-record failures (the part of the
+    PutRecords response the reference ignored)."""
+
+    def __init__(self, failed_indexes: list[int] | None = None):
+        self.failed_indexes = failed_indexes or []
+
+
+class DirectoryPublisher:
+    """File-backed stand-in for the Kinesis service: each put appends a
+    JSON-lines file into the topic directory (readable by
+    ``source.subscribe``). Used by tests and the local dev loop, same
+    role as the reference's Localstack harness."""
+
+    def __init__(self, topic_dir: str, n_shards: int = 4):
+        self.topic_dir = topic_dir
+        self.n_shards = n_shards
+
+    def put_records(self, entries: list[PutRecordsEntry]) -> PutRecordsResult:
+        import json
+        import uuid as uuidlib
+
+        os.makedirs(self.topic_dir, exist_ok=True)
+        by_shard: dict[int, list[str]] = {}
+        for seq, e in enumerate(entries):
+            shard = hash(e.partition_key) % self.n_shards if e.partition_key else 0
+            by_shard.setdefault(shard, []).append(
+                json.dumps(
+                    {
+                        "data": e.data,
+                        "partition_key": e.partition_key,
+                        "sequence_number": str(seq),
+                        "shard_id": f"shard-{shard}",
+                        "approximate_arrival_timestamp": None,
+                    }
+                )
+            )
+        token = uuidlib.uuid4().hex[:12]
+        for shard, lines in by_shard.items():
+            path = os.path.join(self.topic_dir, f"shard-{shard}-put-{token}.json")
+            with open(path, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        return PutRecordsResult()
+
+
+class CollectingPublisher:
+    """In-memory publisher for unit tests; optionally fails the first
+    ``fail_first`` entries of each call once, to exercise the retry
+    path the reference lacks."""
+
+    def __init__(self, fail_first: int = 0):
+        self.calls: list[list[PutRecordsEntry]] = []
+        self.records: list[PutRecordsEntry] = []
+        self._fail_budget = fail_first
+
+    def put_records(self, entries: list[PutRecordsEntry]) -> PutRecordsResult:
+        self.calls.append(entries)
+        n_fail = min(self._fail_budget, len(entries))
+        self._fail_budget -= n_fail
+        self.records.extend(entries[n_fail:])
+        return PutRecordsResult(failed_indexes=list(range(n_fail)))
+
+
+def put_chunked(
+    publisher,
+    entries: list[PutRecordsEntry],
+    max_per_call: int = MAX_RECORDS_PER_PUT,
+    max_retries: int = 3,
+    backoff_s: float = 0.05,
+) -> int:
+    """Publish entries in ≤``max_per_call`` chunks, retrying per-record
+    failures (fixes reference publisher.go:65 TODO and the discarded
+    response at publisher.go:84). Returns records published. Raises if
+    records still fail after ``max_retries`` — the error must surface
+    so Spark fails (and later retries) the batch: that is the nack
+    path (SURVEY.md §2-A #7)."""
+    published = 0
+    for i in range(0, len(entries), max_per_call):
+        chunk = entries[i : i + max_per_call]
+        for attempt in range(max_retries + 1):
+            result = publisher.put_records(chunk)
+            failed = result.failed_indexes
+            published += len(chunk) - len(failed)
+            if not failed:
+                break
+            chunk = [chunk[j] for j in failed]
+            if attempt == max_retries:
+                raise RuntimeError(
+                    f"{len(chunk)} records failed after {max_retries} retries"
+                )
+            time.sleep(backoff_s * (2**attempt))
+    return published
+
+
+def publish_batch(
+    messages: DataFrame,
+    publisher_factory: Callable[[], object],
+    preserve_key_order: bool = True,
+) -> None:
+    """Batch publish: marshal + partition-parallel chunked put.
+
+    ``publisher_factory`` is called once per partition ON THE EXECUTOR
+    (a picklable zero-arg callable) — service clients never cross the
+    driver/executor boundary."""
+    wire = codec.marshal(messages)
+    if preserve_key_order:
+        # co-locate each key in one partition so chunked puts preserve
+        # the per-key FIFO contract (reference marshaller.go:65-69)
+        wire = wire.repartition(F.col("partition_key"))
+
+    def run(rows: Iterator) -> None:
+        entries = [PutRecordsEntry(r.data, r.partition_key) for r in rows]
+        if entries:
+            put_chunked(publisher_factory(), entries)
+
+    wire.foreachPartition(run)
+
+
+def publish_stream(
+    messages: DataFrame,
+    publisher_factory: Callable[[], object],
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Streaming publish via ``foreachBatch``: each micro-batch goes
+    through the same chunked/retrying path; the epoch commit after a
+    successful batch is the reference's per-batch checkpoint
+    (reference subscriber.go:65-70), and a raised error replays the
+    batch from the checkpoint (at-least-once)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        publish_batch(batch_df, publisher_factory)
+
+    writer = (
+        messages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
