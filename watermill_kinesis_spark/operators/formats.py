@@ -1,0 +1,110 @@
+"""File-format I/O surface: Parquet, JSON-lines, CSV, and partitioned
+layouts.
+
+The reference has no file I/O at all (SURVEY.md §2-B — its only I/O is
+the AWS SDK); a batch engine needs the standard lake formats. Each
+round-trip query writes a slice of the testdata in the target format,
+reads it back, and aggregates — the oracle runs the same aggregate on
+the ORIGINAL table, so a hash match proves the round trip was lossless
+(schema + values), not just that the code ran.
+
+Scale notes: all writers go through the normal distributed write path
+(one file per task); `partitioned_write_prune` additionally proves
+partition pruning — the read plan touches only the selected partition
+directories, which at 100 TB is the difference between scanning one
+day and scanning the lake.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark.functions.exact import dsum, sql_dsum
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"wk_fmt_{prefix}_{uuidlib.uuid4().hex[:6]}_")
+
+
+_AGG_ORACLE = f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+@query("format_json_roundtrip", oracle=_AGG_ORACLE, tags=("format",))
+def format_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → read back → aggregate; hash-matching the
+    oracle's direct aggregate proves lossless round trip. Timestamps
+    ride as ISO strings and are restored via the explicit schema."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(_tmp("json"), "events_json")
+    ev.select("event_id", "event_type", "value").write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id long, event_type string, value double").json(
+        out
+    )
+    return _agg(back)
+
+
+@query("format_csv_roundtrip", oracle=_AGG_ORACLE, tags=("format",))
+def format_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV (header) → read back with explicit schema →
+    aggregate. Doubles survive because Spark writes round-trippable
+    shortest representations."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(_tmp("csv"), "events_csv")
+    ev.select("event_id", "event_type", "value").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    back = spark.read.schema("event_id long, event_type string, value double").option(
+        "header", True
+    ).csv(out)
+    return _agg(back)
+
+
+@query("format_parquet_roundtrip", oracle=_AGG_ORACLE, tags=("format",))
+def format_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Parquet → read back → aggregate (the lake's native
+    format; schema travels with the data)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(_tmp("parquet"), "events_parquet")
+    ev.select("event_id", "event_type", "value").write.mode("overwrite").parquet(out)
+    return _agg(spark.read.parquet(out))
+
+
+@query(
+    "partitioned_write_prune",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    tags=("format", "partition-prune"),
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (`partitionBy(event_type)`) + a
+    partition-pruned read: the filter on the partition column prunes
+    directories at planning time — `PartitionFilters` in the scan node,
+    zero I/O for unselected partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(_tmp("part"), "events_part")
+    ev.select("event_id", "value", "event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    back = spark.read.parquet(out).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return _agg(back)

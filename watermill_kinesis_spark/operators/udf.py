@@ -1,0 +1,95 @@
+"""User-defined function surface.
+
+The reference's only extension point is the pluggable
+marshaller/unmarshaller function type (reference marshaller.go:22,52;
+publisher.go:48-51; subscriber.go:109-112) — a per-record codec hook.
+Spark-first, that hook is a UDF; the engine exposes the two tiers that
+matter at scale:
+
+- ``@pandas_udf`` (Arrow-vectorized, ~10-100× faster than row-at-a-time
+  Python) for per-value logic built-ins can't express;
+- ``mapInPandas`` for whole-batch logic (see operators/multimodal.py
+  and the similarity kernels).
+
+Row-at-a-time ``F.udf`` is deliberately NOT used anywhere in this
+engine — it is the slow path and nothing here needs it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS DOUBLE) / (1.0 + len(string_split(text, ' ')))
+               AS quality
+    FROM documents
+    """,
+    tags=("udf", "llm-pipeline"),
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF over documents; the oracle recomputes the same
+    arithmetic in SQL, pinning the UDF's semantics (int inputs → one
+    double division, bit-exact across engines). Defined in-function:
+    ``pandas_udf`` resolves its return type against the active session,
+    so module import stays session-free."""
+
+    @pandas_udf("double")
+    def quality_score(n_chars: pd.Series, n_tokens: pd.Series) -> pd.Series:
+        # vectorized over Arrow batches — the whole column divides at
+        # numpy speed, no per-row Python
+        return n_chars / (1.0 + n_tokens)
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        quality_score(F.col("n_chars").cast("double"), n_tokens.cast("double")).alias(
+            "quality"
+        ),
+    )
+
+
+@query("udf_custom_codec", tags=("udf", "codec"))
+def udf_custom_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pluggable-marshaller hook, Spark-first: a custom
+    codec (length-prefixed hex instead of JSON+base64) swapped in as a
+    pair of Pandas UDFs, round-tripped, and verified inline — rows
+    where decode(encode(payload)) ≠ payload would surface as
+    ``roundtrip_ok = false``. Rows-only check (the custom wire format
+    is by definition not the oracle's JSON envelope)."""
+
+    @pandas_udf("string")
+    def encode_hex(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda b: f"{len(b):08x}{b.hex()}" if b is not None else None)
+
+    @pandas_udf("binary")
+    def decode_hex(wire: pd.Series) -> pd.Series:
+        def dec(s):
+            if s is None:
+                return None
+            n = int(s[:8], 16)
+            out = bytes.fromhex(s[8:])
+            return out if len(out) == n else None
+
+        return wire.map(dec)
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    msgs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    coded = msgs.withColumn("wire", encode_hex("payload"))
+    back = coded.withColumn("decoded", decode_hex("wire"))
+    return back.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.length("wire").alias("wire_len"),
+        (F.col("decoded") == F.col("payload")).alias("roundtrip_ok"),
+    )

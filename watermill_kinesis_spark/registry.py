@@ -23,7 +23,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.messages",
     "watermill_kinesis_spark.operators.relational",
+    "watermill_kinesis_spark.operators.relational2",
     "watermill_kinesis_spark.operators.windows",
+    "watermill_kinesis_spark.operators.udf",
+    "watermill_kinesis_spark.operators.formats",
     "watermill_kinesis_spark.operators.dedup",
     "watermill_kinesis_spark.operators.similarity",
     "watermill_kinesis_spark.operators.text",
