@@ -1,0 +1,102 @@
+"""Physical-plan assertions: correctness tests prove the WHAT, these
+prove the HOW survives a 100× scale-up. Each assertion pins a plan
+property that is the difference between O(selected) and O(everything)
+at 100 TB — if a refactor regresses one (filter stops reaching the
+scan, a dim stops broadcasting, a top-k becomes a global sort), these
+fail before the cluster bill does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.operators.relational import (
+    join_broadcast,
+    project_filter,
+    q6_forecast_revenue,
+    sort_limit_topk,
+    topk_per_group,
+)
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    """project_filter: the quantity predicate must appear in
+    PushedFilters and the scan must read only referenced columns."""
+    plan = plan_of(project_filter(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_returnflag" not in read_schema  # unreferenced column pruned
+
+
+def test_q6_fully_pushed_scan(spark, sf_dir):
+    plan = plan_of(q6_forecast_revenue(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    """join_broadcast: both dims must go over BroadcastExchange — the
+    fact side must NOT shuffle for the join."""
+    plan = plan_of(join_broadcast(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_is_take_ordered_not_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global Sort+Exchange."""
+    plan = plan_of(sort_limit_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    """row_number ≤ k must push a WindowGroupLimit below the shuffle so
+    only k rows per group cross the exchange."""
+    plan = plan_of(topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_partition_pruned_read(spark, sf_dir, tmp_path):
+    """A filter on a Hive partition column must become PartitionFilters
+    (planning-time pruning), not a post-scan Filter."""
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_part")
+    ev.select("event_id", "value", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = plan_of(back)
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "event_type" in pf
+
+
+def test_semi_join_not_inner_join(spark, sf_dir):
+    """EXISTS must stay a LeftSemi join (no row duplication)."""
+    from watermill_kinesis_spark.operators.relational import join_semi
+
+    assert "LeftSemi" in optimized_of(join_semi(spark, sf_dir))
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    """The Q1 aggregate pipeline must run inside WholeStageCodegen
+    (inspected after execution — AQE only finalizes the plan then)."""
+    from watermill_kinesis_spark.operators.relational import q1_pricing_summary
+
+    import re
+
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    # '*(n) ' prefixes mark whole-stage-codegen'd operators
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
