@@ -100,3 +100,29 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     plan = plan_of(df)
     # '*(n) ' prefixes mark whole-stage-codegen'd operators
     assert re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucket-aligned fact-fact join: no shuffle on either join side —
+    the write-time bucketing replaces the exchange."""
+    from watermill_kinesis_spark.operators.formats import bucketed_join_colocated
+
+    df = bucketed_join_colocated(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]  # AQE final plan only
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[1]
+    # the aggregation above the join may shuffle; the scans below the
+    # join must not — bucketed reads feed the join directly
+    assert "Exchange hashpartitioning" not in join_part
+    assert "Bucketed: true" in plan
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join must produce identical results to the plain
+    join (oracle covers values); here: the salt column must appear in
+    the join keys so hot keys split across tasks."""
+    from watermill_kinesis_spark.operators.relational2 import join_skew_salted
+
+    plan = optimized_of(join_skew_salted(spark, sf_dir))
+    assert "salt" in plan

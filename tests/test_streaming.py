@@ -203,3 +203,20 @@ def test_stream_dedup_uuid_exactly_once(spark, sf_dir):
 
     row = stream_dedup_uuid(spark, sf_dir).collect()[0]
     assert row.n_delivered == row.n_unique
+
+
+def test_stateful_accounting_survives_restart(spark, sf_dir):
+    """applyInPandasWithState totals must continue across a
+    checkpointed restart (state restored, not reset)."""
+    from watermill_kinesis_spark.operators.streaming_batch import (
+        stream_stateful_accounting,
+    )
+
+    rows = stream_stateful_accounting(spark, sf_dir).collect()
+    assert rows, "no accounting rows emitted"
+    # keys touched in both runs emitted twice, with monotone totals ⇒
+    # max(total) strictly greater than a single batch's contribution
+    multi = [r for r in rows if r.n_emissions >= 2]
+    assert multi, "no key spanned both runs — state continuity not exercised"
+    for r in multi[:20]:
+        assert r.total_messages >= r.n_emissions

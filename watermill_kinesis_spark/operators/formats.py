@@ -108,3 +108,58 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
     )
     return _agg(back)
+
+
+@query(
+    "bucketed_join_colocated",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l.l_quantity')} AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("format", "bucketing", "join"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables are written
+    ``bucketBy(8, orderkey)`` + ``sortBy``, so the merge join reads
+    bucket-aligned files and needs NO exchange on either side — the
+    shuffle happened once at write time and is amortized over every
+    subsequent join. This is the 100 TB answer to repeated fact-fact
+    joins on the same key (the plan shows ``Bucketed: true`` scans and
+    no Exchange below the SortMergeJoin; asserted in
+    tests/test_plans.py). The oracle computes the same join+aggregate
+    from the original tables, proving bucketing changed the plan, not
+    the result."""
+    run = uuidlib.uuid4().hex[:8]
+    base = _tmp("bucket")
+    o_name, l_name = f"wk_orders_b{run}", f"wk_lineitem_b{run}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(o_name)
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .saveAsTable(l_name)
+    )
+    ob, lb = spark.table(o_name), spark.table(l_name)
+    # 'merge' hint pins a sort-merge join so the bucket layout (not a
+    # broadcast) is what elides the exchanges
+    return (
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )

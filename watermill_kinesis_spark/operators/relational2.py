@@ -349,3 +349,42 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority"
     ).distinct()
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           {sql_dsum('e.value')} AS sum_value,
+           CAST(COUNT(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join for skewed keys: the fact side appends a
+    random-ish salt (deterministic hash of a unique column, 8 buckets),
+    the dim side explodes ×8 so every (key, salt) pair still matches —
+    a hot key's rows now spread over 8 tasks instead of one. Result is
+    provably identical to the plain join (the oracle runs the plain
+    join). AQE's skew-join handles most cases at runtime; explicit
+    salting is the tool for the pathological keys AQE can't split
+    (single giant group in an aggregation-after-join)."""
+    n_salt = 8
+    e = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
+    )
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
+        )
+    )

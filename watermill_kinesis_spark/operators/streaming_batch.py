@@ -186,3 +186,52 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_fresh).alias("n_fresh_input"),
         F.lit(n_late).alias("n_late_input"),
     )
+
+
+@query("stream_stateful_accounting", tags=("streaming", "stateful"))
+def stream_stateful_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`) across a
+    checkpointed restart: run 1 streams batch b0, run 2 (same
+    checkpoint) streams b1 — per-key totals in run 2 CONTINUE from
+    run 1's persisted state (cumulative ≥ batch counts), proving the
+    state store survives the restart like the reference's checkpointed
+    sequence numbers (subscriber.go:65-75). Rows-only: custom state is
+    not SQL-expressible; invariants asserted in tests."""
+    from watermill_kinesis_spark.streaming.stateful import key_accounting
+
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_state_{run_id}_")
+    topic = os.path.join(base, "topic")
+    ckpt = os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+
+    def run_once() -> None:
+        decoded = stream_source.subscribe(spark, topic)
+        acct = key_accounting(decoded)
+        q = (
+            acct.writeStream.format("json")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b0 = _event_messages(spark, sf_dir, F.col("event_id") < 600)
+    b1 = _event_messages(
+        spark, sf_dir, (F.col("event_id") >= 600) & (F.col("event_id") < 1200)
+    )
+    stream_source.write_stream_files(b0, topic, file_label="b0")
+    run_once()
+    stream_source.write_stream_files(b1, topic, file_label="b1")
+    run_once()  # restart: state restored from checkpoint, counts continue
+
+    out = spark.read.schema(
+        "partition_key string, n_messages long, n_bytes long, batch_messages long"
+    ).json(out_dir)
+    return out.groupBy("partition_key").agg(
+        F.max("n_messages").alias("total_messages"),
+        F.max("n_bytes").alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_emissions"),
+    )
