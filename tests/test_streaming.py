@@ -220,3 +220,24 @@ def test_stateful_accounting_survives_restart(spark, sf_dir):
     assert multi, "no key spanned both runs — state continuity not exercised"
     for r in multi[:20]:
         assert r.total_messages >= r.n_emissions
+
+
+def test_stream_static_join_enriches_all_rows(spark, sf_dir):
+    """Every streamed message must find its customer dimension row
+    (left join ⇒ no null segment when keys are customer-derived)."""
+    from watermill_kinesis_spark.operators.streaming_batch import stream_static_join
+
+    rows = stream_static_join(spark, sf_dir).collect()
+    assert rows, "no enriched rows"
+    segs = {r.c_mktsegment for r in rows}
+    assert None not in segs, "stream row missed its dimension lookup"
+    assert sum(r.n for r in rows) > 0
+
+
+def test_stream_stream_join_within_interval(spark, sf_dir):
+    """Attributed purchases exist and each user counts at most its
+    click-purchase pairs inside the 1-hour window."""
+    from watermill_kinesis_spark.operators.streaming_batch import stream_stream_join
+
+    row = stream_stream_join(spark, sf_dir).collect()[0]
+    assert row.n_attributed >= row.n_users >= 0

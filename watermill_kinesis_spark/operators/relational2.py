@@ -388,3 +388,64 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
         )
     )
+
+
+@query(
+    "scalar_array_map",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',')
+               AS first3_sorted,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           CAST(len(text) - len(replace(text, ' ', '')) AS INT) AS n_spaces
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family: construct, index, sort, distinct, slice,
+    join, membership — all JVM built-ins over a split column (the
+    array-typed counterpart of scalar_string_date_math)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3_sorted"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("int")
+        .alias("n_spaces"),
+    )
+
+
+@query(
+    "explode_unnest",
+    oracle="""
+    SELECT t.token, COUNT(*) AS n, COUNT(DISTINCT d.doc_id) AS n_docs
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    GROUP BY t.token
+    HAVING COUNT(*) >= 100
+    """,
+    tags=("scalar", "explode"),
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST): flatten token arrays into rows and
+    build a corpus term-frequency table — the generator-node shape
+    behind every inverted-index build."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n") >= 100)
+    )

@@ -235,3 +235,80 @@ def stream_stateful_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").alias("total_bytes"),
         F.count(F.lit(1)).alias("n_emissions"),
     )
+
+
+@query("stream_static_join", tags=("streaming", "join"))
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live message stream enriches against the
+    static customer dimension (loaded once per micro-batch, broadcast by
+    Catalyst). The standard streaming-enrichment shape — dim lookups
+    need no state, no watermark."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_ssj_{run_id}_")
+    topic = os.path.join(base, "topic")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 2000)
+    stream_source.write_stream_files(msgs, topic)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("partition_key"),
+        "c_mktsegment",
+    )
+    decoded = stream_source.subscribe(spark, topic).select(
+        F.col("metadata").getItem("partitionKey").alias("partition_key")
+    )
+    enriched = decoded.join(cust, "partition_key", "left")
+    name = f"ssj_{run_id}"
+    _run_available_now(enriched, name, os.path.join(base, "ckpt"))
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("stream_stream_join", tags=("streaming", "join"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-range
+    condition: click events join purchase events of the same user
+    within 1 hour — both sides buffer state bounded by their
+    watermarks, the canonical funnel/attribution shape. Rows-only:
+    stream-stream state semantics are not SQL-expressible (DuckDB has
+    no notion of two buffered sides)."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_s2j_{run_id}_")
+    topic = os.path.join(base, "topic")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 4000)
+    stream_source.write_stream_files(msgs, topic)
+
+    def side(kind: str, ts_alias: str, key_alias: str):
+        return (
+            stream_source.subscribe(spark, topic)
+            .where(F.col("metadata").getItem("eventType") == kind)
+            .select(
+                F.col("metadata").getItem("partitionKey").alias(key_alias),
+                F.col("metadata")
+                .getItem("eventTime")
+                .cast("timestamp")
+                .alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = side("click", "click_ts", "user_c")
+    buys = side("purchase", "buy_ts", "user_b")
+    joined = clicks.join(
+        buys,
+        (F.col("user_c") == F.col("user_b"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"s2j_{run_id}"
+    _run_available_now(
+        joined.select("user_c", "click_ts", "buy_ts"),
+        name,
+        os.path.join(base, "ckpt"),
+    )
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("user_c").alias("n_users"),
+    )
