@@ -126,3 +126,55 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
 
     plan = optimized_of(join_skew_salted(spark, sf_dir))
     assert "salt" in plan
+
+
+def test_q17_decorrelated_no_nested_loop(spark, sf_dir):
+    """The correlated per-part AVG must run as groupBy+broadcast join —
+    never a per-row nested-loop re-aggregation."""
+    from watermill_kinesis_spark.operators.relational3 import q17_small_quantity_avg
+
+    plan = plan_of(q17_small_quantity_avg(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # part dim + avg table
+
+
+def test_q21_single_pass_no_self_join_explosion(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair is one aggregation + rejoin: exactly
+    two lineitem scans (base + per-order stats), not three."""
+    from watermill_kinesis_spark.operators.relational3 import q21_late_sole_supplier
+
+    plan = plan_of(q21_late_sole_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+
+
+def test_tfidf_df_table_broadcasts(spark, sf_dir):
+    """The vocabulary-sized document-frequency side must broadcast;
+    only token aggregations may shuffle."""
+    from watermill_kinesis_spark.operators.pipeline import tfidf_top_terms
+
+    plan = plan_of(tfidf_top_terms(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2  # df_ + n_docs scalar
+
+
+def test_sessionize_one_shuffle_for_windows_and_agg(spark, sf_dir):
+    """Both window passes and the session aggregation share the
+    user_id partitioning — exactly one exchange in the plan."""
+    from watermill_kinesis_spark.operators.relational3 import sessionize_batch
+
+    plan = plan_of(sessionize_batch(spark, sf_dir))
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_sample_mod_filter_partition_local(spark, sf_dir):
+    """Deterministic mod-sampling must not shuffle: filter + partial
+    agg only, one exchange for the final 3-row groupBy."""
+    from watermill_kinesis_spark.operators.pipeline import sample_stratified_mod
+
+    plan = plan_of(sample_stratified_mod(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

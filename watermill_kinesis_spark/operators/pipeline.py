@@ -1,0 +1,260 @@
+"""Training-data pipeline operators (driver north star: LLM-pipeline
+surface beyond the reference's transport layer).
+
+Complements dedup.py / similarity.py / text.py with the remaining
+pipeline stages a 100 TB corpus build needs: deterministic sampling and
+train/val/test splitting, corpus statistics (TF-IDF), embedding
+pooling, and text normalization.
+
+Determinism discipline: sampling and splits key on `id % k`, never on
+`rand()` — the same row lands in the same split on any cluster, any
+partitioning, any engine (rand() is neither reproducible across
+engines nor stable under retries/speculative execution at scale).
+Float scoring avoids cross-engine transcendental drift by rounding to
+6 decimals (ln is not correctly-rounded; Java Math.log and libm may
+differ in the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# sampling / splits
+
+
+@query(
+    "sample_stratified_mod",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 20 = 7
+    GROUP BY l_returnflag
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample: every 20th order (key mod), with
+    per-stratum stats. The modulo predicate is partition-local — no
+    shuffle, no RNG state, identical sample on every run/cluster; at
+    100 TB the filter evaluates inside the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 7)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("l_quantity").cast("decimal(12,0)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@query(
+    "train_test_split_mod",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 <= 7 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY split
+    """,
+    tags=("pipeline", "sampling"),
+)
+def train_test_split_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split keyed on doc_id mod — stable under
+    re-partitioning, retries, and incremental corpus growth (a doc's
+    split never changes when new docs arrive, unlike percentile- or
+    rand()-based splits)."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 <= 7, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+
+
+@query(
+    "embedding_avg_pool",
+    oracle="""
+    SELECT label, pos,
+           CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 / COUNT(*) AS avg_val,
+           COUNT(*) AS n_vecs
+    FROM (
+        SELECT label,
+               unnest(embedding) AS e,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    tags=("pipeline", "embedding"),
+)
+def embedding_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via element-wise average pooling: posexplode
+    flattens vectors to (label, pos, value) rows so the aggregation is
+    a plain hash groupBy on (label, pos) — fully JVM-side, scales to
+    any vector count with one shuffle of dims×rows skinny rows. Float
+    components are quantized to integer picounits via floor(x·1e12)
+    and summed as exact bigints (order-independent, and floor — unlike
+    decimal rounding — has no round-half midpoint ambiguity between
+    engines; one in ~30k values landed on an exact midpoint and
+    HALF_UP/HALF_EVEN diverged)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    pico = F.floor(F.col("e").cast("double") * F.lit(1e12)).cast("bigint")
+    return (
+        em.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(pico).cast("double") / F.lit(1e12) / F.count(F.lit(1))
+            ).alias("avg_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics / normalization
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id < 200
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok)
+    SELECT doc_id, token,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+    FROM (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                            tf.token
+               ) AS rn
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    WHERE rn <= 3
+    """,
+    tags=("pipeline", "text"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with per-document top-3 terms: explode→TF groupBy→DF
+    groupBy→broadcast-join→window top-k. The document-frequency table
+    is tiny relative to the corpus (vocabulary-sized) so it broadcasts;
+    the only big shuffles are the two token aggregations. Scores are
+    rounded to 6 dp because ln() is not correctly-rounded — Java and
+    libm can differ in the final ulp."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round(score, 6).alias("score"))
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+    FROM documents
+    WHERE doc_id < 500
+    """,
+    tags=("pipeline", "text"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase → strip non-alphanumeric
+    → squeeze whitespace → trim. All JVM regexp built-ins (no Python),
+    partition-local, zero shuffle — the pre-tokenization stage of every
+    corpus build. (DuckDB needs the 'g' flag; Spark regexp_replace is
+    global by default.)"""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+    )
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           s // 32 AS chunk_id,
+           array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
+           len(list_slice(toks, s + 1, s + 32)) AS n_tokens
+    FROM (
+        SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 32)) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 300)
+    )
+    """,
+    tags=("pipeline", "text"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into fixed 32-token
+    chunks — the tokenize→window→pack stage of every LLM training-data
+    build. Entirely JVM built-ins (sequence → posexplode → slice), no
+    Python in the hot path; chunking is embarrassingly parallel
+    (partition-local, zero shuffle), so it scales linearly to 100 TB."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(32))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, 32)
+    return (
+        d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "s"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )

@@ -93,3 +93,43 @@ def udf_custom_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("wire").alias("wire_len"),
         (F.col("decoded") == F.col("payload")).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "udtf_token_ngrams",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_slice(toks, s, s + 2), ' ') AS ngram
+    FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 50)
+    )
+    """,
+    tags=("udf", "udtf", "llm-pipeline"),
+)
+def udtf_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one input row → many
+    output rows, here word trigrams per document via LATERAL join.
+    This is the API-parity demo for generator-style user logic (the
+    reference's pluggable codec generalized to 1→N); the SCALE path
+    for n-grams is JVM-side slicing as in chunk_documents /
+    explode_unnest — a Python UDTF runs row-at-a-time and is kept off
+    hot paths. Oracle cross-checks the UDTF against DuckDB's
+    list-slice formulation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, ngram: string")
+    class Trigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield doc_id, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("wk_trigrams", Trigrams)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.ngram "
+        "FROM udtf_docs AS d, LATERAL wk_trigrams(d.doc_id, d.text) AS t"
+    )

@@ -24,6 +24,8 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.messages",
     "watermill_kinesis_spark.operators.relational",
     "watermill_kinesis_spark.operators.relational2",
+    "watermill_kinesis_spark.operators.relational3",
+    "watermill_kinesis_spark.operators.relational4",
     "watermill_kinesis_spark.operators.windows",
     "watermill_kinesis_spark.operators.udf",
     "watermill_kinesis_spark.operators.formats",
@@ -31,6 +33,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.similarity",
     "watermill_kinesis_spark.operators.text",
     "watermill_kinesis_spark.operators.multimodal",
+    "watermill_kinesis_spark.operators.pipeline",
     "watermill_kinesis_spark.operators.streaming_batch",
 )
 
