@@ -122,3 +122,72 @@ def test_fingerprint_is_content_hash(spark, sf_dir):
         by_text.setdefault(t, set()).add(fp_by_id[did])
     for t, fps in by_text.items():
         assert len(fps) == 1, "identical text must fingerprint identically"
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF (label-centroid cells, nprobe=2) vs brute force: same
+    contract as the LSH audit — mostly the same neighbors, never more
+    than k, and candidate generation restricted to probed cells."""
+    from watermill_kinesis_spark.operators.similarity import similarity_ann_ivf
+
+    exact = {}
+    for r in similarity_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in similarity_ann_ivf(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert exact, "exact top-k returned nothing"
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total}"
+    for q, nbrs in approx.items():
+        assert len(nbrs) <= TOP_K
+
+
+def test_cluster_canonical_is_fixpoint(spark, sf_dir):
+    """Cluster labels are a true connected-components fixpoint: both
+    endpoints of every near-dup edge share a cluster id, exactly one
+    canonical doc per cluster, and it is the minimum member."""
+    from watermill_kinesis_spark.operators.dedup import dedup_cluster_canonical
+
+    labels = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_cluster_canonical(spark, sf_dir).collect()
+    }
+    for r in dedup_ngram_jaccard(spark, sf_dir).collect():
+        assert labels[r.doc_a][0] == labels[r.doc_b][0], (
+            f"edge ({r.doc_a},{r.doc_b}) crosses clusters"
+        )
+    by_cluster = {}
+    for did, (cid, canon) in labels.items():
+        by_cluster.setdefault(cid, []).append((did, canon))
+    for cid, members in by_cluster.items():
+        canons = [d for d, c in members if c == 1]
+        assert canons == [min(d for d, _ in members)] and cid == canons[0]
+
+
+def test_frame_sample_framing_math(spark, sf_dir):
+    """Every sampled frame reproduces the local reference: stride-4
+    sampling of 64-byte frames, crc32 per frame, offsets aligned."""
+    import zlib
+
+    from watermill_kinesis_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        multimodal_frame_sample,
+    )
+
+    out = {}
+    for r in multimodal_frame_sample(spark, sf_dir).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25).collect()
+    for d in docs:
+        p = d.text.encode("utf-8")
+        n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+        expect = list(range(0, n_frames, FRAME_STRIDE))
+        got = sorted(out[d.doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == expect
+        for r in got:
+            fr = p[r.byte_offset : r.byte_offset + FRAME_BYTES]
+            assert r.frame_bytes == len(fr)
+            assert r.frame_crc == zlib.crc32(fr)

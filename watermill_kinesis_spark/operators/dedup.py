@@ -344,6 +344,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# connected components → canonical representative per near-dup cluster
+
+#: propagation cap; real clusters have tiny diameter (near-dup chains),
+#: and the loop exits as soon as a sweep changes nothing
+CC_MAX_ITERS = 20
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split(text, ' ')) - {SHINGLE_N}, 0) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '),
+                                                   CAST(i + 1 AS INT),
+                                                   CAST(i + {SHINGLE_N} AS INT)), ' ')
+               )) AS shingles
+        FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.6),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM jac),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id,
+           MIN(dst) AS cluster_id,
+           CAST(MIN(dst) = src AS INT) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "graph", "llm-pipeline"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clustering*: connected components over the Jaccard≥0.6
+    pair graph, each document labeled with its cluster (min doc_id in
+    the component) and whether it is the canonical keeper. This is the
+    step the pair-emitting operators feed in a real pipeline — without
+    transitive closure, A~B and B~C keeps both A and C.
+
+    Distributed algorithm: min-label propagation (Pregel pattern) — every
+    sweep each node takes the min label among itself and its neighbors;
+    fixpoint = components. Edges are near-dup pairs (orders of magnitude
+    smaller than the corpus) and broadcast; the per-sweep shuffle is one
+    groupBy on doc_id. ``localCheckpoint`` truncates the growing loop
+    lineage, and the driver only ever sees a 0/1 convergence count —
+    labels never leave the cluster. The oracle is the same fixpoint
+    computed as a DuckDB recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        neigh = labels.join(
+            F.broadcast(edges), labels.doc_id == edges.doc_a
+        ).select(F.col("doc_b").alias("doc_id"), "comp")
+        new_labels = (
+            labels.union(neigh).groupBy("doc_id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("doc_id")).cast("int").alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (exact baseline; LSH path in similarity.py)
 
 

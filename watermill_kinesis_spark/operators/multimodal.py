@@ -123,6 +123,55 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets(spark, sf_dir).mapInPandas(extract, FEATURE_SCHEMA)
 
 
+#: fake "video" framing over the payload bytes: fixed-size frames,
+#: keep every FRAME_STRIDE-th one
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+@query("multimodal_frame_sample", tags=("multimodal", "llm-pipeline"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: treat each payload as a
+    sequence of fixed-size frames and keep every ``FRAME_STRIDE``-th
+    one, emitting per-frame position + checksum features. With a real
+    video container the frame boundaries come from the demuxer (and the
+    checksum becomes a thumbnail/feature tensor) — that decode is the
+    stubbed edge; the Spark shape is exactly this: 1→N row expansion
+    inside ``mapInPandas``, so sampling is partition-parallel, nothing
+    but (doc_id, frame features) crosses the wire, and the full binary
+    never re-shuffles. Rows-only check (binary+UDF); the framing math
+    is pinned against a local reference in tests."""
+    import zlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, crcs = [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+                for fi in range(0, n_frames, FRAME_STRIDE):
+                    fr = p[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(did)
+                    idxs.append(fi)
+                    offs.append(fi * FRAME_BYTES)
+                    lens.append(len(fr))
+                    crcs.append(zlib.crc32(fr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "byte_offset": offs,
+                    "frame_bytes": lens,
+                    "frame_crc": crcs,
+                }
+            )
+
+    return assets(spark, sf_dir).mapInPandas(
+        sample,
+        "doc_id long, frame_idx int, byte_offset int, frame_bytes int, frame_crc long",
+    )
+
+
 @query(
     "multimodal_binary_stats",
     oracle="""

@@ -163,3 +163,55 @@ def q2_min_value_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH value_by_part AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))
+                          AS DECIMAL(4,2))) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey)
+    SELECT partkey, CAST(v AS DOUBLE) AS stock_value
+    FROM value_by_part
+    WHERE CAST(v AS DOUBLE) >
+          (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM value_by_part)
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose one-nation (NATION_7) stock value exceeds a
+    fraction of the nation total (no partsupp table exists, so value
+    = lineitem revenue of that nation's supplier lineitems). The per-part
+    value is summed once and reused for both the rows and the total —
+    the scalar total broadcasts back as a 1-row cross join, never a
+    second scan. Sums are exact decimal; the threshold compare happens
+    in double on both engines (one identical IEEE rounding each), so
+    the boundary is bit-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    from watermill_kinesis_spark.functions.exact import factor, money
+
+    val = money("l_extendedprice") * factor("l_discount", -1)
+    by_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(val).alias("v"))
+        .persist()
+    )
+    total = by_part.agg(
+        (F.sum("v").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .where(F.col("v").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("v").cast("double").alias("stock_value"))
+    )

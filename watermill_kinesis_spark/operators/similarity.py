@@ -222,6 +222,90 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF: cells probed per query (out of k = #labels coarse cells)
+IVF_NPROBE = 2
+
+
+@query("similarity_ann_ivf", tags=("similarity", "ivf", "llm-pipeline"))
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN — the other classic scale path next to
+    LSH (`similarity_ann_lsh`):
+
+    1. **Coarse quantizer**: k centroid vectors (here the per-label
+       means, computed distributedly via posexplode+avg — k·dim values,
+       always driver-sized regardless of corpus size).
+    2. **Assign**: one Arrow-batched matmul per corpus batch ranks the
+       k cells; a corpus vector lives in its top cell, a query probes
+       its ``IVF_NPROBE`` best cells.
+    3. **Search**: equi-join on cell id — each query meets only
+       ~nprobe/k of the corpus; exact cosine re-rank on candidates.
+
+    The join is a plain shuffle on a low-cardinality int key (no
+    broadcast needed at 100 TB; cells co-locate), and recall/cost is
+    tuned by nprobe exactly like FAISS IVF. Rows-only check (ANN is
+    approximate by design); recall vs the exact `similarity_topk` is
+    audited in tests."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir, distribute=True)
+    cent_rows = (
+        e.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    labels = sorted({r.label for r in cent_rows})
+    lab_idx = {lab: j for j, lab in enumerate(labels)}
+    C = np.zeros((len(labels), EMB_DIM), dtype=np.float64)
+    for r in cent_rows:
+        C[lab_idx[r.label], r.i] = r.c
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["emb"].to_numpy())
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Cn.T  # n × k
+            order = np.argsort(-S, axis=1)[:, :IVF_NPROBE].astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "cells": list(order),
+                }
+            )
+
+    a = e.select("vec_id", "emb").mapInPandas(
+        assign, "vec_id long, emb array<double>, cells array<int>"
+    ).persist()
+    corpus = a.select("vec_id", "emb", F.col("cells")[0].alias("cell"))
+    q = (
+        a.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    cand = (
+        corpus.join(q, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb")))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 @query(
     "similarity_label_centroids",
     oracle=f"""

@@ -164,6 +164,71 @@ def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           n_rules_passed,
+           CAST(n_rules_passed = 5 AS INT) AS keep
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(string_split(text, ' ')) BETWEEN 10 AND 2000 AS INT)
+             + CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                        / len(string_split(text, ' ')) BETWEEN 2 AND 12 AS INT)
+             + CAST(CAST(len(list_filter(string_split(text, ' '),
+                                         t -> list_contains({list(STOPWORDS)}, t))) AS DOUBLE)
+                        / len(string_split(text, ' ')) >= 0.01 AS INT)
+             + CAST(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / length(text) <= 0.2 AS INT)
+             + CAST(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                        / length(text) <= 0.3 AS INT) AS n_rules_passed
+        FROM documents)
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality gate: five heuristic rules
+    (token count in range, mean token length in range, stopword ratio
+    floor, symbol-character ratio cap, digit ratio cap), scored as the
+    count of rules passed plus a keep/drop flag. All signals are
+    integer counts with one exact int/int double division each, so the
+    score is bit-stable across engines; regexes run JVM-side inside
+    codegen — this is the shape of the first (and most selective) pass
+    over a 100 TB crawl, and it's a pure narrow scan."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_tok = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    sym_ratio = (
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / F.length("text")
+    )
+    rules = (
+        n_tokens.between(10, 2000).cast("int")
+        + avg_tok.between(2, 12).cast("int")
+        + ((n_stop.cast("double") / n_tokens) >= 0.01).cast("int")
+        + (sym_ratio <= 0.2).cast("int")
+        + (digit_ratio <= 0.3).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        rules.alias("n_rules_passed"),
+        (rules == 5).cast("int").alias("keep"),
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
