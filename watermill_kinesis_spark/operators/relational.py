@@ -24,6 +24,9 @@ from watermill_kinesis_spark.functions.exact import (
     dsum,
     dsum_expr,
     factor,
+    lcents,
+    lfactor,
+    lsum,
     money,
     sql_davg,
     sql_dsum,
@@ -70,9 +73,12 @@ def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "l_quantity",
-            (money("l_extendedprice") * factor("l_discount", -1))
-            .cast("double")
-            .alias("revenue"),
+            (
+                (lcents("l_extendedprice") * lfactor("l_discount", -1)).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("revenue"),
             F.year("l_shipdate").cast("int").alias("ship_year"),
         )
     )
@@ -107,13 +113,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
     )
-    disc_price = money("l_extendedprice") * factor("l_discount", -1)
-    charge = disc_price * factor("l_tax", +1)
+    disc_price = lcents("l_extendedprice") * lfactor("l_discount", -1)
+    charge = disc_price * lfactor("l_tax", +1)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
-        dsum_expr(disc_price).alias("sum_disc_price"),
-        dsum_expr(charge).alias("sum_charge"),
+        lsum(disc_price, 4).alias("sum_disc_price"),
+        lsum(charge, 6).alias("sum_charge"),
         davg("l_quantity").alias("avg_qty"),
         davg("l_extendedprice").alias("avg_price"),
         davg("l_discount").alias("avg_disc"),
@@ -407,12 +413,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
-    rev = money("l_extendedprice") * factor("l_discount", -1)
+    rev = lcents("l_extendedprice") * lfactor("l_discount", -1)
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum_expr(rev).alias("revenue"))
+        .agg(lsum(rev, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -449,7 +455,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    rev = money("l_extendedprice") * factor("l_discount", -1)
+    rev = lcents("l_extendedprice") * lfactor("l_discount", -1)
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -460,7 +466,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(dsum_expr(rev).alias("revenue"))
+        .agg(lsum(rev, 4).alias("revenue"))
     )
 
 
@@ -486,7 +492,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum_expr(money("l_extendedprice") * money("l_discount")).alias("revenue")
+        lsum(lcents("l_extendedprice") * lcents("l_discount"), 4).alias("revenue")
     )
 
 

@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import (
+    lcents,
+    lfactor,
+    lsum,
     davg,
     dsum,
     dsum_expr,
@@ -188,20 +191,21 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = money("l_extendedprice") * factor("l_discount", -1)
+    rev = lcents("l_extendedprice") * lfactor("l_discount", -1)
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
-        F.lit(0).cast("decimal(16,4)")
+        F.lit(0).cast("bigint")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            # decimal sums, DOUBLE division: a decimal division would
-            # round at an engine-chosen scale — the double quotient is
-            # one IEEE op, identical everywhere
+            # exact long sums; convert each to natural units in double
+            # BEFORE dividing — the same op order as the oracle's
+            # CAST(SUM(decimal) AS DOUBLE) / CAST(SUM(decimal) AS DOUBLE),
+            # so the quotient is bit-identical
             (
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double")
+                * (F.sum(promo).cast("double") / F.lit(1e4))
+                / (F.sum(rev).cast("double") / F.lit(1e4))
             ).alias("promo_revenue_pct")
         )
     )
@@ -277,11 +281,11 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
-    rev = money("l_extendedprice") * factor("l_discount", -1)
+    rev = lcents("l_extendedprice") * lfactor("l_discount", -1)
     return (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .where(cond)
-        .agg(dsum_expr(rev).alias("revenue"))
+        .agg(lsum(rev, 4).alias("revenue"))
     )
 
 

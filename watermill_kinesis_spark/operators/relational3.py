@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import (
+    lcents,
+    lfactor,
+    lsum,
     dsum,
     dsum_expr,
     factor,
@@ -77,7 +80,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    rev = money("l_extendedprice") * factor("l_discount", -1)
+    rev = lcents("l_extendedprice") * lfactor("l_discount", -1)
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -93,7 +96,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(dsum_expr(rev).alias("revenue"))
+        .agg(lsum(rev, 4).alias("revenue"))
     )
 
 
@@ -140,8 +143,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n2 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    vol = money("l_extendedprice") * factor("l_discount", -1)
-    zero = F.lit(0).cast("decimal(17,4)")
+    vol = lcents("l_extendedprice") * lfactor("l_discount", -1)
+    zero = F.lit(0).cast("bigint")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -196,9 +199,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    profit = money("l_extendedprice") * factor("l_discount", -1) - money(
-        "p_retailprice"
-    ) * F.col("l_quantity").cast("decimal(12,2)") * F.lit(0.1).cast("decimal(4,2)")
+    profit = (
+        lcents("l_extendedprice") * lfactor("l_discount", -1) * F.lit(10)
+        - lcents("p_retailprice") * lcents("l_quantity")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -208,7 +212,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(dsum_expr(profit).alias("sum_profit"))
+        .agg(lsum(profit, 5).alias("sum_profit"))
     )
 
 
@@ -242,13 +246,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    rev = money("l_extendedprice") * factor("l_discount", -1)
+    rev = lcents("l_extendedprice") * lfactor("l_discount", -1)
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(dsum_expr(rev).alias("revenue"))
+        .agg(lsum(rev, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -309,9 +313,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
-    rev = money("l_extendedprice") * factor("l_discount", -1)
+    rev = lcents("l_extendedprice") * lfactor("l_discount", -1)
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum_expr(rev).alias("total_revenue")
+        lsum(rev, 4).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier")

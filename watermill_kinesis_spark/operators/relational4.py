@@ -197,9 +197,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
-    from watermill_kinesis_spark.functions.exact import factor, money
+    from watermill_kinesis_spark.functions.exact import lcents, lfactor
 
-    val = money("l_extendedprice") * factor("l_discount", -1)
+    val = lcents("l_extendedprice") * lfactor("l_discount", -1)
     by_part = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -208,10 +208,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     total = by_part.agg(
-        (F.sum("v").cast("double") * F.lit(0.001)).alias("threshold")
+        ((F.sum("v").cast("double") / 10000) * F.lit(0.001)).alias("threshold")
     )
     return (
         by_part.crossJoin(F.broadcast(total))
-        .where(F.col("v").cast("double") > F.col("threshold"))
-        .select("partkey", F.col("v").cast("double").alias("stock_value"))
+        .where((F.col("v").cast("double") / 10000) > F.col("threshold"))
+        .select(
+            "partkey", (F.col("v").cast("double") / 10000).alias("stock_value")
+        )
     )
