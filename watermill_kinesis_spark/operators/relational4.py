@@ -217,3 +217,93 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey", (F.col("v").cast("double") / 10000).alias("stock_value")
         )
     )
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             COUNT(*)      AS n,
+             SUM(xc)       AS sx,
+             SUM(xc * xc)  AS sxx,
+             SUM(q)        AS sq,
+             SUM(q * q)    AS sqq,
+             SUM(xc * q)   AS sxq
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS n_items,
+           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS mean_price,
+           ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0, 4)
+               AS stddev_price,
+           ROUND(CAST(n * sxq - sx * sq AS DOUBLE)
+                 / (SQRT(CAST(n * sqq - sq * sq AS DOUBLE))
+                    * SQRT(CAST(n * sxx - sx * sx AS DOUBLE))), 6)
+               AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic second-moment statistics (mean / sample stddev /
+    correlation) from EXACT integer sums, not Welford streaming state.
+
+    Spark's builtin `stddev`/`corr` merge partial (mean, M2) states in
+    shuffle-arrival order, so the low bits of the result change run to
+    run; an oracle hash-compare would flake. Instead each partition
+    accumulates exact integer sums (Sx, Sxx, Sq, Sqq, Sxq as
+    decimal(38,0) — money in bigint cents, quantities as longs), which
+    merge associatively and order-independently, and the closed-form
+    moments
+
+        var  = (n*Sxx - Sx^2) / (n*(n-1))
+        corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
+
+    are evaluated in double with the same op order as the oracle SQL.
+    The hugeint->double conversions can differ from Spark's
+    decimal->double by an ulp above 2^53, so both sides round the
+    final statistics (4 dp for money, 6 dp for the dimensionless
+    correlation) — error bound ~1e-12 against a 5e-5 boundary.
+    At 100 TB this is one map-side-combined groupBy of six longs per
+    group; the per-row squares stay in primitive long codegen.
+    """
+    from watermill_kinesis_spark.functions.exact import lcents
+
+    li = _t(spark, sf_dir, "lineitem")
+    xc = lcents("l_extendedprice")
+    q = lcents("l_quantity", 0)
+    d38 = "decimal(38,0)"
+    s = li.select(
+        "l_returnflag", xc.alias("xc"), q.alias("q")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xc").cast(d38)).alias("sx"),
+        F.sum((F.col("xc") * F.col("xc")).cast(d38)).alias("sxx"),
+        F.sum(F.col("q").cast(d38)).alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast(d38)).alias("sqq"),
+        F.sum((F.col("xc") * F.col("q")).cast(d38)).alias("sxq"),
+    )
+    nd = F.col("n").cast(d38)
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vq = (nd * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    cv = (nd * F.col("sxq") - F.col("sx") * F.col("sq")).cast("double")
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        F.round(F.col("sx").cast("double") / n_d / F.lit(100.0), 4).alias(
+            "mean_price"
+        ),
+        F.round(
+            F.sqrt(vx / (n_d * (F.col("n") - 1).cast("double"))) / F.lit(100.0),
+            4,
+        ).alias("stddev_price"),
+        F.round(cv / (F.sqrt(vq) * F.sqrt(vx)), 6).alias("corr_qty_price"),
+    )
