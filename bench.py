@@ -56,14 +56,16 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    # Two runs per query, keep the faster: the first run of a plan shape
-    # pays one-time JIT/codegen compilation (measured 3-6× inflation on
-    # kernel-heavy queries); steady-state throughput is what a resident
+    # Three runs per query, keep the fastest: the first run of a plan
+    # shape pays one-time JIT/codegen compilation (measured 3-6×
+    # inflation on kernel-heavy queries), and co-tenant load spikes
+    # inflate any single run (measured ±40% run-to-run on an otherwise
+    # unchanged build); steady-state throughput is what a resident
     # engine delivers and what the baseline comparison should see.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
