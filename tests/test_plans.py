@@ -178,3 +178,19 @@ def test_sample_mod_filter_partition_local(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_stats_moments_single_shuffle_no_welford(spark, sf_dir):
+    """stats_moments: the moment statistics must come from exact
+    integer sums merged in ONE map-side-combined aggregation — no
+    builtin stddev/corr (Welford partials merge in shuffle-arrival
+    order → nondeterministic low bits), and no second shuffle for the
+    derived columns."""
+    from watermill_kinesis_spark.operators.relational4 import stats_moments
+
+    df = stats_moments(spark, sf_dir)
+    plan = plan_of(df)
+    assert "stddev(" not in plan and "stddev_samp(" not in plan
+    assert "corr(" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan  # map-side combine before the shuffle
