@@ -63,15 +63,42 @@ def test_unmarshal_injects_system_metadata(spark):
     assert m["h"] == "v"
 
 
+def test_arrival_ts_rfc3339_is_utc_in_any_session_tz(spark):
+    """The 'Z' suffix must be truthful: a TIMESTAMP (instant) column
+    formats as UTC wall-clock even when the ambient session timezone is
+    not UTC (the driver runs a vanilla session with the host's tz)."""
+    msgs = _messages(spark, [("u1", b"x", {})])
+    wire = codec.marshal(msgs).select(
+        "data",
+        F.to_timestamp(F.lit("2024-05-06 07:08:09")).alias(
+            "approximate_arrival_timestamp"
+        ),
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # the literal above was parsed under the prev (UTC) tz, so the
+        # instant is 2024-05-06T07:08:09Z regardless of render tz
+        wire = wire.localCheckpoint()  # pin the parsed instant
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        m = codec.unmarshal(wire).collect()[0].metadata
+        assert m[META_ARRIVAL_TS] == "2024-05-06T07:08:09Z"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_corrupt_records_skipped_not_fatal(spark):
     rows = [
         ('{"watermill_message_uuid":"ok1","data":"aGk=","headers":{}}', None, None, None, None),
         ("not json at all", None, None, None, None),
-        ('{"watermill_message_uuid":"ok2","data":"!!!invalid-b64","headers":{}}', None, None, None, None),
+        # valid JSON but data fails base64 decode — the reference's
+        # unmarshal errors on this too (marshaller.go:42-46) and
+        # subscriber.go:54-59 skips it like any other poison record
+        ('{"watermill_message_uuid":"bad1","data":"!!!invalid-b64","headers":{}}', None, None, None, None),
+        # nil payload (data absent) is NOT corrupt: uuid survives, payload NULL
+        ('{"watermill_message_uuid":"ok2","headers":{}}', None, None, None, None),
     ]
     wire = spark.createDataFrame(rows, WIRE_RECORD_SCHEMA)
     out = codec.unmarshal(wire, drop_corrupt=True).orderBy("uuid").collect()
-    # bad JSON dropped entirely; bad base64 keeps the message, nulls the payload
     assert [r.uuid for r in out] == ["ok1", "ok2"]
     assert bytes(out[0].payload) == b"hi"
     assert out[1].payload is None
@@ -81,9 +108,13 @@ def test_split_corrupt_dead_letter(spark):
     rows = [
         ('{"watermill_message_uuid":"ok1","data":"aGk=","headers":{}}', None, None, None, None),
         ("garbage", None, None, None, None),
+        ('{"watermill_message_uuid":"bad1","data":"%%%not-b64","headers":{}}', None, None, None, None),
     ]
     wire = spark.createDataFrame(rows, WIRE_RECORD_SCHEMA)
     good, dead = codec.split_corrupt(wire)
     assert good.count() == 1
-    assert dead.count() == 1
-    assert dead.collect()[0].data == "garbage"
+    assert dead.count() == 2
+    assert {r.data for r in dead.collect()} == {
+        "garbage",
+        '{"watermill_message_uuid":"bad1","data":"%%%not-b64","headers":{}}',
+    }

@@ -189,6 +189,29 @@ def test_publish_batch_through_directory_publisher(spark, tmp_path):
     assert {r.uuid for r in rows} == {f"u-{i}" for i in range(30)}
 
 
+def test_directory_publisher_routing_is_deterministic(tmp_path):
+    """Shard routing must not depend on PYTHONHASHSEED: the same
+    partition key lands in the same shard file across processes/runs
+    (per-key FIFO contract, reference marshaller.go:65-69). crc32 is
+    process-independent; builtin hash() is not."""
+    import zlib
+
+    from watermill_kinesis_spark.streaming.sink import PutRecordsEntry
+
+    topic = str(tmp_path / "det_topic")
+    pub = DirectoryPublisher(topic, n_shards=4)
+    keys = [f"key-{i}" for i in range(20)]
+    pub.put_records([PutRecordsEntry('{"x":1}', k) for k in keys])
+    routed = {}
+    for fname in os.listdir(topic):
+        shard = int(fname.split("-")[1])
+        with open(os.path.join(topic, fname)) as f:
+            for line in f:
+                routed[json.loads(line)["partition_key"]] = shard
+    for k in keys:
+        assert routed[k] == zlib.crc32(k.encode()) % 4
+
+
 def test_watermark_late_drop_semantics(spark, sf_dir):
     """Replayed ancient events must not re-open closed windows."""
     from watermill_kinesis_spark.operators.streaming_batch import watermark_late_drop

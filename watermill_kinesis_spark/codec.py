@@ -10,11 +10,16 @@ Reference behavior being reproduced (Spark-first, not ported):
   and RFC3339 ``approximateArrivalTimestamp`` — system keys overwrite
   header keys, matching the map-assignment order in
   reference marshaller.go:35-40 and subscriber.go:60.
-- corrupt-record skip: a record whose envelope fails to parse is
-  dropped, not fatal (reference subscriber.go:54-59). Here malformed
-  JSON / invalid base64 decode to NULL and ``skip_corrupt`` filters
-  them out; ``split_corrupt`` exposes the dead-letter branch instead
-  of silently dropping (an improvement over the reference).
+- corrupt-record skip: a record whose envelope fails to unmarshal is
+  dropped, not fatal (reference subscriber.go:54-59). "Fails to
+  unmarshal" covers BOTH malformed JSON and a non-null ``data`` field
+  that is not valid base64 — the reference's base64 decode error is an
+  unmarshal error too (marshaller.go:42-46). Either way the whole row
+  decodes to NULL (uuid, payload, metadata) so corrupt records are
+  distinguishable from legitimately-nil payloads (``data`` absent or
+  JSON null ⇒ uuid non-null, payload NULL), and ``skip_corrupt``
+  filters them out; ``split_corrupt`` exposes the dead-letter branch
+  instead of silently dropping (an improvement over the reference).
 
 All of this is built-in Spark SQL expressions — JVM-side, codegen'd,
 no Python in the hot path — so it runs at scan speed on a cluster.
@@ -23,6 +28,7 @@ no Python in the hot path — so it runs at scan speed on a cluster.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import TimestampType
 
 from watermill_kinesis_spark.schema import (
     ENVELOPE_DATA_FIELD,
@@ -79,10 +85,31 @@ def marshal(
     )
 
 
-def _decode_payload(b64: Column) -> Column:
-    # NULL (corrupt) unless the text is well-formed base64; avoids
-    # ANSI-mode decode errors and keeps poison records non-fatal.
-    return F.when(b64.rlike(_BASE64_RE), F.unbase64(b64))
+def _is_corrupt(env: Column) -> Column:
+    """True iff the wire record would fail the reference's unmarshal:
+    unparseable JSON envelope (⇒ NULL struct / NULL uuid) OR a non-null
+    ``data`` field that is not well-formed base64 (the reference's
+    ``base64.StdEncoding.DecodeString`` error, marshaller.go:42-46).
+    The regex check avoids ANSI-mode decode errors so poison records
+    stay non-fatal."""
+    data = env.getField(ENVELOPE_DATA_FIELD)
+    return (
+        env.getField(ENVELOPE_UUID_FIELD).isNull()
+        | (data.isNotNull() & ~data.rlike(_BASE64_RE))
+    )
+
+
+def _rfc3339_utc(df: DataFrame, ts_col: str) -> Column:
+    """RFC3339 text with a truthful 'Z': TIMESTAMP columns (instants)
+    are explicitly shifted so the rendered wall-clock is UTC no matter
+    what the ambient session timezone is (the reference's time.RFC3339
+    emits the true offset; a naive ``date_format`` would render local
+    time falsely labeled UTC). TIMESTAMP_NTZ / string columns are
+    naive-UTC by engine convention and format as-is."""
+    ts = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampType):
+        ts = F.to_utc_timestamp(ts, F.current_timezone())
+    return F.date_format(ts, RFC3339_FORMAT)
 
 
 def unmarshal(
@@ -116,10 +143,7 @@ def unmarshal(
         system_entries.append(F.create_map(F.lit(META_SHARD_ID), F.col(shard_id_col)))
     if arrival_ts_col is not None and arrival_ts_col in df.columns:
         system_entries.append(
-            F.create_map(
-                F.lit(META_ARRIVAL_TS),
-                F.date_format(F.col(arrival_ts_col), RFC3339_FORMAT),
-            )
+            F.create_map(F.lit(META_ARRIVAL_TS), _rfc3339_utc(df, arrival_ts_col))
         )
     metadata = headers
     if system_entries:
@@ -134,12 +158,11 @@ def unmarshal(
         )
         metadata = F.map_concat(safe_headers, system)
 
+    ok = ~_is_corrupt(F.col("_env"))
     out = parsed.select(
-        F.col(f"_env.{ENVELOPE_UUID_FIELD}").alias("uuid"),
-        _decode_payload(F.col(f"_env.{ENVELOPE_DATA_FIELD}")).alias("payload"),
-        F.when(F.col(f"_env.{ENVELOPE_UUID_FIELD}").isNotNull(), metadata).alias(
-            "metadata"
-        ),
+        F.when(ok, F.col(f"_env.{ENVELOPE_UUID_FIELD}")).alias("uuid"),
+        F.when(ok, F.unbase64(F.col(f"_env.{ENVELOPE_DATA_FIELD}"))).alias("payload"),
+        F.when(ok, metadata).alias("metadata"),
     )
     if drop_corrupt:
         out = skip_corrupt(out)
@@ -147,13 +170,17 @@ def unmarshal(
 
 
 def skip_corrupt(messages: DataFrame) -> DataFrame:
-    """Drop poison messages (NULL uuid ⇒ envelope failed to parse)."""
+    """Drop poison messages (NULL uuid ⇒ envelope failed to unmarshal:
+    bad JSON or bad base64 — both null the whole row in ``unmarshal``)."""
     return messages.filter(F.col("uuid").isNotNull())
 
 
 def split_corrupt(df: DataFrame, data_col: str = "data") -> tuple[DataFrame, DataFrame]:
-    """(good_records, dead_letter_records) — DLQ branch the reference lacks."""
-    ok = F.from_json(F.col(data_col), ENVELOPE_SCHEMA).getField(
-        ENVELOPE_UUID_FIELD
-    ).isNotNull()
+    """(good_records, dead_letter_records) — DLQ branch the reference lacks.
+
+    Same corrupt predicate as ``unmarshal``: bad JSON *or* a non-null
+    ``data`` field that fails the base64 shape check dead-letters the
+    record (reference subscriber.go:54-59 skips any unmarshal error,
+    including base64 decode errors)."""
+    ok = ~_is_corrupt(F.from_json(F.col(data_col), ENVELOPE_SCHEMA))
     return df.filter(ok), df.filter(~ok)

@@ -410,6 +410,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    changed = 1
     for _ in range(CC_MAX_ITERS):
         neigh = labels.join(
             F.broadcast(edges), labels.doc_id == edges.doc_a
@@ -428,6 +429,16 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Never return partial components: a chain with diameter >
+        # CC_MAX_ITERS would get silently-wrong cluster_ids while the
+        # oracle computes the full transitive closure. Surface it —
+        # the fix is a bigger sweep budget (or pointer-doubling).
+        raise RuntimeError(
+            f"dedup_cluster_canonical did not converge in {CC_MAX_ITERS} "
+            "min-label sweeps; component diameter exceeds the budget — "
+            "raise CC_MAX_ITERS"
+        )
     return labels.select(
         "doc_id",
         F.col("comp").alias("cluster_id"),

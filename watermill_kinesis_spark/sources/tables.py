@@ -44,16 +44,26 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``ts`` is exposed as TIMESTAMP_NTZ (naive UTC) so query results do
     not depend on whatever session timezone the caller's SparkSession
-    happens to use — DuckDB timestamps are naive as well. The UTC pin
-    makes the intermediate TIMESTAMP→NTZ hop exact.
+    happens to use — DuckDB timestamps are naive as well. The long→NTZ
+    conversion is pure integer arithmetic (``timestampadd`` from the NTZ
+    epoch), so no session-timezone pin is needed anywhere.
+
+    The one session conf this loader must set is
+    ``spark.sql.legacy.parquet.nanosAsLong`` — it is read-path-only
+    (without it the scan of a TIMESTAMP(NANOS) column hard-fails), has
+    no per-read option form, and only affects parquet nanos columns,
+    which exist solely in this table. It deliberately does NOT touch
+    ``spark.sql.session.timeZone`` or any other semantic conf.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     from pyspark.sql import functions as F
 
     return df.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
     )
 
 

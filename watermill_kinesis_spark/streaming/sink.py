@@ -62,11 +62,21 @@ class DirectoryPublisher:
     def put_records(self, entries: list[PutRecordsEntry]) -> PutRecordsResult:
         import json
         import uuid as uuidlib
+        import zlib
 
         os.makedirs(self.topic_dir, exist_ok=True)
         by_shard: dict[int, list[str]] = {}
         for seq, e in enumerate(entries):
-            shard = hash(e.partition_key) % self.n_shards if e.partition_key else 0
+            # deterministic hash: Python's builtin hash() is
+            # PYTHONHASHSEED-randomized per process, which would route the
+            # same key to different shards across executors/runs and break
+            # the per-key FIFO contract (reference marshaller.go:65-69 —
+            # Kinesis's MD5-of-partition-key routing is stable too)
+            shard = (
+                zlib.crc32(e.partition_key.encode("utf-8")) % self.n_shards
+                if e.partition_key
+                else 0
+            )
             by_shard.setdefault(shard, []).append(
                 json.dumps(
                     {
@@ -78,7 +88,13 @@ class DirectoryPublisher:
                     }
                 )
             )
-        token = uuidlib.uuid4().hex[:12]
+        # monotonic time prefix: lexicographic file order == publish
+        # order within a producer, so shard-ordered readers (the
+        # kinesis_sim source) replay each shard's records FIFO; the
+        # random token breaks same-nanosecond collisions across
+        # concurrent producers (cross-producer order is loose, exactly
+        # like Kinesis sequence numbers across PutRecords calls)
+        token = f"{time.time_ns():020d}-{uuidlib.uuid4().hex[:8]}"
         for shard, lines in by_shard.items():
             path = os.path.join(self.topic_dir, f"shard-{shard}-put-{token}.json")
             with open(path, "w") as f:
