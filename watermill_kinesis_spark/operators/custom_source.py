@@ -1,0 +1,63 @@
+"""Custom-format round-trip: the ``kinesis_sim`` Python Data Source as
+a registered operator.
+
+The reference's entire I/O surface is "publish to the stream service,
+subscribe back" (reference publisher.go:64-86, subscriber.go:49-76).
+This operator is that loop through Spark's own format machinery: events
+→ messages → ``df.write.format("kinesis_sim")`` (executor-side chunked
+puts) → ``spark.read.format("kinesis_sim")`` (one partition per shard)
+→ unmarshal → aggregate. The DuckDB oracle computes the same aggregate
+straight from ``events`` — transport must be lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark import codec
+from watermill_kinesis_spark.operators.messages import messages_from_events
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources import kinesis_sim
+
+
+@query(
+    "custom_source_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_messages,
+           COUNT(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("codec", "layer-a", "source", "custom-format"),
+)
+def custom_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish every event through the kinesis_sim format and read it
+    back; per-type counts and distinct partition keys must survive the
+    transport bit-for-bit (no loss, no duplication)."""
+    kinesis_sim.register(spark)
+    topic = tempfile.mkdtemp(prefix="kinesis_sim_topic_")
+    wire = codec.marshal(messages_from_events(spark, sf_dir))
+    (
+        wire.write.format("kinesis_sim")
+        .option("path", topic)
+        .option("n_shards", str(min(8, max(2, os.cpu_count() or 4))))
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("kinesis_sim").option("path", topic).load()
+    msgs = codec.unmarshal(back, drop_corrupt=False)
+    return (
+        msgs.select(
+            F.col("metadata").getItem("eventType").alias("event_type"),
+            F.col("metadata").getItem("partitionKey").alias("partition_key"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.countDistinct("partition_key").alias("n_keys"),
+        )
+    )

@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.messages",
+    "watermill_kinesis_spark.operators.custom_source",
     "watermill_kinesis_spark.operators.relational",
     "watermill_kinesis_spark.operators.relational2",
     "watermill_kinesis_spark.operators.relational3",

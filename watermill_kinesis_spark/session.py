@@ -51,6 +51,9 @@ def get_spark(app_name: str = "watermill-kinesis-spark", cpus: int | None = None
         # stay inside whole-stage codegen; the default 100-field limit
         # silently drops them to interpreted eval (~10× slower)
         .config("spark.sql.codegen.maxFields", "256")
+        # Python Data Source readers that implement pushFilters()
+        # (sources/kinesis_sim.py shard pruning) fail without this
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
