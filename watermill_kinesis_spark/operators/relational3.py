@@ -141,7 +141,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
     )
-    n2 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    # second view of nation (load_table memoizes the table plan, so a
+    # self-join needs aliased projections to mint fresh attribute ids)
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     vol = lcents("l_extendedprice") * lfactor("l_discount", -1)
     zero = F.lit(0).cast("bigint")
@@ -151,8 +155,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == n2.n_nationkey)
-        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
             vol.alias("volume"),

@@ -27,13 +27,30 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Memo of logical table DataFrames, keyed by (applicationId, sf_dir, name).
+# ``spark.read.parquet`` costs a driver round-trip (file listing + footer
+# schema read, ~70-100 ms) on EVERY call; a multi-table query rebuilt
+# per-run pays it 5-6×. DataFrames are immutable logical plans, so
+# reusing one across queries is free and safe — this is the engine's
+# catalog, not a data cache (scans still hit parquet with full pushdown).
+# One discipline it imposes: a SELF-join of a table must alias-project
+# one side (fresh attribute ids), since both sides now share a plan
+# instance (see q8_market_share).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_MEMO[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
