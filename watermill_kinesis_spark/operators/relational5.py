@@ -1,0 +1,247 @@
+"""Fifth relational batch: outer-join completion, time-RANGE window
+frames, benchmark decontamination, and deterministic corpus shuffling.
+
+Reference basis: none — driver-mandated Layer B (the reference engine
+has no relational surface, SURVEY.md §2-B). Same determinism
+discipline as relational.py: exact integer/cent arithmetic for float
+aggregates, unique-key tie breaks, no RNG (hashes stand in for
+randomness so results are engine- and run-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.functions.exact import dsum, sql_dsum, lcents, lsum
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+    WITH o96 AS (
+        SELECT o_custkey, COUNT(*) AS n_1996, {sql_dsum('o_totalprice')} AS sum_1996
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey),
+    o97 AS (
+        SELECT o_custkey, COUNT(*) AS n_1997, {sql_dsum('o_totalprice')} AS sum_1997
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey)
+    SELECT COALESCE(o96.o_custkey, o97.o_custkey) AS custkey,
+           COALESCE(n_1996, 0) AS n_1996,
+           COALESCE(n_1997, 0) AS n_1997,
+           COALESCE(sum_1996, 0.0) + COALESCE(sum_1997, 0.0) AS sum_both
+    FROM o96 FULL OUTER JOIN o97 ON o96.o_custkey = o97.o_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two yearly activity profiles — keeps customers
+    active in either year (the churn/reactivation comparison shape).
+    Both sides pre-aggregate BEFORE the join, so the outer join matches
+    one row per key per side — at 100 TB the join input is |customers|,
+    not |orders|, and the full-outer shuffle is the already-reduced
+    keyset."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year_slice(y: int, n_alias: str, s_alias: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+            )
+            .groupBy(F.col("o_custkey").alias(f"ck_{y}"))
+            .agg(
+                F.count(F.lit(1)).alias(n_alias),
+                dsum("o_totalprice").alias(s_alias),
+            )
+        )
+
+    a = year_slice(1996, "n_1996", "sum_1996")
+    b = year_slice(1997, "n_1997", "sum_1997")
+    return (
+        a.join(b, a.ck_1996 == b.ck_1997, "full_outer")
+        .select(
+            F.coalesce("ck_1996", "ck_1997").alias("custkey"),
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+            F.coalesce("n_1997", F.lit(0)).alias("n_1997"),
+            (
+                F.coalesce("sum_1996", F.lit(0.0))
+                + F.coalesce("sum_1997", F.lit(0.0))
+            ).alias("sum_both"),
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(SUM(SUM(CAST(value AS DECIMAL(12,2)))) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS sum_24h,
+           SUM(COUNT(*)) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_24h
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id, event_id, ts
+    """,
+    tags=("window", "event-time"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24-hour RANGE frame per user: the moving-aggregate shape
+    (fraud velocity checks, rate counters) where the frame is defined
+    by TIME distance, not row count — ROWS frames are wrong whenever
+    event density varies. Spark's rangeBetween needs a numeric ordering
+    key, so the timestamp becomes epoch seconds; each partition sorts
+    once and the frame slides in O(n). Values aggregate as exact
+    decimal cents inside the frame (order-independent). The GROUP BY
+    collapses exact-duplicate timestamps first so RANGE peer groups
+    are identical in both engines."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    base = ev.groupBy(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch_s"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("v_sum"),
+        F.count(F.lit(1)).alias("v_n"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-86400, W.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("v_sum").over(w).cast("double").alias("sum_24h"),
+        F.sum("v_n").over(w).alias("n_24h"),
+    )
+
+
+#: decontamination: n-gram order and overlap threshold
+DECON_N = 5
+DECON_MIN_HITS = 3
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH eval_docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id < 50),
+    train_docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id >= 50),
+    eval_grams AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ') AS gram
+        FROM eval_docs, unnest(generate_series(1, len(toks) - {DECON_N - 1})) AS t(i)),
+    train_grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ') AS gram
+        FROM train_docs, unnest(generate_series(1, len(toks) - {DECON_N - 1})) AS t(i))
+    SELECT t.doc_id, COUNT(*) AS n_shared_grams
+    FROM train_grams t JOIN eval_grams e USING (gram)
+    GROUP BY t.doc_id
+    HAVING COUNT(*) >= {DECON_MIN_HITS}
+    """,
+    tags=("pipeline", "dedup", "decontamination", "llm-pipeline"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pre-training hygiene pass that
+    flags training documents sharing ≥k distinct n-grams with an
+    evaluation set. Eval docs (tiny by construction) explode to a
+    DISTINCT 5-gram set that Catalyst broadcasts; the training corpus
+    explodes to (doc_id, gram) pairs that join against it — no shuffle
+    of the corpus side, candidates travel as ids+grams only. At 100 TB
+    the eval-gram set stays benchmark-sized (MBs), so the broadcast
+    pattern holds at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def grams(df: DataFrame) -> DataFrame:
+        starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - DECON_N + 1, F.lit(0)))
+        return (
+            df.select("doc_id", toks.alias("toks"))
+            .where(F.size("toks") >= DECON_N)
+            .select("doc_id", F.explode(starts).alias("i"), "toks")
+            .select(
+                "doc_id",
+                F.array_join(F.slice("toks", F.col("i"), DECON_N), " ").alias("gram"),
+            )
+        )
+
+    eval_grams = (
+        grams(d.where(F.col("doc_id") < 50)).select("gram").distinct()
+    )
+    train_grams = grams(d.where(F.col("doc_id") >= 50)).dropDuplicates(
+        ["doc_id", "gram"]
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= DECON_MIN_HITS)
+    )
+
+
+@query(
+    "corpus_shuffle_hash",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS shuffle_pos
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+    tags=("pipeline", "sampling", "llm-pipeline"),
+)
+def corpus_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: order by a
+    cryptographic hash of the document id — statistically a random
+    permutation, yet identical on every engine, run, and cluster size
+    (rand()-based shuffles are neither reproducible nor safe under task
+    retries). The global position is assigned WITHOUT a single-partition
+    window: md5's first byte range-buckets rows into 256 fixed,
+    data-independent ranges; each bucket numbers its rows in parallel,
+    and per-bucket offsets (a 256-row driver-side cumsum — constant in
+    corpus size) lift local numbers to global positions. At 100 TB,
+    widen to more hex chars for more buckets; no sampling, no skew (the
+    hash is uniform by construction)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    key = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    rows = d.select(
+        "doc_id", key.alias("shuffle_key"), bucket.alias("bucket")
+    )
+    w = W.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    numbered = rows.withColumn("rn", F.row_number().over(w))
+    counts = sorted(
+        (r.bucket, r.n)
+        for r in rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    off = F.broadcast(
+        numbered.sparkSession.createDataFrame(offsets, "bucket int, offset long")
+    )
+    return (
+        numbered.join(off, "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("offset") + F.col("rn")).alias("shuffle_pos"),
+        )
+    )

@@ -27,6 +27,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.relational2",
     "watermill_kinesis_spark.operators.relational3",
     "watermill_kinesis_spark.operators.relational4",
+    "watermill_kinesis_spark.operators.relational5",
     "watermill_kinesis_spark.operators.windows",
     "watermill_kinesis_spark.operators.udf",
     "watermill_kinesis_spark.operators.formats",
