@@ -180,6 +180,55 @@ def test_sample_mod_filter_partition_local(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
+def test_decontaminate_eval_grams_broadcast(spark, sf_dir):
+    """The distinct eval-gram set (benchmark-sized at any corpus scale)
+    must broadcast; the training corpus side must never be the build
+    side of a shuffle join against it."""
+    from watermill_kinesis_spark.operators.relational5 import decontaminate_ngram
+
+    plan = plan_of(decontaminate_ngram(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_full_outer_joins_pre_aggregated_inputs(spark, sf_dir):
+    """Both sides must aggregate to one row per customer BEFORE the
+    full-outer join — the join input is |customers|, not |orders|."""
+    from watermill_kinesis_spark.operators.relational5 import join_full_outer
+
+    plan = plan_of(join_full_outer(spark, sf_dir))
+    assert "FullOuter" in plan
+    join_idx = plan.find("SortMergeJoin")
+    if join_idx == -1:
+        join_idx = plan.find("ShuffledHashJoin")
+    assert join_idx != -1
+    # aggregation must appear BELOW the join (later in the tree dump)
+    below = plan[join_idx:]
+    assert below.count("HashAggregate") >= 2
+
+
+def test_corpus_shuffle_no_single_partition_bottleneck(spark, sf_dir):
+    """Global shuffle positions must come from the bucketed two-pass
+    index — never a single-partition global window (the classic
+    driver-sized bottleneck at scale)."""
+    from watermill_kinesis_spark.operators.relational5 import corpus_shuffle_hash
+
+    plan = plan_of(corpus_shuffle_hash(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # the 256-row offset table
+
+
+def test_window_range_frame_bounded_exchanges(spark, sf_dir):
+    """The dedup groupBy and the RANGE window may not multiply
+    shuffles: at most two exchanges total (collapse + frame)."""
+    import re
+
+    from watermill_kinesis_spark.operators.relational5 import window_range_frame
+
+    plan = plan_of(window_range_frame(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
 def test_stats_moments_single_shuffle_no_welford(spark, sf_dir):
     """stats_moments: the moment statistics must come from exact
     integer sums merged in ONE map-side-combined aggregation — no

@@ -61,3 +61,58 @@ def custom_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("partition_key").alias("n_keys"),
         )
     )
+
+
+@query("custom_source_stream", tags=("streaming", "source", "custom-format"))
+def custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same transport consumed as a STREAM: messages published in
+    two batches through the kinesis_sim writer, then
+    ``spark.readStream.format("kinesis_sim")`` drains the topic with an
+    availableNow trigger through a checkpointed memory sink. Offsets
+    are the consumed-file set (reference subscriber.go:61-75 checkpoint
+    semantics), so counts equal the published total exactly — no loss,
+    no duplication on a clean run. Rows-only: live streaming offsets
+    are not SQL-expressible; restart/replay invariants are asserted in
+    tests/test_kinesis_sim_source.py."""
+    import uuid as uuidlib
+
+    kinesis_sim.register(spark)
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"kinesis_sim_stream_{run_id}_")
+    topic = os.path.join(base, "topic")
+    msgs = messages_from_events(spark, sf_dir)
+    uid = F.col("uuid").cast("bigint")
+    for lo, hi in ((0, 1500), (1500, 2000)):  # two publish batches
+        (
+            codec.marshal(msgs.where((uid >= lo) & (uid < hi)))
+            .write.format("kinesis_sim")
+            .option("path", topic)
+            .option("n_shards", "4")
+            .mode("append")
+            .save()
+        )
+    stream = spark.readStream.format("kinesis_sim").option("path", topic).load()
+    decoded = codec.unmarshal(stream, drop_corrupt=True)
+    name = f"css_{run_id}"
+    q = (
+        decoded.select(
+            F.col("metadata").getItem("eventType").alias("event_type"),
+            F.col("metadata").getItem("shardID").alias("shard_id"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        )
+        .orderBy("event_type")
+    )

@@ -129,6 +129,90 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unpivot_melt",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 2000)
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(14,2))) AS DOUBLE) AS sum_val,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM (UNPIVOT src ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE val)
+    GROUP BY measure
+    """,
+    tags=("scalar", "unpivot"),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide measure columns to (measure, value) rows,
+    the inverse of pivot_agg and the long-format feed for per-metric
+    stats. Spark expands it as a generator projection (no shuffle until
+    the aggregate); per-measure sums run as exact decimal."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )
+    m = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return m.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(14,2)")).cast("double").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@query(
+    "union_by_name_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT event_id, event_type, value FROM events WHERE event_id < 500),
+    v2 AS (
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_id >= 500 AND event_id < 1000),
+    unioned AS (
+        SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(value) AS n_with_value,
+           COUNT(user_id) AS n_with_user
+    FROM unioned
+    GROUP BY event_type
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two event-log generations with different
+    column sets combine BY NAME (missing columns null-filled) — the
+    only safe union at 100 TB, where positional union silently pairs
+    mismatched columns after any schema change. The null-count audit
+    shows exactly which generation carried which field."""
+    ev = _t(spark, sf_dir, "events")
+    v1 = ev.where(F.col("event_id") < 500).select("event_id", "event_type", "value")
+    v2 = ev.where((F.col("event_id") >= 500) & (F.col("event_id") < 1000)).select(
+        "event_id", "user_id", "event_type"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_with_value"),
+        F.count("user_id").alias("n_with_user"),
+    )
+
+
 #: decontamination: n-gram order and overlap threshold
 DECON_N = 5
 DECON_MIN_HITS = 3

@@ -134,3 +134,16 @@ def cache_tables(
         _TABLE_MEMO[key] = df
         pinned.append(name)
     return pinned
+
+
+def uncache_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Release pinned tables and drop them from the catalog memo, so the
+    next ``load_table`` reads parquet again (restoring scan-level
+    pushdown/pruning for those tables)."""
+    for name in names:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        df = _TABLE_MEMO.pop(key, None)
+        if df is not None and df.is_cached:
+            df.unpersist()
