@@ -1,0 +1,139 @@
+"""Builder-API tests: the reference's user surface on Spark.
+
+Covers §2-A #12/#13 (fluent builders — including NOT reproducing the
+reference's unwired-marshaller bug, publisher.go:53-57) and #10
+(graceful close, closer/closer.go:23-67)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.api import (
+    PublisherBuilder,
+    SubscriberBuilder,
+    default_marshaller,
+)
+from watermill_kinesis_spark.operators.messages import messages_from_events
+
+
+def _msgs(spark, sf_dir, n=500):
+    m = messages_from_events(spark, sf_dir)
+    return m.where(F.col("uuid").cast("bigint") < n)
+
+
+def test_builder_wires_marshaller(tmp_path):
+    calls = []
+
+    def custom(messages):
+        calls.append(1)
+        return default_marshaller(messages)
+
+    pub = (
+        PublisherBuilder()
+        .with_endpoint(str(tmp_path))
+        .with_marshaller(custom)
+        .build()
+    )
+    # the reference's Build() dropped the marshaller (publisher.go:53-57
+    # vs :72) — ours must carry the exact configured callable
+    assert pub.marshaller is custom
+
+
+def test_publisher_requires_endpoint():
+    import pytest
+
+    with pytest.raises(ValueError):
+        PublisherBuilder().build()
+    with pytest.raises(ValueError):
+        SubscriberBuilder().build()
+
+
+def test_publish_subscribe_batch_roundtrip(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "endpoint")
+    pub = PublisherBuilder().with_endpoint(root).with_shards(4).build()
+    sub = SubscriberBuilder().with_endpoint(root).build()
+
+    msgs = _msgs(spark, sf_dir)
+    n_in = msgs.count()
+    pub.publish("topic-a", msgs)
+
+    back = sub.subscribe_batch(spark, "topic-a")
+    assert back.count() == n_in
+    # metadata survives the envelope: system shardID present, original
+    # eventType header intact
+    row = back.limit(1).collect()[0]
+    assert "shardID" in row.metadata and "eventType" in row.metadata
+
+
+def test_two_topics_one_builder_no_shared_state(spark, sf_dir, tmp_path):
+    """The reference mutates one shared kclConfig per Subscribe
+    (subscriber.go:117) — two topics from one builder must not
+    interfere here."""
+    root = str(tmp_path / "endpoint")
+    pub = PublisherBuilder().with_endpoint(root).build()
+    sub = SubscriberBuilder().with_endpoint(root).build()
+    a = _msgs(spark, sf_dir, 300)
+    b = _msgs(spark, sf_dir, 900).where(F.col("uuid").cast("bigint") >= 300)
+    pub.publish("topic-a", a)
+    pub.publish("topic-b", b)
+    assert sub.subscribe_batch(spark, "topic-a").count() == a.count()
+    assert sub.subscribe_batch(spark, "topic-b").count() == b.count()
+
+
+def test_subscribe_stream_and_close(spark, sf_dir, tmp_path):
+    """Streaming subscribe drains the topic; close() stops the query
+    gracefully (Closer semantics) and is idempotent."""
+    root = str(tmp_path / "endpoint")
+    pub = PublisherBuilder().with_endpoint(root).build()
+    sub = SubscriberBuilder().with_endpoint(root).build()
+    msgs = _msgs(spark, sf_dir)
+    n_in = msgs.count()
+    pub.publish("topic-s", msgs)
+
+    stream = sub.subscribe(spark, "topic-s")
+    q = sub.track(
+        stream.select("uuid")
+        .writeStream.format("memory")
+        .queryName("api_stream_drain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("api_stream_drain").count() == n_in
+    sub.close()
+    assert not q.isActive
+    sub.close()  # idempotent
+
+
+def test_custom_unmarshaller_dead_letter_view(spark, sf_dir, tmp_path):
+    """A user-supplied unmarshaller (the pluggable-codec hook,
+    marshaller.go:22) can keep corrupt rows for a DLQ instead of
+    skipping them."""
+    from watermill_kinesis_spark import codec
+
+    root = str(tmp_path / "endpoint")
+    pub = PublisherBuilder().with_endpoint(root).build()
+    sub = (
+        SubscriberBuilder()
+        .with_endpoint(root)
+        .with_unmarshaller(lambda wire: codec.unmarshal(wire, drop_corrupt=False))
+        .build()
+    )
+    msgs = _msgs(spark, sf_dir, 100)
+    pub.publish("topic-d", msgs)
+    # poison a record on the wire (reference subscriber.go:54-59 path)
+    topic_dir = os.path.join(root, "topic-d")
+    fname = sorted(os.listdir(topic_dir))[0]
+    with open(os.path.join(topic_dir, fname), "a") as f:
+        f.write('{"data": "{not-json", "partition_key": "k", '
+                '"sequence_number": "x", "shard_id": "shard-0", '
+                '"approximate_arrival_timestamp": null}\n')
+    back = sub.subscribe_batch(spark, "topic-d")
+    n_total = back.count()
+    n_corrupt = back.where(F.col("uuid").isNull()).count()
+    assert n_corrupt == 1  # kept, visible, isolated
+    assert n_total == msgs.count() + 1
