@@ -183,7 +183,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
     return (
         tf.join(F.broadcast(df_), "token")
-        .join(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_docs))  # 1-row scalar side: benign cross
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "token", F.round(score, 6).alias("score"))
