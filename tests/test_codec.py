@@ -118,3 +118,38 @@ def test_split_corrupt_dead_letter(spark):
         "garbage",
         '{"watermill_message_uuid":"bad1","data":"%%%not-b64","headers":{}}',
     }
+
+
+def test_binary_envelope_roundtrip_and_layout(spark):
+    """Length-prefixed binary codec (the reference's marshaller.go:24
+    protobuf TODO, built): round-trip identity incl. null payload, and
+    the exact byte layout of one known record."""
+    msgs = _messages(
+        spark,
+        [
+            Row(uuid="u1", payload=b"hi", metadata={"partitionKey": "k1"}),
+            Row(uuid="u2", payload=None, metadata={"partitionKey": "k2"}),
+            Row(uuid="u3", payload=b"", metadata={}),
+        ],
+    )
+    wire = codec.marshal_binary(msgs)
+    back = codec.unmarshal_binary(wire).orderBy("uuid").collect()
+    assert [r.uuid for r in back] == ["u1", "u2", "u3"]
+    assert bytes(back[0].payload) == b"hi"
+    assert back[1].payload is None          # null payload survives
+    assert bytes(back[2].payload) == b""    # empty ≠ null
+    assert back[0].metadata == {"partitionKey": "k1"}
+    assert back[2].metadata == {}
+    # exact layout of u1: [len=2]["u1"][len=2]["hi"][len=N][meta json]
+    raw = bytes(
+        wire.where(F.col("partition_key") == "k1").collect()[0].data
+    )
+    meta_json = b'{"partitionKey":"k1"}'
+    expected = (
+        (2).to_bytes(4, "big") + b"u1"
+        + (2).to_bytes(4, "big") + b"hi"
+        + len(meta_json).to_bytes(4, "big") + meta_json
+    )
+    assert raw == expected
+    # partition key rides beside the blob, as in the JSON codec
+    assert {r.partition_key for r in wire.collect()} == {"k1", "k2", None}

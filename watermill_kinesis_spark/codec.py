@@ -175,6 +175,90 @@ def skip_corrupt(messages: DataFrame) -> DataFrame:
     return messages.filter(F.col("uuid").isNotNull())
 
 
+# ---------------------------------------------------------------------------
+# Binary envelope — the compact codec the reference planned but never
+# built (marshaller.go:24, "TODO: ProtobufMarshaller"). Layout per
+# record, all lengths 4-byte big-endian:
+#
+#   [len uuid][uuid utf8][len payload | 0xFFFFFFFF if null][payload]
+#   [len meta_json][meta_json utf8]
+#
+# ~25% smaller than JSON+base64 (no base64 inflation, no field names)
+# and still pure JVM expressions — encode and decode run inside
+# whole-stage codegen at scan speed, no Python anywhere.
+
+_NULL_LEN = "FFFFFFFF"
+
+
+def _len4(b: Column) -> Column:
+    """4-byte big-endian length prefix of a binary column."""
+    return F.unhex(F.lpad(F.hex(F.octet_length(b)), 8, "0"))
+
+
+def _hex_at(b: Column, pos: Column, nbytes: int) -> Column:
+    return F.hex(F.substring(b, pos, F.lit(nbytes)))
+
+
+def _int_at(b: Column, pos: Column) -> Column:
+    """Big-endian uint32 read at a dynamic byte offset."""
+    return F.conv(_hex_at(b, pos, 4), 16, 10).cast("long")
+
+
+def marshal_binary(
+    df: DataFrame,
+    uuid_col: str = "uuid",
+    payload_col: str = "payload",
+    metadata_col: str = "metadata",
+) -> DataFrame:
+    """Messages → compact binary wire entries ``(data, partition_key)``."""
+    uuid_b = F.encode(F.col(uuid_col), "UTF-8")
+    payload = F.col(payload_col)
+    meta_b = F.encode(F.to_json(F.col(metadata_col)), "UTF-8")
+    body = F.concat(
+        _len4(uuid_b),
+        uuid_b,
+        F.when(payload.isNull(), F.unhex(F.lit(_NULL_LEN))).otherwise(
+            _len4(payload)
+        ),
+        F.coalesce(payload, F.lit(b"")),
+        _len4(meta_b),
+        meta_b,
+    )
+    return df.select(
+        body.alias("data"),
+        F.col(metadata_col).getItem(META_PARTITION_KEY).alias("partition_key"),
+    )
+
+
+def unmarshal_binary(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Binary wire entries → messages ``(uuid, payload, metadata)`` —
+    offsets are computed per row from the length prefixes; the whole
+    decode is chained substring/conv expressions (codegen'd)."""
+    b = F.col(data_col)
+    l_uuid = _int_at(b, F.lit(1))
+    p_payload_len = l_uuid + 5  # 1-based: after [len][uuid]
+    payload_len_hex = _hex_at(b, p_payload_len, 4)
+    l_payload = F.when(payload_len_hex == _NULL_LEN, F.lit(0)).otherwise(
+        F.conv(payload_len_hex, 16, 10).cast("long")
+    )
+    p_payload = p_payload_len + 4
+    p_meta_len = p_payload + l_payload
+    l_meta = _int_at(b, p_meta_len)
+    p_meta = p_meta_len + 4
+    return df.select(
+        F.decode(F.substring(b, F.lit(5), l_uuid), "UTF-8").alias("uuid"),
+        F.when(
+            payload_len_hex == _NULL_LEN, F.lit(None).cast("binary")
+        )
+        .otherwise(F.substring(b, p_payload, l_payload))
+        .alias("payload"),
+        F.from_json(
+            F.decode(F.substring(b, p_meta, l_meta), "UTF-8"),
+            "map<string,string>",
+        ).alias("metadata"),
+    )
+
+
 def split_corrupt(df: DataFrame, data_col: str = "data") -> tuple[DataFrame, DataFrame]:
     """(good_records, dead_letter_records) — DLQ branch the reference lacks.
 

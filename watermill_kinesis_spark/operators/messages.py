@@ -133,6 +133,57 @@ def corrupt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "envelope_binary_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(strlen(props)) AS BIGINT) AS sum_payload_bytes,
+           CAST(SUM(strlen(CAST(event_id AS VARCHAR))) AS BIGINT) AS sum_uuid_chars,
+           0 AS n_mismatch
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("codec", "layer-a", "binary"),
+)
+def envelope_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compact binary codec (the reference's planned-but-absent
+    second marshaller, marshaller.go:24 TODO) round-tripped:
+    messages → length-prefixed binary → messages. ``n_mismatch`` counts
+    rows where any decoded field differs from the original — the
+    oracle pins it to zero, and pins payload/uuid byte totals straight
+    from the source table, so the binary transport is proven lossless
+    without the oracle having to model the byte layout."""
+    msgs = messages_from_events(spark, sf_dir).select(
+        "uuid", "payload", "metadata", "event_type"
+    )
+    wire = codec.marshal_binary(msgs)
+    back = codec.unmarshal_binary(wire)
+    joined = msgs.alias("a").join(
+        back.alias("b"), F.col("a.uuid") == F.col("b.uuid"), "inner"
+    )
+    mismatch = (
+        (F.col("a.payload") != F.col("b.payload"))
+        | F.col("b.payload").isNull()
+        | (
+            F.col("a.metadata").getItem(META_PARTITION_KEY)
+            != F.col("b.metadata").getItem(META_PARTITION_KEY)
+        )
+        | (
+            F.col("a.metadata").getItem("eventType")
+            != F.col("b.metadata").getItem("eventType")
+        )
+    )
+    return joined.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length(F.col("a.payload"))).cast("bigint").alias(
+            "sum_payload_bytes"
+        ),
+        F.sum(F.length(F.col("a.uuid"))).cast("bigint").alias("sum_uuid_chars"),
+        F.count(F.when(mismatch, 1)).cast("int").alias("n_mismatch"),
+    )
+
+
+@query(
     "partition_key_group",
     oracle="""
     SELECT CAST(user_id AS VARCHAR) AS partition_key,

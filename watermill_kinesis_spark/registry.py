@@ -68,9 +68,9 @@ _PRIORITY: tuple[str, ...] = (
     "envelope_decode",
     "corrupt_skip",
     "partition_key_group",
+    "envelope_binary_roundtrip",
     "custom_source_roundtrip",
     # scans / projection / filter
-    "scan_parquet",
     "project_filter",
     # aggregation
     "q1_pricing_summary",
