@@ -1,0 +1,91 @@
+"""Property-based codec round-trip: unmarshal(marshal(m)) == m for BOTH
+codecs over adversarial message content (unicode, JSON-escaping
+hazards, empty/binary payloads) — the engine analogue of the
+reference's round-trip contract (marshaller.go), SURVEY.md §5.
+
+Each hypothesis example is a whole message batch → one Spark job per
+example, so the suite stays fast while the content space stays wild.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row
+
+from watermill_kinesis_spark import codec
+from watermill_kinesis_spark.schema import MESSAGE_SCHEMA
+
+# strings that stress JSON escaping and UTF-8 width; Spark SQL strings
+# are well-formed unicode, so surrogates are out of contract
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    min_size=0,
+    max_size=40,
+)
+NONEMPTY = TEXT.filter(lambda s: len(s) > 0)
+
+MESSAGES = st.lists(
+    st.tuples(
+        NONEMPTY,  # uuid (reference always sets it, publish/main.go:25)
+        st.one_of(st.none(), st.binary(min_size=0, max_size=64)),  # payload
+        st.dictionaries(NONEMPTY, TEXT, max_size=4),  # metadata
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+def _df(spark, batch):
+    rows = [Row(uuid=u, payload=p, metadata=m) for u, p, m in batch]
+    return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+
+def _norm(rows):
+    return {
+        r.uuid: (
+            bytes(r.payload) if r.payload is not None else None,
+            dict(r.metadata) if r.metadata is not None else None,
+        )
+        for r in rows
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(batch=MESSAGES)
+def test_json_codec_roundtrip_property(spark, batch):
+    msgs = _df(spark, batch)
+    back = codec.unmarshal(
+        codec.marshal(msgs), partition_key_col=None, drop_corrupt=False
+    )
+    got = _norm(back.collect())
+    expected = {u: (p, m) for u, p, m in batch}
+    assert set(got) == set(expected)
+    for u, (p, m) in expected.items():
+        gp, gm = got[u]
+        assert gp == p, f"payload mismatch for {u!r}"
+        assert gm == m, f"metadata mismatch for {u!r}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(batch=MESSAGES)
+def test_binary_codec_roundtrip_property(spark, batch):
+    msgs = _df(spark, batch)
+    back = codec.unmarshal_binary(codec.marshal_binary(msgs))
+    got = _norm(back.collect())
+    expected = {u: (p, m) for u, p, m in batch}
+    assert set(got) == set(expected)
+    for u, (p, m) in expected.items():
+        gp, gm = got[u]
+        assert gp == p, f"payload mismatch for {u!r}"
+        assert gm == m, f"metadata mismatch for {u!r}"
