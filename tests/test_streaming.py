@@ -264,3 +264,38 @@ def test_stream_stream_join_within_interval(spark, sf_dir):
 
     row = stream_stream_join(spark, sf_dir).collect()[0]
     assert row.n_attributed >= row.n_users >= 0
+
+
+def test_rate_limited_drain_paces_micro_batches(spark, sf_dir, tmp_path):
+    """Backpressure mapping (SURVEY.md §4.2): the reference bounds
+    in-flight work structurally (unbuffered channel, 1 msg/shard;
+    KCL MaxRecords per fetch) — here the same contract is
+    maxFilesPerTrigger: a 4-file topic drained at 1 file/trigger must
+    take ≥4 micro-batches, each bounded, with no loss overall."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.messages import messages_from_events
+    from watermill_kinesis_spark.streaming import source as stream_source
+
+    topic = str(tmp_path / "topic")
+    msgs = messages_from_events(spark, sf_dir).where(
+        F.col("uuid").cast("bigint") < 800
+    )
+    n_in = msgs.count()
+    stream_source.write_stream_files(msgs, topic, n_shards=4)
+
+    decoded = stream_source.subscribe(spark, topic, max_files_per_trigger=1)
+    q = (
+        decoded.select("uuid")
+        .writeStream.format("memory")
+        .queryName("paced_drain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 4  # one batch per file: bounded in-flight work
+    assert max(p["numInputRows"] for p in progress) < n_in  # never all at once
+    assert spark.table("paced_drain").count() == n_in  # and nothing lost

@@ -130,6 +130,63 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS n,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("agg", "profiling"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the engine's ANALYZE surface: per-column row
+    count, null count, exact distinct count, and min/max, emitted in
+    long format. ONE scan computes every statistic (a 1-row wide
+    aggregate stacked to rows afterward); the oracle's three-scan
+    UNION ALL is the semantic spec, not the physical plan. Doubles
+    render through decimal so min/max strings are engine-identical.
+    At 100 TB swap COUNT(DISTINCT) for approx_count_distinct — the
+    rest re-aggregates from per-file statistics."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").cast("string").alias("mn_st"),
+        F.max("o_orderstatus").cast("string").alias("mx_st"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("decimal(12,2)").cast("string").alias("mn_tp"),
+        F.max("o_totalprice").cast("decimal(12,2)").cast("string").alias("mx_tp"),
+    )
+    return wide.selectExpr(
+        "stack(3, "
+        "'o_custkey', n, nn_ck, nd_ck, mn_ck, mx_ck, "
+        "'o_orderstatus', n, nn_st, nd_st, mn_st, mx_st, "
+        "'o_totalprice', n, nn_tp, nd_tp, mn_tp, mx_tp) "
+        "AS (column_name, n, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
     "unpivot_melt",
     oracle="""
     WITH src AS (
