@@ -299,3 +299,48 @@ def test_rate_limited_drain_paces_micro_batches(spark, sf_dir, tmp_path):
     assert len(progress) >= 4  # one batch per file: bounded in-flight work
     assert max(p["numInputRows"] for p in progress) < n_in  # never all at once
     assert spark.table("paced_drain").count() == n_in  # and nothing lost
+
+
+def test_reshard_mid_stream_no_loss(spark, sf_dir, tmp_path):
+    """Shard split tolerance (reference §2-A #9: KCL TERMINATE/SHARD_END
+    checkpointing when Kinesis reshards): the topic starts at 2 shards,
+    is drained, then grows to 6 shards for a second batch consumed from
+    the SAME checkpoint — the new shards must be picked up with no loss
+    and no redelivery of the old shards' records."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.messages import messages_from_events
+    from watermill_kinesis_spark.streaming import source as stream_source
+
+    topic = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    uid = F.col("uuid").cast("bigint")
+    all_msgs = messages_from_events(spark, sf_dir)
+    b0 = all_msgs.where(uid < 600)
+    b1 = all_msgs.where((uid >= 600) & (uid < 1200))
+
+    def drain():
+        q = (
+            stream_source.subscribe(spark, topic)
+            .select("uuid", F.col("metadata").getItem("shardID").alias("shard_id"))
+            .writeStream.format("json")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stream_source.write_stream_files(b0, topic, n_shards=2, file_label="pre")
+    drain()
+    stream_source.write_stream_files(b1, topic, n_shards=6, file_label="post")
+    drain()  # SAME checkpoint: only the new shards' files are unread
+
+    out = spark.read.schema("uuid string, shard_id string").json(out_dir)
+    n_in = b0.count() + b1.count()
+    assert out.count() == n_in  # no loss across the split...
+    assert out.select("uuid").distinct().count() == n_in  # ...and no replay
+    # the second batch actually landed on the widened shard space
+    assert out.select("shard_id").distinct().count() > 2

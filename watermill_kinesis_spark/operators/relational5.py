@@ -270,6 +270,44 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "changelog_compact",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+    tags=("window", "cdc", "streaming-equivalent"),
+)
+def changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — latest state per key, the upsert/CDC
+    materialization every streaming table maintains (treating events
+    as a keyed update stream; event_id breaks same-timestamp ties).
+    row_number-desc = 1 goes through WindowGroupLimit, so only one row
+    per key survives the shuffle — the exchange carries |keys| rows at
+    any history depth. The streaming twin is
+    ``dropDuplicatesWithinWatermark``/state-store upsert; this batch
+    form is the backfill/compaction job run against the same data."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
 #: decontamination: n-gram order and overlap threshold
 DECON_N = 5
 DECON_MIN_HITS = 3
