@@ -84,6 +84,18 @@ def format_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(spark.read.parquet(out))
 
 
+@query("format_orc_roundtrip", oracle=_AGG_ORACLE, tags=("format",))
+def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → read back → aggregate (the other columnar lake
+    format Spark ships natively; same lossless-roundtrip proof as the
+    parquet twin — the oracle aggregates the source directly, so a
+    hash match certifies the write/read cycle preserved every value)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(_tmp("orc"), "events_orc")
+    ev.select("event_id", "event_type", "value").write.mode("overwrite").orc(out)
+    return _agg(spark.read.orc(out))
+
+
 @query(
     "partitioned_write_prune",
     oracle=f"""

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.multimodal",
     "watermill_kinesis_spark.operators.pipeline",
     "watermill_kinesis_spark.operators.pipeline2",
+    "watermill_kinesis_spark.operators.analytics",
     "watermill_kinesis_spark.operators.streaming_batch",
 )
 
@@ -82,7 +83,6 @@ _PRIORITY: tuple[str, ...] = (
     "stats_moments",
     # joins
     "join_inner",
-    "join_left",
     "join_semi",
     "join_anti",
     "join_broadcast",
@@ -106,6 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "json_extract_props",
     # event-time
     "stream_tumbling_window",
+    "timeseries_gapfill",
+    "anomaly_zscore",
     # UDF / UDTF surface
     "udf_scalar_pandas",
     "udtf_token_ngrams",
@@ -128,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_meta_rollup",
     # LLM pipeline: sampling / corpus prep
     "sample_stratified_mod",
-    "train_test_split_mod",
     "embedding_avg_pool",
 )
 
