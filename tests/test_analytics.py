@@ -78,3 +78,85 @@ def test_domain_mix_weights_form_a_distribution(spark, sf_dir):
     # weight × share = uniform target for every domain
     for r in rows:
         assert abs(r["mix_weight"] * r["share"] - 1.0 / len(rows)) < 1e-12
+
+
+def test_merge_upsert_equals_direct_recompute(spark, sf_dir):
+    """Incremental base+delta merge must equal latest-per-key over all
+    history (changelog_compact restricted to the same columns)."""
+    merged = queries()["merge_upsert_state"](spark, sf_dir)
+    direct = (
+        queries()["changelog_compact"](spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("last_ts"),
+            "last_event_type",
+            "last_value",
+        )
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_islands_are_maximal_and_disjoint(spark, sf_dir):
+    rows = (
+        queries()["interval_consolidate"](spark, sf_dir)
+        .orderBy("user_id", "island_start")
+        .collect()
+    )
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        assert r["island_start"] < r["island_end"]
+        assert r["n_events"] >= 1
+        prev = by_user.get(r["user_id"])
+        if prev is not None:
+            # disjoint AND separated (else they'd have merged)
+            assert r["island_start"] > prev
+        by_user[r["user_id"]] = r["island_end"]
+
+
+def test_funnel_stages_monotone_decreasing(spark, sf_dir):
+    rows = {
+        r["stage"]: r["n_users"]
+        for r in queries()["funnel_analysis"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_retention_cohort_day0_equals_cohort_size(spark, sf_dir):
+    out = queries()["retention_cohort"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # offset-0 cell of each cohort == number of users first seen that day
+    day0 = {
+        r["cohort_day"]: r["n_users"]
+        for r in out.where(F.col("day_offset") == 0).collect()
+    }
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .count()
+        .collect()
+    )
+    for r in firsts:
+        assert day0[r["cohort_day"]] == r["count"]
+    assert out.where(F.col("day_offset") < 0).count() == 0
+
+
+def test_hll_sketch_tracks_exact_distinct(spark, sf_dir):
+    approx = {
+        r["day"]: r["approx_users"]
+        for r in queries()["sketch_distinct_mergeable"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n)  # HLL error bound

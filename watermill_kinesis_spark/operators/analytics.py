@@ -266,3 +266,266 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share"),
         ((F.lit(1.0) / ndom) / share).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental upsert merge (lakehouse MERGE INTO, batch form)
+
+MERGE_SPLIT = "2024-01-15"
+
+
+@query(
+    "merge_upsert_state",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+    tags=("cdc", "merge", "event-time"),
+)
+def merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE/upsert: the base state table (latest per key
+    BEFORE the split date) merged with a delta batch (latest per key
+    AFTER it) via full-outer join, delta winning — the lakehouse
+    ``MERGE INTO`` applied as a batch operator. The oracle computes the
+    same state directly over ALL history, so a hash match proves the
+    incremental merge path equals the recompute-from-scratch path —
+    the property that lets a 100 TB pipeline process only the delta
+    partition each cycle instead of rescanning the base. Both inputs
+    compact through WindowGroupLimit before the |keys|-sized join."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(MERGE_SPLIT).cast("timestamp")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "ts", "event_type", "value")
+        )
+
+    base = latest(ev.where(F.col("ts") < split))
+    delta = latest(ev.where(F.col("ts") >= split))
+    d = delta.select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("ts").alias("d_ts"),
+        F.col("event_type").alias("d_event_type"),
+        F.col("value").alias("d_value"),
+    )
+    return base.join(
+        d, base["user_id"] == d["d_user_id"], "full_outer"
+    ).select(
+        F.coalesce(d["d_user_id"], base["user_id"]).alias("user_id"),
+        F.coalesce(d["d_ts"], base["ts"]).alias("last_ts"),
+        F.coalesce(d["d_event_type"], base["event_type"]).alias("last_event_type"),
+        F.coalesce(d["d_value"], base["value"]).alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# overlapping-interval consolidation (gaps-and-islands)
+
+ISLAND_GAP_MIN = 5
+
+
+@query(
+    "interval_consolidate",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id, ts AS s, ts + INTERVAL {ISLAND_GAP_MIN} MINUTE AS e
+        FROM events),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+    grouped AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked)
+    SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+           COUNT(*) AS n_events
+    FROM grouped GROUP BY user_id, island
+    """,
+    tags=("event-time", "window", "islands"),
+)
+def interval_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each event spans [ts, ts+5min); overlapping
+    spans per user consolidate into maximal islands (the canonical
+    interval-merge — uptime stitching, session coverage, availability
+    windows). One shuffle on user_id serves both window passes and the
+    final aggregate (same partitioning, Catalyst reuses the exchange);
+    the running-max-of-ends trick is O(n log n) per key vs the O(n²)
+    naive self-join. The oracle runs the identical window program."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"interval {ISLAND_GAP_MIN} minutes")).alias("e"),
+    )
+    wo = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(wo.rowsBetween(W.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    ws = W.partitionBy("user_id").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    grouped = marked.withColumn("island", F.sum("new_island").over(ws))
+    return (
+        grouped.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("island")
+    )
+
+
+# ---------------------------------------------------------------------------
+# strict ordered funnel (view → click → purchase)
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, MIN(ts) AS ta FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    b AS (
+        SELECT e.user_id, MIN(e.ts) AS tb FROM events e
+        JOIN a ON e.user_id = a.user_id
+        WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY e.user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+        JOIN b ON e.user_id = b.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS event_type, (SELECT COUNT(*) FROM a) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM b)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM c)
+    """,
+    tags=("event-time", "funnel", "agg"),
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click
+    (product-analytics sequence matching; the strict form — min-after-
+    previous-stage — not the weak any-order overlap). Each stage is a
+    filtered partial aggregate joined to the previous stage's per-user
+    timestamps on user_id; stage tables only shrink, so at scale each
+    pass is a fact scan plus an ever-smaller join, and the three scans
+    of one table share the cached/pruned source."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .where(F.col("ts") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .where(F.col("ts") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+
+    def stage(n: int, label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(label).alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    return stage(1, "view", a).unionAll(stage(2, "click", b)).unionAll(
+        stage(3, "purchase", c)
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT f.cohort_day, datediff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("event-time", "cohort", "agg"),
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users bucketed by first-seen day (cohort),
+    counted on each later active day as an offset — the
+    cohort-retention triangle every growth dashboard renders. Both
+    inputs aggregate out of the same user_id-partitioned scan (first
+    touch and distinct active days), the join is |users|-sized, and
+    the result is |days|² rows — driver-safe at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct-count sketch (the 100 TB COUNT DISTINCT path)
+
+
+@query("sketch_distinct_mergeable", tags=("sketch", "agg", "rollup"))
+def sketch_distinct_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL distinct users per day, computed MERGEABLY:
+    hourly sketches first, daily = union of 24 hourly sketches — the
+    decomposition exact COUNT DISTINCT famously lacks (see
+    rollup_incremental's two-level workaround). At 100 TB this is the
+    distinct-count architecture: partials are a few KB per bucket,
+    re-aggregate associatively to any coarser grain, and persist
+    alongside the continuous aggregate. Rows-only for the driver
+    (DuckDB has no compatible sketch); tests/test_analytics.py bounds
+    the estimate against the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        .select("day", "approx_users")
+    )
