@@ -1,0 +1,67 @@
+"""Semantic tests for the frequency wave (operators/frequency.py) —
+properties the DuckDB hash-compare can't express: sketch mergeability,
+sampling proportionality, posting-list ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.operators.frequency import BIN_WIDTH, TOP_TOKENS, W_MAX
+from watermill_kinesis_spark.registry import queries
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def test_heavy_hitters_counts_match_manual(spark, sf_dir):
+    out = {r["token"]: (r["tf"], r["df"]) for r in
+           queries()["heavy_hitters"](spark, sf_dir).collect()}
+    assert len(out) == TOP_TOKENS
+    docs = [r["text"] for r in load_table(spark, sf_dir, "documents").collect()]
+    for token, (tf, df) in out.items():
+        want_tf = sum(t.split(" ").count(token) for t in docs)
+        want_df = sum(token in t.split(" ") for t in docs)
+        assert (tf, df) == (want_tf, want_df)
+
+
+def test_sample_weighted_is_subset_and_deterministic(spark, sf_dir):
+    q = queries()["sample_weighted"]
+    a = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
+    assert a == b  # hash sampling is replay-stable (no RNG)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(a) < n_docs
+    # acceptance bound: every kept row satisfies the integer predicate
+    for r in q(spark, sf_dir).collect():
+        assert r["draw"] * W_MAX < min(r["n_chars"], W_MAX) * (1 << 24)
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark, sf_dir):
+    """Bin-upper-bound estimates must sit within BIN_WIDTH above the
+    exact per-day percentile (the sketch's error contract)."""
+    est = {r["day"]: r for r in
+           queries()["quantile_sketch_mergeable"](spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value")
+    import numpy as np
+    rows = e.collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r["value"])
+    for day, vals in by_day.items():
+        v = np.sort(np.array(vals))
+        for p, col in ((50, "p50_ub"), (90, "p90_ub"), (99, "p99_ub")):
+            exact = v[min(len(v) - 1, int(np.ceil(p / 100 * len(v))) - 1)]
+            ub = est[day][col]
+            assert exact <= ub <= exact + BIN_WIDTH + 1e-9, (day, p, exact, ub)
+
+
+def test_inverted_index_postings_sorted_and_complete(spark, sf_dir):
+    out = queries()["inverted_index"](spark, sf_dir).collect()
+    assert out, "threshold too high for this SF"
+    docs = load_table(spark, sf_dir, "documents").collect()
+    for r in out:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids) and len(ids) == len(set(ids))
+        assert r["doc_freq"] == len(ids)
+        want = sorted(d["doc_id"] for d in docs
+                      if r["token"] in d["text"].split(" "))
+        assert ids == want

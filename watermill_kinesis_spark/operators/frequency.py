@@ -1,0 +1,251 @@
+"""Frequency analytics wave: corpus heavy hitters, weight-proportional
+deterministic sampling, mergeable histogram quantile sketches, and an
+inverted index build.
+
+These fill the frequency/statistics family of the LLM-pipeline layer:
+heavy hitters drive vocabulary pruning and boilerplate detection,
+weighted sampling implements size-proportional corpus subsampling,
+histogram sketches are the mergeable percentile primitive a rollup
+store keeps per bucket (the quantile companion to
+``sketch_distinct_mergeable``), and the inverted index is the retrieval
+/ contamination-lookup structure built over the corpus.
+
+Determinism discipline (same as analytics.py): every value that reaches
+the oracle hash is integer arithmetic, an md5-derived integer, or a
+double produced by the identical IEEE-754 expression on both engines —
+no RNG, no float accumulation order dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+TOP_TOKENS = 20
+
+#: weighted sampling: 24-bit hash uniform vs n_chars capped at W_MAX
+W_MAX = 600
+
+#: histogram sketch: fixed bin width over events.value (range ~[0, 500])
+BIN_WIDTH = 5.0
+
+
+# ---------------------------------------------------------------------------
+# corpus heavy hitters
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    freq AS (
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token)
+    SELECT token, tf, df
+    FROM freq
+    ORDER BY tf DESC, token
+    LIMIT {TOP_TOKENS}
+    """,
+    tags=("text", "frequency", "llm-pipeline"),
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent tokens corpus-wide with term and document
+    frequency — the vocabulary/boilerplate heavy-hitter report.
+
+    Scale posture: explode → groupBy(token) partial-aggregates map-side
+    (each task emits its local token counts, ≤ |vocab| rows), so the
+    shuffle carries vocabulary-sized data, not corpus-sized; the final
+    top-k is a TakeOrdered over |vocab| rows, never a global sort of
+    the corpus. At 100 TB the exact pass stays viable because Zipf
+    vocabularies are tiny relative to token streams; if vocabulary
+    itself exploded (e.g. byte n-grams) this pivots to a space-saving
+    sketch per partition merged driver-side — same contract, bounded
+    state.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return freq.orderBy(F.col("tf").desc(), "token").limit(TOP_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# weight-proportional deterministic sampling
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               AS draw
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+              * {W_MAX}
+          < LEAST(n_chars, {W_MAX}) * 16777216
+    """,
+    tags=("pipeline", "sampling", "llm-pipeline"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without RNG: accept a document iff
+    its md5-derived 24-bit uniform draw falls under ``n_chars / W_MAX``
+    — longer documents are kept proportionally more often (the
+    size-proportional subsample a token-budgeted corpus build uses).
+
+    The acceptance test is pure integer arithmetic
+    (``draw·W_MAX < weight·2^24``) so it is exact, reproducible across
+    engines/cluster sizes, and — critically at scale — safe under task
+    retries, unlike ``rand()`` sampling which resamples on retry. The
+    predicate is a codegen'd per-row filter on the scan: no shuffle, no
+    state, embarrassingly parallel at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    weight = F.least(F.col("n_chars"), F.lit(W_MAX))
+    return (
+        d.select("doc_id", "n_chars", draw.alias("draw"))
+        .where(F.col("draw") * W_MAX < weight * (1 << 24))
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch
+
+
+@query(
+    "quantile_sketch_mergeable",
+    oracle=f"""
+    WITH hourly AS (        -- per-hour sketches: (hour, bin) -> count
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(floor(value / {BIN_WIDTH}) AS INT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    daily AS (              -- sketch MERGE = re-key to day, sum bins
+        SELECT date_trunc('day', hour) AS day, bin,
+               SUM(n) AS n
+        FROM hourly GROUP BY 1, 2),
+    cum AS (
+        SELECT day, bin, n,
+               SUM(n) OVER (PARTITION BY day ORDER BY bin) AS cum_n,
+               SUM(n) OVER (PARTITION BY day) AS total_n
+        FROM daily)
+    SELECT day,
+           MIN(CASE WHEN cum_n * 100 >= total_n * 50 THEN (bin + 1) * {BIN_WIDTH} END)
+               AS p50_ub,
+           MIN(CASE WHEN cum_n * 100 >= total_n * 90 THEN (bin + 1) * {BIN_WIDTH} END)
+               AS p90_ub,
+           MIN(CASE WHEN cum_n * 100 >= total_n * 99 THEN (bin + 1) * {BIN_WIDTH} END)
+               AS p99_ub
+    FROM cum GROUP BY day
+    """,
+    tags=("event-time", "sketch", "rollup"),
+)
+def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch with the mergeability contract: hourly
+    fixed-bin histograms of ``events.value`` are the stored sketches;
+    merging a day is binwise addition (associative, loss-free — unlike
+    re-sketching raw data); daily p50/p90/p99 are read off the merged
+    CDF as bin upper bounds. Error is bounded by BIN_WIDTH by
+    construction.
+
+    This is the percentile companion to ``sketch_distinct_mergeable``
+    and the shape a continuous-aggregate store keeps: sketch size is
+    O(range/width) per bucket regardless of row count, so at 100 TB the
+    rollup tree (hour→day→month) touches kilobytes per merge, never raw
+    data. Quantile extraction is integer-only (``cum·100 ≥ total·p``) —
+    bit-identical on every engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.floor(F.col("value") / BIN_WIDTH).cast("int").alias("bin"),
+        )
+        .groupBy("hour", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), F.col("bin")
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+    wb = W.partitionBy("day").orderBy("bin")
+    wd = W.partitionBy("day")
+    cum = daily.select(
+        "day",
+        "bin",
+        F.sum("n").over(wb).alias("cum_n"),
+        F.sum("n").over(wd).alias("total_n"),
+    )
+
+    def pct(p: int, name: str):
+        hit = F.when(
+            F.col("cum_n") * 100 >= F.col("total_n") * p,
+            (F.col("bin") + 1) * F.lit(BIN_WIDTH),
+        )
+        return F.min(hit).alias(name)
+
+    return cum.groupBy("day").agg(pct(50, "p50_ub"), pct(90, "p90_ub"), pct(99, "p99_ub"))
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT token, doc_id FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents))
+    SELECT token, COUNT(*) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs
+    GROUP BY token
+    HAVING COUNT(*) >= 25
+    """,
+    tags=("text", "index", "llm-pipeline"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token → document frequency + sorted
+    posting list (doc ids, comma-joined), for tokens above a df
+    threshold — the retrieval / decontamination-lookup structure.
+
+    Scale posture: distinct (token, doc_id) pairs partial-aggregate
+    map-side before the one shuffle on token; posting lists are built
+    with ``collect_list`` AFTER the distinct, so each group holds ids,
+    not text. At 100 TB posting lists for stopword-class tokens exceed
+    single-row limits — production caps postings per row and chains
+    overflow rows (same key, segment number); the df threshold here
+    models the head/tail split that decides which tokens get segmented.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token"), "doc_id"
+    ).distinct()
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= 25)
+    )
