@@ -54,34 +54,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    Spark reader rejects; read it as a long and floor-truncate to µs
-    (``ts div 1000``), which matches DuckDB's own ns→µs scan truncation,
-    so oracle comparisons stay bit-identical.
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ (naive UTC), whatever the
+    generator wrote:
 
-    ``ts`` is exposed as TIMESTAMP_NTZ (naive UTC) so query results do
-    not depend on whatever session timezone the caller's SparkSession
-    happens to use — DuckDB timestamps are naive as well. The long→NTZ
-    conversion is pure integer arithmetic (``timestampadd`` from the NTZ
-    epoch), so no session-timezone pin is needed anywhere.
+    - parquet TIMESTAMP(NANOS): the Spark reader rejects it outright, so
+      ``spark.sql.legacy.parquet.nanosAsLong`` (read-path-only, no
+      per-read option form) reads it as a long, which we floor-truncate
+      to µs (``ts div 1000``) — the same ns→µs truncation DuckDB applies
+      on scan, so oracle comparisons stay bit-identical.
+    - parquet TIMESTAMP(MICROS) (current driver testdata): reads natively;
+      an ``isAdjustedToUTC`` instant becomes TIMESTAMP, a naive one
+      TIMESTAMP_NTZ — either is renormalized to NTZ via a UTC shift that
+      is independent of the session timezone.
 
-    The one session conf this loader must set is
-    ``spark.sql.legacy.parquet.nanosAsLong`` — it is read-path-only
-    (without it the scan of a TIMESTAMP(NANOS) column hard-fails), has
-    no per-read option form, and only affects parquet nanos columns,
-    which exist solely in this table. It deliberately does NOT touch
-    ``spark.sql.session.timeZone`` or any other semantic conf.
+    NTZ everywhere means query results do not depend on whatever session
+    timezone the caller's SparkSession happens to use — DuckDB
+    timestamps are naive as well. No session-timezone pin is needed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    return df.withColumn(
-        "ts",
-        F.expr(
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+        ts = F.expr(
             "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ),
-    )
+        )
+    elif isinstance(ts_type, T.TimestampType):  # instant-semantics micros
+        ts = F.expr(
+            "timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+    else:  # already TIMESTAMP_NTZ
+        ts = F.col("ts")
+    return df.withColumn("ts", ts)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
