@@ -1,0 +1,476 @@
+"""Analytics wave 4: value histograms, time-weighted averages, SCD2
+run-length history, deterministic argmax aggregates, window rank
+distributions, and three more LLM-corpus operators (prefix-containment
+dedup, shingle-containment dedup, corpus-frequency quality scoring).
+
+Determinism discipline (same as analytics.py): every float reaching the
+oracle hash is either a raw-data projection, an exact integer ratio, or
+an IEEE-754 expression written operand-for-operand identically in the
+DuckDB oracle — double arithmetic is deterministic given identical
+operand order, so the hashes stay bit-stable across engines and
+partition orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram
+
+#: equi-width bucket count for histogram_fixed_width
+HIST_BUCKETS = 20
+
+
+@query(
+    "histogram_fixed_width",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CASE WHEN b.mx = b.mn THEN 0
+                ELSE LEAST({HIST_BUCKETS - 1},
+                           CAST(FLOOR(((e.value - b.mn) / (b.mx - b.mn)) * {HIST_BUCKETS}) AS BIGINT))
+           END AS bucket,
+           COUNT(*) AS n_events
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``value`` per event type — the profiling /
+    monitoring primitive behind distribution drift checks. Two passes:
+    a tiny per-type bounds aggregate (|types| rows, broadcast back) and
+    one bucket-count aggregate; at 100 TB both are single map-side
+    combines, and the broadcast join adds no shuffle on the fact side.
+    The bucket formula is pure IEEE double arithmetic written
+    operand-for-operand identically in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(HIST_BUCKETS - 1).cast("bigint"),
+            F.floor(
+                ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * HIST_BUCKETS
+            ),
+        )
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (the irregular-series aggregate)
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value,
+               date_diff('microsecond', ts,
+                         LEAD(ts) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id)) AS dt_us
+        FROM events)
+    SELECT event_type,
+           -- VARCHAR hop: DuckDB's direct DECIMAL->DOUBLE cast double-rounds
+           -- (int->double then /10^scale) once the unscaled value exceeds
+           -- 2^53; strtod of the decimal string is correctly rounded, which
+           -- is what Spark's BigDecimal.doubleValue produces.
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * dt_us) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE) AS twa_value,
+           COUNT(*) AS n_intervals
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("event-time", "agg"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of ``value`` per event type: each reading is
+    weighted by how long it remained the latest one (Δt to the next
+    event, in integer µs). The standard aggregate for irregularly
+    sampled series — a plain AVG over-weights bursts. Exactness: value
+    is 2-dp, so DECIMAL(12,2)·bigint products and their sums are exact;
+    the single final division is double-on-exact. Ordering ties broken
+    by event_id so the lead() pairing is reproducible. One window
+    shuffle on the group key, then a map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, lead(ts) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id))"
+        ).alias("dt_us"),
+    )
+    return (
+        seq.where(F.col("dt_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(12,2)") * F.col("dt_us")).cast(
+                    "double"
+                )
+                / F.sum("dt_us").cast("double")
+            ).alias("twa_value"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 run-length history (change-tracking dimension build)
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM seq),
+    collapsed AS (
+        SELECT user_id, event_type, run_id,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, event_type, run_id)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY run_id) AS valid_to,
+           n_events
+    FROM collapsed
+    """,
+    tags=("event-time", "window", "scd"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse each user's
+    event stream into runs of consecutive identical ``event_type`` and
+    emit one validity interval per run (``valid_to`` = next run's start,
+    NULL for the open current run). This is the change-history table a
+    warehouse derives from a CDC/event feed. Gaps-and-islands via
+    lag-compare → running change-count; all three windows share one
+    partitioning on user_id, so the whole operator is a single shuffle.
+    Ties on ts broken by event_id for reproducible run assembly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    )
+    runs = seq.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    collapsed = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w_run = W.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic argmax / argmin aggregate
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT n.n_name AS nation,
+           MAX(ROW(c.c_acctbal, -c.c_custkey))[1] AS top_acctbal,
+           -MAX(ROW(c.c_acctbal, -c.c_custkey))[2] AS top_custkey,
+           MIN(ROW(c.c_acctbal, c.c_custkey))[1] AS bottom_acctbal,
+           MIN(ROW(c.c_acctbal, c.c_custkey))[2] AS bottom_custkey
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg",),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN as single-pass aggregates: per nation, the customer
+    holding the highest account balance (ties → lowest custkey) and the
+    lowest (ties → lowest custkey). Plain ``max_by`` is nondeterministic
+    under ties, so the argmax rides a lexicographic struct MAX —
+    mergeable, one map-side combine, no window/sort. The same trick is
+    the scale path for "latest row per key" compaction."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    top = F.max(F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("neg")))
+    bot = F.min(F.struct(F.col("c_acctbal"), F.col("c_custkey")))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            top.getField("c_acctbal").alias("top_acctbal"),
+            (-top.getField("neg")).alias("top_custkey"),
+            bot.getField("c_acctbal").alias("bottom_acctbal"),
+            bot.getField("c_custkey").alias("bottom_custkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window rank distributions
+
+
+@query(
+    "window_percentile_dist",
+    oracle="""
+    SELECT s_suppkey, n_name AS nation, s_acctbal,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window",),
+)
+def window_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST over supplier balances within each
+    nation — the relative-standing window family (the remaining gap
+    after rank/dense_rank/ntile in window_analytics). Values are exact
+    small-integer ratios, so the cross-engine hash is stable; the order
+    key includes s_suppkey to pin tie handling. One window shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("nation"),
+            "s_acctbal",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-containment dedup (truncated copies)
+
+#: blocking prefix length: only docs at least this long participate
+PREFIX_BLOCK = 50
+
+
+@query(
+    "dedup_prefix_containment",
+    oracle=f"""
+    SELECT a.doc_id AS doc_trunc, b.doc_id AS doc_full,
+           CAST(LENGTH(a.text) AS DOUBLE) / LENGTH(b.text) AS len_ratio
+    FROM documents a
+    JOIN documents b
+      ON SUBSTRING(a.text, 1, {PREFIX_BLOCK}) = SUBSTRING(b.text, 1, {PREFIX_BLOCK})
+     AND LENGTH(a.text) < LENGTH(b.text)
+     AND starts_with(b.text, a.text)
+    WHERE LENGTH(a.text) >= {PREFIX_BLOCK}
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-copy detection: pairs where one document is a strict
+    prefix of another (the classic crawl artifact — same page captured
+    at different cut-offs; MinHash can miss these when the longer doc
+    dwarfs the shared prefix). Candidate generation blocks on the first
+    {PREFIX_BLOCK} characters, so the join is an equi-join on a short
+    key — the full text only crosses the wire for rows sharing a block,
+    and at 100 TB the block key would be xxhash64(prefix) instead of
+    the prefix itself (same plan shape). Docs shorter than the block
+    are out of scope by definition."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.length("text") >= PREFIX_BLOCK)
+        .withColumn("blk", F.substring("text", 1, PREFIX_BLOCK))
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_trunc"),
+        F.col("text").alias("text_a"),
+        "blk",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_full"), F.col("text").alias("text_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.length("text_a") < F.length("text_b"))
+            & F.col("text_b").startswith(F.col("text_a"))
+        )
+        .select(
+            "doc_trunc",
+            "doc_full",
+            (
+                F.length("text_a").cast("double") / F.length("text_b")
+            ).alias("len_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle-containment dedup (quoted / embedded near-dups)
+
+from watermill_kinesis_spark.operators.dedup import SHINGLE_N, _shingles  # noqa: E402
+
+#: containment threshold: |A∩B| / |A| for the smaller shingle set
+CONTAIN_T = 0.8
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split(text, ' ')) - {SHINGLE_N}, 0) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '),
+                                                   CAST(i + 1 AS INT),
+                                                   CAST(i + {SHINGLE_N} AS INT)), ' ')
+               )) AS shingles
+        FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+        SELECT p.doc_a, p.doc_b, p.n_common, sa.n AS na, sb.n AS nb
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b)
+    SELECT doc_a AS doc_sub, doc_b AS doc_super,
+           CAST(n_common AS DOUBLE) / na AS containment
+    FROM scored WHERE CAST(n_common AS DOUBLE) / na >= {CONTAIN_T}
+    UNION ALL
+    SELECT doc_b AS doc_sub, doc_a AS doc_super,
+           CAST(n_common AS DOUBLE) / nb AS containment
+    FROM scored WHERE CAST(n_common AS DOUBLE) / nb >= {CONTAIN_T}
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle *containment* near-dup: C(A→B) = |A∩B| / |A| ≥ {CONTAIN_T}
+    — flags documents mostly contained in another (quotes, boilerplate
+    wrapping, concatenated dumps) that symmetric Jaccard misses when
+    the sizes differ a lot. Same inverted-index candidate generation as
+    dedup_ngram_jaccard (cost Σ posting-list², never n²); each
+    surviving pair is emitted in whichever direction(s) clear the
+    threshold. Pure integer ratios → exact, order-independent."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+    )
+    sizes = d.select("doc_id", "n")
+    ex = d.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    c_ab = F.col("n_common").cast("double") / F.col("na")
+    c_ba = F.col("n_common").cast("double") / F.col("nb")
+    fwd = scored.where(c_ab >= CONTAIN_T).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        c_ab.alias("containment"),
+    )
+    rev = scored.where(c_ba >= CONTAIN_T).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        c_ba.alias("containment"),
+    )
+    return fwd.unionAll(rev)
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency quality score (count-based LM proxy)
+
+#: a token is "rare" if its corpus frequency is at or below this
+RARE_T = 2
+
+
+@query(
+    "unigram_freq_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           CAST(SUM(f.cnt) AS DOUBLE) / COUNT(*) AS avg_tok_freq,
+           CAST(SUM(CASE WHEN f.cnt <= {RARE_T} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_frac
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based language-model quality proxy: score each document by
+    the corpus-wide frequency of its own tokens — low average frequency
+    and a high rare-token fraction mark gibberish, OCR noise, and
+    boilerplate-free outliers (the integer-exact cousin of a KenLM
+    perplexity filter; log-prob variants differ per-libm and would
+    flake a bit-exact oracle). Two shuffles at scale: token-count
+    aggregate, then token→doc re-aggregate; the frequency table joins
+    back by token (broadcast when the vocabulary fits, shuffle-join
+    otherwise — Catalyst decides from stats)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_tok_freq"),
+            (
+                F.sum(
+                    F.when(F.col("cnt") <= RARE_T, F.lit(1)).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_frac"),
+        )
+    )

@@ -38,6 +38,9 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.pipeline",
     "watermill_kinesis_spark.operators.pipeline2",
     "watermill_kinesis_spark.operators.analytics",
+    "watermill_kinesis_spark.operators.analytics2",
+    "watermill_kinesis_spark.operators.pipeline3",
+    "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.frequency",
     "watermill_kinesis_spark.operators.clustering",
     "watermill_kinesis_spark.operators.streaming_batch",
