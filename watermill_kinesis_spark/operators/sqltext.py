@@ -1,0 +1,64 @@
+"""SQL-text interface: the engine's ANSI-SQL entry point.
+
+The reference exposes no query language; Layer B gives the engine one
+"for free" through Spark SQL. ``register_views`` publishes every test
+table as a temp view, and ``run_sql`` executes a SQL string against
+them — so a user can drive the engine with plain SQL instead of the
+DataFrame API, and Catalyst plans it identically (one logical plan,
+same optimizer).
+
+The registered queries run the *same SQL text* on Spark and on the
+DuckDB oracle — a direct dialect-parity check on the common ANSI
+surface (CTEs, joins, grouping, HAVING, window functions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import TABLE_NAMES, load_table
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Publish every engine table as a temp view (idempotent). Views
+    resolve through load_table, so the events timestamp normalization
+    and the table memo/cache apply to SQL users too."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Run an ANSI SQL string against the engine's tables."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+#: one SQL text, two engines: CTE → 3-way join → group/HAVING → window
+_SQL_PARITY = """
+WITH nation_orders AS (
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation, priority, n_orders,
+       RANK() OVER (PARTITION BY nation ORDER BY n_orders DESC, priority) AS rk
+FROM (
+    SELECT nation, priority, COUNT(*) AS n_orders
+    FROM nation_orders
+    GROUP BY nation, priority
+    HAVING COUNT(*) > 5
+) t
+"""
+
+
+@query("sql_text_interface", oracle=_SQL_PARITY, tags=("sql", "api"))
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the exact same SQL text runs on Spark (via
+    temp views over the engine tables) and on the DuckDB oracle —
+    byte-for-byte dialect parity on the shared ANSI surface. Catalyst
+    receives the identical logical plan a DataFrame formulation would
+    produce (broadcast dim joins, partial aggregation, one window
+    shuffle), so the SQL path inherits every scale property of the
+    DataFrame path."""
+    return run_sql(spark, sf_dir, _SQL_PARITY)
