@@ -337,7 +337,7 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # shingle-containment dedup (quoted / embedded near-dups)
 
-from watermill_kinesis_spark.operators.dedup import SHINGLE_N, _shingles  # noqa: E402
+from watermill_kinesis_spark.operators.dedup import SHINGLE_N  # noqa: E402
 
 #: containment threshold: |A∩B| / |A| for the smaller shingle set
 CONTAIN_T = 0.8
@@ -383,28 +383,12 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sizes differ a lot. Same inverted-index candidate generation as
     dedup_ngram_jaccard (cost Σ posting-list², never n²); each
     surviving pair is emitted in whichever direction(s) clear the
-    threshold. Pure integer ratios → exact, order-independent."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .withColumn("n", F.size("shingles"))
-    )
-    sizes = d.select("doc_id", "n")
-    ex = d.select("doc_id", F.explode("shingles").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    scored = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    threshold. Pure integer ratios → exact, order-independent. Set
+    sizes ride the exploded posting rows (dedup._shared_shingle_pairs),
+    so the corpus is shingled exactly once."""
+    from watermill_kinesis_spark.operators.dedup import _shared_shingle_pairs
+
+    scored = _shared_shingle_pairs(spark, sf_dir)
     c_ab = F.col("n_common").cast("double") / F.col("na")
     c_ba = F.col("n_common").cast("double") / F.col("nb")
     fwd = scored.where(c_ab >= CONTAIN_T).select(

@@ -121,33 +121,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation by shared-shingle inverted index join — the
     MapReduce dedup pattern: only docs sharing ≥1 shingle ever meet, so
     cost is Σ(posting-list²) not n². Jaccard is int/int in double —
-    exact, order-independent, oracle-stable."""
-    d = _docs(spark, sf_dir).select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    d = d.withColumn("n", F.size("shingles"))
-    sizes = d.select("doc_id", "n")
-    ex = d.select("doc_id", F.explode("shingles").alias("shingle"))
+    exact, order-independent, oracle-stable.
+
+    One corpus scan total: each exploded posting row carries its doc's
+    set size (8 bytes) through the self-join, so |A| and |B| fall out
+    of the pair aggregate as MIN over a per-doc constant — no separate
+    ``sizes`` relation, and therefore no second/third shingling pass.
+    The two self-join sides shuffle the identical (shingle) exchange,
+    which Spark's ReuseExchange collapses into one."""
+    return _shared_shingle_pairs(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.6)
+
+
+def _shared_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from the shared-shingle inverted index:
+    (doc_a, doc_b, n_common, na, nb) with doc_a < doc_b — the common
+    core of the Jaccard and containment near-dup operators."""
+    ex = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("shingle"),
+        )
+    )
     a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.6)
     )
 
 
