@@ -171,14 +171,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with per-document top-3 terms: explode→TF groupBy→DF
     groupBy→broadcast-join→window top-k. The document-frequency table
     is tiny relative to the corpus (vocabulary-sized) so it broadcasts;
-    the only big shuffles are the two token aggregations. Scores are
-    rounded to 6 dp because ln() is not correctly-rounded — Java and
-    libm can differ in the final ulp."""
+    the corpus is exploded exactly ONCE: DF re-aggregates the (already
+    vocabulary×docs-sized) TF table instead of the raw token stream,
+    and n_docs counts the documents table directly (every doc has ≥1
+    token — split() never returns an empty array). Scores are rounded
+    to 6 dp because ln() is not correctly-rounded — Java and libm can
+    differ in the final ulp."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
     return (

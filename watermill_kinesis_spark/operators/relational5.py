@@ -363,13 +363,15 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = (
         grams(d.where(F.col("doc_id") < 50)).select("gram").distinct()
     )
-    train_grams = grams(d.where(F.col("doc_id") >= 50)).dropDuplicates(
-        ["doc_id", "gram"]
-    )
+    # join RAW train grams against the broadcast and dedup only the
+    # survivors (countDistinct): the corpus-wide (doc_id, gram)
+    # dropDuplicates shuffle this replaces is the whole training set's
+    # n-grams — post-join it's just the contaminated candidates.
+    train_grams = grams(d.where(F.col("doc_id") >= 50))
     return (
         train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
         .where(F.col("n_shared_grams") >= DECON_MIN_HITS)
     )
 
