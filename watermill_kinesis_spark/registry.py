@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.pipeline2",
     "watermill_kinesis_spark.operators.analytics",
     "watermill_kinesis_spark.operators.analytics2",
+    "watermill_kinesis_spark.operators.analytics3",
     "watermill_kinesis_spark.operators.pipeline3",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.frequency",
