@@ -1,0 +1,84 @@
+"""Invariant tests for the wave-5 pipeline operators (pipeline4.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.operators.pipeline4 import BLOCK_TOKENS, BLOOM_N
+from watermill_kinesis_spark.operators.pipeline4 import _grams
+from watermill_kinesis_spark.registry import queries
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def test_bloom_decontaminate_equals_exact_join(spark, sf_dir):
+    """The Bloom prefilter must be lossless: its output equals the plain
+    exact-join decontamination (no FNs; FPs removed by the confirm)."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_grams = (
+        _grams(d.where(F.col("doc_id") < 50), BLOOM_N).select("gram").distinct()
+    )
+    truth = {
+        (r["doc_id"], r["n"])
+        for r in _grams(d.where(F.col("doc_id") >= 50), BLOOM_N)
+        .join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in queries()["decontaminate_bloom"](spark, sf_dir).collect()
+    }
+    assert got == truth
+
+
+def test_paragraph_profile_counts_consistent(spark, sf_dir):
+    out = queries()["dedup_paragraph"](spark, sf_dir).cache()
+    try:
+        rows = out.collect()
+        assert rows
+        d = load_table(spark, sf_dir, "documents")
+        eligible = d.where(
+            F.size(F.split("text", " ")) >= BLOCK_TOKENS
+        ).count()
+        assert len(rows) == eligible
+        for r in rows:
+            assert 0 <= r["n_dup_blocks"] <= r["n_blocks"]
+            assert math.isclose(
+                r["dup_block_ratio"], r["n_dup_blocks"] / r["n_blocks"]
+            )
+            # full blocks only: n_blocks == floor(tokens / BLOCK_TOKENS) is
+            # not guaranteed (stride windows), but at least 1
+            assert r["n_blocks"] >= 1
+    finally:
+        out.unpersist()
+
+
+def test_temperature_weights_flatten_the_mixture(spark, sf_dir):
+    rows = queries()["domain_mix_temperature"](spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert math.isclose(r["temp_weight"], math.sqrt(r["share"]), rel_tol=1e-12)
+        assert math.isclose(
+            r["upsample_factor"] * r["temp_weight"], 1.0, rel_tol=1e-12
+        )
+    # temperature flattens: rare domains get boosted ABOVE proportional,
+    # and the boost is larger the rarer the domain
+    by_share = sorted(rows, key=lambda r: r["share"])
+    boosts = [r["upsample_factor"] for r in by_share]
+    assert boosts == sorted(boosts, reverse=True)
+
+
+def test_binaryfile_ingest_matches_direct_aggregate(spark, sf_dir):
+    got = {
+        r["source"]: (r["n_files"], r["total_bytes"])
+        for r in queries()["binaryfile_ingest"](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["source"]: (r["n"], r["b"])
+        for r in d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("b"))
+        .collect()
+    }
+    assert got == truth

@@ -1,0 +1,296 @@
+"""Pipeline wave 5: Bloom-prefiltered decontamination, paragraph-block
+dedup, temperature-scaled domain mixing, and binary-file corpus ingest.
+
+The reference has no relational surface at all (SURVEY.md §2-B); these
+are Layer-B LLM-corpus operators mandated by the driver's north star.
+Determinism discipline matches analytics.py: floats reaching the oracle
+hash are exact integer ratios or expressions whose text is shared with
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered benchmark decontamination
+
+#: n-gram order for the bloom decontamination pass (distinct from
+#: decontaminate_ngram's 5-gram/≥3 config: 8-gram, any overlap flags).
+BLOOM_N = 8
+#: Bloom geometry: 2^16 bits in 1024 longs, 4 probes/key. At the
+#: expected eval-gram cardinality (~4k) the false-positive rate is
+#: ~0.2%; FPs cost one extra exact-join probe, FNs cannot happen.
+BLOOM_BITS = 1 << 16
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 4
+
+
+def _grams(df: DataFrame, n: int) -> DataFrame:
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - n + 1, F.lit(0)))
+    return (
+        df.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("doc_id", F.explode(starts).alias("i"), "toks")
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
+        )
+    )
+
+
+def _bloom_hashes(gram: F.Column) -> list[F.Column]:
+    """BLOOM_K independent bit positions per key: xxhash64 with distinct
+    salts, folded into [0, BLOOM_BITS). All JVM expressions."""
+    return [
+        F.pmod(F.xxhash64(F.concat(gram, F.lit(f"#bloom{i}"))), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_K)
+    ]
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH eval_docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id < 50),
+    train_docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id >= 50),
+    eval_grams AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, i, i + {BLOOM_N - 1}), ' ') AS gram
+        FROM eval_docs, unnest(generate_series(1, len(toks) - {BLOOM_N - 1})) AS t(i)),
+    train_grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + {BLOOM_N - 1}), ' ') AS gram
+        FROM train_docs, unnest(generate_series(1, len(toks) - {BLOOM_N - 1})) AS t(i))
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM train_grams t JOIN eval_grams e USING (gram)
+    GROUP BY t.doc_id
+    """,
+    tags=("pipeline", "dedup", "decontamination", "bloom", "llm-pipeline"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom prefilter — the shape that survives
+    when the eval-gram set outgrows a comfortable broadcast hash table.
+    The engine builds the Bloom filter itself, in pure Spark SQL: eval
+    8-grams hash to {BLOOM_K} bit positions (salted xxhash64), a
+    BIT_OR aggregate packs them into {BLOOM_WORDS} longs (a distributed
+    reduce to an 8 KB sketch), and the probe is word-index + shift
+    expressions over that array literal — whole-stage codegen, no UDF,
+    no per-executor hash table. Training grams that pass the bloom
+    (FP rate ~0.2%) go through an exact confirm join, so the result is
+    exact: Bloom filters admit false positives but never false
+    negatives. At 100 TB the corpus side is filtered to candidates
+    BEFORE any join/shuffle — the sketch costs 8 KB per task regardless
+    of eval-set size growth (vs a broadcast table growing linearly)."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_grams = (
+        _grams(d.where(F.col("doc_id") < 50), BLOOM_N).select("gram").distinct()
+    )
+    # build: positions → (word, bit) → BIT_OR per word → 1024 longs
+    pos = eval_grams.select(
+        F.explode(F.array(*_bloom_hashes(F.col("gram")))).alias("h")
+    )
+    words = (
+        pos.select(
+            (F.col("h") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    packed = [0] * BLOOM_WORDS
+    for r in words:
+        packed[r["w"]] = r["word"]
+    bloom = F.lit(packed)  # array<bigint> literal, ~8 KB in the plan
+
+    train_grams = _grams(d.where(F.col("doc_id") >= 50), BLOOM_N)
+    probed = train_grams
+    hit = F.lit(True)
+    for i, h in enumerate(_bloom_hashes(F.col("gram"))):
+        probed = probed.withColumn(f"h{i}", h).withColumn(
+            f"w{i}", F.element_at(bloom, (F.col(f"h{i}") / 64).cast("int") + 1)
+        )
+        hit = hit & F.expr(
+            f"(shiftright(w{i}, CAST(h{i} % 64 AS INT)) & CAST(1 AS BIGINT))"
+            " = CAST(1 AS BIGINT)"
+        )
+    candidates = probed.where(hit).select("doc_id", "gram")
+    return (
+        candidates.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-block duplication profile
+
+#: tokens per block for dedup_paragraph (non-overlapping; trailing
+#: partial blocks are dropped so every block is exactly this long).
+BLOCK_TOKENS = 20
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH blocks AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + {BLOCK_TOKENS - 1}), ' ') AS block
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(generate_series(1, len(toks) - {BLOCK_TOKENS - 1}, {BLOCK_TOKENS}))
+                 AS t(i)),
+    block_docs AS (
+        SELECT block, COUNT(DISTINCT doc_id) AS n_docs FROM blocks GROUP BY block)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COUNT_IF(bd.n_docs > 1) AS BIGINT) AS n_dup_blocks,
+           CAST(COUNT_IF(bd.n_docs > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS dup_block_ratio
+    FROM blocks b JOIN block_docs bd USING (block)
+    GROUP BY b.doc_id
+    """,
+    tags=("pipeline", "dedup", "llm-pipeline"),
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular duplication profile — the sub-document dedup
+    pass (boilerplate headers, license blocks, templated spans) that
+    document-level MinHash misses. Documents split into non-overlapping
+    {BLOCK_TOKENS}-token blocks; a block seen in more than one document
+    is corpus-duplicated; each document reports its duplicated-block
+    ratio. Two shuffles: block-text → distinct-doc counts, then doc_id
+    → per-doc profile. Blocks are grouped by their text to stay
+    hash-collision-free for the oracle; at 100 TB swap the key for
+    xxhash64(block) (16 bytes/row, same plan shape — see
+    dedup_exact_hashkey) and explode paragraphs instead of fixed token
+    windows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - BLOCK_TOKENS + 1, F.lit(0)),
+        F.lit(BLOCK_TOKENS),
+    )
+    blocks = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= BLOCK_TOKENS)
+        .select("doc_id", F.explode(starts).alias("i"), "toks")
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", F.col("i"), BLOCK_TOKENS), " ").alias(
+                "block"
+            ),
+        )
+    )
+    block_docs = blocks.groupBy("block").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = blocks.join(block_docs, "block")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count_if(F.col("n_docs") > 1).alias("n_dup_blocks"),
+        (
+            F.count_if(F.col("n_docs") > 1).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_block_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixing
+
+
+@query(
+    "domain_mix_temperature",
+    oracle="""
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           SQRT(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS temp_weight,
+           1.0 / SQRT(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+               AS upsample_factor
+    FROM (SELECT source, COUNT(*) AS n_docs, SUM(COUNT(*)) OVER () AS total
+          FROM documents GROUP BY source)
+    """,
+    tags=("agg", "sampling", "llm-pipeline"),
+)
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (τ = 1/2): sampling weights
+    ∝ share^τ flatten the domain distribution without going fully
+    uniform — the mT5/LLaMA-style mixture policy, complementing
+    domain_mix_weights' uniform target. τ = 1/2 is chosen deliberately:
+    share is an exact integer ratio and SQRT is correctly rounded in
+    IEEE-754, so every value is bit-identical across engines with no
+    cross-row float summation anywhere (the final Σ-normalization over
+    |domains| weights is a serving-time constant, not a data-scale
+    operation). One aggregate pass; the global total is a window over
+    the |domains|-row aggregate, not the data."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy())
+    share = F.col("n_docs").cast("double") / total.cast("double")
+    return per.select(
+        "source",
+        "n_docs",
+        share.alias("share"),
+        F.sqrt(share).alias("temp_weight"),
+        (F.lit(1.0) / F.sqrt(share)).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary-file corpus ingest (the multimodal file-drop path)
+
+
+@query(
+    "binaryfile_ingest",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY source
+    """,
+    tags=("format", "multimodal", "llm-pipeline"),
+)
+def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file corpus ingest via the ``binaryFile`` source — the
+    entry point for file-drop multimodal corpora (one blob per
+    document: images, audio, raw text). The corpus is first laid out as
+    one file per document under ``doc_id=N/`` partition directories
+    (distributed text write), then re-ingested with
+    ``spark.read.format("binaryFile")``, which yields (path, length,
+    content) plus the partition-discovered doc_id; the blobs join back
+    to the metadata table on that id and aggregate per source. The
+    oracle aggregates the ORIGINAL table, so a hash match proves the
+    write→list→read→join path is lossless byte-for-byte (the text
+    writer's one trailing newline per file is subtracted). At 100 TB
+    listing cost is governed by files-per-directory; the partitioned
+    layout is exactly what keeps that listing parallelizable."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix=f"wk_binfile_{uuidlib.uuid4().hex[:6]}_"), "docs"
+    )
+    d.select("doc_id", F.col("text").alias("value")).write.partitionBy(
+        "doc_id"
+    ).mode("overwrite").text(out)
+    blobs = spark.read.format("binaryFile").load(out)
+    meta = d.select("doc_id", "source")
+    return (
+        blobs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "content")
+        .join(meta, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.octet_length("content") - 1).alias("total_bytes"),
+        )
+    )

@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.analytics2",
     "watermill_kinesis_spark.operators.analytics3",
     "watermill_kinesis_spark.operators.pipeline3",
+    "watermill_kinesis_spark.operators.pipeline4",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.frequency",
     "watermill_kinesis_spark.operators.clustering",
