@@ -1,0 +1,163 @@
+"""Product-quantization ANN — the memory-bound scale path for
+similarity search (FAISS-PQ style), next to the LSH and IVF variants in
+similarity.py.
+
+Why PQ matters at 100 TB: brute force and IVF both keep full vectors
+(dim × 8 bytes); PQ compresses each vector to |subspaces| one-byte
+codes (64 bytes → 8 bytes here), so the searchable index fits in a
+fraction of the memory and the scan is table lookups instead of
+multiplies. Codebooks are the "big data, small model" pattern
+(clustering.py): k·dim floats trained on a driver-side sample, shipped
+in kernel closures, never joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.operators.similarity import (
+    EMB_DIM,
+    N_QUERIES,
+    TOP_K,
+    _dot,
+    _emb,
+    _norm,
+)
+from watermill_kinesis_spark.registry import query
+
+PQ_SUBSPACES = 8
+PQ_SUBDIM = EMB_DIM // PQ_SUBSPACES
+PQ_CODES = 16
+PQ_TRAIN_ITERS = 10
+#: ADC candidates fetched per query before the exact re-rank.
+PQ_RERANK = TOP_K * 4
+#: deterministic training-sample cap (vectors); at corpus scale the
+#: sample is a hash-stratified slice, here it covers the table.
+PQ_TRAIN_CAP = 4096
+
+
+def train_codebooks(X):
+    """Lloyd's k-means per subspace on the (normalized) sample matrix.
+    Deterministic: seeded centroid init, ties broken by argmin. Returns
+    codebooks of shape (PQ_SUBSPACES, PQ_CODES, PQ_SUBDIM)."""
+    import numpy as np
+
+    books = np.zeros((PQ_SUBSPACES, PQ_CODES, PQ_SUBDIM))
+    for s in range(PQ_SUBSPACES):
+        sub = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        rng = np.random.RandomState(42 + s)
+        C = sub[rng.choice(len(sub), PQ_CODES, replace=False)].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for j in range(PQ_CODES):
+                m = assign == j
+                if m.any():
+                    C[j] = sub[m].mean(axis=0)
+        books[s] = C
+    return books
+
+
+@query("similarity_ann_pq", tags=("similarity", "pq", "llm-pipeline"))
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) and exact re-rank:
+
+    1. **Train** (driver, sample): per-subspace k-means codebooks over
+       L2-normalized vectors — {PQ_SUBSPACES}×{PQ_CODES}×{PQ_SUBDIM}
+       floats, KBs regardless of corpus size.
+    2. **Encode** (distributed): one Arrow pass assigns each vector
+       {PQ_SUBSPACES} one-byte codes — an 8× index compression here,
+       64× at dim=512.
+    3. **ADC search** (distributed): each query precomputes a
+       {PQ_SUBSPACES}×{PQ_CODES} inner-product table; scoring a corpus
+       vector is {PQ_SUBSPACES} table lookups, no float multiply. Each
+       Arrow batch emits only its local top-{PQ_RERANK} per query.
+    4. **Exact re-rank**: the ≤{PQ_RERANK}·batches candidate rows join
+       back to full vectors for true cosine; top-{TOP_K} wins.
+
+    Approximate by design ⇒ rows-only; recall vs the exact
+    similarity_topk is pinned in tests/test_similarity_pq.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir, distribute=True)
+    cap = PQ_TRAIN_CAP
+    sample = e.where(F.xxhash64("vec_id") % 100 >= 0).limit(cap)  # whole table ≤ cap
+    rows = sample.select("vec_id", "emb").collect()
+    X = np.array([r.emb for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = train_codebooks(X)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["emb"].to_numpy())
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            codes = np.zeros((len(Mn), PQ_SUBSPACES), dtype=np.int32)
+            for s in range(PQ_SUBSPACES):
+                sub = Mn[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    coded = e.select("vec_id", "emb").mapInPandas(
+        encode, "vec_id long, codes array<int>"
+    )
+
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.emb for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # ADC tables: tables[q, s, j] = q_sub_s · codebook[s][j]
+    tables = np.einsum(
+        "qsd,sjd->qsj",
+        Qn.reshape(len(Qn), PQ_SUBSPACES, PQ_SUBDIM),
+        books,
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy())  # n × S
+            # approx[n, q] = Σ_s tables[q, s, codes[n, s]]
+            approx = np.zeros((len(ids), len(qids)))
+            for s in range(PQ_SUBSPACES):
+                approx += tables[:, s, codes[:, s]].T  # n × q
+            approx[ids[:, None] == qids[None, :]] = -np.inf
+            k = min(PQ_RERANK, len(ids))
+            top = np.argpartition(-approx, k - 1, axis=0)[:k]
+            out_q = np.repeat(qids[None, :], k, axis=0).ravel()
+            out_n = ids[top].ravel()
+            out_s = np.take_along_axis(approx, top, axis=0).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "neighbor_id": out_n[keep]}
+            )
+
+    cand = coded.mapInPandas(adc, "query_id long, neighbor_id long")
+    # global candidate cut happens at re-rank; dedup batch overlaps
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in Qn[j]]) for j, i in enumerate(qids)],
+        "query_id long, qe array<double>",
+    )
+    full = cand.join(e.select(F.col("vec_id").alias("neighbor_id"), "emb"), "neighbor_id")
+    scored = full.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qe"), F.col("emb")) / _norm(F.col("emb"))).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )

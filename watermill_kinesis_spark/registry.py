@@ -33,6 +33,8 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.formats",
     "watermill_kinesis_spark.operators.dedup",
     "watermill_kinesis_spark.operators.similarity",
+    "watermill_kinesis_spark.operators.similarity2",
+    "watermill_kinesis_spark.operators.graph",
     "watermill_kinesis_spark.operators.text",
     "watermill_kinesis_spark.operators.multimodal",
     "watermill_kinesis_spark.operators.pipeline",
