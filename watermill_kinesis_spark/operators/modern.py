@@ -1,0 +1,109 @@
+"""Modern Spark-4 surface: the VARIANT semi-structured type and the
+built-in DataSketches HLL aggregate family.
+
+Both are engine capabilities a reference user gets "for free" by
+switching to this engine — the reference's payloads are opaque bytes
+(SURVEY.md §1.5); VARIANT is the idiomatic Spark 4 way to make such
+payloads queryable without a fixed schema, and sketch aggregates are
+the mergeable-state pattern behind its checkpointed counters at
+warehouse scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark.functions.exact import lcents
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+@query(
+    "variant_shred",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round trip through the VARIANT type (Spark 4):
+    each event re-serializes to a nested JSON document, parses into a
+    VARIANT, and is then shredded back out with typed ``variant_get``
+    paths — the open-schema payload pipeline (ingest JSON of unknown
+    shape, query it with typed paths, let the engine keep the binary
+    encoding columnar). The oracle computes the same aggregate from the
+    raw columns, so a hash match proves the encode→VARIANT→typed-path
+    round trip is lossless. All values are exact integers; at scale the
+    parse and paths are codegen'd JVM expressions — VARIANT's binary
+    form avoids re-parsing JSON text per path access (one parse, many
+    typed gets), which is the scan-cost difference vs get_json_object
+    chains."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                lcents("value").alias("value_cents"),
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            ).alias("metrics"),
+        )
+    )
+    v = F.parse_json(js)
+    return (
+        ev.withColumn("v", v)
+        .select(
+            F.expr("variant_get(v, '$.type', 'string')").alias("event_type"),
+            F.expr("variant_get(v, '$.metrics.value_cents', 'bigint')").alias(
+                "cents"
+            ),
+            F.expr("variant_get(v, '$.metrics.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query("hll_sketch_native", tags=("agg", "sketch", "streaming"))
+def hll_sketch_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in DataSketches HLL: per-(event_type, day) user sketches
+    merged to per-type totals with ``hll_union_agg`` — the native
+    counterpart of the hand-rolled mergeable sketch in
+    ``sketch_distinct_mergeable``. This is THE scale pattern for
+    distinct counting: daily sketches are tiny (≤ ~1.5 KB each),
+    mergeable across any partitioning/retention window, and the union
+    is associative — a 100 TB pipeline stores sketches per partition
+    and answers any-range distinct queries without rescanning raw data.
+    Estimates are deterministic for a given input set but not
+    SQL-reproducible in DuckDB ⇒ rows-only; accuracy vs exact distinct
+    is pinned in tests/test_modern.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(uid)").alias("sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+                "approx_users"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("approx_users").cast("bigint").alias("approx_users"),
+        )
+    )
