@@ -207,6 +207,70 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# edit-distance near-dup (blocked Levenshtein verify)
+
+#: prefix block for candidate generation and the comparison window /
+#: acceptance threshold for the Levenshtein verify
+LEV_BLOCK = 64
+LEV_WINDOW = 240
+LEV_MAX_DIST = 60
+
+
+@query(
+    "dedup_levenshtein",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE LENGTH(text) >= {LEV_BLOCK})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(SUBSTRING(a.text, 1, {LEV_WINDOW}),
+                            SUBSTRING(b.text, 1, {LEV_WINDOW})) AS BIGINT)
+               AS edit_dist
+    FROM d a JOIN d b
+      ON SUBSTRING(a.text, 1, {LEV_BLOCK}) = SUBSTRING(b.text, 1, {LEV_BLOCK})
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(SUBSTRING(a.text, 1, {LEV_WINDOW}),
+                      SUBSTRING(b.text, 1, {LEV_WINDOW})) <= {LEV_MAX_DIST}
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: candidate pairs block on the first
+    {LEV_BLOCK} characters (equi-join on a short key — same shape as
+    dedup_prefix_containment), then verify with exact Levenshtein over
+    a fixed {LEV_WINDOW}-char window. The window cap is the scale
+    guard: Levenshtein is O(n·m) per pair, so the engine bounds the
+    comparison cost per candidate to a constant regardless of document
+    length — the standard trick for edit-distance verify at corpus
+    scale (full-length distance only ever runs on pairs that already
+    passed the windowed check downstream). Both engines implement
+    classic unit-cost Levenshtein, so the result is exactly
+    oracle-checkable — a rarity among fuzzy-match operators."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.length("text") >= LEV_BLOCK)
+        .select(
+            "doc_id",
+            F.substring("text", 1, LEV_BLOCK).alias("blk"),
+            F.substring("text", 1, LEV_WINDOW).alias("win"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "blk", F.col("win").alias("win_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "blk", F.col("win").alias("win_b")
+    )
+    dist = F.levenshtein("win_a", "win_b")
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_dist"))
+        .where(F.col("edit_dist") <= LEV_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
 # temperature-scaled domain mixing
 
 
