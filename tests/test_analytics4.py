@@ -1,0 +1,87 @@
+"""Invariant tests for the wave-6 analytics operators (analytics4.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.operators.analytics4 import LOCF_MISSING_BELOW
+from watermill_kinesis_spark.registry import queries
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def test_locf_fills_only_missing_and_preserves_valid(spark, sf_dir):
+    out = queries()["forward_fill_locf"](spark, sf_dir).cache()
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        j = out.join(ev, "event_id")
+        # valid readings pass through untouched
+        assert (
+            j.where(
+                ~F.col("was_missing") & (F.col("filled_value") != F.col("value"))
+            ).count()
+            == 0
+        )
+        # filled values are always valid readings (or NULL before any)
+        assert (
+            j.where(
+                F.col("filled_value").isNotNull()
+                & (F.col("filled_value") <= LOCF_MISSING_BELOW)
+            ).count()
+            == 0
+        )
+        assert out.count() == ev.count()
+    finally:
+        out.unpersist()
+
+
+def test_period_over_period_telescopes(spark, sf_dir):
+    rows = sorted(
+        queries()["period_over_period"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows[0]["delta_cents"] is None and rows[0]["pct_change"] is None
+    # deltas telescope back to the endpoint difference
+    assert (
+        sum(r["delta_cents"] for r in rows[1:])
+        == rows[-1]["rev_cents"] - rows[0]["rev_cents"]
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["delta_cents"] == cur["rev_cents"] - prev["rev_cents"]
+        if prev["rev_cents"] != 0:
+            assert math.isclose(
+                cur["pct_change"], cur["delta_cents"] / prev["rev_cents"]
+            )
+
+
+def test_xml_shred_matches_raw_aggregate(spark, sf_dir):
+    from watermill_kinesis_spark.functions.exact import lcents
+
+    got = {
+        r["event_type"]: (r["n"], r["sum_cents"], r["sum_uid"])
+        for r in queries()["xml_shred"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    truth = {
+        r["event_type"]: (r["n"], r["c"], r["u"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lcents("value")).alias("c"),
+            F.sum("user_id").alias("u"),
+        )
+        .collect()
+    }
+    assert got == truth
+
+
+def test_collation_group_folds_case_variants(spark, sf_dir):
+    rows = queries()["collation_group"](spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["source_ci"]: r["n_docs"] for r in rows}
+    # the case-varied key folds back to exactly the per-source counts
+    assert got == truth
+    assert all(k == k.lower() for k in got)

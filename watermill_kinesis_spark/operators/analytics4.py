@@ -1,0 +1,194 @@
+"""Analytics wave 6: LOCF forward-fill, period-over-period deltas,
+XML shredding, and collation-aware grouping.
+
+Determinism discipline unchanged: every float reaching the oracle hash
+is raw data, an exact integer ratio, or expression text shared with the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.functions.exact import lcents
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# forward fill (last observation carried forward)
+
+#: sparsity threshold: readings at or below this are treated as missing
+LOCF_MISSING_BELOW = 100.0
+
+
+@query(
+    "forward_fill_locf",
+    oracle=f"""
+    SELECT event_id, user_id,
+           (value <= {LOCF_MISSING_BELOW}) AS was_missing,
+           LAST_VALUE(CASE WHEN value > {LOCF_MISSING_BELOW} THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+    FROM events
+    """,
+    tags=("window", "timeseries"),
+)
+def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: sensor-style gap repair where
+    missing readings (here: values ≤ {LOCF_MISSING_BELOW}, standing in
+    for NULLs) inherit the key's most recent valid reading. One ordered
+    window per key with ``last(..., ignorenulls=True)`` — a single
+    shuffle on the key, linear per-row state, and the filled values are
+    raw data passthrough (no arithmetic), so the hash match is exact.
+    Complements timeseries_gapfill (which densifies missing ROWS; this
+    repairs missing VALUES on existing rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    valid = F.when(F.col("value") > LOCF_MISSING_BELOW, F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") <= LOCF_MISSING_BELOW).alias("was_missing"),
+        F.last(valid, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# period-over-period growth
+
+
+@query(
+    "period_over_period",
+    oracle="""
+    SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(rev_cents - prev AS BIGINT) AS delta_cents,
+           CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                ELSE CAST(rev_cents - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+           END AS pct_change
+    FROM (
+        SELECT day, rev_cents,
+               LAG(rev_cents) OVER (ORDER BY day) AS prev
+        FROM (
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_cents
+            FROM events GROUP BY 1))
+    """,
+    tags=("window", "timeseries", "agg"),
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth: daily revenue, absolute delta, and percent
+    change — the reporting primitive behind every trend dashboard.
+    Revenue aggregates in exact integer cents (map-side combinable, one
+    shuffle to |days| rows); LAG runs on the tiny aggregate, so the
+    unpartitioned window orders days, not data — constant volume at any
+    scale. pct_change is one exact-long division written identically in
+    the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(lcents("value")).alias("rev_cents")
+    )
+    w = W.partitionBy().orderBy("day")
+    prev = F.lag("rev_cents").over(w)
+    delta = F.col("rev_cents") - prev
+    pct = F.when(
+        prev.isNull() | (prev == 0), F.lit(None).cast("double")
+    ).otherwise(delta.cast("double") / prev.cast("double"))
+    return daily.select(
+        "day",
+        "rev_cents",
+        delta.alias("delta_cents"),
+        pct.alias("pct_change"),
+    ).select("day", "rev_cents", "delta_cents", "pct_change")
+
+
+# ---------------------------------------------------------------------------
+# XML shredding (the other semi-structured ingest format)
+
+
+@query(
+    "xml_shred",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "xml", "format"),
+)
+def xml_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via Spark 4's built-in ``from_xml`` — the enterprise
+    sibling of variant_shred: each event re-serializes to an XML
+    fragment, parses back through a typed schema, and aggregates from
+    the shredded struct. The oracle aggregates the raw columns, so a
+    hash match proves serialize→parse→shred is lossless. Values are
+    exact integers end-to-end; the parse is a JVM expression at scan
+    speed (no Python, no RDD)."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><c>"),
+        lcents("value").cast("string"),
+        F.lit("</c><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u></e>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "t STRING, c BIGINT, u BIGINT").alias("x")
+    )
+    return (
+        parsed.select(
+            F.col("x.t").alias("event_type"),
+            F.col("x.c").alias("cents"),
+            F.col("x.u").alias("uid"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("uid").alias("sum_uid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# collation-aware grouping
+
+
+@query(
+    "collation_group",
+    oracle="""
+    SELECT lower(k) AS source_ci, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+              AS k
+          FROM documents)
+    GROUP BY lower(k)
+    """,
+    tags=("scalar", "collation", "agg"),
+)
+def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4 collations: the key is
+    compared under ``UTF8_LCASE`` (a property of the comparison, not a
+    rewrite of the data) instead of wrapping every reference in
+    ``lower()``. Semantically equal to the oracle's lower()-grouping
+    for this corpus; the engine projects ``lower()`` on the output so
+    the representative value is deterministic (a collated GROUP BY may
+    surface any case variant). At scale, collation-aware comparison
+    keeps the original bytes intact for later stages — no second
+    normalized copy of the column."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    return (
+        d.select(F.collate(k, "UTF8_LCASE").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lower("k").alias("source_ci"), "n_docs")
+    )

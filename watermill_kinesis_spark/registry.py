@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.analytics",
     "watermill_kinesis_spark.operators.analytics2",
     "watermill_kinesis_spark.operators.analytics3",
+    "watermill_kinesis_spark.operators.analytics4",
     "watermill_kinesis_spark.operators.pipeline3",
     "watermill_kinesis_spark.operators.pipeline4",
     "watermill_kinesis_spark.operators.sqltext",
