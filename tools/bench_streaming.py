@@ -1,0 +1,82 @@
+"""Streaming-layer throughput benchmark.
+
+The reference publishes no benchmark numbers (BASELINE.md); its
+practical ceiling is the Kinesis service limit — 1,000 records/s or
+1 MB/s write per shard, 2 MB/s read per shard — and its unit test
+moves 1,000 messages through an in-memory fake (reference
+subscriber_test.go). This tool measures the engine's equivalents on
+one node so the throughput comparison in BASELINE.md is grounded in
+numbers, not hand-waving:
+
+  codec_marshal   messages → wire JSON envelopes (count only, JVM)
+  codec_roundtrip messages → wire → messages (decode + corrupt check)
+  pubsub_e2e      publish to a topic dir + streaming read-back with
+                  checkpoint (the full subscribe path incl. decode)
+
+    PYTHONPATH=/root/repo python tools/bench_streaming.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import uuid as uuidlib
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from watermill_kinesis_spark import codec  # noqa: E402
+from watermill_kinesis_spark.operators.streaming_batch import (  # noqa: E402
+    _event_messages,
+)
+from watermill_kinesis_spark.session import get_spark  # noqa: E402
+from watermill_kinesis_spark.streaming import source as stream_source  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark()
+    msgs = _event_messages(spark, sf_dir).persist()
+    n = msgs.count()  # warm the input (exclude scan from codec timing)
+
+    results: dict[str, float] = {"n_messages": n}
+
+    t0 = time.perf_counter()
+    assert codec.marshal(msgs).count() == n
+    results["codec_marshal_msgs_per_s"] = round(n / (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    wire = codec.marshal(msgs)
+    decoded = codec.unmarshal(wire, drop_corrupt=True)
+    assert decoded.count() == n
+    results["codec_roundtrip_msgs_per_s"] = round(n / (time.perf_counter() - t0))
+
+    base = tempfile.mkdtemp(prefix=f"wk_sbench_{uuidlib.uuid4().hex[:6]}_")
+    topic = os.path.join(base, "topic")
+    ckpt = os.path.join(base, "ckpt")
+    t0 = time.perf_counter()
+    stream_source.write_stream_files(msgs, topic, n_shards=8)
+    q = (
+        stream_source.subscribe(spark, topic)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    results["pubsub_e2e_msgs_per_s"] = round(n / (time.perf_counter() - t0))
+
+    results["reference_ceiling_msgs_per_s_per_shard"] = 1000  # Kinesis write limit
+    msgs.unpersist()
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
