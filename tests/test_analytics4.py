@@ -85,3 +85,50 @@ def test_collation_group_folds_case_variants(spark, sf_dir):
     # the case-varied key folds back to exactly the per-source counts
     assert got == truth
     assert all(k == k.lower() for k in got)
+
+
+def test_zorder_buckets_confine_key_residues(spark, sf_dir):
+    from watermill_kinesis_spark.operators.analytics4 import ZORDER_BITS
+
+    rows = queries()["zorder_layout"](spark, sf_dir).collect()
+    assert rows
+    mask = (1 << ZORDER_BITS) - 1
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r["n_rows"] for r in rows) == li.count()
+    for r in rows:
+        # decode the z-value back to its residue pair
+        bx = by = 0
+        for i in range(ZORDER_BITS):
+            bx |= ((r["zbucket"] >> (2 * i)) & 1) << i
+            by |= ((r["zbucket"] >> (2 * i + 1)) & 1) << i
+        assert r["min_part"] & mask == bx and r["max_part"] & mask == bx
+        assert r["min_supp"] & mask == by and r["max_supp"] & mask == by
+
+
+def test_audio_energy_matches_python_recompute(spark, sf_dir):
+    from watermill_kinesis_spark.operators.multimodal import AUDIO_FRAME_BYTES
+
+    out = {
+        r["doc_id"]: r
+        for r in queries()["multimodal_audio_energy"](spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    for d in docs:
+        buf = d["text"].encode()
+        n = (len(buf) // AUDIO_FRAME_BYTES) * AUDIO_FRAME_BYTES
+        if n == 0:
+            assert d["doc_id"] not in out
+            continue
+        frames = [
+            buf[i : i + AUDIO_FRAME_BYTES] for i in range(0, n, AUDIO_FRAME_BYTES)
+        ]
+        energies = [sum(b * b for b in f) for f in frames]
+        r = out[d["doc_id"]]
+        assert r["n_frames"] == len(energies)
+        assert r["max_energy"] == max(energies)
+        assert r["total_energy"] == sum(energies)

@@ -158,6 +158,73 @@ def xml_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# z-order layout (multi-dimensional data skipping)
+
+#: bits per dimension → 2^(2·ZORDER_BITS) z-buckets
+ZORDER_BITS = 4
+
+
+def _z_interleave_sql(bx: str, by: str, intdiv: str = "DIV") -> str:
+    """Bit-interleave two {ZORDER_BITS}-bit ints into a z-value — pure
+    integer div/mod arithmetic, exact on any engine. The only dialect
+    difference is the integer-division spelling (Spark ``DIV``,
+    DuckDB ``//``); every operand is an exact integer, so the results
+    are identical regardless."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({bx} {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({by} {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM (
+        SELECT l_partkey, l_suppkey,
+               {_z_interleave_sql(f"(l_partkey % {1 << ZORDER_BITS})",
+                                  f"(l_suppkey % {1 << ZORDER_BITS})",
+                                  intdiv="//")} AS zbucket
+        FROM lineitem)
+    GROUP BY zbucket
+    """,
+    tags=("layout", "scan"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout: interleaving the bits of two
+    key dimensions gives a 1-D sort key under which contiguous file
+    groups cover small rectangles of the 2-D key space — so min/max
+    file statistics prune scans on EITHER dimension (the Delta/Iceberg
+    OPTIMIZE ZORDER technique, here as a first-class operator). The
+    z-value is pure integer div/mod arithmetic (shared text with the
+    oracle); the output is each z-bucket's row count and per-dimension
+    min/max — exactly the skipping statistics a writer would persist.
+    At 100 TB: add dimensions by extending the interleave, widen
+    ZORDER_BITS to match file count, write with
+    ``df.repartitionByRange(zbucket).sortWithinPartitions``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = F.expr(
+        _z_interleave_sql(
+            f"(l_partkey % {1 << ZORDER_BITS})", f"(l_suppkey % {1 << ZORDER_BITS})"
+        )
+    )
+    return (
+        li.select("l_partkey", "l_suppkey", z.alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # collation-aware grouping
 
 

@@ -221,3 +221,75 @@ def multimodal_meta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("bigint").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# framed signal energy (the audio-feature shape, exactly oracle-checked)
+
+#: bytes per analysis frame for multimodal_audio_energy (full frames
+#: only; payloads shorter than one frame are out of scope)
+AUDIO_FRAME_BYTES = 128
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH framed AS (
+        SELECT doc_id,
+               list_sum(list_transform(
+                   range(i, i + {AUDIO_FRAME_BYTES}),
+                   j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT)
+                        * CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT)
+               )) AS frame_energy
+        FROM documents,
+             unnest(generate_series(1, length(text) - {AUDIO_FRAME_BYTES} + 1,
+                                    {AUDIO_FRAME_BYTES})) AS t(i))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(frame_energy) AS BIGINT) AS max_energy,
+           CAST(SUM(frame_energy) AS BIGINT) AS total_energy
+    FROM framed GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed signal-energy extraction over binary payloads — the audio
+    pipeline shape (fixed-size PCM frames → per-frame energy → per-asset
+    profile), runnable without audio libs because the payload bytes ARE
+    the samples. The kernel is one Arrow pass: numpy ``frombuffer`` →
+    trim to whole {AUDIO_FRAME_BYTES}-byte frames → reshape → per-frame
+    sum of squared samples, all exact int64 — which makes this the rare
+    multimodal operator with a full value-level oracle (the payloads
+    are ASCII, so DuckDB recomputes the same energies from character
+    codes). At 100 TB the same kernel shape holds with a real decoder
+    in place of ``frombuffer``; per-row cost is O(bytes), no shuffle
+    until the |docs|-row profile aggregate."""
+    import numpy as np
+
+    a = assets(spark, sf_dir).select("doc_id", "payload")
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, mx, tot = [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = (len(buf) // AUDIO_FRAME_BYTES) * AUDIO_FRAME_BYTES
+                if n == 0:
+                    continue
+                frames = buf[:n].astype(np.int64).reshape(-1, AUDIO_FRAME_BYTES)
+                e = (frames * frames).sum(axis=1)
+                ids.append(did)
+                nf.append(len(e))
+                mx.append(int(e.max()))
+                tot.append(int(e.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nf,
+                    "max_energy": mx,
+                    "total_energy": tot,
+                }
+            )
+
+    return a.mapInPandas(
+        energy, "doc_id long, n_frames bigint, max_energy bigint, total_energy bigint"
+    )
