@@ -243,3 +243,61 @@ def test_stats_moments_single_shuffle_no_welford(spark, sf_dir):
     assert "corr(" not in plan
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_bloom_probe_filters_before_confirm_join(spark, sf_dir):
+    """decontaminate_bloom: the bloom-probe Filter (shift/mask over the
+    array literal) must sit below the confirm join on the corpus side
+    — candidates shrink BEFORE any join — and the confirm join must
+    broadcast the eval-gram set, never shuffle the corpus."""
+    from watermill_kinesis_spark.operators.pipeline4 import decontaminate_bloom
+
+    plan = plan_of(decontaminate_bloom(spark, sf_dir))
+    assert "shiftright" in plan  # the probe expressions survived codegen
+    assert "BroadcastHashJoin" in plan
+    join_pos = plan.index("BroadcastHashJoin")
+    assert "shiftright" in plan[join_pos:]  # probe is BELOW the join
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """ewma_halflife: 16 LAG terms + row_number over the SAME window
+    spec must share one shuffle on the key and one Window node."""
+    import re
+
+    from watermill_kinesis_spark.operators.analytics3 import ewma_halflife
+
+    plan = plan_of(ewma_halflife(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Window") <= 2  # one Window exec (+AQE shuffle read)
+
+
+def test_mode_agg_prunes_through_window_group_limit(spark, sf_dir):
+    """mode_agg: the rank-1 filter over the counts aggregate must
+    compile to WindowGroupLimit (rows pruned before the window sort
+    materializes full per-group lists)."""
+    from watermill_kinesis_spark.operators.analytics3 import mode_agg
+
+    plan = plan_of(mode_agg(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_levenshtein_join_is_equi_not_cartesian(spark, sf_dir):
+    """dedup_levenshtein: candidate generation must be an equi-join on
+    the prefix block — never a nested-loop/cartesian over documents."""
+    from watermill_kinesis_spark.operators.pipeline4 import dedup_levenshtein
+
+    plan = plan_of(dedup_levenshtein(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_single_aggregate_shuffle(spark, sf_dir):
+    """zorder_layout: the z-value is a projection; the only exchange is
+    the |buckets| aggregate, with map-side partial aggregation."""
+    import re
+
+    from watermill_kinesis_spark.operators.analytics4 import zorder_layout
+
+    plan = plan_of(zorder_layout(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial_" in plan

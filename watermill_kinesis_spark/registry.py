@@ -142,6 +142,25 @@ _PRIORITY: tuple[str, ...] = (
     # LLM pipeline: sampling / corpus prep
     "sample_stratified_mod",
     "embedding_avg_pool",
+    # wave 5/6 category representatives: statistics, running-distinct,
+    # exact EWMA, bloom decontamination, sub-doc dedup, edit distance,
+    # graph, PQ ANN, VARIANT/XML shredding, sketches, layout, signal
+    "agg_skew_kurt",
+    "window_count_distinct",
+    "ewma_halflife",
+    "decontaminate_bloom",
+    "dedup_paragraph",
+    "dedup_levenshtein",
+    "graph_degree_histogram",
+    "pagerank_bipartite",
+    "similarity_ann_pq",
+    "variant_shred",
+    "xml_shred",
+    "hll_sketch_native",
+    "zorder_layout",
+    "multimodal_audio_energy",
+    "forward_fill_locf",
+    "period_over_period",
 )
 
 
