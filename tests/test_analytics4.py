@@ -132,3 +132,37 @@ def test_audio_energy_matches_python_recompute(spark, sf_dir):
         assert r["n_frames"] == len(energies)
         assert r["max_energy"] == max(energies)
         assert r["total_energy"] == sum(energies)
+
+
+def test_observe_metrics_equal_direct_aggregate(spark, sf_dir):
+    from watermill_kinesis_spark.functions.exact import lcents
+
+    row = queries()["observe_metrics_audit"](spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events")
+    truth = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") > 100.0).alias("l"),
+        F.sum(lcents("value")).alias("s"),
+        F.min("event_id").alias("mn"),
+        F.max("event_id").alias("mx"),
+    ).first()
+    assert (
+        row["n_input"],
+        row["n_large"],
+        row["sum_cents"],
+        row["min_event_id"],
+        row["max_event_id"],
+    ) == tuple(truth)
+
+
+def test_crosstab_expected_marginals_consistent(spark, sf_dir):
+    import math
+
+    rows = queries()["crosstab_expected"](spark, sf_dir).collect()
+    n = sum(r["observed"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    assert n == ev.count()
+    # expected counts share the observed marginals: Σ_cells expected = N
+    assert math.isclose(sum(r["expected"] for r in rows), n, rel_tol=1e-9)
+    for r in rows:
+        assert math.isclose(r["lift"] * r["expected"], r["observed"], rel_tol=1e-9)

@@ -259,3 +259,109 @@ def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(F.lower("k").alias("source_ci"), "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# single-pass observed metrics (pipeline observability)
+
+
+@query(
+    "observe_metrics_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(COUNT_IF(value > 100.0) AS BIGINT) AS n_large,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    """,
+    tags=("observability", "agg"),
+)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe``: QC metrics
+    (row count, conditional count, exact money sum, id bounds —
+    observed metrics disallow DISTINCT aggregates) collected DURING a
+    pass over the data — the pattern that lets a
+    100 TB job emit data-quality counters without a second scan (in
+    streaming the same metrics surface per micro-batch through the
+    listener, replacing the reference's logged per-batch counts). The
+    observed values are exact integers, returned as a one-row
+    DataFrame and hash-checked against the oracle's direct aggregate —
+    proving observe-side metrics equal a dedicated aggregation."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("qc")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(F.col("value") > 100.0).alias("n_large"),
+        F.sum(lcents("value")).alias("sum_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_input"],
+                m["n_large"],
+                m["sum_cents"],
+                m["min_event_id"],
+                m["max_event_id"],
+            )
+        ],
+        "n_input bigint, n_large bigint, sum_cents bigint,"
+        " min_event_id bigint, max_event_id bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# contingency table with expected counts (categorical drift primitive)
+
+
+@query(
+    "crosstab_expected",
+    oracle="""
+    WITH cells AS (
+        -- DuckDB dayofweek is 0-based (Sun=0), Spark's 1-based (Sun=1)
+        SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY dow) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells)
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(o AS BIGINT) AS observed,
+           CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           CAST(o AS DOUBLE)
+               / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE)) AS lift
+    FROM tot
+    """,
+    tags=("agg", "statistics"),
+)
+def crosstab_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table of event type × day-of-week with
+    independence-expected counts and lift — the categorical-drift
+    primitive (a chi-square test is one further aggregation over these
+    cells). One data-scale aggregate down to |types × 7| cells;
+    marginals come from windows over that tiny cell table, and every
+    float is a division of exact integer products written identically
+    in the oracle (no cross-row double summation anywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    row_tot = F.sum("o").over(W.partitionBy("event_type"))
+    col_tot = F.sum("o").over(W.partitionBy("dow"))
+    n = F.sum("o").over(W.partitionBy())
+    expected = (row_tot * col_tot).cast("double") / n.cast("double")
+    return cells.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("o").alias("observed"),
+        expected.alias("expected"),
+        (F.col("o").cast("double") / expected).alias("lift"),
+    )
