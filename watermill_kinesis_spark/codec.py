@@ -135,38 +135,59 @@ def unmarshal(
         F.create_map().cast("map<string,string>"),
     )
     system_entries = []
+    system_keys: list[str] = []
     if partition_key_col is not None and partition_key_col in df.columns:
         system_entries.append(
             F.create_map(F.lit(META_PARTITION_KEY), F.col(partition_key_col))
         )
+        system_keys.append(META_PARTITION_KEY)
     if shard_id_col is not None and shard_id_col in df.columns:
         system_entries.append(F.create_map(F.lit(META_SHARD_ID), F.col(shard_id_col)))
+        system_keys.append(META_SHARD_ID)
     if arrival_ts_col is not None and arrival_ts_col in df.columns:
         system_entries.append(
             F.create_map(F.lit(META_ARRIVAL_TS), _rfc3339_utc(df, arrival_ts_col))
         )
+        system_keys.append(META_ARRIVAL_TS)
     metadata = headers
     if system_entries:
         # System keys overwrite header keys, as in the reference
         # (marshaller.go:35-40). Conflicting keys are stripped from the
         # headers first so the merge is well-defined under any
         # ``spark.sql.mapKeyDedupPolicy`` — the engine must not depend
-        # on session config it doesn't own.
+        # on session config it doesn't own. The filter compares against
+        # the LITERAL key list: the system keys are compile-time
+        # constants, and referencing the system map here would
+        # re-evaluate its entry expressions (timestamp formatting
+        # included) per header entry per row — measured 8× slower on
+        # the decode path.
         system = F.map_concat(*system_entries) if len(system_entries) > 1 else system_entries[0]
         safe_headers = F.map_filter(
-            headers, lambda k, _: ~F.array_contains(F.map_keys(system), k)
+            headers, lambda k, _: ~k.isin(*system_keys)
         )
         metadata = F.map_concat(safe_headers, system)
 
     ok = ~_is_corrupt(F.col("_env"))
-    out = parsed.select(
+    if drop_corrupt:
+        # Filter on the parsed envelope BEFORE the projection: filtering
+        # the projected messages afterwards (skip_corrupt) lets Catalyst
+        # collapse the filter through the project, replicating the
+        # from_json tree into every when()-gated output AND the
+        # predicate (9 copies, codegen lost — measured 6× slower on the
+        # decode path). Post-filter, every row satisfies ``ok``, so the
+        # outputs project plain envelope fields. Same result set: a
+        # corrupt row nulls uuid in the gated spelling and is dropped
+        # here.
+        return parsed.where(ok).select(
+            F.col(f"_env.{ENVELOPE_UUID_FIELD}").alias("uuid"),
+            F.unbase64(F.col(f"_env.{ENVELOPE_DATA_FIELD}")).alias("payload"),
+            metadata.alias("metadata"),
+        )
+    return parsed.select(
         F.when(ok, F.col(f"_env.{ENVELOPE_UUID_FIELD}")).alias("uuid"),
         F.when(ok, F.unbase64(F.col(f"_env.{ENVELOPE_DATA_FIELD}"))).alias("payload"),
         F.when(ok, metadata).alias("metadata"),
     )
-    if drop_corrupt:
-        out = skip_corrupt(out)
-    return out
 
 
 def skip_corrupt(messages: DataFrame) -> DataFrame:
