@@ -344,3 +344,67 @@ def test_reshard_mid_stream_no_loss(spark, sf_dir, tmp_path):
     assert out.select("uuid").distinct().count() == n_in  # ...and no replay
     # the second batch actually landed on the widened shard space
     assert out.select("shard_id").distinct().count() > 2
+
+
+def test_idempotent_sink_survives_batch_replay(spark, sf_dir, tmp_path):
+    """Crash-after-write-before-commit: delete the last epoch's commit
+    marker and rerun — the replayed epoch must OVERWRITE its own output
+    (same batch_id directory), so the sink holds exactly-once counts
+    even though the engine's contract is at-least-once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import _event_messages
+    from watermill_kinesis_spark.streaming import source as stream_source
+    from watermill_kinesis_spark.streaming.sink import idempotent_batch_sink
+
+    topic = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 400)
+    stream_source.write_stream_files(msgs, topic)
+    n_in = msgs.count()
+
+    def run_once(ckpt_dir):
+        q = (
+            stream_source.subscribe(spark, topic)
+            .writeStream.foreachBatch(idempotent_batch_sink(out))
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(ckpt)
+    first = spark.read.parquet(out).count()
+    assert first == n_in
+
+    # simulate the crash window: the write happened, the commit didn't.
+    # The replica checkpoint stands in for the restarted process (the
+    # original session pins the live commit log and rejects external
+    # edits to it).
+    import shutil
+
+    ckpt2 = str(tmp_path / "ckpt_after_crash")
+    shutil.copytree(ckpt, ckpt2)
+    # drop the query-id metadata so the restarted run registers a fresh
+    # id (the manager treats a same-id query on a live path as
+    # concurrent); offsets/commits — the actual progress — are kept
+    os.remove(os.path.join(ckpt2, "metadata"))
+    crc = os.path.join(ckpt2, ".metadata.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ckpt2, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt2, "commits", commits[-1]))
+    ccrc = os.path.join(ckpt2, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(ccrc):
+        os.remove(ccrc)
+    run_once(ckpt2)  # replays the uncommitted epoch into the SAME batch dir
+
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n_in  # no duplicates
+    assert replayed.select("uuid").distinct().count() == n_in

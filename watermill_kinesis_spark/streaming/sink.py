@@ -197,3 +197,26 @@ def publish_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_batch_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Exactly-once file sink for ``foreachBatch``: each micro-batch
+    lands in its own ``batch_id=<epoch>`` directory with
+    ``mode("overwrite")``, so a replayed epoch (crash after the write
+    but before the checkpoint commit — the at-least-once window the
+    reference leaves open, subscriber.go:61-70) OVERWRITES its own
+    previous output instead of appending duplicates. Epoch id +
+    overwrite is the standard recipe for upgrading Spark's
+    at-least-once ``foreachBatch`` contract to exactly-once on any
+    atomically-replaceable target (files here; MERGE-on-epoch for
+    tables, transactional produce for queues). Complements the
+    consumer-side uuid dedup in semantics.dedup_by_uuid — either side
+    alone suffices, together they survive non-idempotent readers AND
+    non-replayable sinks."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write
