@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.pipeline4",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.modern",
+    "watermill_kinesis_spark.operators.governance",
     "watermill_kinesis_spark.operators.frequency",
     "watermill_kinesis_spark.operators.clustering",
     "watermill_kinesis_spark.operators.streaming_batch",
