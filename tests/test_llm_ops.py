@@ -191,3 +191,41 @@ def test_frame_sample_framing_math(spark, sf_dir):
             fr = p[r.byte_offset : r.byte_offset + FRAME_BYTES]
             assert r.frame_bytes == len(fr)
             assert r.frame_crc == zlib.crc32(fr)
+
+
+def test_hard_negatives_never_share_label(spark, sf_dir):
+    from watermill_kinesis_spark.operators.similarity import N_QUERIES, TOP_K
+    from watermill_kinesis_spark.registry import queries
+    from watermill_kinesis_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = queries()["hard_negative_mining"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    qlabels = {
+        r["vec_id"]: r["label"]
+        for r in e.where(F.col("vec_id") < N_QUERIES).collect()
+    }
+    assert {r["query_id"] for r in out} == set(qlabels)
+    for r in out:
+        assert 1 <= r["rank"] <= TOP_K
+        assert r["neg_label"] != qlabels[r["query_id"]]
+
+
+def test_vocab_coverage_bounds_and_totals(spark, sf_dir):
+    from watermill_kinesis_spark.registry import queries
+    from watermill_kinesis_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = queries()["vocab_induction"](spark, sf_dir).cache()
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        assert out.count() == d.count()
+        rows = out.collect()
+        for r in rows:
+            assert 0 <= r["n_oov"] <= r["n_tokens"]
+            assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-12
+        # token conservation: Σ n_tokens == total corpus tokens
+        total = d.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+        assert sum(r["n_tokens"] for r in rows) == total
+    finally:
+        out.unpersist()

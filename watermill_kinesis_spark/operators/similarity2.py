@@ -161,3 +161,89 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training pair generation)
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS negative_id, e.label AS neg_label,
+               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+                   AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label <> q.qlabel)
+    SELECT query_id, negative_id, neg_label, rank FROM (
+        SELECT query_id, negative_id, neg_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, negative_id) AS rank
+        FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "training", "llm-pipeline"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the most-similar corpus vectors with a DIFFERENT label — the pairs
+    that actually move an embedding model (easy negatives contribute
+    ~zero gradient). Same tree-top-k kernel as similarity_topk (one
+    BLAS matmul per Arrow batch, batch-local top-k, tiny global merge)
+    with the label-mismatch mask applied inside the kernel, so
+    disqualified rows never leave the batch. Exactly oracle-checked via
+    DuckDB's list_cosine_similarity."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir, distribute=True)
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "emb", "label")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlabels = np.array([r.label for r in qrows], dtype=np.int64)
+    Q = np.array([r.emb for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            M = np.stack(pdf["emb"].to_numpy())
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # |batch| × |queries|
+            S[labels[:, None] == qlabels[None, :]] = -np.inf  # same label: out
+            k = min(TOP_K, len(ids))
+            top = np.argpartition(-S, k - 1, axis=0)[:k]
+            out_q = np.repeat(qids[None, :], k, axis=0).ravel()
+            out_n = ids[top].ravel()
+            out_l = labels[top].ravel()
+            out_s = np.take_along_axis(S, top, axis=0).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "negative_id": out_n[keep],
+                    "neg_label": out_l[keep],
+                    "score": out_s[keep],
+                }
+            )
+
+    scored = e.select("vec_id", "emb", "label").mapInPandas(
+        kernel, "query_id long, negative_id long, neg_label long, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "negative_id", "neg_label", "rank")
+    )

@@ -257,3 +257,65 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary induction + coverage audit
+
+#: induced vocabulary size (top tokens by corpus frequency, ties by
+#: token text) — the word-level stand-in for a BPE vocab fit
+VOCAB_SIZE = 400
+
+
+@query(
+    "vocab_induction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS r
+            FROM toks GROUP BY tok)
+        WHERE r <= {VOCAB_SIZE})
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT_IF(v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT_IF(v.tok IS NULL) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + coverage audit: fit a top-{VOCAB_SIZE}
+    token vocabulary on the corpus (frequency-ranked, deterministic
+    ties), then score every document's out-of-vocabulary rate — the
+    released-tokenizer health check (rising OOV means the corpus
+    drifted from the vocab's fit distribution). Two aggregates and a
+    broadcast: token counts collapse corpus-scale data to |vocab|
+    candidates via one map-side-combined shuffle; the vocab (a few KB)
+    broadcasts back against the token stream, so the coverage pass adds
+    no second corpus shuffle. OOV rate is an exact integer ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    from pyspark.sql import Window as W
+
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("n").desc(), F.col("tok").asc())
+            ),
+        )
+        .where(F.col("r") <= VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.count_if(F.col("in_vocab").isNull())
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        (oov.cast("double") / F.count(F.lit(1)).cast("double")).alias("oov_rate"),
+    )
