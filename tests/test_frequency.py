@@ -65,3 +65,34 @@ def test_inverted_index_postings_sorted_and_complete(spark, sf_dir):
         want = sorted(d["doc_id"] for d in docs
                       if r["token"] in d["text"].split(" "))
         assert ids == want
+
+
+def test_bm25_components_recompute(spark, sf_dir):
+    import math
+
+    from watermill_kinesis_spark.operators.frequency import BM25_TERMS
+    from watermill_kinesis_spark.registry import queries
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    rows = queries()["bm25_components"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n_docs = len(docs)
+    total_dl = sum(len(t) for t in docs.values())
+    avgdl = total_dl / n_docs
+    df = {
+        term: sum(1 for t in docs.values() if term in t) for term in BM25_TERMS
+    }
+    assert rows
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        tf = toks.count(r["term"])
+        assert r["tf"] == tf and tf > 0
+        assert r["dl"] == len(toks)
+        assert r["df"] == df[r["term"]]
+        expect_norm = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        assert math.isclose(r["tf_norm"], expect_norm, rel_tol=1e-9)
+        expect_idf = (n_docs - df[r["term"]] + 0.5) / (df[r["term"]] + 0.5)
+        assert math.isclose(r["idf_rational"], expect_idf, rel_tol=1e-12)

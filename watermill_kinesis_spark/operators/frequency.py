@@ -249,3 +249,79 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_freq") >= 25)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking components
+
+#: the standing query whose hits are scored
+BM25_TERMS = ("table", "spark", "window")
+#: BM25 shape parameters (k1, b) baked into the shared expression text
+_BM25_TFNORM = (
+    "CAST(tf AS DOUBLE) * (1.2 + 1.0)"
+    " / (CAST(tf AS DOUBLE)"
+    " + 1.2 * (1.0 - 0.75 + 0.75"
+    " * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE))))"
+)
+_BM25_IDF = (
+    "(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5)"
+)
+
+
+@query(
+    "bm25_components",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dls AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dls),
+    tfs AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2),
+    dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfs GROUP BY term)
+    SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+           CAST(df AS BIGINT) AS df,
+           {_BM25_TFNORM} AS tf_norm,
+           {_BM25_IDF} AS idf_rational
+    FROM tfs JOIN dls USING (doc_id) JOIN dfs USING (term) CROSS JOIN corpus
+    """,
+    tags=("text", "ranking", "llm-pipeline"),
+)
+def bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking components for a standing query: per (term, doc)
+    term frequency, document length, document frequency, the
+    length-normalized tf term (k1=1.2, b=0.75), and the idf rational
+    (log-free — ln is the one libm call whose low bits differ across
+    engines, so the engine exposes the exact rational and leaves the
+    monotone log to the caller; ranking order is unaffected). One
+    corpus scan builds tf/dl; df and the corpus scalars are tiny
+    aggregates broadcast back — no float crosses rows, every division
+    is shared expression text, so the components are bit-identical on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tfs = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dls = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    dfs = tfs.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    joined = (
+        tfs.join(dls, "doc_id")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    return joined.select(
+        "term",
+        "doc_id",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("dl").cast("bigint").alias("dl"),
+        F.col("df").cast("bigint").alias("df"),
+        F.expr(_BM25_TFNORM).alias("tf_norm"),
+        F.expr(_BM25_IDF).alias("idf_rational"),
+    )
