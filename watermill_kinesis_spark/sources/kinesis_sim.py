@@ -46,6 +46,7 @@ from datetime import datetime
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     In,
@@ -217,8 +218,51 @@ class KinesisSimWriter(DataSourceWriter):
         return None
 
 
+class KinesisSimStreamWriter(DataSourceStreamWriter):
+    """Streaming publish: every micro-batch's wire rows go through the
+    same chunked/retrying put path as the batch writer — this is the
+    continuous face of the reference's ``Publisher.Publish`` loop
+    (publisher.go:64-86) with epoch tracking from the engine. Commits
+    are per-epoch: the engine calls ``commit(messages, batchId)`` after
+    all tasks of the micro-batch succeed, which is exactly the
+    reference's after-the-batch checkpoint (subscriber.go:65-70) on
+    the produce side. Appends are at-least-once under task retry, same
+    as real Kinesis; consumers upgrade via uuid dedup or epoch-id
+    idempotent sinks (streaming/sink.py)."""
+
+    def __init__(self, options):
+        self.topic_dir = options.get("path")
+        if not self.topic_dir:
+            raise ValueError("kinesis_sim requires option('path', <topic dir>)")
+        self.n_shards = int(options.get("n_shards", "4"))
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        from watermill_kinesis_spark.streaming.sink import (
+            DirectoryPublisher,
+            PutRecordsEntry,
+            put_chunked,
+        )
+
+        entries = [
+            PutRecordsEntry(row.data, row.partition_key) for row in iterator
+        ]
+        n = 0
+        if entries:
+            n = put_chunked(
+                DirectoryPublisher(self.topic_dir, self.n_shards), entries
+            )
+        return _PutCommit(n)
+
+    def commit(self, messages, batchId) -> None:
+        return None
+
+    def abort(self, messages, batchId) -> None:
+        return None
+
+
 class KinesisSimDataSource(DataSource):
-    """format("kinesis_sim") — batch read, batch write, streaming read."""
+    """format("kinesis_sim") — batch read, batch write, streaming read,
+    streaming write: all four quadrants of the Python Data Source API."""
 
     @classmethod
     def name(cls) -> str:
@@ -240,6 +284,9 @@ class KinesisSimDataSource(DataSource):
                 "use mode('append')"
             )
         return KinesisSimWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "KinesisSimStreamWriter":
+        return KinesisSimStreamWriter(self.options)
 
 
 def register(spark) -> None:
