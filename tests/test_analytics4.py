@@ -166,3 +166,28 @@ def test_crosstab_expected_marginals_consistent(spark, sf_dir):
     assert math.isclose(sum(r["expected"] for r in rows), n, rel_tol=1e-9)
     for r in rows:
         assert math.isclose(r["lift"] * r["expected"], r["observed"], rel_tol=1e-9)
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = {
+        r["l_returnflag"]: r
+        for r in queries()["corr_matrix_exact"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for flag, r in rows.items():
+        data = (
+            li.where(F.col("l_returnflag") == flag)
+            .select("l_quantity", "l_extendedprice", "l_discount")
+            .collect()
+        )
+        q = np.array([x[0] for x in data])
+        p = np.array([round(x[1] * 100) for x in data], dtype=np.float64)
+        d = np.array([round(x[2] * 100) for x in data], dtype=np.float64)
+        import math
+
+        assert math.isclose(r["corr_qty_price"], np.corrcoef(q, p)[0, 1], rel_tol=1e-6)
+        assert math.isclose(r["corr_qty_disc"], np.corrcoef(q, d)[0, 1], rel_tol=1e-6)
+        assert math.isclose(r["corr_price_disc"], np.corrcoef(p, d)[0, 1], rel_tol=1e-6)
+        assert -1.0 <= r["corr_qty_price"] <= 1.0

@@ -365,3 +365,81 @@ def crosstab_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         (F.col("o").cast("double") / expected).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pairwise correlation matrix from exact sums
+
+# corr(x, y) from exact power sums, text shared with the oracle. The
+# numerator/denominator cancellations are computed in double, but both
+# engines execute the identical operand sequence over exactly-converted
+# integer sums, so the bits match.
+def _corr_sql(x: str, y: str) -> str:
+    n = "CAST(n AS DOUBLE)"
+    return (
+        f"({n} * CAST(s_{x}{y} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        f" / (SQRT({n} * CAST(s_{x}{x} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+        f" * SQRT({n} * CAST(s_{y}{y} AS DOUBLE) - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE)))"
+    )
+
+
+@query(
+    "corr_matrix_exact",
+    oracle=f"""
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {_corr_sql('q', 'p')} AS corr_qty_price,
+           {_corr_sql('q', 'd')} AS corr_qty_disc,
+           {_corr_sql('p', 'd')} AS corr_price_disc
+    FROM (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(q) AS s_q, SUM(p) AS s_p, SUM(d) AS s_d,
+               SUM(q * q) AS s_qq, SUM(p * p) AS s_pp, SUM(d * d) AS s_dd,
+               SUM(q * p) AS s_qp, SUM(q * d) AS s_qd, SUM(p * d) AS s_pd
+        FROM (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem)
+        GROUP BY l_returnflag)
+    """,
+    tags=("agg", "statistics"),
+)
+def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (quantity × price ×
+    discount) per return flag, from exact integer power sums — the
+    multi-column extension of stats_moments' moment-sketch pattern.
+    One map-side-combined aggregate carries 10 sums per group; the
+    closed forms run over exactly-converted integers with shared
+    expression text, so unlike builtin ``corr`` (Welford partials merge
+    in shuffle-arrival order) the bits are identical at any
+    parallelism. Price-cents squares reach ~6e19 × rows, past 2^63 —
+    the sums run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
+    exact, both correctly rounded on the final double conversion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        lcents("l_extendedprice").alias("p"),
+        lcents("l_discount").alias("d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s_q"),
+        F.sum("p").alias("s_p"),
+        F.sum("d").alias("s_d"),
+        F.sum(dec(F.col("q") * F.col("q"))).alias("s_qq"),
+        F.sum(dec(F.col("p")) * dec(F.col("p"))).alias("s_pp"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("s_dd"),
+        F.sum(dec(F.col("q")) * dec(F.col("p"))).alias("s_qp"),
+        F.sum(dec(F.col("q") * F.col("d"))).alias("s_qd"),
+        F.sum(dec(F.col("p")) * dec(F.col("d"))).alias("s_pd"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("n"),
+        F.expr(_corr_sql("q", "p")).alias("corr_qty_price"),
+        F.expr(_corr_sql("q", "d")).alias("corr_qty_disc"),
+        F.expr(_corr_sql("p", "d")).alias("corr_price_disc"),
+    )
