@@ -1,0 +1,207 @@
+"""Pipeline wave 7: collocation mining (log-free PMI) and
+water-filling token-budget allocation.
+
+Same determinism discipline as the other waves: floats are single
+divisions of exact integers with expression text shared with the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# collocation mining via the PMI rational
+
+#: minimum bigram count to consider a collocation, and result size
+PMI_MIN_COUNT = 20
+PMI_TOP_N = 50
+
+#: lift = p(xy) / (p(x)·p(y)) = c_xy·N / (c_x·c_y) — the PMI without
+#: the log. log is monotone, so ranking by the rational IS ranking by
+#: PMI, and the rational is one exact-integer division (ln's low bits
+#: differ across libm implementations; exposing the rational keeps the
+#: hash exact — same policy as bm25_components).
+_PMI_LIFT = (
+    "CAST(c_xy AS DOUBLE) * CAST(n_tokens AS DOUBLE)"
+    " / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))"
+)
+
+
+@query(
+    "collocation_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT tok, COUNT(*) AS c FROM (SELECT unnest(w) AS tok FROM toks)
+        GROUP BY tok),
+    n_tok AS (SELECT SUM(c) AS n_tokens FROM uni),
+    bi AS (
+        SELECT w[i] AS x, w[i + 1] AS y, COUNT(*) AS c_xy
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+    joined AS (
+        SELECT bi.x, bi.y, bi.c_xy, ux.c AS c_x, uy.c AS c_y, n_tok.n_tokens
+        FROM bi JOIN uni ux ON bi.x = ux.tok
+                JOIN uni uy ON bi.y = uy.tok
+                CROSS JOIN n_tok)
+    SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+           {_PMI_LIFT} AS pmi_lift
+    FROM joined
+    ORDER BY pmi_lift DESC, x, y
+    LIMIT {PMI_TOP_N}
+    """,
+    tags=("text", "ngram", "llm-pipeline"),
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigrams whose observed frequency most
+    exceeds independence, ranked by the PMI rational c_xy·N/(c_x·c_y)
+    (log-free — log is monotone so the ranking is PMI's ranking, and
+    the rational is one exact division; ln would cost cross-engine
+    bit drift). The phrase-mining primitive behind tokenizer merges
+    and multi-word-expression detection. Plan: one corpus pass for
+    unigram counts (map-side combined), one for bigram counts with a
+    min-count prefilter BEFORE the joins, then two broadcast joins of
+    the |candidates| rows against the unigram table and a TakeOrdered
+    top-N — the corpus never shuffles twice."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    uni = (
+        d.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tokens"))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2),"
+            " i -> struct(element_at(split(text, ' '), i + 1) AS x,"
+            " element_at(split(text, ' '), i + 2) AS y))"
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bi = (
+        d.select(F.explode(bigrams).alias("b"))
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    joined = (
+        bi.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    return (
+        joined.select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(_PMI_LIFT).alias("pmi_lift"),
+        )
+        .orderBy(F.desc("pmi_lift"), F.asc("x"), F.asc("y"))
+        .limit(PMI_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# water-filling token-budget allocation
+
+#: global token budget to allocate across sources (chosen ≈ half the
+#: sf0.01 corpus so the water level is genuinely binding)
+TOKEN_BUDGET = 20000
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source),
+    ranked AS (
+        SELECT source, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS r,
+               COUNT(*) OVER () AS m,
+               SUM(n_tokens) OVER (ORDER BY n_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM src),
+    pv AS (
+        SELECT COALESCE(MAX(CASE WHEN p + (m - r) * n_tokens <= {TOKEN_BUDGET}
+                                 THEN r END), 0) AS k,
+               COALESCE(MAX(CASE WHEN p + (m - r) * n_tokens <= {TOKEN_BUDGET}
+                                 THEN p END), 0) AS pk,
+               MAX(m) AS m
+        FROM ranked),
+    level AS (
+        SELECT CASE WHEN k >= m THEN CAST({TOKEN_BUDGET} AS DOUBLE)
+                    ELSE CAST({TOKEN_BUDGET} - pk AS DOUBLE) / CAST(m - k AS DOUBLE)
+               END AS c
+        FROM pv)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN CAST(n_tokens AS DOUBLE) <= c
+                THEN CAST(n_tokens AS DOUBLE) ELSE c END AS alloc_tokens,
+           CASE WHEN CAST(n_tokens AS DOUBLE) <= c THEN CAST(1.0 AS DOUBLE)
+                ELSE c / CAST(n_tokens AS DOUBLE) END AS keep_fraction
+    FROM src CROSS JOIN level
+    """,
+    tags=("sampling", "agg", "llm-pipeline"),
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a global token budget across
+    sources: small domains keep everything, large domains are capped at
+    a common water level c chosen so Σ min(tokens_i, c) = budget — the
+    fairness rule behind budgeted corpus construction (don't let one
+    crawl drown the mixture; don't starve niche domains). The pivot
+    search and prefix sums are exact integers over the |sources|-row
+    aggregate (windows over ~20 rows, not data); c is the single
+    division, shared text with the oracle. At 100 TB the only
+    data-scale work is the per-source token count — one map-side
+    combined aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w_ord = W.partitionBy().orderBy(F.col("n_tokens").asc(), F.col("source").asc())
+    ranked = src.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w_ord).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+        F.sum("n_tokens")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("p"),
+    )
+    fits = F.col("p") + (F.col("m") - F.col("r")) * F.col("n_tokens") <= TOKEN_BUDGET
+    pivot = ranked.agg(
+        F.coalesce(F.max(F.when(fits, F.col("r"))), F.lit(0)).alias("k"),
+        F.coalesce(F.max(F.when(fits, F.col("p"))), F.lit(0)).alias("pk"),
+        F.max("m").alias("m"),
+    )
+    level = pivot.select(
+        F.when(
+            F.col("k") >= F.col("m"), F.lit(float(TOKEN_BUDGET))
+        )
+        .otherwise(
+            (F.lit(TOKEN_BUDGET) - F.col("pk")).cast("double")
+            / (F.col("m") - F.col("k")).cast("double")
+        )
+        .alias("c")
+    )
+    nt = F.col("n_tokens").cast("double")
+    return src.crossJoin(F.broadcast(level)).select(
+        "source",
+        "n_tokens",
+        F.when(nt <= F.col("c"), nt).otherwise(F.col("c")).alias("alloc_tokens"),
+        F.when(nt <= F.col("c"), F.lit(1.0))
+        .otherwise(F.col("c") / nt)
+        .alias("keep_fraction"),
+    )

@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.analytics4",
     "watermill_kinesis_spark.operators.pipeline3",
     "watermill_kinesis_spark.operators.pipeline4",
+    "watermill_kinesis_spark.operators.pipeline5",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.modern",
     "watermill_kinesis_spark.operators.governance",
