@@ -11,6 +11,7 @@ bit-identical). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -74,7 +75,19 @@ def main() -> int:
     if names:
         specs = {n: specs[n] for n in names}
 
-    spark = get_spark("check-oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-accurate mode: a plain session with NONE of the
+        # engine's session.py tuning, catching hidden config coupling
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
