@@ -191,3 +191,21 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
         assert math.isclose(r["corr_qty_disc"], np.corrcoef(q, d)[0, 1], rel_tol=1e-6)
         assert math.isclose(r["corr_price_disc"], np.corrcoef(p, d)[0, 1], rel_tol=1e-6)
         assert -1.0 <= r["corr_qty_price"] <= 1.0
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    rows = queries()["event_transition_matrix"](spark, sf_dir).collect()
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert r["n_transitions"] > 0 and 0 < r["p_next"] <= 1
+        by_prev[r["prev_type"]] += r["p_next"]
+    for prev, total in by_prev.items():
+        assert math.isclose(total, 1.0, rel_tol=1e-9), prev
+    # conservation: transitions = events - first event per user
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users

@@ -443,3 +443,57 @@ def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_corr_sql("q", "d")).alias("corr_qty_disc"),
         F.expr(_corr_sql("p", "d")).alias("corr_price_disc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# first-order event-transition matrix (Markov journey analytics)
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2)
+    SELECT prev_type, next_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p_next
+    FROM pairs
+    """,
+    tags=("agg", "markov", "event-time"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event journeys:
+    P(next event type | current), the Markov model behind journey
+    mining, anomaly detection on flows, and session simulators. One
+    window pass (LAG over the per-user time order — same shuffle any
+    sessionization pays) collapses the data to |types|² pairs; the
+    row-normalization divides exact counts by the per-row total from a
+    window over that tiny matrix. Both divisions' operands are exact
+    integers ⇒ bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = F.sum("n_transitions").over(W.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / row_total.cast("double")).alias(
+            "p_next"
+        ),
+    )
