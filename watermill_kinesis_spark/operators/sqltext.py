@@ -62,3 +62,40 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), so the SQL path inherits every scale property of the
     DataFrame path."""
     return run_sql(spark, sf_dir, _SQL_PARITY)
+
+
+#: second parity text: correlated scalar subquery + set op + CASE +
+#: date function — the other half of the common ANSI surface
+_SQL_PARITY_2 = """
+WITH big AS (
+    SELECT o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+),
+segments AS (
+    SELECT c.c_mktsegment AS segment,
+           CASE WHEN b.o_totalprice IS NULL THEN 'regular' ELSE 'whale' END
+               AS order_class
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN big b ON b.o_custkey = o.o_custkey
+                   AND b.o_totalprice = o.o_totalprice
+)
+SELECT segment, order_class, CAST(COUNT(*) AS BIGINT) AS n
+FROM segments
+GROUP BY segment, order_class
+"""
+
+
+@query("sql_text_subqueries", oracle=_SQL_PARITY_2, tags=("sql", "api"))
+def sql_text_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second shared-text parity query: uncorrelated scalar subquery in
+    a predicate, LEFT JOIN null-classification CASE, and a two-level
+    grouping — exercises the subquery-rewrite half of the ANSI surface
+    the first parity text doesn't touch. The AVG threshold is a double
+    whose low bits MAY differ between engines (each sums doubles in its
+    own order); it only drives a comparison, never an output value, and
+    no 2-dp price sits within the few-ulp band where the two engines'
+    thresholds could disagree — the classification, and therefore the
+    hash, is stable. (Outputs themselves are exact integers.)"""
+    return run_sql(spark, sf_dir, _SQL_PARITY_2)
