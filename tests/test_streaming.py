@@ -408,3 +408,34 @@ def test_idempotent_sink_survives_batch_replay(spark, sf_dir, tmp_path):
     replayed = spark.read.parquet(out)
     assert replayed.count() == n_in  # no duplicates
     assert replayed.select("uuid").distinct().count() == n_in
+
+
+def test_streaming_progress_metrics_surface(spark, sf_dir, tmp_path):
+    """Observability parity: the engine reports per-batch progress
+    (rows, source offsets, durations) through the StreamingQuery
+    progress API — the structured replacement for the reference's
+    logged per-batch counts (its StdLogger, logger.go:54-177)."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import _event_messages
+    from watermill_kinesis_spark.streaming import source as stream_source
+
+    topic = str(tmp_path / "topic")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 300)
+    stream_source.write_stream_files(msgs, topic)
+    n_in = msgs.count()
+
+    q = (
+        stream_source.subscribe(spark, topic)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    assert progresses, "no progress events recorded"
+    assert sum(p["numInputRows"] for p in progresses) == n_in
+    last = progresses[-1]
+    assert last["sources"] and "durationMs" in last
+    assert last["batchId"] >= 0
