@@ -209,3 +209,34 @@ def test_transition_matrix_rows_are_distributions(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+
+
+def test_table_diff_classes_partition_the_key_space(spark, sf_dir):
+    from watermill_kinesis_spark.operators.analytics4 import diff_bounds
+
+    rows = {
+        r["change_type"]: r
+        for r in queries()["table_diff_reconcile"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    ev = load_table(spark, sf_dir, "events")
+    DIFF_OLD_MAX, DIFF_NEW_MIN = diff_bounds(ev.agg(F.max("event_id")).first()[0])
+    n_old = ev.where(F.col("event_id") < DIFF_OLD_MAX).count()
+    n_new = ev.where(F.col("event_id") >= DIFF_NEW_MIN).count()
+    n_overlap = ev.where(
+        (F.col("event_id") >= DIFF_NEW_MIN) & (F.col("event_id") < DIFF_OLD_MAX)
+    ).count()
+    assert rows["removed"]["n_rows"] == n_old - n_overlap
+    assert rows["added"]["n_rows"] == n_new - n_overlap
+    assert (
+        rows["changed"]["n_rows"] + rows["unchanged"]["n_rows"] == n_overlap
+    )
+    # changed rows are exactly the 13-divisible overlap keys
+    n_changed = ev.where(
+        (F.col("event_id") >= DIFF_NEW_MIN)
+        & (F.col("event_id") < DIFF_OLD_MAX)
+        & (F.col("event_id") % 13 == 0)
+    ).count()
+    assert rows["changed"]["n_rows"] == n_changed
+    assert rows["removed"]["max_id"] < DIFF_NEW_MIN
+    assert rows["added"]["min_id"] >= DIFF_OLD_MAX

@@ -497,3 +497,87 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / reconciliation
+
+# two deterministic "versions" of the events table: NEW drops the
+# oldest fifth of ids, adds the newest, and perturbs every 13th value.
+# Thresholds are fractions of MAX(event_id) (exact integer arithmetic)
+# so the split holds at every scale factor.
+
+
+def diff_bounds(max_id: int) -> tuple[int, int]:
+    """(old_max, new_min) = (80%, 20%) of the id space."""
+    return (max_id * 8) // 10, (max_id * 2) // 10
+
+
+@query(
+    "table_diff_reconcile",
+    oracle="""
+    WITH m AS (SELECT MAX(event_id) AS mx FROM events),
+    old AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events, m WHERE event_id < (mx * 8) // 10),
+    new AS (
+        SELECT event_id,
+               CAST(ROUND(value * 100) AS BIGINT)
+                   + CASE WHEN event_id % 13 = 0 THEN 100 ELSE 0 END AS v
+        FROM events, m WHERE event_id >= (mx * 2) // 10)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM (
+        SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+               CASE WHEN o.event_id IS NULL THEN 'added'
+                    WHEN n.event_id IS NULL THEN 'removed'
+                    WHEN o.v <> n.v THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+    GROUP BY change_type
+    """,
+    tags=("cdc", "join", "governance"),
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two table
+    versions as added / removed / changed / unchanged via one full
+    outer join on the key, comparing an exact value fingerprint — the
+    audit behind migration sign-offs and replication checks (here the
+    versions are deterministic slices of events, with every 13th value
+    perturbed to exercise the 'changed' class). At 100 TB the join
+    shuffles (key, fingerprint) pairs only — a wide table compares one
+    xxhash64 of its serialized row instead of every column, same plan
+    shape. Complements merge_upsert_state (which builds the new state;
+    this verifies two states against each other)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    old_max, new_min = diff_bounds(mx)
+    old = ev.where(F.col("event_id") < old_max).select(
+        "event_id", lcents("value").alias("v")
+    )
+    new = ev.where(F.col("event_id") >= new_min).select(
+        "event_id",
+        (
+            lcents("value")
+            + F.when(F.col("event_id") % 13 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("v"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.event_id") == F.col("n.event_id"), "full_outer")
+    change = (
+        F.when(F.col("o.event_id").isNull(), F.lit("added"))
+        .when(F.col("n.event_id").isNull(), F.lit("removed"))
+        .when(F.col("o.v") != F.col("n.v"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    key = F.coalesce(F.col("o.event_id"), F.col("n.event_id"))
+    return (
+        joined.select(key.alias("event_id"), change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
