@@ -439,3 +439,70 @@ def test_streaming_progress_metrics_surface(spark, sf_dir, tmp_path):
     last = progresses[-1]
     assert last["sources"] and "durationMs" in last
     assert last["batchId"] >= 0
+
+
+def test_state_ttl_expires_idle_keys(spark, sf_dir, tmp_path):
+    """Bounded state for unbounded key spaces: keys idle past the TTL
+    emit a final expired row with their intact totals, and the state is
+    removed. Uses a live micro-batch query (processing-time timeouts
+    fire while the query runs — an availableNow trigger never
+    self-terminates once timeout batches are being scheduled)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import _event_messages
+    from watermill_kinesis_spark.streaming import source as stream_source
+    from watermill_kinesis_spark.streaming.stateful import key_accounting_ttl
+
+    topic = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ttl_ms = 2000
+
+    b0 = _event_messages(
+        spark, sf_dir, (F.col("event_id") < 300) & (F.col("user_id") < 30)
+    )
+    stream_source.write_stream_files(b0, topic, file_label="b0")
+
+    acct = key_accounting_ttl(stream_source.subscribe(spark, topic), ttl_ms)
+    q = (
+        acct.writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        schema = "partition_key string, n_messages long, n_bytes long, expired boolean"
+        expired_rows = []
+        while time.time() < deadline:
+            time.sleep(1.0)
+            try:
+                expired_rows = (
+                    spark.read.schema(schema).json(out).where("expired").collect()
+                )
+            except Exception:
+                continue
+            if expired_rows:
+                break
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert expired_rows, "no keys expired within the deadline"
+    b0_counts = {
+        r["k"]: r["n"]
+        for r in b0.select(
+            F.col("metadata").getItem("partitionKey").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in expired_rows:
+        assert r["partition_key"] in b0_counts
+        # totals were intact right up to expiry
+        assert r["n_messages"] == b0_counts[r["partition_key"]]

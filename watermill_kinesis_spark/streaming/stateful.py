@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -92,4 +93,72 @@ def key_accounting(messages: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EXPIRE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("partition_key", StringType()),
+        StructField("n_messages", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("expired", BooleanType()),
+    ]
+)
+
+
+def key_accounting_ttl(messages: DataFrame, ttl_ms: int) -> DataFrame:
+    """Accounting with a state TTL: keys idle longer than ``ttl_ms``
+    expire — their final totals are emitted with ``expired=true`` and
+    the state is removed. This is the unbounded-key-space guard every
+    100 TB streaming job needs (without expiry, per-key state grows
+    with the lifetime key cardinality; with it, state size tracks the
+    ACTIVE key set). The reference has no analogue — its only state is
+    per-shard sequence numbers — so this is engine-added semantics,
+    implemented on ``GroupStateTimeout.ProcessingTimeTimeout``:
+    every update re-arms the key's deadline; the expiry callback fires
+    on the first batch processed past it."""
+    from pyspark.sql import functions as F
+
+    def account_ttl(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n_messages, n_bytes = state.get if state.exists else (0, 0)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "partition_key": [key[0]],
+                    "n_messages": [n_messages],
+                    "n_bytes": [n_bytes],
+                    "expired": [True],
+                }
+            )
+            return
+        batch_n = 0
+        batch_bytes = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            batch_bytes += int(pdf["n_bytes"].sum())
+        n_messages, n_bytes = state.get if state.exists else (0, 0)
+        n_messages += batch_n
+        n_bytes += batch_bytes
+        state.update((n_messages, n_bytes))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "partition_key": [key[0]],
+                "n_messages": [n_messages],
+                "n_bytes": [n_bytes],
+                "expired": [False],
+            }
+        )
+
+    keyed = messages.select(
+        F.col("metadata").getItem("partitionKey").alias("partition_key"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    return keyed.groupBy("partition_key").applyInPandasWithState(
+        account_ttl,
+        outputStructType=EXPIRE_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
