@@ -173,3 +173,39 @@ def test_ewma_truncation_window_is_respected(spark, sf_dir):
         num = sum(c * (1 << (EWMA_K - n + j)) for j, c in enumerate(cents))
         den = 100 * ((1 << EWMA_K) - (1 << (EWMA_K - n)))
         assert math.isclose(out[row["event_id"]], num / den, rel_tol=1e-12)
+
+
+def test_forward_asof_is_next_order_at_or_after(spark, sf_dir):
+    out = queries()["join_asof_forward"](spark, sf_dir).cache()
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        assert out.count() == ev.count()
+        # every match is at or after the event time
+        j = out.join(ev.select("event_id", "ts"), "event_id")
+        assert (
+            j.where(
+                F.col("next_orderkey").isNotNull()
+                & (F.col("next_orderdate") < F.col("ts"))
+            ).count()
+            == 0
+        )
+        # spot-check one user against a python recompute
+        uid = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()["user_id"]
+        orders = sorted(
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") == uid)
+            .select("o_orderkey", "o_orderdate")
+            .collect(),
+            key=lambda r: (r["o_orderdate"], r["o_orderkey"]),
+        )
+        got = {
+            r["event_id"]: r["next_orderkey"]
+            for r in out.where(F.col("user_id") == uid).collect()
+        }
+        for e in ev.where(F.col("user_id") == uid).select("event_id", "ts").collect():
+            nxt = next(
+                (o["o_orderkey"] for o in orders if o["o_orderdate"] >= e["ts"]), None
+            )
+            assert got[e["event_id"]] == nxt
+    finally:
+        out.unpersist()

@@ -375,3 +375,89 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("asof.o_totalprice")).alias("asof_totalprice"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# forward as-of join (next-event direction)
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS next_orderkey,
+           o_orderdate AS next_orderdate,
+           o_totalprice AS next_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "event-time"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each event, the user's NEXT order at or
+    after the event time (ties broken by min order key) — the
+    attribution direction ("which purchase followed this touchpoint"),
+    mirror of join_asof_events' state-lookup direction. Same union-scan
+    pattern run in reverse: one shuffle on the key, descending time
+    order with events sorting before same-instant orders, and
+    ``last(..., ignorenulls)`` carrying the nearest FUTURE order
+    backward. O(n log n) per key, zero row explosion — same scale
+    shape as the backward join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    # Descending time: walking the partition, 'last seen order' is the
+    # EARLIEST order ≥ t. Orders sort before events at equal t
+    # (is_order DESC under descending scan ⇒ orders first), and among
+    # equal-t orders descending o_orderkey makes the LAST seen the min
+    # key — matching the oracle's ASC/ASC rank.
+    w = (
+        W.partitionBy("uid")
+        .orderBy(
+            F.col("t").desc(), F.col("is_order").desc(), F.col("o_orderkey").desc()
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_order") == 1,
+            F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.unionByName(od)
+        .withColumn("nxt", carried)
+        .where(F.col("is_order") == 0)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            F.col("nxt.o_orderkey").alias("next_orderkey"),
+            F.col("nxt.o_orderdate").alias("next_orderdate"),
+            F.col("nxt.o_totalprice").alias("next_totalprice"),
+        )
+    )
