@@ -77,16 +77,128 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # Layer-A codec + transport
+    # ---- Rotation (round 3): a budget-capped harness samples a PREFIX
+    # of this order, so entries that already have a green verification
+    # row from earlier rounds (r1+r2 sampled 77 distinct names, all
+    # green) are rotated to the BACK, and the 90 oracle-backed entries
+    # that have never been independently sampled come FIRST — every
+    # round's window then verifies maximal *new* surface. Within the
+    # front block the order still walks category-by-category so any
+    # prefix stays a representative cross-section.
+    #
+    # statistics / aggregation
+    "agg_skew_kurt",
+    "agg_argmax",
+    "mode_agg",
+    "agg_bitwise_bool",
+    "grouping_sets_agg",
+    "profile_columns",
+    "histogram_fixed_width",
+    "crosstab_expected",
+    "corr_matrix_exact",
+    "observe_metrics_audit",
+    "heavy_hitters",
+    "quantile_sketch_mergeable",
+    # subqueries (TPC-H shapes not yet sampled)
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q17_small_quantity_avg",
+    "q20_nested_in",
+    "q21_late_sole_supplier",
+    # joins
+    "join_full_outer",
+    "bucketed_join_colocated",
+    "join_asof_tolerance",
+    "join_asof_forward",
+    # windows / sort
+    "window_count_distinct",
+    "window_range_frame",
+    "window_percentile_dist",
+    "ewma_halflife",
+    "string_agg_sorted",
+    "unpivot_melt",
+    # set ops / schema evolution
+    "union_by_name_evolution",
+    # scalar functions / modern types
+    "scalar_map_funcs",
+    "variant_shred",
+    "xml_shred",
+    "collation_group",
+    # event-time / time-series
+    "sessionize_batch",
+    "stream_sliding_window",
+    "stream_session_window",
+    "changelog_compact",
+    "merge_upsert_state",
+    "interval_consolidate",
+    "funnel_analysis",
+    "retention_cohort",
+    "time_weighted_avg",
+    "scd2_intervals",
+    "event_transition_matrix",
+    "table_diff_reconcile",
+    "forward_fill_locf",
+    "period_over_period",
+    "rollup_incremental",
+    # file formats / layout
+    "format_json_roundtrip",
+    "format_csv_roundtrip",
+    "format_parquet_roundtrip",
+    "format_orc_roundtrip",
+    "zorder_layout",
+    "binaryfile_ingest",
+    # LLM pipeline: dedup
+    "dedup_paragraph",
+    "dedup_levenshtein",
+    "dedup_prefix_containment",
+    "dedup_containment_ngram",
+    "dedup_exact_hashkey",
+    # LLM pipeline: similarity / graph
+    "hard_negative_mining",
+    "graph_degree_histogram",
+    "inverted_index",
+    # LLM pipeline: text analysis
+    "token_count_regex",
+    "lang_filter",
+    "text_quality_score",
+    "repetition_ratio",
+    "vocab_induction",
+    "unigram_freq_score",
+    "ngram_lm_counts",
+    "tfidf_top_terms",
+    "bm25_components",
+    "collocation_pmi",
+    # LLM pipeline: corpus prep / governance
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "corpus_shuffle_hash",
+    "domain_mix_weights",
+    "domain_mix_temperature",
+    "token_budget_allocation",
+    "pack_concat_offsets",
+    "chunk_documents",
+    "pii_redact",
+    "embedding_normalize",
+    "quality_filter_pipeline",
+    "text_normalize",
+    "train_test_split_mod",
+    "sample_weighted",
+    "rtbf_cascade_delete",
+    "kanonymity_audit",
+    # multimodal / SQL text
+    "multimodal_audio_energy",
+    "sql_text_interface",
+    "sql_text_subqueries",
+    # ---- Already independently verified in r1/r2 (all green) — kept in
+    # the same representative order for human readers; a fresh prefix
+    # window reaches these only after the block above.
     "envelope_encode",
     "envelope_decode",
     "corrupt_skip",
     "partition_key_group",
     "envelope_binary_roundtrip",
     "custom_source_roundtrip",
-    # scans / projection / filter
     "project_filter",
-    # aggregation
     "q1_pricing_summary",
     "agg_hash",
     "agg_distinct",
@@ -94,75 +206,45 @@ _PRIORITY: tuple[str, ...] = (
     "pivot_agg",
     "percentile_agg",
     "stats_moments",
-    # joins
     "join_inner",
     "join_semi",
     "join_anti",
     "join_broadcast",
     "range_join_events",
     "join_asof_events",
-    # TPC-H shapes
     "q2_min_value_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # subqueries
     "q4_order_priority",
-    # windows / sort / top-k
     "window_rank",
     "window_analytics",
     "sort_limit_topk",
-    # set operations
     "set_except",
-    # scalar functions
     "scalar_string_date_math",
     "json_extract_props",
-    # event-time
     "stream_tumbling_window",
     "timeseries_gapfill",
     "anomaly_zscore",
-    # UDF / UDTF surface
     "udf_scalar_pandas",
     "udtf_token_ngrams",
-    # file formats / layout
     "partitioned_write_prune",
-    # LLM pipeline: dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
     "dedup_embedding_cosine",
-    # LLM pipeline: similarity
     "similarity_topk",
     "similarity_label_centroids",
-    # LLM pipeline: text analysis
     "text_stats",
     "lang_id_stopword",
     "doc_fingerprint",
-    # LLM pipeline: multimodal
     "multimodal_binary_stats",
     "multimodal_meta_rollup",
-    # LLM pipeline: sampling / corpus prep
     "sample_stratified_mod",
     "embedding_avg_pool",
-    # wave 5/6 category representatives: statistics, running-distinct,
-    # exact EWMA, bloom decontamination, sub-doc dedup, edit distance,
-    # graph, PQ ANN, VARIANT/XML shredding, sketches, layout, signal
-    "agg_skew_kurt",
-    "window_count_distinct",
-    "ewma_halflife",
-    "decontaminate_bloom",
-    "dedup_paragraph",
-    "dedup_levenshtein",
-    "graph_degree_histogram",
     "pagerank_bipartite",
     "similarity_ann_pq",
-    "variant_shred",
-    "xml_shred",
     "hll_sketch_native",
-    "zorder_layout",
-    "multimodal_audio_energy",
-    "forward_fill_locf",
-    "period_over_period",
 )
 
 
