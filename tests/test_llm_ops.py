@@ -7,6 +7,7 @@ one)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from watermill_kinesis_spark.operators.dedup import (
     dedup_exact,
@@ -164,6 +165,50 @@ def test_cluster_canonical_is_fixpoint(spark, sf_dir):
     for cid, members in by_cluster.items():
         canons = [d for d, c in members if c == 1]
         assert canons == [min(d for d, _ in members)] and cid == canons[0]
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer doubling converges on a 100-link path graph (diameter
+    100 ≫ the 20-sweep budget a pure propagation loop would need):
+    every node must land in component 0, within CC_MAX_ITERS sweeps."""
+    from watermill_kinesis_spark.operators.dedup import connected_components
+
+    n = 101  # nodes 0..100 chained 0-1-2-...-100
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    edges = fwd.union(
+        fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = {r.doc_id: r.comp for r in connected_components(nodes, edges).collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_multi_component(spark):
+    """Disjoint chains + isolated nodes each keep their own min label."""
+    from watermill_kinesis_spark.operators.dedup import connected_components
+
+    nodes = spark.range(60).select(F.col("id").alias("doc_id"))
+    # chain A: 0..24, chain B: 30..49; 25-29 and 50-59 isolated
+    fwd = spark.range(24).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    ).union(
+        spark.range(30, 49).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+    )
+    edges = fwd.union(
+        fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = {r.doc_id: r.comp for r in connected_components(nodes, edges).collect()}
+    for d in range(25):
+        assert labels[d] == 0
+    for d in range(30, 50):
+        assert labels[d] == 30
+    for d in list(range(25, 30)) + list(range(50, 60)):
+        assert labels[d] == d
 
 
 def test_frame_sample_framing_math(spark, sf_dir):

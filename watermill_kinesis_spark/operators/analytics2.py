@@ -299,7 +299,7 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix of another (the classic crawl artifact — same page captured
     at different cut-offs; MinHash can miss these when the longer doc
     dwarfs the shared prefix). Candidate generation blocks on the first
-    {PREFIX_BLOCK} characters, so the join is an equi-join on a short
+    50 (PREFIX_BLOCK) characters, so the join is an equi-join on a short
     key — the full text only crosses the wire for rows sharing a block,
     and at 100 TB the block key would be xxhash64(prefix) instead of
     the prefix itself (same plan shape). Docs shorter than the block
@@ -377,7 +377,7 @@ CONTAIN_T = 0.8
     tags=("dedup", "llm-pipeline"),
 )
 def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle *containment* near-dup: C(A→B) = |A∩B| / |A| ≥ {CONTAIN_T}
+    """Shingle *containment* near-dup: C(A→B) = |A∩B| / |A| ≥ 0.8 (CONTAIN_T)
     — flags documents mostly contained in another (quotes, boilerplate
     wrapping, concatenated dumps) that symmetric Jaccard misses when
     the sizes differ a lot. Same inverted-index candidate generation as

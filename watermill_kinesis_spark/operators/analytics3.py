@@ -268,7 +268,7 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms()
     tags=("window", "timeseries", "ewma"),
 )
 def ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key EWMA (α = 1/2, last {EWMA_K} events) — the smoothing
+    """Per-key EWMA (α = 1/2, last 16 (EWMA_K) events) — the smoothing
     primitive behind rate estimators and trend monitors. The recursion
     s_t = αv_t + (1-α)s_{{t-1}} is not window-expressible, but with α=1/2
     the truncated expansion's weights are powers of two, so the engine
@@ -323,7 +323,7 @@ ASOF_TOLERANCE_DAYS = 7
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a freshness bound: each event matches the user's
     most recent order at or before the event time ONLY if it is within
-    {ASOF_TOLERANCE_DAYS} days — stale state is surfaced as NULL rather
+    7 (ASOF_TOLERANCE_DAYS) days — stale state is surfaced as NULL rather
     than silently joined (pandas ``merge_asof(tolerance=...)``; DuckDB
     has no tolerance clause, so its oracle bounds the join predicate).
     Implementation extends join_asof_events' union-scan: one shuffle on

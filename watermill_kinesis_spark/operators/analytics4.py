@@ -37,7 +37,7 @@ LOCF_MISSING_BELOW = 100.0
 )
 def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-observation-carried-forward: sensor-style gap repair where
-    missing readings (here: values ≤ {LOCF_MISSING_BELOW}, standing in
+    missing readings (here: values ≤ 100.0 (LOCF_MISSING_BELOW), standing in
     for NULLs) inherit the key's most recent valid reading. One ordered
     window per key with ``last(..., ignorenulls=True)`` — a single
     shuffle on the key, linear per-row state, and the filled values are

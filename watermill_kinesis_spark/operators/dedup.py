@@ -29,6 +29,11 @@ MINHASH_B, MINHASH_R = 16, 8
 #: Mersenne prime 2^31-1: constants and reduced hashes are < 2^31, so
 #: a·h + b < 2^62 — modular arithmetic never overflows a Spark long
 MH_PRIME = (1 << 31) - 1
+#: block-grid width for the exact-cosine self-join: replication factor
+#: is exactly this, per-cell memory is 2·(N/B)·dim doubles. 8 blocks →
+#: 36 cells, enough to spread local[32] while keeping cells chunky; at
+#: 100 TB size B ≈ √(N·dim·8B / executor_budget) instead.
+EMB_GRID_BLOCKS = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,9 +368,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # connected components → canonical representative per near-dup cluster
 
-#: propagation cap; real clusters have tiny diameter (near-dup chains),
-#: and the loop exits as soon as a sweep changes nothing
+#: propagation cap; with per-sweep pointer doubling a component of
+#: diameter d converges in O(log d) sweeps, so 20 covers any component
+#: a near-dup graph could realistically hold (d ≤ ~2^19); the loop
+#: still exits as soon as a sweep changes nothing
 CC_MAX_ITERS = 20
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed connected components: min-label propagation (Pregel
+    pattern) with per-sweep *pointer doubling*.
+
+    ``nodes`` must have a ``doc_id`` column; ``edges`` must have
+    ``doc_a``/``doc_b`` columns and be symmetric (both directions
+    present). Returns ``(doc_id, comp)`` with ``comp`` = min doc_id of
+    the component.
+
+    Each sweep does two things: (1) every node takes the min label among
+    itself and its neighbors — one groupBy shuffle; (2) the shortcut
+    ``comp ← comp(comp)`` — one self-join on the label graph. The
+    shortcut halves label-chain height every sweep, so a chain of
+    diameter d converges in O(log d) sweeps instead of O(d); labels
+    never leave the cluster (the driver only sees a 0/1 changed count).
+    ``localCheckpoint`` truncates the growing loop lineage."""
+    labels = nodes.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    changed = 1
+    for _ in range(CC_MAX_ITERS):
+        neigh = labels.join(
+            F.broadcast(edges), labels.doc_id == edges.doc_a
+        ).select(F.col("doc_b").alias("doc_id"), "comp")
+        propagated = (
+            labels.union(neigh).groupBy("doc_id").agg(F.min("comp").alias("comp"))
+        )
+        # pointer doubling: comp(x) ← comp(comp(x)). comp values are
+        # doc_ids, so the inner self-join always matches, and
+        # comp(comp(x)) ≤ comp(x) (min-labels include self) — take it.
+        lut = propagated.select(
+            F.col("doc_id").alias("c_id"), F.col("comp").alias("c_comp")
+        )
+        new_labels = (
+            propagated.join(lut, propagated.comp == lut.c_id)
+            .select("doc_id", F.col("c_comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        # Never return partial components: a component whose label
+        # chains outlast the sweep budget would get silently-wrong
+        # cluster_ids while callers assume the full transitive closure.
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} "
+            "pointer-doubling sweeps — raise CC_MAX_ITERS"
+        )
+    return labels
 
 
 @query(
@@ -413,49 +477,20 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     step the pair-emitting operators feed in a real pipeline — without
     transitive closure, A~B and B~C keeps both A and C.
 
-    Distributed algorithm: min-label propagation (Pregel pattern) — every
-    sweep each node takes the min label among itself and its neighbors;
-    fixpoint = components. Edges are near-dup pairs (orders of magnitude
-    smaller than the corpus) and broadcast; the per-sweep shuffle is one
-    groupBy on doc_id. ``localCheckpoint`` truncates the growing loop
-    lineage, and the driver only ever sees a 0/1 convergence count —
-    labels never leave the cluster. The oracle is the same fixpoint
-    computed as a DuckDB recursive-CTE transitive closure."""
+    Distributed algorithm: ``connected_components`` above — min-label
+    propagation with per-sweep pointer doubling (O(log d) sweeps for
+    diameter-d chains). Edges are near-dup pairs (orders of magnitude
+    smaller than the corpus) and broadcast; the per-sweep shuffles are
+    one groupBy on doc_id plus the shortcut self-join. The oracle is
+    the same fixpoint computed as a DuckDB recursive-CTE transitive
+    closure."""
     docs = _docs(spark, sf_dir).select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
-    changed = 1
-    for _ in range(CC_MAX_ITERS):
-        neigh = labels.join(
-            F.broadcast(edges), labels.doc_id == edges.doc_a
-        ).select(F.col("doc_b").alias("doc_id"), "comp")
-        new_labels = (
-            labels.union(neigh).groupBy("doc_id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(docs, edges)
     edges.unpersist()
-    if changed != 0:
-        # Never return partial components: a chain with diameter >
-        # CC_MAX_ITERS would get silently-wrong cluster_ids while the
-        # oracle computes the full transitive closure. Surface it —
-        # the fix is a bigger sweep budget (or pointer-doubling).
-        raise RuntimeError(
-            f"dedup_cluster_canonical did not converge in {CC_MAX_ITERS} "
-            "min-label sweeps; component diameter exceeds the budget — "
-            "raise CC_MAX_ITERS"
-        )
     return labels.select(
         "doc_id",
         F.col("comp").alias("cluster_id"),
@@ -484,36 +519,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `similarity_ann_lsh`; at 100 TB you run the bucketed variant and
     sample-audit against this one. Pair ids only — cosine crosses the
     wire as a predicate, never as a float column, so the hash compare
-    can't flake on 1-ulp differences."""
+    can't flake on 1-ulp differences.
+
+    Fully distributed block-grid self-join (no driver collect anywhere):
+    each vector hash-blocks into one of ``EMB_GRID_BLOCKS`` blocks; the
+    B·(B+1)/2 grid cells each receive the two sub-blocks they compare
+    (side 0 = the cell's row block, side 1 = its column block) via a
+    broadcast join against the tiny grid table, and ``applyInPandas``
+    runs one Arrow/BLAS matmul per cell. Every unordered pair lands in
+    exactly one cell, so no post-dedup is needed. Cost model: shuffle =
+    B × corpus bytes; per-cell memory = 2·(N/B)·dim doubles — at 100 TB
+    you size B so a cell fits an executor (B grows as √N, replication
+    stays B, never N)."""
     import numpy as np
     import pandas as pd
 
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    B = EMB_GRID_BLOCKS
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
     )
-    # One side rides in the kernel closure (|corpus|·dim doubles — MBs
-    # at these SFs); each Arrow batch of the other side does one BLAS
-    # matmul against it. At 100 TB the closure side becomes a loop over
-    # corpus *blocks* (or the LSH path above replaces brute force);
-    # the kernel shape is unchanged.
-    rows = sorted(e.collect(), key=lambda r: r.vec_id)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    C = np.array([r.emb for r in rows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    grid = spark.createDataFrame(
+        [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
+        "cell int, gi int, gj int",
+    )
+    row_side = e.join(F.broadcast(grid), e.blk == grid.gi).select(
+        "cell", "vec_id", "emb", F.lit(0).alias("side")
+    )
+    col_side = e.join(
+        F.broadcast(grid.where(F.col("gi") != F.col("gj"))), e.blk == grid.gj
+    ).select("cell", "vec_id", "emb", F.lit(1).alias("side"))
+    tagged = row_side.unionAll(col_side)
 
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            M = np.stack(pdf["emb"].to_numpy())
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            S = Mn @ Cn.T  # |batch| × |corpus|
-            hit_a, hit_b = np.nonzero((S >= 0.4) & (a_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[hit_a], "vec_b": ids[hit_b]}
-            )
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        if len(left) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+        A = np.stack(left["emb"].to_numpy())
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        if len(right) == 0:  # diagonal cell: within-block upper triangle
+            S = An @ An.T
+            ia, ib = np.nonzero((S >= 0.4) & (a_ids[:, None] < a_ids[None, :]))
+            return pd.DataFrame({"vec_a": a_ids[ia], "vec_b": a_ids[ib]})
+        b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        Bm = np.stack(right["emb"].to_numpy())
+        Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        S = An @ Bn.T
+        ia, ib = np.nonzero(S >= 0.4)
+        lo = np.minimum(a_ids[ia], b_ids[ib])
+        hi = np.maximum(a_ids[ia], b_ids[ib])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
 
-    return e.mapInPandas(kernel, "vec_a long, vec_b long")
+    return tagged.groupBy("cell").applyInPandas(cell_pairs, "vec_a long, vec_b long")

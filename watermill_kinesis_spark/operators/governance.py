@@ -51,7 +51,7 @@ RTBF_MOD = 37
 )
 def rtbf_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten cascade: given an erasure list (here the
-    deterministic mod-{RTBF_MOD} subset of customers), report what a
+    deterministic mod-37 (RTBF_MOD) subset of customers), report what a
     deletion pass would remove from every table that references the
     subject — directly (customer, orders, events) or transitively
     (lineitem has no customer key; its deletions propagate through the

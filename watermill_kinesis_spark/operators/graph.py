@@ -112,8 +112,8 @@ def pagerank(
 
 @query("pagerank_bipartite", tags=("graph", "iterative", "llm-pipeline"))
 def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{PAGERANK_TOP} nodes of the customer↔supplier graph by
-    damped PageRank ({PAGERANK_ITERS} power iterations). Iterative and
+    """Top-50 (PAGERANK_TOP) nodes of the customer↔supplier graph by
+    damped PageRank (8 (PAGERANK_ITERS) power iterations). Iterative and
     therefore not ANSI-SQL-expressible — registered rows-only; the
     invariants the oracle can't check (rank-mass conservation, positive
     ranks, hub ordering vs degree) live in tests/test_graph.py."""

@@ -256,7 +256,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline shape (fixed-size PCM frames → per-frame energy → per-asset
     profile), runnable without audio libs because the payload bytes ARE
     the samples. The kernel is one Arrow pass: numpy ``frombuffer`` →
-    trim to whole {AUDIO_FRAME_BYTES}-byte frames → reshape → per-frame
+    trim to whole 128 (AUDIO_FRAME_BYTES)-byte frames → reshape → per-frame
     sum of squared samples, all exact int64 — which makes this the rare
     multimodal operator with a full value-level oracle (the payloads
     are ASCII, so DuckDB recomputes the same energies from character

@@ -37,7 +37,7 @@ PACK_BUDGET = 256
 )
 def pack_concat_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing layout: documents are concatenated per
-    source stream in doc_id order and cut into fixed {PACK_BUDGET}-token
+    source stream in doc_id order and cut into fixed 256 (PACK_BUDGET)-token
     training sequences; each doc gets its global token interval and the
     sequence ids it spans (GPT-style packing — no padding, docs may
     straddle a boundary). One running-sum window per source partition —

@@ -82,8 +82,8 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with a Bloom prefilter — the shape that survives
     when the eval-gram set outgrows a comfortable broadcast hash table.
     The engine builds the Bloom filter itself, in pure Spark SQL: eval
-    8-grams hash to {BLOOM_K} bit positions (salted xxhash64), a
-    BIT_OR aggregate packs them into {BLOOM_WORDS} longs (a distributed
+    8-grams hash to 4 (BLOOM_K) bit positions (salted xxhash64), a
+    BIT_OR aggregate packs them into 1024 (BLOOM_WORDS) longs (a distributed
     reduce to an 8 KB sketch), and the probe is word-index + shift
     expressions over that array literal — whole-stage codegen, no UDF,
     no per-executor hash table. Training grams that pass the bloom
@@ -166,7 +166,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granular duplication profile — the sub-document dedup
     pass (boilerplate headers, license blocks, templated spans) that
     document-level MinHash misses. Documents split into non-overlapping
-    {BLOCK_TOKENS}-token blocks; a block seen in more than one document
+    20 (BLOCK_TOKENS)-token blocks; a block seen in more than one document
     is corpus-duplicated; each document reports its duplicated-block
     ratio. Two shuffles: block-text → distinct-doc counts, then doc_id
     → per-doc profile. Blocks are grouped by their text to stay
@@ -235,9 +235,9 @@ LEV_MAX_DIST = 60
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup: candidate pairs block on the first
-    {LEV_BLOCK} characters (equi-join on a short key — same shape as
+    64 (LEV_BLOCK) characters (equi-join on a short key — same shape as
     dedup_prefix_containment), then verify with exact Levenshtein over
-    a fixed {LEV_WINDOW}-char window. The window cap is the scale
+    a fixed 240 (LEV_WINDOW)-char window. The window cap is the scale
     guard: Levenshtein is O(n·m) per pair, so the engine bounds the
     comparison cost per candidate to a constant regardless of document
     length — the standard trick for edit-distance verify at corpus

@@ -64,17 +64,17 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ADC) and exact re-rank:
 
     1. **Train** (driver, sample): per-subspace k-means codebooks over
-       L2-normalized vectors — {PQ_SUBSPACES}×{PQ_CODES}×{PQ_SUBDIM}
+       L2-normalized vectors — 8 (PQ_SUBSPACES)×16 (PQ_CODES)×8 (PQ_SUBDIM)
        floats, KBs regardless of corpus size.
     2. **Encode** (distributed): one Arrow pass assigns each vector
-       {PQ_SUBSPACES} one-byte codes — an 8× index compression here,
+       8 (PQ_SUBSPACES) one-byte codes — an 8× index compression here,
        64× at dim=512.
     3. **ADC search** (distributed): each query precomputes a
-       {PQ_SUBSPACES}×{PQ_CODES} inner-product table; scoring a corpus
-       vector is {PQ_SUBSPACES} table lookups, no float multiply. Each
-       Arrow batch emits only its local top-{PQ_RERANK} per query.
-    4. **Exact re-rank**: the ≤{PQ_RERANK}·batches candidate rows join
-       back to full vectors for true cosine; top-{TOP_K} wins.
+       8 (PQ_SUBSPACES)×16 (PQ_CODES) inner-product table; scoring a corpus
+       vector is 8 (PQ_SUBSPACES) table lookups, no float multiply. Each
+       Arrow batch emits only its local top-20 (PQ_RERANK) per query.
+    4. **Exact re-rank**: the ≤20 (PQ_RERANK)·batches candidate rows join
+       back to full vectors for true cosine; top-5 (TOP_K) wins.
 
     Approximate by design ⇒ rows-only; recall vs the exact
     similarity_topk is pinned in tests/test_similarity_pq.py."""
@@ -83,7 +83,14 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir, distribute=True)
     cap = PQ_TRAIN_CAP
-    sample = e.where(F.xxhash64("vec_id") % 100 >= 0).limit(cap)  # whole table ≤ cap
+    # Deterministic training sample: orderBy+limit compiles to
+    # TakeOrderedAndProject — every partition keeps a local top-`cap`
+    # and the driver merges, so there is no single-partition funnel and
+    # the sample is stable across partition layouts. At corpus scale,
+    # prepend a real hash-stratified gate sized so ~cap rows survive,
+    # e.g. ``.where(F.pmod(F.xxhash64("vec_id"), 25_000) == 0)`` for a
+    # 100M-vector corpus, then the same orderBy+limit.
+    sample = e.orderBy("vec_id").limit(cap)
     rows = sample.select("vec_id", "emb").collect()
     X = np.array([r.emb for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)

@@ -288,7 +288,7 @@ VOCAB_SIZE = 400
     tags=("text", "tokenizer", "llm-pipeline"),
 )
 def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary induction + coverage audit: fit a top-{VOCAB_SIZE}
+    """Vocabulary induction + coverage audit: fit a top-400 (VOCAB_SIZE)
     token vocabulary on the corpus (frequency-ranked, deterministic
     ties), then score every document's out-of-vocabulary rate — the
     released-tokenizer health check (rising OOV means the corpus
