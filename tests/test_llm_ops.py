@@ -88,11 +88,78 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
         assert len(nbrs) <= TOP_K
 
 
-def test_multimodal_stub_contract(spark, sf_dir):
-    """The real decoder is explicitly unimplemented; the fake decoder's
-    plumbing produces one typed feature row per asset."""
+def _png_bytes(w: int, h: int, color_type: int = 2) -> bytes:
+    import struct, zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _jpeg_bytes(w: int, h: int, ncomp: int = 3) -> bytes:
+    import struct
+
+    # APP0 length 16 = 2 (len) + 5 ("JFIF\0") + 2 (version) + 1 (units)
+    # + 4 (density) + 2 (thumbnail)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof0 += bytes(3 * ncomp)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_header_decode_real_fixtures():
+    """The pure-Python header parser extracts true dimensions from
+    hand-built PNG / JPEG / GIF / BMP containers — no imaging lib."""
+    import struct
+
+    from watermill_kinesis_spark.operators.multimodal import (
+        decode_image_pixels,
+        sniff_image,
+    )
+
+    assert decode_image_features(_png_bytes(640, 480)) == (640, 480, "RGB")
+    assert decode_image_features(_png_bytes(31, 7, color_type=0)) == (31, 7, "L")
+    assert decode_image_features(_jpeg_bytes(1920, 1080)) == (1920, 1080, "RGB")
+    assert decode_image_features(_jpeg_bytes(64, 32, ncomp=1)) == (64, 32, "L")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 3
+    assert decode_image_features(gif) == (320, 200, "P")
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 4
+    assert decode_image_features(bmp) == (800, 600, "RGB")
+    # hostile / truncated / non-image inputs never crash the kernel
+    assert sniff_image(b"\x89PNG...") is None
+    assert sniff_image(b"\xff\xd8\xff") is None
+    assert sniff_image(b"plain text payload") is None
+    assert sniff_image(b"") is None
+    with pytest.raises(ValueError):
+        decode_image_features(b"not an image")
     with pytest.raises(NotImplementedError):
-        decode_image_features(b"\x89PNG...")
+        decode_image_pixels(_png_bytes(1, 1))
+
+
+def test_multimodal_feature_extract_mixed_payloads(spark):
+    """End-to-end mapInPandas: real image payloads decode through the
+    header parser (decoder column names the container), text payloads
+    fall back to the deterministic fake decoder."""
+    rows = [
+        (1, bytearray(_png_bytes(12, 34)), {"mime": "image/png"}),
+        (2, bytearray(_jpeg_bytes(56, 78)), {"mime": "image/jpeg"}),
+        (3, bytearray(b"just some text"), {"mime": "text/plain"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, meta map<string,string>"
+    )
+    from watermill_kinesis_spark.operators.multimodal import extract_image_features
+
+    out = {r.doc_id: r for r in extract_image_features(df).collect()}
+    assert (out[1].width, out[1].height, out[1].decoder) == (12, 34, "png")
+    assert (out[2].width, out[2].height, out[2].decoder) == (56, 78, "jpeg")
+    assert out[3].decoder == "fake"
+
+
+def test_multimodal_feature_extract_table(spark, sf_dir):
+    """Over the text-backed documents table every payload takes the
+    fake-decoder fallback; one typed feature row per asset."""
     feats = multimodal_feature_extract(spark, sf_dir)
     rows = feats.collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -100,6 +167,7 @@ def test_multimodal_stub_contract(spark, sf_dir):
     for r in rows[:10]:
         assert r.n_bytes > 0 and r.width >= 16 and r.height >= 16
         assert r.mode in ("RGB", "L")
+        assert r.decoder == "fake"
 
 
 def test_text_stats_invariants(spark, sf_dir):

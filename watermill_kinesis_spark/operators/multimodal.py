@@ -7,12 +7,17 @@ payload is opaque bytes with a string→string metadata map
 stores images/audio/video — a binary column plus typed metadata, decoded
 only at the edge of the pipeline.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image_features`` raises ``NotImplementedError``
-with the real implementation documented, and the registered query uses
-a deterministic fake decoder. Everything AROUND the stub — the binary
-column handling, the metadata map, the Arrow batch shape through
-``mapInPandas``, the partitioning — is real and tested.
+Decoding: container *headers* (PNG IHDR, JPEG SOFn, GIF screen
+descriptor, BMP info header) are parsed in pure Python — no Pillow
+needed — so ``decode_image_features`` extracts real dimensions from
+real image bytes. Full pixel decode (needed for resize/thumbnail)
+still requires an imaging lib absent from this container; that step
+stays behind ``decode_image_pixels``'s documented
+``NotImplementedError``, and payloads that aren't a recognized image
+container fall back to a deterministic fake decoder (the test seam).
+Everything around the kernels — the binary column handling, the
+metadata map, the Arrow batch shape through ``mapInPandas``, the
+partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -51,6 +56,7 @@ FEATURE_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mode", StringType()),
+        StructField("decoder", StringType()),
     ]
 )
 
@@ -71,21 +77,95 @@ def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_features(payload: bytes) -> tuple[int, int, str]:
-    """REAL image decode — intentionally unimplemented here.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → mode string (PNG spec §11.2.2)
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+#: JPEG SOFn markers carry frame dimensions; C4/C8/CC look like SOFs
+#: but are DHT/JPG/DAC (ITU T.81 table B.1)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
 
-    Production implementation (requires Pillow, not in this container):
+
+def sniff_image(payload: bytes) -> tuple[str, int, int, str] | None:
+    """Parse ``(format, width, height, mode)`` from an image container
+    header in pure Python — PNG IHDR, JPEG SOFn scan, GIF logical
+    screen descriptor, BMP info header. Returns ``None`` if the bytes
+    are not a recognized image container (never raises on truncated or
+    hostile input — a 100 TB crawl corpus *will* contain both)."""
+    p = bytes(payload)
+    # PNG: 8-byte signature, then IHDR chunk (len + type + 13 data bytes)
+    if p[:8] == PNG_SIG and len(p) >= 29 and p[12:16] == b"IHDR":
+        w = int.from_bytes(p[16:20], "big")
+        h = int.from_bytes(p[20:24], "big")
+        mode = _PNG_MODES.get(p[25], "RGB")
+        return ("png", w, h, mode) if w > 0 and h > 0 else None
+    # JPEG: SOI, then marker segments until a SOFn yields dimensions
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 3 < len(p):
+            if p[i] != 0xFF:  # desynchronized — not a well-formed JPEG
+                return None
+            while i < len(p) and p[i] == 0xFF:  # fill bytes allowed
+                i += 1
+            if i >= len(p):
+                return None
+            marker = p[i]
+            i += 1
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers: no length field
+            if i + 1 >= len(p):
+                return None
+            seglen = int.from_bytes(p[i : i + 2], "big")
+            if seglen < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 7 >= len(p):
+                    return None
+                h = int.from_bytes(p[i + 3 : i + 5], "big")
+                w = int.from_bytes(p[i + 5 : i + 7], "big")
+                mode = _JPEG_MODES.get(p[i + 7], "RGB")
+                return ("jpeg", w, h, mode) if w > 0 and h > 0 else None
+            i += seglen
+        return None
+    # GIF: 6-byte version tag then little-endian logical screen size
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w = int.from_bytes(p[6:8], "little")
+        h = int.from_bytes(p[8:10], "little")
+        return ("gif", w, h, "P") if w > 0 and h > 0 else None
+    # BMP: 'BM' + BITMAPINFOHEADER (width/height at offsets 18/22)
+    if p[:2] == b"BM" and len(p) >= 26:
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = abs(int.from_bytes(p[22:26], "little", signed=True))
+        return ("bmp", w, h, "RGB") if w > 0 and h > 0 else None
+    return None
+
+
+def decode_image_features(payload: bytes) -> tuple[int, int, str]:
+    """Real image header decode: dimensions + mode from the container
+    header via :func:`sniff_image`. Raises ``ValueError`` for bytes
+    that are not a recognized image container."""
+    info = sniff_image(payload)
+    if info is None:
+        raise ValueError("payload is not a recognized image container")
+    _, w, h, mode = info
+    return w, h, mode
+
+
+def decode_image_pixels(payload: bytes):
+    """Full pixel decode — intentionally unimplemented here (requires
+    an imaging library absent from this container):
 
         from PIL import Image
         import io
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, img.mode
+        return Image.open(io.BytesIO(payload)).convert("RGB")
 
-    The Spark-side plumbing (binary column in, Arrow batches through
-    mapInPandas, typed feature rows out) is identical for the real and
-    fake decoders; swap the function, nothing else changes.
-    """
-    raise NotImplementedError("image decode requires Pillow; see docstring")
+    Header-level features don't need it (see ``sniff_image``); resize/
+    thumbnail/embedding extraction would. The Spark-side plumbing is
+    identical — swap this function into the kernel, nothing else
+    changes."""
+    raise NotImplementedError("pixel decode requires Pillow; see docstring")
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
@@ -101,15 +181,36 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 @query("multimodal_feature_extract", tags=("multimodal", "llm-pipeline"))
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
-    executors receive Arrow record batches, run the (stub) decoder per
-    payload, and emit typed feature rows. This is the canonical
-    multimodal pattern — Python touches each asset exactly once, in
-    columnar batches, after all relational pruning has happened
-    JVM-side. Rows-only check (binary+UDF, not SQL-expressible)."""
+    executors receive Arrow record batches, run the decoder per payload,
+    and emit typed feature rows. Real image containers (PNG/JPEG/GIF/
+    BMP) get their true dimensions from the pure-Python header parser
+    (``sniff_image``); unrecognized payloads — all of them for this
+    text-backed test table — fall through to the deterministic fake
+    decoder, with the ``decoder`` column recording which path ran. This
+    is the canonical multimodal pattern — Python touches each asset
+    exactly once, in columnar batches, after all relational pruning has
+    happened JVM-side. Rows-only check (binary+UDF, not
+    SQL-expressible)."""
+    return extract_image_features(assets(spark, sf_dir))
+
+
+def extract_image_features(asset_df: DataFrame) -> DataFrame:
+    """The reusable feature-extraction kernel: any DataFrame with
+    ``doc_id``/``payload`` columns → typed feature rows per asset
+    (``FEATURE_SCHEMA``), real header decode with fake-decoder
+    fallback. Partition-parallel; only features cross the wire."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                info = sniff_image(p)
+                if info is not None:
+                    fmt, w, h, mode = info
+                    feats.append((w, h, mode, fmt))
+                else:
+                    w, h, mode = _fake_decode(p)
+                    feats.append((w, h, mode, "fake"))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -117,10 +218,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width": [f[0] for f in feats],
                     "height": [f[1] for f in feats],
                     "mode": [f[2] for f in feats],
+                    "decoder": [f[3] for f in feats],
                 }
             )
 
-    return assets(spark, sf_dir).mapInPandas(extract, FEATURE_SCHEMA)
+    return asset_df.mapInPandas(extract, FEATURE_SCHEMA)
 
 
 #: fake "video" framing over the payload bytes: fixed-size frames,
