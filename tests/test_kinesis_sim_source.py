@@ -138,6 +138,48 @@ def test_empty_topic_reads_zero_rows(spark, tmp_path):
     assert df.count() == 0
 
 
+def test_stream_writer_stages_and_publishes_per_epoch(tmp_path):
+    """Two-phase epoch visibility: write() stages (invisible to the
+    reader's *.json listing), commit() publishes by rename, abort()
+    deletes — so a failed micro-batch leaves no visible records, and
+    orphans from a dead task are swept at next writer init."""
+    import os
+    from types import SimpleNamespace
+
+    from watermill_kinesis_spark.sources.kinesis_sim import (
+        KinesisSimStreamWriter,
+        _list_files,
+    )
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    w = KinesisSimStreamWriter({"path": topic, "n_shards": "2"})
+
+    rows = [SimpleNamespace(data=f"d{i}", partition_key=f"k{i % 2}") for i in range(6)]
+    msg = w.write(iter(rows))
+    assert msg.n == 6 and msg.staged
+    assert _list_files(topic) == []  # staged epoch is invisible
+    assert all(os.path.exists(p) for p in msg.staged)
+
+    # abort: staged files vanish, topic stays empty
+    w.abort([msg, None], batchId=0)
+    assert _list_files(topic) == []
+    assert not any(os.path.exists(p) for p in msg.staged)
+
+    # fresh epoch: commit renames into the topic dir
+    msg2 = w.write(iter(rows))
+    w.commit([msg2], batchId=1)
+    assert len(_list_files(topic)) == len(msg2.staged)
+    assert not any(os.path.exists(p) for p in msg2.staged)
+
+    # a dead task's orphaned staging stays invisible until swept
+    msg3 = w.write(iter(rows))
+    assert any(os.path.exists(p) for p in msg3.staged)
+    assert len(_list_files(topic)) == len(msg2.staged)  # reader unaffected
+    assert w.sweep() == len(msg3.staged)
+    assert not any(os.path.exists(p) for p in msg3.staged)
+
+
 def test_stream_write_quadrant_roundtrip(spark, sf_dir, tmp_path):
     """Fourth quadrant: writeStream.format('kinesis_sim') relays one
     topic into another through a streaming query; the relayed topic

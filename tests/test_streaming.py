@@ -71,6 +71,92 @@ def test_put_chunked_raises_after_retry_budget(spark):
         put_chunked(AlwaysFail(), [PutRecordsEntry("d", None)], max_retries=2)
 
 
+class _StubKinesisClient:
+    """Mimics the boto3 kinesis client's put_records response shape:
+    every call fails the first ``fail_first`` records once (throttle
+    ErrorCode, the partial-failure mode the reference discards at
+    publisher.go:84)."""
+
+    def __init__(self, fail_first: int = 0):
+        self.calls: list[dict] = []
+        self.landed: list[dict] = []
+        self._fail_budget = fail_first
+
+    def put_records(self, StreamName, Records):
+        self.calls.append({"StreamName": StreamName, "Records": Records})
+        n_fail = min(self._fail_budget, len(Records))
+        self._fail_budget -= n_fail
+        out = []
+        for i, r in enumerate(Records):
+            if i < n_fail:
+                out.append(
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": "Rate exceeded",
+                    }
+                )
+            else:
+                self.landed.append(r)
+                out.append({"SequenceNumber": str(len(self.landed)), "ShardId": "shardId-0"})
+        return {"FailedRecordCount": n_fail, "Records": out}
+
+
+def test_kinesis_publisher_chunking_and_partial_failure_retry(spark):
+    """The boto3-backed transport: ≤500-record PutRecords calls, utf-8
+    Data, non-empty PartitionKey, and per-record retry of exactly the
+    entries whose response row carries an ErrorCode."""
+    from watermill_kinesis_spark.streaming.sink import KinesisPublisher
+
+    client = _StubKinesisClient(fail_first=7)
+    pub = KinesisPublisher("my-stream", client=client)
+    entries = [PutRecordsEntry(f"d{i}", f"k{i % 3}" if i % 5 else None) for i in range(1203)]
+    n = put_chunked(pub, entries)
+    assert n == 1203
+    # 3 chunks + 1 retry call for the 7 throttled records
+    assert [len(c["Records"]) for c in client.calls] == [500, 7, 500, 203]
+    assert all(c["StreamName"] == "my-stream" for c in client.calls)
+    assert len(client.landed) == 1203
+    # every record landed exactly once, bytes round-trip, keys non-empty
+    datas = sorted(r["Data"].decode("utf-8") for r in client.landed)
+    assert datas == sorted(f"d{i}" for i in range(1203))
+    assert all(r["PartitionKey"] for r in client.landed)
+    # keyless entries route under the shared default key
+    assert sum(1 for r in client.landed if r["PartitionKey"] == "0") == len(
+        [e for e in entries if e.partition_key is None]
+    )
+
+
+def test_kinesis_publisher_exhausts_retry_budget(spark):
+    from watermill_kinesis_spark.streaming.sink import KinesisPublisher
+
+    client = _StubKinesisClient(fail_first=10**9)  # throttle forever
+    pub = KinesisPublisher("s", client=client)
+    with pytest.raises(RuntimeError, match="failed after"):
+        put_chunked(pub, [PutRecordsEntry("d", "k")], max_retries=2)
+
+
+def test_builder_wires_kinesis_transport(spark):
+    """with_kinesis flips the transport and the factory builds the
+    boto3-backed publisher for the topic-as-stream-name (no directory
+    endpoint required)."""
+    from watermill_kinesis_spark.api import PublisherBuilder
+
+    pub = (
+        PublisherBuilder()
+        .with_kinesis(region_name="eu-west-1", endpoint_url="http://localhost:4566")
+        .build()
+    )
+    factory = pub._transport_factory("orders-stream")
+    # the factory is executor-side; building it must not require boto3
+    # here — only calling it does. Verify the closure carries the config.
+    import inspect
+
+    closure = inspect.getclosurevars(factory).nonlocals
+    assert closure["stream_name"] == "orders-stream"
+    assert closure["region_name"] == "eu-west-1"
+    assert closure["endpoint_url"] == "http://localhost:4566"
+
+
 def test_stream_roundtrip_with_corrupt_skip(spark, tmp_path):
     topic = str(tmp_path / "topic")
     msgs = _messages(spark, 60)
@@ -408,6 +494,72 @@ def test_idempotent_sink_survives_batch_replay(spark, sf_dir, tmp_path):
     replayed = spark.read.parquet(out)
     assert replayed.count() == n_in  # no duplicates
     assert replayed.select("uuid").distinct().count() == n_in
+
+
+def test_poison_batch_lands_in_dlq_and_stream_progresses(spark, sf_dir, tmp_path):
+    """Bounded-retry → dead-letter: a batch whose processing keeps
+    failing replays from the checkpoint (nack) exactly max_attempts-1
+    times, then is quarantined under the DLQ and the stream completes —
+    unlike the reference, whose unbounded nack loop
+    (subscriber/subscriber.go:92-95) would wedge the shard forever.
+    Every input row ends up in exactly one of: main sink, DLQ."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import _event_messages
+    from watermill_kinesis_spark.streaming import source as stream_source
+    from watermill_kinesis_spark.streaming.sink import (
+        dead_letter_sink,
+        idempotent_batch_sink,
+    )
+
+    topic = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 200)
+    stream_source.write_stream_files(msgs, topic)
+    n_in = msgs.count()
+    # the poison marker: whichever batch carries this uuid fails
+    poison_uuid = msgs.orderBy("uuid").first().uuid
+
+    inner = idempotent_batch_sink(out)
+
+    def picky(batch_df, batch_id):
+        if batch_df.where(F.col("uuid") == poison_uuid).count() > 0:
+            raise RuntimeError("poison batch: downstream keeps failing")
+        inner(batch_df, batch_id)
+
+    sink = dead_letter_sink(picky, dlq, max_attempts=3)
+
+    def run_once():
+        q = (
+            stream_source.subscribe(spark, topic, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            return True
+        except Exception:
+            return False
+
+    # attempt 1 and 2 fail (nack → replay-from-checkpoint on restart);
+    # attempt 3 quarantines and the stream runs to completion
+    attempts = 0
+    while not run_once():
+        attempts += 1
+        assert attempts < 10, "stream never progressed past the poison batch"
+    assert attempts == 2  # two failed runs before the quarantine run
+
+    quarantined = spark.read.parquet(dlq)
+    delivered = spark.read.parquet(out)
+    assert quarantined.where(F.col("uuid") == poison_uuid).count() == 1
+    assert delivered.where(F.col("uuid") == poison_uuid).count() == 0
+    # conservation: every row in exactly one place
+    assert quarantined.count() + delivered.count() == n_in
+    assert quarantined.select("uuid").union(delivered.select("uuid")).distinct().count() == n_in
 
 
 def test_streaming_progress_metrics_surface(spark, sf_dir, tmp_path):

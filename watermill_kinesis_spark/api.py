@@ -34,6 +34,7 @@ from watermill_kinesis_spark.sources import kinesis_sim
 from watermill_kinesis_spark.streaming.sink import (
     DirectoryPublisher,
     PutRecordsEntry,
+    kinesis_publisher_factory,
     put_chunked,
 )
 
@@ -62,6 +63,11 @@ class _PublisherOptions:
     endpoint: str = ""
     n_shards: int = 4
     marshaller: Marshaller = default_marshaller
+    #: "directory" (simulator; endpoint = topic-root dir) or "kinesis"
+    #: (real AWS via boto3; topic = stream name)
+    transport: str = "directory"
+    kinesis_region: str | None = None
+    kinesis_endpoint_url: str | None = None
 
 
 class Publisher:
@@ -70,8 +76,10 @@ class Publisher:
     reference publisher.go:28-34)."""
 
     def __init__(self, opts: _PublisherOptions):
-        if not opts.endpoint:
+        if opts.transport == "directory" and not opts.endpoint:
             raise ValueError("Publisher requires an endpoint (topic root dir)")
+        if opts.transport not in ("directory", "kinesis"):
+            raise ValueError(f"unknown transport: {opts.transport!r}")
         self._opts = opts
 
     @property
@@ -83,17 +91,32 @@ class Publisher:
     def _topic_dir(self, topic: str) -> str:
         return os.path.join(self._opts.endpoint, topic)
 
+    def _transport_factory(self, topic: str) -> Callable[[], object]:
+        """Picklable zero-arg service-client factory for this topic —
+        called per partition ON THE EXECUTOR (clients never cross the
+        driver boundary)."""
+        opts = self._opts
+        if opts.transport == "kinesis":
+            # topic = Kinesis stream name (reference publisher.go:81)
+            return kinesis_publisher_factory(
+                topic,
+                region_name=opts.kinesis_region,
+                endpoint_url=opts.kinesis_endpoint_url,
+            )
+        topic_dir, n_shards = self._topic_dir(topic), opts.n_shards
+        return lambda: DirectoryPublisher(topic_dir, n_shards)
+
     def publish(self, topic: str, messages: DataFrame) -> None:
         """Marshal + chunked, partition-parallel put (reference
         Publish, publisher.go:64-86 — with >500 chunking and
         per-record retry the reference left TODO)."""
         wire = self._opts.marshaller(messages)
-        topic_dir, n_shards = self._topic_dir(topic), self._opts.n_shards
+        factory = self._transport_factory(topic)
 
         def run(rows) -> None:
             entries = [PutRecordsEntry(r.data, r.partition_key) for r in rows]
             if entries:
-                put_chunked(DirectoryPublisher(topic_dir, n_shards), entries)
+                put_chunked(factory(), entries)
 
         wire.foreachPartition(run)
 
@@ -103,7 +126,7 @@ class Publisher:
         """Streaming publish through ``foreachBatch`` — epoch commit is
         the per-batch checkpoint (reference subscriber.go:65-70)."""
         opts = self._opts
-        topic_dir, n_shards = self._topic_dir(topic), opts.n_shards
+        factory = self._transport_factory(topic)
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
             wire = opts.marshaller(batch_df)
@@ -113,7 +136,7 @@ class Publisher:
                     PutRecordsEntry(r.data, r.partition_key) for r in rows
                 ]
                 if entries:
-                    put_chunked(DirectoryPublisher(topic_dir, n_shards), entries)
+                    put_chunked(factory(), entries)
 
             wire.foreachPartition(run)
 
@@ -141,6 +164,24 @@ class PublisherBuilder:
 
     def with_marshaller(self, marshaller: Marshaller) -> "PublisherBuilder":
         self._opts = replace(self._opts, marshaller=marshaller)
+        return self
+
+    def with_kinesis(
+        self,
+        region_name: str | None = None,
+        endpoint_url: str | None = None,
+    ) -> "PublisherBuilder":
+        """Publish to real AWS Kinesis (topic = stream name) through
+        boto3 ``PutRecords`` with per-record partial-failure retry —
+        the deployable transport the simulator stands in for.
+        ``endpoint_url`` overrides for Localstack, the reference's
+        WithEndpoint (publisher.go:28-34)."""
+        self._opts = replace(
+            self._opts,
+            transport="kinesis",
+            kinesis_region=region_name,
+            kinesis_endpoint_url=endpoint_url,
+        )
         return self
 
     def build(self) -> Publisher:

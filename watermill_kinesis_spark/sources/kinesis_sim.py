@@ -175,8 +175,11 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
 
 class _PutCommit(WriterCommitMessage):
-    def __init__(self, n: int):
+    def __init__(self, n: int, staged: list[str] | None = None):
         self.n = n
+        #: staged file paths (stream writer only) — published by
+        #: rename at epoch commit, deleted at abort
+        self.staged = staged or []
 
 
 class KinesisSimWriter(DataSourceWriter):
@@ -222,19 +225,46 @@ class KinesisSimStreamWriter(DataSourceStreamWriter):
     """Streaming publish: every micro-batch's wire rows go through the
     same chunked/retrying put path as the batch writer — this is the
     continuous face of the reference's ``Publisher.Publish`` loop
-    (publisher.go:64-86) with epoch tracking from the engine. Commits
-    are per-epoch: the engine calls ``commit(messages, batchId)`` after
-    all tasks of the micro-batch succeed, which is exactly the
-    reference's after-the-batch checkpoint (subscriber.go:65-70) on
-    the produce side. Appends are at-least-once under task retry, same
-    as real Kinesis; consumers upgrade via uuid dedup or epoch-id
-    idempotent sinks (streaming/sink.py)."""
+    (publisher.go:64-86) with epoch tracking from the engine.
+
+    Two-phase per-epoch visibility: tasks STAGE their put files into
+    ``<topic>/_staging`` (invisible to readers — the source lists only
+    ``*.json`` directly under the topic dir), and ``commit(messages,
+    batchId)`` — which the engine calls only after every task of the
+    micro-batch succeeded, the reference's after-the-batch checkpoint
+    (subscriber.go:65-70) on the produce side — renames them into the
+    topic dir. ``abort`` deletes the staged files, so a failed or
+    aborted micro-batch leaves NO visible records: readers only ever
+    see whole epochs. (Real Kinesis appends are not transactional —
+    there a retried put duplicates, and consumers upgrade via uuid
+    dedup or epoch-id idempotent sinks, streaming/sink.py. The
+    simulator is deliberately stricter so tests can distinguish
+    sink-side duplication from source-side replay.) A task that dies
+    before returning its commit message may orphan files in
+    ``_staging``; they are never visible to readers and ``sweep()``
+    removes them when no query is running. (No automatic init-time
+    sweep: the engine constructs writer instances per epoch phase, so
+    an init sweep would race in-flight stagings.)"""
 
     def __init__(self, options):
         self.topic_dir = options.get("path")
         if not self.topic_dir:
             raise ValueError("kinesis_sim requires option('path', <topic dir>)")
         self.n_shards = int(options.get("n_shards", "4"))
+        self.staging_dir = os.path.join(self.topic_dir, "_staging")
+
+    def sweep(self) -> int:
+        """Remove orphaned staging files (dead tasks of finished
+        queries). Call between queries, never while one is running."""
+        n = 0
+        if os.path.isdir(self.staging_dir):
+            for f in os.listdir(self.staging_dir):
+                try:
+                    os.remove(os.path.join(self.staging_dir, f))
+                    n += 1
+                except OSError:
+                    pass
+        return n
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         from watermill_kinesis_spark.streaming.sink import (
@@ -247,17 +277,34 @@ class KinesisSimStreamWriter(DataSourceStreamWriter):
             PutRecordsEntry(row.data, row.partition_key) for row in iterator
         ]
         n = 0
+        pub = DirectoryPublisher(self.staging_dir, self.n_shards)
         if entries:
-            n = put_chunked(
-                DirectoryPublisher(self.topic_dir, self.n_shards), entries
-            )
-        return _PutCommit(n)
+            n = put_chunked(pub, entries)
+        return _PutCommit(n, staged=pub.written)
 
     def commit(self, messages, batchId) -> None:
-        return None
+        # all tasks succeeded: publish the epoch atomically-per-file by
+        # renaming staged files into the readable topic dir (names keep
+        # their time token, so per-shard FIFO order is preserved)
+        for m in messages:
+            for path in getattr(m, "staged", []):
+                os.replace(
+                    path,
+                    os.path.join(self.topic_dir, os.path.basename(path)),
+                )
 
     def abort(self, messages, batchId) -> None:
-        return None
+        # drop everything the failed epoch staged; messages may hold
+        # None for tasks that never completed (their leftovers are
+        # swept on next writer init)
+        for m in messages:
+            if m is None:
+                continue
+            for path in getattr(m, "staged", []):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
 
 
 class KinesisSimDataSource(DataSource):

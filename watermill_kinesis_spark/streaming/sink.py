@@ -58,6 +58,10 @@ class DirectoryPublisher:
     def __init__(self, topic_dir: str, n_shards: int = 4):
         self.topic_dir = topic_dir
         self.n_shards = n_shards
+        #: absolute paths of every file this publisher wrote — lets a
+        #: two-phase caller (kinesis_sim stream writer) stage puts in a
+        #: side directory and publish them atomically on epoch commit
+        self.written: list[str] = []
 
     def put_records(self, entries: list[PutRecordsEntry]) -> PutRecordsResult:
         import json
@@ -99,7 +103,93 @@ class DirectoryPublisher:
             path = os.path.join(self.topic_dir, f"shard-{shard}-put-{token}.json")
             with open(path, "w") as f:
                 f.write("\n".join(lines) + "\n")
+            self.written.append(path)
         return PutRecordsResult()
+
+
+class KinesisPublisher:
+    """Real AWS Kinesis publisher behind the same ``put_records``
+    protocol (reference publisher.go:79-85) — the deployable
+    counterpart of ``DirectoryPublisher``.
+
+    Differences from the reference, on purpose:
+    - the ``PutRecords`` response is READ, not discarded (reference
+      publisher.go:84): entries whose response row carries an
+      ``ErrorCode`` (throttle, internal failure) surface as
+      ``failed_indexes`` so ``put_chunked`` retries exactly those
+      records with backoff;
+    - >500-record requests never happen — ``put_chunked`` splits first
+      (the reference hard-errors instead, publisher.go:65-68).
+
+    ``boto3`` is imported lazily so the engine has no hard AWS
+    dependency; pass ``endpoint_url`` for Localstack (the reference's
+    own integration harness, example/docker-compose.yml:4-11). A
+    pre-built ``client`` can be injected for tests. Construct this ON
+    THE EXECUTOR (via a factory) — boto3 clients don't pickle."""
+
+    def __init__(
+        self,
+        stream_name: str,
+        region_name: str | None = None,
+        endpoint_url: str | None = None,
+        client: object | None = None,
+    ):
+        if client is None:
+            try:
+                import boto3  # noqa: PLC0415 — optional dependency
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise RuntimeError(
+                    "KinesisPublisher requires boto3 (pip install boto3) "
+                    "or an injected client"
+                ) from e
+            kwargs: dict = {}
+            if region_name:
+                kwargs["region_name"] = region_name
+            if endpoint_url:
+                # Localstack/custom-endpoint override, the reference's
+                # WithEndpoint (publisher.go:28-34)
+                kwargs["endpoint_url"] = endpoint_url
+            client = boto3.client("kinesis", **kwargs)
+        self._client = client
+        self.stream_name = stream_name
+
+    def put_records(self, entries: list[PutRecordsEntry]) -> PutRecordsResult:
+        records = [
+            {
+                "Data": e.data.encode("utf-8"),
+                # Kinesis requires a non-empty partition key; keyless
+                # messages share one key = one shard, matching the
+                # simulator's shard-0 routing for None keys
+                "PartitionKey": e.partition_key or "0",
+            }
+            for e in entries
+        ]
+        resp = self._client.put_records(
+            StreamName=self.stream_name, Records=records
+        )
+        failed = [
+            i
+            for i, r in enumerate(resp.get("Records", []))
+            if r.get("ErrorCode")
+        ]
+        return PutRecordsResult(failed_indexes=failed)
+
+
+def kinesis_publisher_factory(
+    stream_name: str,
+    region_name: str | None = None,
+    endpoint_url: str | None = None,
+) -> Callable[[], KinesisPublisher]:
+    """Picklable zero-arg factory for ``publish_batch``/
+    ``publish_stream``: ships only strings to the executor, builds the
+    boto3 client there (clients are not serializable)."""
+
+    def make() -> KinesisPublisher:
+        return KinesisPublisher(
+            stream_name, region_name=region_name, endpoint_url=endpoint_url
+        )
+
+    return make
 
 
 class CollectingPublisher:
@@ -218,5 +308,63 @@ def idempotent_batch_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
         batch_df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
+
+    return write
+
+
+def dead_letter_sink(
+    inner: Callable[[DataFrame, int], None],
+    dlq_dir: str,
+    max_attempts: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """Bounded-retry → dead-letter wrapper for any ``foreachBatch``
+    sink — the engine's answer to the reference's UNBOUNDED nack loop
+    (reference subscriber/subscriber.go:92-95, README.md:53: a nacked
+    message redelivers immediately, forever, so one poison message
+    wedges its shard permanently).
+
+    Semantics: a failing epoch re-raises (→ Spark leaves the epoch
+    uncommitted; the restarted query replays it from the checkpoint —
+    the engine's nack), but only ``max_attempts`` times. On the last
+    allowed failure the whole batch is quarantined as parquet under
+    ``dlq_dir/batch_id=<epoch>`` (epoch-overwrite, so a replay of the
+    quarantine itself stays idempotent) and the error is swallowed —
+    the epoch commits and the stream PROGRESSES past the poison batch.
+    Attempt counts persist as marker files under ``dlq_dir/_attempts``,
+    so the budget survives driver restarts (which is exactly when it
+    matters: each retry IS a restart).
+
+    The quarantined parquet is a queryable DataFrame — replayable into
+    the main sink after the bug is fixed, the operational contract a
+    DLQ exists for. Complements the *record*-level corrupt-skip path
+    (codec.unmarshal drop_corrupt, reference subscriber.go:54-59):
+    that one handles undecodable records, this one handles decodable
+    batches whose *processing* keeps failing."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        attempts_dir = os.path.join(dlq_dir, "_attempts")
+        marker = os.path.join(attempts_dir, f"epoch-{batch_id}")
+        try:
+            inner(batch_df, batch_id)
+        except Exception:
+            os.makedirs(attempts_dir, exist_ok=True)
+            prior = 0
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    prior = int(f.read().strip() or 0)
+            attempts = prior + 1
+            with open(marker, "w") as f:
+                f.write(str(attempts))
+            if attempts < max_attempts:
+                raise  # nack: uncommitted epoch replays on restart
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"batch_id={batch_id}")
+            )
+            # swallow: the epoch commits; the stream moves on
+            return
+        # success: clear any stale budget so a later reuse of this
+        # epoch id (fresh checkpoint) starts with a full budget
+        if os.path.exists(marker):
+            os.remove(marker)
 
     return write
