@@ -37,6 +37,12 @@ HEADLINE = [
     "dedup_fuzzy_minhash",
     "similarity_topk",
     "text_stats",
+    # LLM-pipeline heavies: regressions here must be visible
+    # round-over-round, not just in ad-hoc audits
+    "decontaminate_bloom",
+    "dedup_levenshtein",
+    "similarity_ann_pq",
+    "dedup_cluster_canonical",
 ]
 
 
