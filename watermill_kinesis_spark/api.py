@@ -194,6 +194,15 @@ class PublisherBuilder:
 class _SubscriberOptions:
     endpoint: str = ""
     unmarshaller: Unmarshaller = default_unmarshaller
+    #: "directory" (simulator) or "kinesis" (real AWS GetRecords
+    #: source; topic = stream name)
+    transport: str = "directory"
+    kinesis_region: str | None = None
+    kinesis_endpoint_url: str | None = None
+    #: TRIM_HORIZON or LATEST (kinesis transport)
+    starting_position: str = "TRIM_HORIZON"
+    #: override the boto3 client for tests: "module:callable"
+    client_factory: str | None = None
 
 
 @dataclass
@@ -216,6 +225,23 @@ class Subscriber:
         kinesis_sim streaming source, unmarshalled to messages. Start
         it with ``writeStream`` (track with ``track`` to let ``close``
         manage the query)."""
+        opts = self._opts
+        if opts.transport == "kinesis":
+            from watermill_kinesis_spark.sources import kinesis_aws
+
+            kinesis_aws.register(spark)
+            reader = (
+                spark.readStream.format(kinesis_aws.FORMAT_NAME)
+                .option("streamName", topic)
+                .option("startingPosition", opts.starting_position)
+            )
+            if opts.kinesis_region:
+                reader = reader.option("regionName", opts.kinesis_region)
+            if opts.kinesis_endpoint_url:
+                reader = reader.option("endpointUrl", opts.kinesis_endpoint_url)
+            if opts.client_factory:
+                reader = reader.option("clientfactory", opts.client_factory)
+            return opts.unmarshaller(reader.load())
         kinesis_sim.register(spark)
         wire = (
             spark.readStream.format(kinesis_sim.FORMAT_NAME)
@@ -264,8 +290,31 @@ class SubscriberBuilder:
         self._opts = replace(self._opts, unmarshaller=unmarshaller)
         return self
 
+    def with_kinesis(
+        self,
+        region_name: str | None = None,
+        endpoint_url: str | None = None,
+        starting_position: str = "TRIM_HORIZON",
+        client_factory: str | None = None,
+    ) -> "SubscriberBuilder":
+        """Consume real AWS Kinesis (topic = stream name) through the
+        ``kinesis_aws`` GetRecords source: per-shard sequence-number
+        offsets in the Spark checkpoint replace the reference's
+        KCL-in-DynamoDB checkpoints (subscriber.go:114-128, 65-75).
+        ``endpoint_url`` overrides for Localstack; ``client_factory``
+        ("module:callable") injects a stub client for tests."""
+        self._opts = replace(
+            self._opts,
+            transport="kinesis",
+            kinesis_region=region_name,
+            kinesis_endpoint_url=endpoint_url,
+            starting_position=starting_position,
+            client_factory=client_factory,
+        )
+        return self
+
     def build(self) -> Subscriber:
-        if not self._opts.endpoint:
+        if self._opts.transport == "directory" and not self._opts.endpoint:
             raise ValueError("Subscriber requires an endpoint (topic root dir)")
         return Subscriber(self._opts)
 
