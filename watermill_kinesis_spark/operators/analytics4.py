@@ -581,3 +581,115 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lagged cross-correlation (lead/lag analysis between two event series)
+
+#: maximum day lag (inclusive) for lagged_cross_correlation
+XCORR_MAX_LAG = 7
+
+
+@query(
+    "lagged_cross_correlation",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+        FROM events GROUP BY day),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+    spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                  AS day FROM bounds),
+    daily AS (SELECT s.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+              FROM spine s LEFT JOIN d USING (day)),
+    lags AS (SELECT unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)),
+    sums AS (
+        SELECT lag, COUNT(*) AS n,
+               SUM(x) AS s_x, SUM(y) AS s_y, SUM(x * y) AS s_xy,
+               SUM(x * x) AS s_xx, SUM(y * y) AS s_yy
+        FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+           (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)
+              - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+           / (SQRT(CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)
+                 - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)
+                 - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))) AS xcorr
+    FROM sums
+    """,
+    tags=("event-time", "statistics"),
+)
+def lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag analysis: Pearson cross-correlation between the daily
+    click series and the purchase series shifted 0..7 (XCORR_MAX_LAG)
+    days forward — 'do clicks predict purchases k days later?', the
+    standard question behind attribution windows and forecasting
+    features.
+
+    Exact-arithmetic discipline (corr_matrix_exact's pattern): daily
+    counts are BIGINTs on a zero-filled day spine (both engines build
+    the identical spine, so lag alignment can't drift on missing days);
+    per-lag power sums are integer-exact; the single double conversion
+    happens in the same closed form on both engines. Plan: one scan →
+    |days| rows; the lag join replicates the x side (XCORR_MAX_LAG+1)×
+    over a |days|-sized frame — constant-size at any corpus scale, the
+    heavy lifting (event scan) happens exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    bounds = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    daily = (
+        spine.join(d, "day", "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .persist()
+    )
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", "x").crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("day").alias("bday"), "y")
+    pairs = a.join(b, F.expr("bday = date_add(day, lag)"))
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s_x"),
+        F.sum("y").alias("s_y"),
+        F.sum(F.col("x") * F.col("y")).alias("s_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("s_xx"),
+        F.sum(F.col("y") * F.col("y")).alias("s_yy"),
+    )
+    out = sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)"
+            " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+            " / (SQRT(CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)"
+            " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+            " * SQRT(CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)"
+            " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)))"
+        ).alias("xcorr"),
+    )
+    daily.unpersist()
+    return out

@@ -55,6 +55,132 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_customers"))
 
 
+#: co-activity edge threshold: users sharing at least this many
+#: distinct (event_type, hour) activity buckets
+TRIANGLE_MIN_SHARED = 3
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM b a JOIN b c
+            ON a.event_type = c.event_type AND a.h = c.h
+           AND a.user_id < c.user_id
+          GROUP BY u, v HAVING COUNT(*) >= {TRIANGLE_MIN_SHARED}),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    tri AS (SELECT COUNT(*) AS t
+            FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT SUM(d * (d - 1)) // 2 FROM deg) AS BIGINT) AS n_wedges
+    """,
+    tags=("graph", "agg", "llm-pipeline"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the user co-activity graph (edge =
+    ≥3 (TRIANGLE_MIN_SHARED) shared (event_type, hour) activity
+    buckets) — triangles + wedges are the ingredients of the global
+    clustering coefficient, the standard cohesion diagnostic before
+    sampling a graph-structured corpus.
+
+    Scale design — *degree-ordered orientation* (the classic
+    distributed-triangle trick): every undirected edge is oriented from
+    its lower-(degree, id) endpoint to the higher one, so each triangle
+    is counted exactly once at its lowest-ranked vertex and, crucially,
+    the wedge join built on oriented out-edges materializes only
+    Σ C(out_deg, 2) rows, where orientation bounds every out-degree by
+    O(√|E|) — hub nodes (the quadratic killer on a power-law graph at
+    100 TB) contribute wedges at their *in*-side, which costs nothing.
+    Three shuffles total: bucket self-join for edges, degree join for
+    orientation, wedge↔edge equi-join for closure. The node-rank window
+    runs over the pre-aggregated |nodes| table (benign single
+    partition, like every pre-aggregated window in PLANS.md)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("c.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= TRIANGLE_MIN_SHARED)
+        .select("u", "v")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total order for orientation: (degree, id) rank over |nodes| rows
+    rank = nodes.select(
+        "node",
+        "d",
+        F.row_number()
+        .over(W.orderBy(F.asc("d"), F.asc("node")))
+        .alias("r"),
+    )
+    ru = rank.select(F.col("node").alias("u"), F.col("r").alias("ru"))
+    rv = rank.select(F.col("node").alias("v"), F.col("r").alias("rv"))
+    oriented = (
+        e.join(F.broadcast(ru), "u")
+        .join(F.broadcast(rv), "v")
+        .select(
+            F.when(F.col("ru") < F.col("rv"), F.col("ru"))
+            .otherwise(F.col("rv"))
+            .alias("src"),
+            F.when(F.col("ru") < F.col("rv"), F.col("rv"))
+            .otherwise(F.col("ru"))
+            .alias("dst"),
+        )
+        .persist()
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst"))
+    n_triangles = wedges.join(oriented, ["src", "dst"], "left_semi").count()
+    n_edges = e.count()
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        # d(d-1) is always even ⇒ DIV 2 is exact; stays integer end to end
+        F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"),
+    ).first()
+    e.unpersist()
+    oriented.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(stats.n_nodes),
+                int(n_edges),
+                int(n_triangles),
+                int(stats.n_wedges),
+            )
+        ],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint, n_wedges bigint",
+    )
+
+
 def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected customer↔supplier edges, materialized as
     both orientations with string node ids (``c:<k>`` / ``s:<k>``)."""

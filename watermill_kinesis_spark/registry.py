@@ -86,6 +86,11 @@ _PRIORITY: tuple[str, ...] = (
     # front block the order still walks category-by-category so any
     # prefix stays a representative cross-section.
     #
+    # round-3 additions (never sampled, oracle-backed)
+    "multimodal_image_decode",
+    "graph_triangle_count",
+    "interval_overlap_join",
+    "lagged_cross_correlation",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
