@@ -67,16 +67,17 @@ def main() -> int:
 
     cache_tables(spark, SF_DIR)
 
-    # Three runs per query, keep the fastest: the first run of a plan
+    # Five runs per query, keep the fastest: the first run of a plan
     # shape pays one-time JIT/codegen compilation (measured 3-6×
     # inflation on kernel-heavy queries), and co-tenant load spikes
-    # inflate any single run (measured ±40% run-to-run on an otherwise
-    # unchanged build); steady-state throughput is what a resident
-    # engine delivers and what the baseline comparison should see.
+    # inflate any single run (round-3 measurements saw the SAME query
+    # swing 2.5–15 s run-to-run on an idle build); steady-state
+    # throughput is what a resident engine delivers and what the
+    # baseline comparison should see.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
