@@ -693,3 +693,76 @@ def lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# session path analysis (top user journeys)
+
+#: path prefix length and result size for session_path_analysis
+PATH_PREFIX_LEN = 3
+PATH_TOP_N = 25
+
+
+@query(
+    "session_path_analysis",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS rn
+        FROM events),
+    paths AS (
+        SELECT user_id, day,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM seq WHERE rn <= {PATH_PREFIX_LEN}
+        GROUP BY user_id, day)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {PATH_TOP_N}
+    """,
+    tags=("event-time", "journey"),
+)
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the ordered first-3 (PATH_PREFIX_LEN) event
+    types of each (user, day) session, ranked by frequency — the
+    n-gram extension of `event_transition_matrix`'s bigrams, the query
+    behind 'what do users actually do first'.
+
+    Determinism discipline: Spark's collect_list order is
+    shuffle-arrival-dependent, so the path is built by sorting
+    (rn, event_type) structs — a total order both engines share (rn is
+    unique per session) — before joining into the path string. The
+    window partitions by (user, day): millions of small partitions at
+    100 TB, never one big one; the path table is ≤|sessions| rows and
+    the final top-N is a TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    paths = (
+        seq.where(F.col("rn") <= PATH_PREFIX_LEN)
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_N)
+    )

@@ -205,3 +205,68 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c") / nt)
         .alias("keep_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair counting (the inner loop of tokenizer training)
+
+#: result size for bpe_pair_counts
+BPE_TOP_N = 50
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE length(t) >= 2
+        GROUP BY t),
+    pairs AS (
+        SELECT substring(token, CAST(i AS INT), 2) AS pair, freq
+        FROM tok, unnest(range(1, length(token))) AS r(i)),
+    counts AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM pairs GROUP BY pair)
+    SELECT pair, n FROM counts
+    ORDER BY n DESC, pair LIMIT {BPE_TOP_N}
+    """,
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding pair statistics — the exact computation a BPE
+    tokenizer trainer runs every merge iteration: count adjacent symbol
+    pairs across the corpus weighted by word frequency, pick the top
+    pair to merge. Here: top-50 (BPE_TOP_N) character bigrams inside
+    whitespace words.
+
+    Scale shape (this is why BPE training parallelizes): the corpus
+    collapses to the *frequency-weighted vocabulary* in the first
+    aggregate — pair extraction then runs over |vocab| rows, not
+    |corpus| rows, which is the difference between re-scanning 100 TB
+    per merge and re-scanning megabytes. Pair explosion is a JVM
+    higher-order transform (no Python); counts are exact BIGINTs. A
+    full trainer loops this query with the chosen merge applied to the
+    vocab — each iteration touches only the |vocab|-sized table."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # substring with a dynamic start needs the SQL spelling; transform
+    # yields the per-position 2-char slice JVM-side
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("n")
+    )
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP_N)

@@ -95,6 +95,11 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     X = np.array([r.emb for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     books = train_codebooks(X)
+    # the query set (vec_id < N_QUERIES) is by construction inside the
+    # lowest-id training sample — reuse the collected rows instead of a
+    # second scan+collect of the embeddings table
+    assert N_QUERIES <= cap, "query set must fit in the training sample"
+    qrows = [r for r in rows if r.vec_id < N_QUERIES]
 
     def encode(batches):
         for pdf in batches:
@@ -113,10 +118,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode, "vec_id long, codes array<int>"
     )
 
-    qrows = sorted(
-        e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
-        key=lambda r: r.vec_id,
-    )
+    qrows = sorted(qrows, key=lambda r: r.vec_id)
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([r.emb for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

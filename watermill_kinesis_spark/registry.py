@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "interval_overlap_join",
     "lagged_cross_correlation",
+    "bpe_pair_counts",
+    "session_path_analysis",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
