@@ -85,6 +85,11 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the r1/r2 headline set, unchanged, so round-over-round comparison
+    # stays apples-to-apples after round 3 added the LLM heavies
+    core14 = HEADLINE[:14]
+    core_total = round(sum(timings.get(n, 0.0) for n in core14), 3)
+    heavy_total = round(total - core_total, 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -97,6 +102,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "subtotals": {
+                    "core14_r1r2_comparable": core_total,
+                    "llm_heavies_added_r3": heavy_total,
+                },
                 "sf": sf_val,
             }
         )

@@ -342,3 +342,53 @@ def test_vocab_coverage_bounds_and_totals(spark, sf_dir):
         assert sum(r["n_tokens"] for r in rows) == total
     finally:
         out.unpersist()
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property: pointer-doubling CC equals a pure-Python union-find on
+    random graphs (the reference implementation is 15 lines of
+    path-compressed union-find — if they ever disagree, the
+    distributed loop is wrong). Seeded RNG: deterministic in CI,
+    diverse shapes (sparse, dense, self-loop-free, isolated nodes)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 40
+        m = rng.randrange(10, 80)
+        edge_set = set()
+        while len(edge_set) < m:
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                edge_set.add((min(u, v), max(u, v)))
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edge_set:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        expected = {}
+        for x in range(n):
+            root = find(x)
+            expected.setdefault(root, set()).add(x)
+        # canonical label = min member of the component
+        want = {x: min(members) for members in expected.values() for x in members}
+
+        from watermill_kinesis_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        fwd = spark.createDataFrame(
+            [(u, v) for u, v in edge_set], "doc_a long, doc_b long"
+        )
+        edges = fwd.union(
+            fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        got = {r.doc_id: r.comp for r in connected_components(nodes, edges).collect()}
+        assert got == want, f"seed {seed}: CC mismatch"
