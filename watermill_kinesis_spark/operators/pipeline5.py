@@ -270,3 +270,83 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("bigint").alias("n")
     )
     return counts.orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP_N)
+
+
+# ---------------------------------------------------------------------------
+# span-corruption mask generation (T5/UL2-style denoising prep)
+
+#: tokens per mask block, span length, and the two mixing constants of
+#: the per-(doc, block) span-offset hash — all pure integer arithmetic
+#: so the mask layout is reproducible on any engine
+SPAN_BLOCK = 20
+SPAN_LEN = 3
+SPAN_MIX_A = 2654435761  # Knuth multiplicative constant
+SPAN_MIX_B = 40503
+
+
+@query(
+    "span_corruption_masks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    d AS (SELECT doc_id, n_tokens, n_tokens // {SPAN_BLOCK} AS n_spans FROM t),
+    spans AS (
+        SELECT doc_id,
+               b * {SPAN_BLOCK}
+                 + (doc_id * {SPAN_MIX_A} + b * {SPAN_MIX_B})
+                   % 2147483648 % {SPAN_BLOCK - SPAN_LEN + 1} AS start
+        FROM d, unnest(range(n_spans)) AS r(b))
+    SELECT d.doc_id, d.n_tokens,
+           CAST(d.n_spans AS BIGINT) AS n_spans,
+           CAST(d.n_spans * {SPAN_LEN} AS BIGINT) AS n_masked,
+           CAST(COALESCE(SUM(s.start), 0) AS BIGINT) AS span_start_sum
+    FROM d LEFT JOIN spans s USING (doc_id)
+    GROUP BY d.doc_id, d.n_tokens, d.n_spans
+    """,
+    tags=("tokenizer", "training-prep", "llm-pipeline"),
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask layout, deterministically
+    derived from (doc_id, block) integer hashing: every full 20-token
+    (SPAN_BLOCK) block masks one 3-token (SPAN_LEN) span whose offset
+    is ``(doc_id·A + block·B) mod 2³¹ mod 18`` — non-overlapping by
+    construction, ~15% mask rate, and reproducible bit-for-bit on any
+    engine or replica (a denoising objective must present the same
+    corruption for the same document on every epoch and every worker).
+
+    The Spark side *materializes* each span (sequence → transform →
+    explode of real start indices) and aggregates count + start-sum;
+    the oracle recomputes the same arithmetic independently — agreement
+    verifies every span position, not just the counts. One scan, one
+    shuffle on doc_id; span generation is JVM higher-order functions,
+    mask metadata is 24 bytes/doc regardless of document size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    d = d.withColumn(
+        "n_spans", F.expr(f"CAST(n_tokens DIV {SPAN_BLOCK} AS BIGINT)")
+    )
+    spans = d.where(F.col("n_spans") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(n_spans AS INT) - 1),"
+                f" b -> CAST(b AS BIGINT) * {SPAN_BLOCK}"
+                f" + (doc_id * {SPAN_MIX_A} + CAST(b AS BIGINT) * {SPAN_MIX_B})"
+                f" % 2147483648 % {SPAN_BLOCK - SPAN_LEN + 1})"
+            )
+        ).alias("start"),
+    )
+    sums = spans.groupBy("doc_id").agg(
+        F.sum("start").cast("bigint").alias("span_start_sum")
+    )
+    return d.join(sums, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        (F.col("n_spans") * SPAN_LEN).cast("bigint").alias("n_masked"),
+        F.coalesce("span_start_sum", F.lit(0)).cast("bigint").alias("span_start_sum"),
+    )

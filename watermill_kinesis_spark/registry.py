@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "lagged_cross_correlation",
     "bpe_pair_counts",
     "session_path_analysis",
+    "span_corruption_masks",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
