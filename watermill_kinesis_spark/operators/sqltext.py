@@ -99,3 +99,40 @@ def sql_text_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds could disagree — the classification, and therefore the
     hash, is stable. (Outputs themselves are exact integers.)"""
     return run_sql(spark, sf_dir, _SQL_PARITY_2)
+
+
+#: one SQL text, two engines: WITH RECURSIVE chain traversal (Spark 4
+#: added recursive CTEs; DuckDB has them natively)
+_SQL_RECURSIVE = """
+WITH RECURSIVE edges AS (
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_key,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders),
+chain(o_orderkey, depth) AS (
+    SELECT o_orderkey, 1 FROM edges WHERE rn = 1
+    UNION ALL
+    SELECT e.next_key, c.depth + 1
+    FROM chain c JOIN edges e ON e.o_orderkey = c.o_orderkey
+    WHERE e.next_key IS NOT NULL)
+SELECT o_orderkey, CAST(depth AS BIGINT) AS chain_depth FROM chain
+"""
+
+
+@query("sql_recursive_cte", oracle=_SQL_RECURSIVE, tags=("sql", "recursive"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE parity: each customer's orders form a
+    chronological chain (LEAD builds the successor edges); the
+    recursive member walks every chain from its root, numbering depth
+    — the linked-list traversal shape behind org hierarchies, BOM
+    explosions, and event causality chains. The same ``WITH
+    RECURSIVE`` text runs on Spark 4 (UnionLoop iterative execution)
+    and DuckDB; the row_number identity (depth == chronological rank)
+    makes the result independently checkable. Recursion depth = max
+    orders per customer (~25 here) — each iteration is one
+    co-partitioned hash join of the frontier against the edge table,
+    so a 100 TB chain-walk parallelizes per key, bounded by chain
+    length not table size."""
+    return run_sql(spark, sf_dir, _SQL_RECURSIVE)

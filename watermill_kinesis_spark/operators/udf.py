@@ -133,3 +133,54 @@ def udtf_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.ngram "
         "FROM udtf_docs AS d, LATERAL wk_trigrams(d.doc_id, d.text) AS t"
     )
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS weighted_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf"),
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — the UDAF face of the UDF surface
+    (scalar pandas UDF, UDTF, and custom codec cover the other three).
+    Each group's columns arrive as Arrow-backed Series; the kernel is
+    one vectorized int64 dot product, so the result is exact and the
+    oracle can recompute it as plain SQL. Grouped-agg UDFs ship whole
+    groups through Arrow — the right tool for numpy-shaped group logic
+    (here a revenue-weighted quantity sum in cents); anything
+    expressible as built-in aggregates should stay JVM-side (agg_hash
+    et al.), which is why this entry exists as API parity with an
+    exact-integer anchor rather than a hot-path recommendation."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from watermill_kinesis_spark.functions.exact import lcents
+
+    @pandas_udf("long")
+    def weighted_cents(q: pd.Series, cents: pd.Series) -> int:
+        return int((q.astype("int64") * cents.astype("int64")).sum())
+
+    # grouped-agg pandas UDFs can't mix with built-in aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count is a second
+    # pandas aggregate over the same Arrow group
+    @pandas_udf("long")
+    def group_rows(q: pd.Series) -> int:
+        return len(q)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        lcents("l_extendedprice").alias("cents"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        group_rows("q").alias("n_rows"),
+        weighted_cents("q", "cents").alias("weighted_cents"),
+    )

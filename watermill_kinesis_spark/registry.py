@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_pair_counts",
     "session_path_analysis",
     "span_corruption_masks",
+    "sql_recursive_cte",
+    "udaf_grouped_pandas",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
