@@ -140,9 +140,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ru = rank.select(F.col("node").alias("u"), F.col("r").alias("ru"))
     rv = rank.select(F.col("node").alias("v"), F.col("r").alias("rv"))
+    # no broadcast hint: the rank table is |nodes|-sized — tiny here,
+    # but at 1e8-node scale it must shuffle; AQE picks broadcast when
+    # the actual size allows
     oriented = (
-        e.join(F.broadcast(ru), "u")
-        .join(F.broadcast(rv), "v")
+        e.join(ru, "u")
+        .join(rv, "v")
         .select(
             F.when(F.col("ru") < F.col("rv"), F.col("ru"))
             .otherwise(F.col("rv"))
