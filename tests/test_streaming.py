@@ -562,6 +562,104 @@ def test_poison_batch_lands_in_dlq_and_stream_progresses(spark, sf_dir, tmp_path
     assert quarantined.select("uuid").union(delivered.select("uuid")).distinct().count() == n_in
 
 
+def test_chaos_reshard_corrupt_poison_restart_conserves_rows(spark, sf_dir, tmp_path):
+    """One scenario, every failure mode the reference's transport can
+    see, at once: corrupt records interleaved mid-stream (poison-record
+    skip, subscriber.go:54-59), a reshard mid-stream (new shard files
+    appear, §2-A #9), a poison BATCH that keeps failing downstream
+    (bounded-retry → DLQ, vs the reference's unbounded nack), and
+    restarts from the checkpoint after every failure. Invariant: every
+    valid input message lands in exactly one of {main sink, DLQ},
+    corrupt records in neither, nothing duplicated."""
+    import json as jsonlib
+
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import _event_messages
+    from watermill_kinesis_spark.streaming import source as stream_source
+    from watermill_kinesis_spark.streaming.sink import (
+        dead_letter_sink,
+        idempotent_batch_sink,
+    )
+
+    topic = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+
+    # wave 1: two shards of valid messages
+    msgs1 = _event_messages(spark, sf_dir, F.col("event_id") < 150)
+    stream_source.write_stream_files(msgs1, topic, n_shards=2, file_label="w1")
+    # corrupt records appended into an existing shard file's stream
+    with open(f"{topic}/shard-0-corrupt.json", "w") as f:
+        f.write(
+            jsonlib.dumps(
+                {
+                    "data": "%%%not-base64-envelope%%%",
+                    "partition_key": "kx",
+                    "sequence_number": "999",
+                    "shard_id": "shard-0",
+                    "approximate_arrival_timestamp": None,
+                }
+            )
+            + "\n"
+            + "{truncated json\n"
+        )
+    # wave 2 = the reshard: files for two NEW shards appear mid-stream
+    msgs2 = _event_messages(
+        spark, sf_dir, (F.col("event_id") >= 150) & (F.col("event_id") < 250)
+    )
+    stream_source.write_stream_files(msgs2, topic, n_shards=4, file_label="w2")
+
+    n_valid = msgs1.count() + msgs2.count()
+    poison_uuid = msgs2.orderBy("uuid").first().uuid
+
+    inner = idempotent_batch_sink(out)
+
+    def picky(batch_df, batch_id):
+        if batch_df.where(F.col("uuid") == poison_uuid).count() > 0:
+            raise RuntimeError("downstream rejects this batch")
+        inner(batch_df, batch_id)
+
+    sink = dead_letter_sink(picky, dlq, max_attempts=2)
+
+    def run_once():
+        q = (
+            stream_source.subscribe(spark, topic, max_files_per_trigger=2)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            return True
+        except Exception:
+            return False
+
+    restarts = 0
+    while not run_once():
+        restarts += 1
+        assert restarts < 10, "stream wedged"
+    assert restarts == 1  # one nack replay, then quarantine
+
+    delivered = spark.read.parquet(out)
+    quarantined = spark.read.parquet(dlq)
+    # conservation: all valid rows exactly once across sink+DLQ
+    assert delivered.count() + quarantined.count() == n_valid
+    all_uuids = delivered.select("uuid").union(quarantined.select("uuid"))
+    assert all_uuids.distinct().count() == n_valid
+    assert quarantined.where(F.col("uuid") == poison_uuid).count() == 1
+    # corrupt records skipped, not delivered anywhere
+    assert delivered.where(F.col("metadata")["partitionKey"] == "kx").count() == 0
+    # the resharded wave's messages arrived (shard spread grew)
+    shards = {
+        r[0]
+        for r in delivered.select(F.col("metadata")["shardID"]).distinct().collect()
+    }
+    assert len(shards) >= 3, f"reshard files not consumed: {shards}"
+
+
 def test_streaming_progress_metrics_surface(spark, sf_dir, tmp_path):
     """Observability parity: the engine reports per-batch progress
     (rows, source offsets, durations) through the StreamingQuery
