@@ -184,3 +184,50 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_rows("q").alias("n_rows"),
         weighted_cents("q", "cents").alias("weighted_cents"),
     )
+
+
+@query(
+    "udf_grouped_map_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS quantity,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_rank
+    FROM lineitem
+    GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    """,
+    tags=("udf", "grouped-map"),
+)
+def udf_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (``applyInPandas``) — the fourth face of
+    the pandas API surface (scalar UDF, grouped-agg UDF, UDTF are the
+    others): a whole group arrives as one pandas DataFrame and leaves
+    as another, the hook for per-group model fitting, normalization,
+    or resampling that has no SQL spelling. The kernel here is chosen
+    to HAVE one — per-returnflag dense rank of quantity levels — so
+    the oracle can recompute it as a window function and the Arrow
+    round trip is value-verified exactly (all-integer output). Group =
+    return flag: three fat groups at any scale, the documented worst
+    case for grouped-map (state must fit one task); real pipelines key
+    finer, exactly like the applyInPandas cells in
+    dedup_embedding_cosine."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("quantity")
+    )
+    grouped = li.groupBy("l_returnflag", "quantity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+    def rank_levels(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("quantity").reset_index(drop=True)
+        pdf["qty_rank"] = pdf["quantity"].rank(method="dense").astype("int64")
+        return pdf
+
+    return grouped.groupBy("l_returnflag").applyInPandas(
+        rank_levels,
+        "l_returnflag string, quantity bigint, n_rows bigint, qty_rank bigint",
+    )

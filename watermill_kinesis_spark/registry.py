@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "span_corruption_masks",
     "sql_recursive_cte",
     "udaf_grouped_pandas",
+    "udf_grouped_map_pandas",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
