@@ -200,3 +200,63 @@ def test_end_to_end_readstream_with_stub(spark, tmp_path):
     assert payloads == {f"payload-{i}" for i in range(5)}
     # per-record shard enrichment survived the decode
     assert all(r.metadata["shardID"].startswith("shardId-") for r in out["rows"])
+
+
+def test_kpl_aggregate_roundtrip():
+    """Encoder → decoder round trip with key interning; checksum and
+    magic are validated; corrupt containers raise (→ corrupt-skip)."""
+    from watermill_kinesis_spark.streaming import kpl
+
+    recs = [
+        ("key-a", b"payload one"),
+        ("key-b", b""),
+        ("key-a", b"\x00\xff binary \xf3\x89"),
+        ("key-c", "unicode éµ".encode()),
+    ]
+    blob = kpl.aggregate(recs)
+    assert kpl.is_aggregated(blob)
+    assert kpl.deaggregate(blob) == recs
+    # key table interned: 3 unique keys despite 4 records
+    assert blob.count(b"key-a") == 1
+
+    # bit-flip the body → checksum mismatch
+    corrupt = bytearray(blob)
+    corrupt[10] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        kpl.deaggregate(bytes(corrupt))
+    with pytest.raises(ValueError, match="not a KPL"):
+        kpl.deaggregate(b"plain bytes")
+    assert not kpl.is_aggregated(b"plain bytes")
+
+
+def test_kpl_deaggregation_through_source():
+    """A KPL-packed Kinesis record explodes into per-user-record wire
+    rows with sub-sequence numbers; plain records pass through; a
+    corrupt container degrades to a single (droppable) row."""
+    from watermill_kinesis_spark.streaming import kpl
+
+    c = StubKinesisClient()
+    packed = kpl.aggregate([("k1", b"sub-a"), ("k2", b"sub-b"), ("k1", b"sub-c")])
+    c._shards.setdefault("shardId-000000000000", []).append(
+        {"Data": packed, "PartitionKey": "k1", "SequenceNumber": "100",
+         "ApproximateArrivalTimestamp": None}
+    )
+    c.put("shardId-000000000000", "plain-record", partition_key="kp")
+    corrupt = bytearray(kpl.aggregate([("k9", b"x")]))
+    corrupt[8] ^= 0xFF
+    c._shards["shardId-000000000000"].append(
+        {"Data": bytes(corrupt), "PartitionKey": "k9", "SequenceNumber": "102",
+         "ApproximateArrivalTimestamp": None}
+    )
+
+    r = _reader(c)
+    rows, end = r.read(r.initialOffset())
+    datas = [row[0] for row in rows]
+    assert datas[:3] == ["sub-a", "sub-b", "sub-c"]
+    assert [row[2] for row in rows[:3]] == ["100:0", "100:1", "100:2"]
+    assert [row[1] for row in rows[:3]] == ["k1", "k2", "k1"]
+    assert "plain-record" in datas
+    assert len(rows) == 5  # 3 subs + plain + corrupt-container fallback row
+    # offsets track the CONTAINER sequence, so replay reproduces subs
+    replay = list(r.readBetweenOffsets(r.initialOffset(), end))
+    assert [row[0] for row in replay] == datas

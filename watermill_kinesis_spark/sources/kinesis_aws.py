@@ -99,17 +99,45 @@ def _list_shard_ids(client, stream: str) -> list[str]:
         kwargs = {"NextToken": token}
 
 
-def _record_row(rec: dict, shard_id: str) -> tuple:
+def _record_rows(rec: dict, shard_id: str) -> list[tuple]:
+    """One Kinesis record → one or many wire rows. KPL aggregate
+    containers (magic-prefixed, md5-sealed) unpack transparently —
+    the de-aggregation the reference delegates to
+    awslabs/kinesis-aggregation (reference go.mod:27); sub-records get
+    ``<seq>:<i>`` sub-sequence numbers, KCL-style. A corrupt container
+    falls through as a single undecodable row, which the downstream
+    corrupt-skip drops (reference subscriber.go:54-59)."""
+    from watermill_kinesis_spark.streaming import kpl
+
     data = rec["Data"]
-    if isinstance(data, (bytes, bytearray)):
-        data = bytes(data).decode("utf-8", errors="replace")
-    return (
-        data,
-        rec.get("PartitionKey"),
-        rec.get("SequenceNumber"),
-        shard_id,
-        rec.get("ApproximateArrivalTimestamp"),
-    )
+    raw = bytes(data) if isinstance(data, (bytes, bytearray)) else str(data).encode()
+    seq = rec.get("SequenceNumber")
+    ts = rec.get("ApproximateArrivalTimestamp")
+    if kpl.is_aggregated(raw):
+        try:
+            subs = kpl.deaggregate(raw)
+        except ValueError:
+            subs = None
+        if subs is not None:
+            return [
+                (
+                    payload.decode("utf-8", errors="replace"),
+                    key,
+                    f"{seq}:{i}",
+                    shard_id,
+                    ts,
+                )
+                for i, (key, payload) in enumerate(subs)
+            ]
+    return [
+        (
+            raw.decode("utf-8", errors="replace"),
+            rec.get("PartitionKey"),
+            seq,
+            shard_id,
+            ts,
+        )
+    ]
 
 
 class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
@@ -204,7 +232,7 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
                 resp = client.get_records(ShardIterator=it, Limit=self.max_records)
                 recs = resp.get("Records", [])
                 for rec in recs:
-                    rows.append(_record_row(rec, shard_id))
+                    rows.extend(_record_rows(rec, shard_id))
                 if recs:
                     state[shard_id] = recs[-1]["SequenceNumber"]
                 it = resp.get("NextShardIterator")
@@ -241,7 +269,7 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
                 resp = client.get_records(ShardIterator=it, Limit=self.max_records)
                 recs = resp.get("Records", [])
                 for rec in recs:
-                    rows.append(_record_row(rec, shard_id))
+                    rows.extend(_record_rows(rec, shard_id))
                     if end_seq != SHARD_END and rec["SequenceNumber"] == end_seq:
                         done = True
                         break
