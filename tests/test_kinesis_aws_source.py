@@ -260,3 +260,51 @@ def test_kpl_deaggregation_through_source():
     # offsets track the CONTAINER sequence, so replay reproduces subs
     replay = list(r.readBetweenOffsets(r.initialOffset(), end))
     assert [row[0] for row in replay] == datas
+
+
+def test_kpl_pack_publish_consume_full_cycle():
+    """Producer-side packing through the boto3 transport, consumed back
+    through the source: N user records → few service records (the KPL
+    economics) → N wire rows, with per-key FIFO preserved (a container
+    carries one key, so key→shard routing is unchanged)."""
+    from watermill_kinesis_spark.streaming import kpl
+    from watermill_kinesis_spark.streaming.sink import (
+        KinesisPublisher,
+        PutRecordsEntry,
+        put_chunked,
+    )
+
+    entries = [PutRecordsEntry(f"env-{i}", f"k{i % 3}") for i in range(30)]
+    packed = kpl.pack_entries(entries, max_per_container=4)
+    # 3 keys × ceil(10/4)=3 containers each → 9 service records for 30
+    assert len(packed) == 9
+    assert all(isinstance(p.data, bytes) for p in packed)
+
+    client = _StubPutGet()
+    pub = KinesisPublisher("s", client=client)
+    assert put_chunked(pub, packed) == 9
+
+    # consume: every service record unpacks to its user records
+    out = []
+    for rec in client.landed:
+        for key, payload in kpl.deaggregate(rec["Data"]):
+            out.append((key, payload.decode()))
+            assert key == rec["PartitionKey"]  # container key == sub key
+    assert sorted(p for _, p in out) == sorted(f"env-{i}" for i in range(30))
+    # per-key order preserved through pack→publish→unpack
+    for k in ("k0", "k1", "k2"):
+        seq = [p for key, p in out if key == k]
+        want = [f"env-{i}" for i in range(30) if f"k{i % 3}" == k]
+        assert seq == want
+
+
+class _StubPutGet:
+    def __init__(self):
+        self.landed = []
+
+    def put_records(self, StreamName, Records):
+        self.landed.extend(Records)
+        return {
+            "FailedRecordCount": 0,
+            "Records": [{"SequenceNumber": str(i)} for i in range(len(Records))],
+        }

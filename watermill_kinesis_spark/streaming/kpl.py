@@ -165,3 +165,33 @@ def aggregate(records: list[tuple[str, bytes]]) -> bytes:
         body += _write_len_delimited(3, rec)
     body_b = bytes(body)
     return KPL_MAGIC + body_b + hashlib.md5(body_b).digest()
+
+
+def pack_entries(entries, max_per_container: int = 100):
+    """Producer-side KPL packing: group wire entries by partition key
+    (sub-records of one container share the container's partition key,
+    so per-key FIFO routing survives aggregation) and pack up to
+    ``max_per_container`` per KPL blob. Returns ``PutRecordsEntry``-
+    shaped objects with *bytes* data — pass to ``put_chunked`` with the
+    ``KinesisPublisher`` transport, which sends bytes as-is. This is
+    how a producer beats the 1,000 records/s/shard service limit: N
+    user records cost one service record. Consumers (the engine's
+    ``kinesis_aws`` source, or any KCL app) unpack transparently."""
+    from watermill_kinesis_spark.streaming.sink import PutRecordsEntry
+
+    by_key: dict[str, list] = {}
+    order: list[str] = []
+    for e in entries:
+        key = e.partition_key or "0"
+        if key not in by_key:
+            by_key[key] = []
+            order.append(key)
+        data = e.data if isinstance(e.data, bytes) else e.data.encode("utf-8")
+        by_key[key].append((key, data))
+    packed = []
+    for key in order:
+        recs = by_key[key]
+        for i in range(0, len(recs), max_per_container):
+            blob = aggregate(recs[i : i + max_per_container])
+            packed.append(PutRecordsEntry(blob, key))
+    return packed

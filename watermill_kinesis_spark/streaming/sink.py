@@ -36,7 +36,9 @@ class PutRecordsEntry:
 
     __slots__ = ("data", "partition_key")
 
-    def __init__(self, data: str, partition_key: str | None):
+    def __init__(self, data: str | bytes, partition_key: str | None):
+        # str for the JSON envelope; bytes for pre-packed payloads
+        # (KPL aggregate containers, custom binary codecs)
         self.data = data
         self.partition_key = partition_key
 
@@ -156,7 +158,7 @@ class KinesisPublisher:
     def put_records(self, entries: list[PutRecordsEntry]) -> PutRecordsResult:
         records = [
             {
-                "Data": e.data.encode("utf-8"),
+                "Data": e.data if isinstance(e.data, bytes) else e.data.encode("utf-8"),
                 # Kinesis requires a non-empty partition key; keyless
                 # messages share one key = one shard, matching the
                 # simulator's shard-0 routing for None keys
