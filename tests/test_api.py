@@ -137,3 +137,57 @@ def test_custom_unmarshaller_dead_letter_view(spark, sf_dir, tmp_path):
     n_corrupt = back.where(F.col("uuid").isNull()).count()
     assert n_corrupt == 1  # kept, visible, isolated
     assert n_total == msgs.count() + 1
+
+
+def test_process_with_dlq_bounds_the_nack_loop(spark, sf_dir, tmp_path):
+    """Subscriber.process = subscribe → handler → bounded-retry → DLQ
+    in one call: a handler that always rejects one batch's content
+    wedges the reference forever (unbounded nack,
+    subscriber/subscriber.go:92-95); here the batch quarantines after
+    max_attempts and the stream completes. Handler output + DLQ
+    together hold every message exactly once."""
+    root = str(tmp_path / "endpoint")
+    pub = PublisherBuilder().with_endpoint(root).build()
+    sub = SubscriberBuilder().with_endpoint(root).build()
+    msgs = _msgs(spark, sf_dir, 120)
+    pub.publish("topic-p", msgs)
+    n_in = msgs.count()
+    poison_uuid = msgs.orderBy("uuid").first().uuid
+
+    out_dir = str(tmp_path / "handled")
+    seen_uuids = []
+
+    def handler(batch_df, batch_id):
+        import os as _os
+
+        rows = batch_df.collect()
+        if any(r.uuid == poison_uuid for r in rows):
+            raise RuntimeError("handler rejects this content")
+        _os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/batch-{batch_id}", "w") as f:
+            f.write("\n".join(r.uuid for r in rows))
+        seen_uuids.extend(r.uuid for r in rows)
+
+    attempts = 0
+    while True:
+        q = sub.process(
+            spark,
+            "topic-p",
+            handler,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            dlq_dir=str(tmp_path / "dlq"),
+            max_attempts=2,
+            availableNow=True,
+        )
+        try:
+            q.awaitTermination()
+            break
+        except Exception:
+            attempts += 1
+            assert attempts < 8, "stream never progressed"
+    sub.close()
+    assert attempts == 1  # one nack replay, then quarantine
+
+    quarantined = spark.read.parquet(str(tmp_path / "dlq"))
+    assert quarantined.where(F.col("uuid") == poison_uuid).count() == 1
+    assert quarantined.count() + len(set(seen_uuids)) == n_in

@@ -260,6 +260,40 @@ class Subscriber:
         )
         return self._opts.unmarshaller(wire)
 
+    def process(
+        self,
+        spark: SparkSession,
+        topic: str,
+        handler: Callable[[DataFrame, int], None],
+        checkpoint_dir: str,
+        dlq_dir: str | None = None,
+        max_attempts: int = 3,
+        **trigger,
+    ):
+        """Consume-with-handler, the reference's subscribe loop as one
+        call: subscribe → ``foreachBatch(handler)`` → start, with the
+        engine's delivery semantics applied — a raised handler error
+        leaves the epoch uncommitted so the restarted query replays it
+        (nack, reference subscriber/subscriber.go:92-95), and when
+        ``dlq_dir`` is set the replay budget is BOUNDED: after
+        ``max_attempts`` failures the batch quarantines to the DLQ and
+        the stream progresses, instead of the reference's unbounded
+        redelivery wedging the shard. The query is tracked for
+        ``close()``."""
+        from watermill_kinesis_spark.streaming.sink import dead_letter_sink
+
+        sink = handler
+        if dlq_dir is not None:
+            sink = dead_letter_sink(handler, dlq_dir, max_attempts=max_attempts)
+        writer = (
+            self.subscribe(spark, topic)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return self.track(writer.start())
+
     def track(self, query) -> object:
         """Register a started StreamingQuery for ``close()``."""
         self._queries.append(query)
@@ -269,11 +303,22 @@ class Subscriber:
         """Graceful shutdown: stop tracked queries and wait for
         termination — in-flight micro-batches either commit (ack) or
         replay after restart from the checkpoint (the reference's
-        shutdown-mid-batch skip-checkpoint path, subscriber.go:61-63)."""
+        shutdown-mid-batch skip-checkpoint path, subscriber.go:61-63).
+        A query that already terminated WITH an error (its exception
+        surfaced through the caller's own ``awaitTermination``) is
+        simply dropped — close() is resource cleanup, not a second
+        error channel; re-raising here would wedge the teardown of the
+        remaining queries (the failure mode the reference's Closer
+        drain avoids too, closer/closer.go:63-67)."""
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
         while self._queries:
             q = self._queries.pop()
-            q.stop()
-            q.awaitTermination()
+            try:
+                q.stop()
+                q.awaitTermination()
+            except StreamingQueryException:
+                continue  # already dead-with-error; nothing to drain
 
 
 class SubscriberBuilder:

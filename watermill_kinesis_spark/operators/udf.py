@@ -3,13 +3,20 @@
 The reference's only extension point is the pluggable
 marshaller/unmarshaller function type (reference marshaller.go:22,52;
 publisher.go:48-51; subscriber.go:109-112) — a per-record codec hook.
-Spark-first, that hook is a UDF; the engine exposes the two tiers that
-matter at scale:
+Spark-first, that hook is a UDF; the engine exposes every Arrow-backed
+face of the surface, each as a named, oracle-anchored entry:
 
-- ``@pandas_udf`` (Arrow-vectorized, ~10-100× faster than row-at-a-time
-  Python) for per-value logic built-ins can't express;
-- ``mapInPandas`` for whole-batch logic (see operators/multimodal.py
-  and the similarity kernels).
+- scalar ``@pandas_udf`` (``udf_scalar_pandas``) — per-value logic,
+  vectorized over Arrow batches;
+- grouped-aggregate ``@pandas_udf`` (``udaf_grouped_pandas``) — the
+  UDAF: whole group in, scalar out;
+- grouped-map ``applyInPandas`` (``udf_grouped_map_pandas``) — whole
+  group in, DataFrame out;
+- Python UDTF (``udtf_token_ngrams``) — one row in, many rows out via
+  LATERAL join;
+- plus the codec hook itself (``udf_custom_codec``) and the
+  whole-partition ``mapInPandas`` kernels used throughout
+  operators/multimodal.py and the similarity/dedup families.
 
 Row-at-a-time ``F.udf`` is deliberately NOT used anywhere in this
 engine — it is the slow path and nothing here needs it.

@@ -276,7 +276,9 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
                 it = resp.get("NextShardIterator")
                 if not recs and not resp.get("MillisBehindLatest"):
                     break
-        return rows
+        # MUST be an iterator (not a list): the checkpointed-replay
+        # path type-checks the return strictly
+        return iter(rows)
 
 
 class KinesisAwsDataSource(DataSource):

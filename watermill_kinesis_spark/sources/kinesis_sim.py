@@ -171,7 +171,11 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         seen = set(start.get("seen", []))
         replay = [f for f in end.get("seen", []) if f not in seen]
-        return list(_read_files(self.topic_dir, replay))
+        # MUST be an iterator (not a list): the replay path — a
+        # restarted query re-reading an uncommitted epoch from the
+        # offset log — type-checks the return strictly
+        # (DATA_SOURCE_INVALID_RETURN_TYPE otherwise)
+        return iter(list(_read_files(self.topic_dir, replay)))
 
 
 class _PutCommit(WriterCommitMessage):
