@@ -362,6 +362,12 @@ def dead_letter_sink(
             batch_df.write.mode("overwrite").parquet(
                 os.path.join(dlq_dir, f"batch_id={batch_id}")
             )
+            # budget spent and batch quarantined: clear the marker so a
+            # FRESH checkpoint that happens to reuse this epoch id gets
+            # a full budget. If this very epoch replays (crash between
+            # quarantine and commit), the retries re-earn the same
+            # quarantine — the overwrite keeps that idempotent.
+            os.remove(marker)
             # swallow: the epoch commits; the stream moves on
             return
         # success: clear any stale budget so a later reuse of this
