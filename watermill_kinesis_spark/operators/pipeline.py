@@ -261,3 +261,106 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (crawl-pipeline pre-step)
+
+#: the canonicalization pipeline shared by both engines, as SQL text
+#: over a raw `url` column: strip fragment → split query → lowercase
+#: scheme+host → drop utm_* tracking params → sort remaining params.
+_URL_CANON_SQL = """
+    lower(split_part(split_part(split_part(url, '#', 1), '?', 1), '://', 1))
+    || '://'
+    || lower(split_part(split_part(split_part(split_part(url, '#', 1), '?', 1),
+                                   '://', 2), '/', 1))
+    || substr(split_part(split_part(split_part(url, '#', 1), '?', 1), '://', 2),
+              length(split_part(split_part(split_part(split_part(url, '#', 1),
+                                                      '?', 1), '://', 2),
+                                '/', 1)) + 1)
+    || CASE WHEN {params} = '' THEN '' ELSE '?' || {params} END
+"""
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN upper('www.' || source || '.example.com')
+                        ELSE 'www.' || source || '.example.com' END)
+               || '/docs/' || CAST(doc_id // 2 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN '?id=' || CAST(doc_id // 2 AS VARCHAR)
+                             || '&utm_source=news&ref=a'
+                        ELSE '?ref=a&id=' || CAST(doc_id // 2 AS VARCHAR)
+                             || '&utm_medium=mail' END)
+               || '#section-' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+    canon AS (
+        SELECT doc_id, url,
+               {_URL_CANON_SQL.format(params='''
+                   array_to_string(list_sort(list_filter(
+                       string_split(split_part(split_part(url, '#', 1), '?', 2), '&'),
+                       x -> NOT starts_with(x, 'utm_'))), '&')''')} AS url_canonical
+        FROM raw)
+    SELECT doc_id, url_canonical,
+           CAST(MIN(doc_id) OVER (PARTITION BY url_canonical) AS BIGINT)
+               AS keeper_doc_id
+    FROM canon
+    """,
+    tags=("pipeline", "dedup", "url", "llm-pipeline"),
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the cheapest pre-step of a crawl pipeline,
+    run BEFORE any content hashing: canonicalize (lowercase scheme and
+    host, strip the fragment, drop ``utm_*`` tracking params, sort the
+    surviving query params) and keep the lowest doc per canonical URL.
+    Two raw fetches of the same page routinely differ only in tracking
+    noise; at 100 TB this one string pipeline removes them for the
+    cost of a projection plus one |urls|-keyed window — no content
+    bytes touched.
+
+    The raw URLs are synthesized deterministically from doc fields
+    (scheme/host casing and param order vary per doc, consecutive doc
+    pairs share a page), so the oracle can rebuild the identical input
+    and the *canonicalization algorithm itself* — shared SQL text,
+    ``split_part``/higher-order-filter based, no UDF — is what both
+    engines must agree on, byte for byte."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.expr(
+            """
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+            || '://'
+            || (CASE WHEN doc_id % 3 = 0
+                     THEN upper('www.' || source || '.example.com')
+                     ELSE 'www.' || source || '.example.com' END)
+            || '/docs/' || CAST(doc_id DIV 2 AS STRING)
+            || (CASE WHEN doc_id % 2 = 0
+                     THEN '?id=' || CAST(doc_id DIV 2 AS STRING)
+                          || '&utm_source=news&ref=a'
+                     ELSE '?ref=a&id=' || CAST(doc_id DIV 2 AS STRING)
+                          || '&utm_medium=mail' END)
+            || '#section-' || CAST(doc_id AS STRING)
+            """
+        ).alias("url"),
+    )
+    params = """
+        array_join(array_sort(filter(
+            split(split_part(split_part(url, '#', 1), '?', 2), '&'),
+            x -> NOT startswith(x, 'utm_'))), '&')"""
+    canon = raw.select(
+        "doc_id",
+        F.expr(_URL_CANON_SQL.format(params=params)).alias("url_canonical"),
+    )
+    w = W.partitionBy("url_canonical")
+    return canon.select(
+        "doc_id",
+        "url_canonical",
+        F.min("doc_id").over(w).cast("bigint").alias("keeper_doc_id"),
+    )

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     "udaf_grouped_pandas",
     "udf_grouped_map_pandas",
+    "url_canonicalize_dedup",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
