@@ -364,3 +364,47 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_canonical",
         F.min("doc_id").over(w).cast("bigint").alias("keeper_doc_id"),
     )
+
+
+@query(
+    "token_length_histogram_log2",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket
+          FROM t)
+    SELECT bucket,
+           CAST(pow(2, bucket) AS BIGINT) AS bucket_lo,
+           CAST(pow(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY bucket
+    """,
+    tags=("pipeline", "histogram", "llm-pipeline"),
+)
+def token_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length histogram in power-of-2 buckets — the input a
+    sequence-packing planner reads (how much of the corpus fits 512
+    tokens, how much needs 4k, where padding waste concentrates).
+    Bucket index is ⌊log₂ n⌋ computed *integer-exactly* as the length
+    of the binary representation minus one (both engines' ``bin``),
+    never floating log2, whose 1-ulp wobble at exact powers of two
+    would misbucket boundary documents differently per libm. One
+    map-side-combined aggregate over ≤64 buckets — constant output at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    b = t.withColumn(
+        "bucket", (F.length(F.bin("n_tokens")) - 1).cast("int")
+    )
+    return b.groupBy("bucket").agg(
+        F.expr("CAST(pow(2, bucket) AS BIGINT)").alias("bucket_lo"),
+        F.expr("CAST(pow(2, bucket + 1) - 1 AS BIGINT)").alias("bucket_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

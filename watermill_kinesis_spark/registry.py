@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_grouped_pandas",
     "udf_grouped_map_pandas",
     "url_canonicalize_dedup",
+    "token_length_histogram_log2",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
