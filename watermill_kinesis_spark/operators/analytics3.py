@@ -461,3 +461,83 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt.o_totalprice").alias("next_totalprice"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate,
+               CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END AS dirflag,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(datediff('day', CAST(e.ts AS DATE),
+                                         o.o_orderdate)) ASC,
+                            CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+                            CASE WHEN o.o_orderdate <= e.ts
+                                 THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o ON e.user_id = o.o_custkey)
+    SELECT event_id, user_id,
+           o_orderkey AS nearest_orderkey,
+           o_orderdate AS nearest_orderdate,
+           CASE WHEN o_orderdate IS NULL THEN NULL
+                WHEN dirflag = 0 THEN 'backward' ELSE 'forward' END AS direction
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "event-time"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — the fourth and final direction of the
+    as-of family (backward = `join_asof_events`, forward =
+    `join_asof_forward`, bounded = `join_asof_tolerance`): for each
+    event, the user's order with the smallest |day distance|, ties
+    resolved backward (pandas ``merge_asof direction='nearest'``
+    semantics), per-direction key tie-breaks inherited from the
+    directional ops (backward → max key, forward → min key) so all
+    four variants agree on their shared edges.
+
+    Scale shape: COMPOSITION, not a new kernel — the two directional
+    as-ofs each run their scalable union-scan (one shuffle, no row
+    explosion), then one event_id-keyed join picks the nearer side
+    with plain column arithmetic. The naive spelling (left-join all
+    the user's orders, rank by distance) explodes by orders-per-user;
+    the oracle runs exactly that as the independent check."""
+    from watermill_kinesis_spark.operators.windows import join_asof_events
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    b = join_asof_events(spark, sf_dir).select(
+        "event_id", "user_id", "asof_orderkey", "asof_orderdate"
+    )
+    f = join_asof_forward(spark, sf_dir).select(
+        F.col("event_id").alias("f_event_id"), "next_orderkey", "next_orderdate"
+    )
+    j = (
+        b.join(f, b.event_id == f.f_event_id)
+        .join(ev, "event_id")
+        .drop("f_event_id")
+    )
+    d_b = F.abs(F.datediff(F.col("ts").cast("date"), F.col("asof_orderdate")))
+    d_f = F.abs(F.datediff(F.col("next_orderdate"), F.col("ts").cast("date")))
+    take_backward = F.col("asof_orderdate").isNotNull() & (
+        F.col("next_orderdate").isNull() | (d_b <= d_f)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(take_backward, F.col("asof_orderkey"))
+        .otherwise(F.col("next_orderkey"))
+        .alias("nearest_orderkey"),
+        F.when(take_backward, F.col("asof_orderdate"))
+        .otherwise(F.col("next_orderdate"))
+        .alias("nearest_orderdate"),
+        F.when(
+            F.col("asof_orderdate").isNull() & F.col("next_orderdate").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(take_backward, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "udf_grouped_map_pandas",
     "url_canonicalize_dedup",
     "token_length_histogram_log2",
+    "join_asof_nearest",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
