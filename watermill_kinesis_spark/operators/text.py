@@ -319,3 +319,69 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("n_oov"),
         (oov.cast("double") / F.count(F.lit(1)).cast("double")).alias("oov_rate"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> list_contains({list(STOPWORDS)}, t))) >= 3
+                    THEN 'en' ELSE 'und' END AS predicted_lang
+        FROM documents),
+    cm AS (
+        SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, predicted_lang)
+    SELECT lang, predicted_lang, n,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_labeled,
+           CAST(SUM(n) OVER (PARTITION BY predicted_lang) AS BIGINT)
+               AS n_predicted,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+               AS recall_contrib,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY predicted_lang) AS DOUBLE)
+               AS precision_contrib
+    FROM cm
+    """,
+    tags=("text", "evaluation", "llm-pipeline"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the lang-ID heuristic
+    — the QA step every filtering model in a data pipeline needs before
+    its predictions gate real documents: (label, prediction) counts
+    with per-class marginals and the recall/precision contribution of
+    each cell (diagonal cells ARE the per-class recall and precision).
+    Exact integer counts; the two ratios are single divisions of exact
+    integers with shared expression text. Plan: one corpus pass to
+    |langs|² cells, then windows over that constant-size matrix — the
+    eval is free at any corpus scale."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    pred = d.select(
+        "lang", F.when(hits >= 3, "en").otherwise("und").alias("predicted_lang")
+    )
+    cm = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w_label = W.partitionBy("lang")
+    w_pred = W.partitionBy("predicted_lang")
+    n_labeled = F.sum("n").over(w_label).cast("bigint")
+    n_predicted = F.sum("n").over(w_pred).cast("bigint")
+    return cm.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        n_labeled.alias("n_labeled"),
+        n_predicted.alias("n_predicted"),
+        (F.col("n").cast("double") / n_labeled.cast("double")).alias(
+            "recall_contrib"
+        ),
+        (F.col("n").cast("double") / n_predicted.cast("double")).alias(
+            "precision_contrib"
+        ),
+    )

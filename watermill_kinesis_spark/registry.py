@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "url_canonicalize_dedup",
     "token_length_histogram_log2",
     "join_asof_nearest",
+    "lang_id_confusion",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
