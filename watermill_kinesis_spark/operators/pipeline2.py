@@ -249,3 +249,99 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_after_dedup"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding distribution drift (reference vs candidate corpus halves)
+
+#: report the top-N drifted dimensions
+DRIFT_TOP_DIMS = 8
+
+
+@query(
+    "embedding_drift_dims",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, vec_id % 2 = 0 AS is_ref,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS micro
+        FROM embeddings),
+    d AS (
+        SELECT CAST(r.dim AS INT) AS dim, is_ref, micro[CAST(r.dim AS INT)] AS val
+        FROM m, unnest(range(1, len(micro) + 1)) AS r(dim)),
+    s AS (
+        SELECT dim,
+               CAST(SUM(CASE WHEN is_ref THEN val END) AS BIGINT) AS s_ref,
+               CAST(SUM(CASE WHEN NOT is_ref THEN val END) AS BIGINT) AS s_cand,
+               CAST(COUNT(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS n_ref,
+               CAST(COUNT(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS n_cand
+        FROM d GROUP BY dim),
+    r AS (
+        SELECT dim, n_ref, n_cand, s_ref, s_cand,
+               CAST(n_cand * s_ref - n_ref * s_cand AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cand AS DOUBLE) * 1000000.0)
+                   AS mean_diff,
+               ROW_NUMBER() OVER (
+                   ORDER BY abs(n_cand * s_ref - n_ref * s_cand) DESC, dim)
+                   AS drift_rank
+        FROM s)
+    SELECT dim, n_ref, n_cand, s_ref, s_cand, mean_diff,
+           CAST(drift_rank AS INT) AS drift_rank
+    FROM r WHERE drift_rank <= {DRIFT_TOP_DIMS}
+    """,
+    tags=("pipeline", "embedding", "monitoring", "llm-pipeline"),
+)
+def embedding_drift_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-dimension mean shift
+    between a reference corpus half and a candidate half (here: even
+    vs odd vec_id — in production, last month's index vs this week's
+    ingest), reporting the top-8 (DRIFT_TOP_DIMS) drifted dimensions.
+    Per-dim mean difference IS the linear-kernel MMD witness function —
+    the standard cheap drift alarm before re-training an index or a
+    router.
+
+    Exactness: components quantize to micro-units (floor(x·1e6), the
+    embedding_normalize pattern) so per-dim sums are exact BIGINTs, and
+    the ranking key |n_cand·s_ref − n_ref·s_cand| is an exact integer —
+    no float comparison anywhere until the single closed-form division
+    that renders the human-readable mean_diff. One explode + one
+    (dim)-keyed aggregate: at 100 TB the shuffle is |dims| cells, and
+    the window runs over a constant |dims|-row table."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000000.0) AS BIGINT))"
+        ).alias("micro"),
+    )
+    d = e.select(
+        "is_ref", F.posexplode("micro").alias("dim0", "val")
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "is_ref", "val")
+    s = d.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("val"))).cast("bigint").alias("s_ref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("val"))).cast("bigint").alias("s_cand"),
+        F.count(F.when(F.col("is_ref"), 1)).cast("bigint").alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).cast("bigint").alias("n_cand"),
+    )
+    from pyspark.sql import Window as W
+
+    key = F.abs(F.col("n_cand") * F.col("s_ref") - F.col("n_ref") * F.col("s_cand"))
+    r = s.withColumn(
+        "drift_rank",
+        F.row_number()
+        .over(W.orderBy(key.desc(), F.asc("dim")))
+        .cast("int"),
+    )
+    return r.where(F.col("drift_rank") <= DRIFT_TOP_DIMS).select(
+        "dim",
+        "n_ref",
+        "n_cand",
+        "s_ref",
+        "s_cand",
+        F.expr(
+            "CAST(n_cand * s_ref - n_ref * s_cand AS DOUBLE)"
+            " / (CAST(n_ref AS DOUBLE) * CAST(n_cand AS DOUBLE) * 1000000.0)"
+        ).alias("mean_diff"),
+        "drift_rank",
+    )

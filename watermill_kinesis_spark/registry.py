@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "token_length_histogram_log2",
     "join_asof_nearest",
     "lang_id_confusion",
+    "embedding_drift_dims",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
