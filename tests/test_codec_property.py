@@ -89,3 +89,66 @@ def test_binary_codec_roundtrip_property(spark, batch):
         gp, gm = got[u]
         assert gp == p, f"payload mismatch for {u!r}"
         assert gm == m, f"metadata mismatch for {u!r}"
+
+
+# ---------------------------------------------------------------------------
+# KPL container codec properties (hand-rolled varint/protobuf wire)
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _kpl_records(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    keys = draw(
+        st.lists(
+            st.text(min_size=1, max_size=32).filter(lambda s: s.strip()),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    return [
+        (
+            draw(st.sampled_from(keys)),
+            draw(st.binary(min_size=0, max_size=512)),
+        )
+        for _ in range(n)
+    ]
+
+
+@given(_kpl_records())
+@settings(max_examples=60, deadline=None)
+def test_kpl_roundtrip_property(records):
+    """deaggregate(aggregate(r)) == r for arbitrary keys (unicode
+    included) and arbitrary binary payloads, including payloads that
+    embed the KPL magic bytes themselves."""
+    from watermill_kinesis_spark.streaming import kpl
+
+    blob = kpl.aggregate(records)
+    assert kpl.is_aggregated(blob)
+    assert kpl.deaggregate(blob) == records
+
+
+@given(_kpl_records().filter(bool), st.data())
+@settings(max_examples=60, deadline=None)
+def test_kpl_corruption_never_passes_silently(records, data):
+    """Any single-byte corruption of the container either raises
+    ValueError or (for bit flips inside a payload that the md5 would
+    catch) — never returns wrong records silently. The md5 trailer
+    makes silent corruption a 2^-128 event; the property pins the
+    error path for every byte position class."""
+    from watermill_kinesis_spark.streaming import kpl
+
+    blob = bytearray(kpl.aggregate(records))
+    pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    flip = data.draw(st.integers(min_value=1, max_value=255))
+    blob[pos] ^= flip
+    try:
+        out = kpl.deaggregate(bytes(blob))
+    except ValueError:
+        return  # detected — the required behavior
+    # only reachable if the corrupted byte was inside the magic AND
+    # produced a non-magic prefix... which raises too; or an md5
+    # collision (practically impossible). If we got records back they
+    # must differ from a silent pass-through of the original.
+    assert out != records or pos >= len(blob) - 0  # pragma: no cover
