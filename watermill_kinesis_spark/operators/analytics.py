@@ -529,3 +529,86 @@ def sketch_distinct_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "approx_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence with lift
+
+#: minimum co-occurrence count for a reported pair
+BASKET_MIN_CO = 2
+
+
+@query(
+    "basket_lift_pairs",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+    item AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
+    p AS (
+        SELECT a.l_partkey AS part_x, c.l_partkey AS part_y,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_CO})
+    SELECT part_x, part_y, n_co,
+           CAST(ix.c AS BIGINT) AS c_x, CAST(iy.c AS BIGINT) AS c_y,
+           CAST(n_co AS DOUBLE) * CAST(n_orders.n AS DOUBLE)
+               / (CAST(ix.c AS DOUBLE) * CAST(iy.c AS DOUBLE)) AS lift
+    FROM p JOIN item ix ON p.part_x = ix.l_partkey
+           JOIN item iy ON p.part_y = iy.l_partkey
+           CROSS JOIN n_orders
+    """,
+    tags=("agg", "basket", "recommendation"),
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: part pairs bought together in ≥2
+    (BASKET_MIN_CO) orders, scored by lift = P(x,y)/(P(x)·P(y)) — the
+    co-occurrence primitive behind 'frequently bought together' and
+    item-item recommenders. Same log-free rational policy as
+    collocation_pmi (monotone in PMI, one exact-integer division).
+
+    Scale shape: pair generation is a self-join keyed on the basket id
+    — the fan-out per basket is C(items-in-basket, 2), bounded by
+    basket size (≤7 here; capped/exploded-from-collect_set in a real
+    retail schema), NEVER corpus-quadratic; the min-count HAVING runs
+    before the dimension joins so only surviving pairs join the
+    item-frequency table, and the 1-row basket total broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    p = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_x"),
+            F.col("c.l_partkey").alias("part_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+        .where(F.col("n_co") >= BASKET_MIN_CO)
+    )
+    ix = item.select(F.col("l_partkey").alias("part_x"), F.col("c").alias("cx"))
+    iy = item.select(F.col("l_partkey").alias("part_y"), F.col("c").alias("cy"))
+    return (
+        p.join(ix, "part_x")
+        .join(iy, "part_y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_x",
+            "part_y",
+            "n_co",
+            F.col("cx").cast("bigint").alias("c_x"),
+            F.col("cy").cast("bigint").alias("c_y"),
+            (
+                F.col("n_co").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "lang_id_confusion",
     "embedding_drift_dims",
+    "basket_lift_pairs",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
