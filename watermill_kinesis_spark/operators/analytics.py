@@ -612,3 +612,52 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# arrival-lateness profile (watermark tuning input)
+
+#: deterministic synthetic arrival delay (seconds): hash of event_id
+#: bounded to one hour — stands in for (arrival_ts − event_ts), which
+#: the test schema does not carry
+_LATENESS_EXPR = "(event_id * 2654435761) % 3600"
+
+
+@query(
+    "event_lateness_profile",
+    oracle=f"""
+    WITH l AS (
+        SELECT event_type, CAST({_LATENESS_EXPR} AS BIGINT) AS late_s
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(quantile_cont(late_s, 0.5), 6) AS p50_lateness_s,
+           ROUND(quantile_cont(late_s, 0.95), 6) AS p95_lateness_s,
+           ROUND(quantile_cont(late_s, 0.99), 6) AS p99_lateness_s,
+           CAST(MAX(late_s) AS BIGINT) AS max_lateness_s
+    FROM l GROUP BY event_type
+    """,
+    tags=("event-time", "streaming", "statistics"),
+)
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-lateness distribution per event type — the measurement
+    that TUNES a watermark: ``withWatermark(ts, X)`` drops everything
+    later than X, so X is chosen from exactly this table (p95/p99
+    lateness + how much the tail costs). Lateness here is synthesized
+    deterministically from event_id (the schema carries no arrival
+    column); with a real arrival timestamp the expression is
+    ``arrival_ts - ts`` and nothing else changes. Exact integer
+    seconds through the shared PERCENTILE_CONT interpolation
+    (percentile_agg's contract, rounded 6 dp for last-ulp assoc
+    differences); one map-side-combined aggregate per type."""
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select(
+        "event_type", F.expr(f"CAST({_LATENESS_EXPR} AS BIGINT)").alias("late_s")
+    )
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.percentile("late_s", F.lit(0.5)), 6).alias("p50_lateness_s"),
+        F.round(F.percentile("late_s", F.lit(0.95)), 6).alias("p95_lateness_s"),
+        F.round(F.percentile("late_s", F.lit(0.99)), 6).alias("p99_lateness_s"),
+        F.max("late_s").cast("bigint").alias("max_lateness_s"),
+    )

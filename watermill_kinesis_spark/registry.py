@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "embedding_drift_dims",
     "basket_lift_pairs",
+    "event_lateness_profile",
     # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
