@@ -1,0 +1,137 @@
+"""Wire-interop golden tests against the reference's own envelope
+format.
+
+The reference hand-builds envelope records in example/functions.sh:18
+(`{"watermill_message_uuid":"<uuid>", "data":<base64>}`) and its Go
+marshaller emits `base64.StdEncoding` payloads (marshaller.go:57) —
+strict RFC 4648, NO line wrapping. These tests lock two contracts:
+
+1. **Decode interop**: byte-identical envelopes a Go producer would
+   publish (incl. payloads >57 bytes, past Spark's base64 MIME-wrap
+   boundary) unmarshal losslessly.
+2. **Encode interop**: re-marshalling produces byte-identical
+   Go-StdEncoding output — in particular the base64 contains no CR/LF,
+   so a Go `base64.StdEncoding.DecodeString` consumer never errors.
+
+Plus legacy tolerance: envelopes published by an earlier build of THIS
+engine (MIME-wrapped base64) still decode and are not misclassified as
+corrupt.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import Row, functions as F
+
+from watermill_kinesis_spark import codec
+
+# (uuid, payload, headers) — payload sizes straddle the 57/58-byte MIME
+# wrap boundary; 100 B and 200 B cover multi-line wraps.
+GOLDEN_MESSAGES = [
+    ("g-empty", b"", {"partitionKey": "pk0"}),
+    ("g-short", b"hello world!", {"partitionKey": "pk1", "h": "v"}),
+    ("g-57", bytes(range(57)), {"partitionKey": "pk2"}),
+    ("g-58", bytes(range(58)), {"partitionKey": "pk3"}),
+    ("g-100", bytes((i * 7) % 256 for i in range(100)), {"partitionKey": "pk4"}),
+    ("g-200", b"\x00" * 200, {"partitionKey": "pk5", "zz": "y"}),
+]
+
+
+def _go_envelope(uuid: str, payload: bytes, headers: dict[str, str]) -> str:
+    """Byte-identical to the reference Go marshaller's output
+    (marshaller.go:52-60): json.Marshal of MessageData with
+    StdEncoding base64 — compact separators, field order
+    uuid/data/headers."""
+    return json.dumps(
+        {
+            "watermill_message_uuid": uuid,
+            "data": base64.b64encode(payload).decode("ascii"),
+            "headers": headers,
+        },
+        separators=(",", ":"),
+    )
+
+
+def test_golden_go_envelopes_decode_losslessly(spark):
+    wire = spark.createDataFrame(
+        [Row(data=_go_envelope(u, p, h)) for u, p, h in GOLDEN_MESSAGES],
+        "data string",
+    )
+    back = {
+        r.uuid: (bytes(r.payload), dict(r.metadata))
+        for r in codec.unmarshal(wire, partition_key_col=None).collect()
+    }
+    assert set(back) == {u for u, _, _ in GOLDEN_MESSAGES}
+    for u, p, h in GOLDEN_MESSAGES:
+        gp, gh = back[u]
+        assert gp == p, f"payload mismatch for {u} ({len(p)} bytes)"
+        assert gh == h
+
+
+def test_remarshal_is_byte_identical_go_stdencoding(spark):
+    """unmarshal → marshal reproduces the Go wire bytes exactly, and no
+    emitted envelope contains CR/LF (Go StdEncoding strictness)."""
+    wire = spark.createDataFrame(
+        [Row(data=_go_envelope(u, p, h)) for u, p, h in GOLDEN_MESSAGES],
+        "data string",
+    )
+    msgs = codec.unmarshal(wire, partition_key_col=None)
+    out = {r.uuid: r.data for r in _remarshal_with_uuid(msgs).collect()}
+    for u, p, h in GOLDEN_MESSAGES:
+        expected = _go_envelope(u, p, h)
+        assert out[u] == expected, f"wire bytes differ for {u}"
+        assert "\r" not in out[u] and "\n" not in out[u]
+
+
+def _remarshal_with_uuid(msgs):
+    env = codec.envelope_json(
+        F.col("uuid"), F.col("payload"), F.col("metadata")
+    )
+    return msgs.select(F.col("uuid"), env.alias("data"))
+
+
+def test_legacy_mime_wrapped_envelopes_still_decode(spark):
+    """Envelopes from an earlier build of this engine used Spark's MIME
+    base64 (76-char lines joined by CRLF). They must decode — not be
+    dropped as corrupt — and re-marshal to clean StdEncoding."""
+    legacy_rows = []
+    for u, p, h in GOLDEN_MESSAGES:
+        b64 = base64.b64encode(p).decode("ascii")
+        wrapped = "\r\n".join(b64[i : i + 76] for i in range(0, len(b64), 76)) or b64
+        legacy_rows.append(
+            Row(
+                data=json.dumps(
+                    {
+                        "watermill_message_uuid": u,
+                        "data": wrapped,
+                        "headers": h,
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        )
+    wire = spark.createDataFrame(legacy_rows, "data string")
+    decoded = codec.unmarshal(wire, partition_key_col=None, drop_corrupt=True)
+    back = {r.uuid: bytes(r.payload) for r in decoded.collect()}
+    assert set(back) == {u for u, _, _ in GOLDEN_MESSAGES}  # none dropped
+    for u, p, _ in GOLDEN_MESSAGES:
+        assert back[u] == p
+    remarshalled = _remarshal_with_uuid(decoded).collect()
+    for r in remarshalled:
+        assert "\r" not in r.data and "\n" not in r.data
+
+
+def test_truly_corrupt_base64_still_rejected(spark):
+    """Stripping CR/LF must not make the corrupt check vacuous: junk
+    base64 (bad alphabet / bad padding shape) still nulls the row."""
+    rows = [
+        Row(data=json.dumps({"watermill_message_uuid": "bad1", "data": "!!notb64!!"})),
+        Row(data=json.dumps({"watermill_message_uuid": "bad2", "data": "AAA=AAA="})),
+        Row(data='{broken json'),
+        Row(data=_go_envelope("ok", b"fine", {})),
+    ]
+    wire = spark.createDataFrame(rows, "data string")
+    kept = codec.unmarshal(wire, partition_key_col=None, drop_corrupt=True).collect()
+    assert [r.uuid for r in kept] == ["ok"]

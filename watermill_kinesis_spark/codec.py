@@ -45,7 +45,33 @@ RFC3339_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 # Strict base64 shape; used to reject corrupt payloads portably instead
 # of relying on engine-specific lenient/strict unbase64 behavior.
+# Applied AFTER stripping CR/LF (see _b64_clean): the reference's Go
+# consumer uses base64.StdEncoding (strict RFC 4648, marshaller.go:42),
+# but records published by older builds of THIS engine carried MIME
+# line-wraps (Spark's base64() wraps at 76 chars) — those legacy
+# records must keep decoding, so the shape check runs on the unwrapped
+# text while marshal now emits unwrapped output only.
 _BASE64_RE = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+# CR/LF inside a base64 value: MIME wrapping artifacts to strip before
+# shape-checking or decoding.
+_B64_WRAP_RE = "[\\r\\n]"
+
+
+def _b64_unwrapped(payload: Column) -> Column:
+    """RFC 4648 (unwrapped) base64 of a binary column.
+
+    Spark's ``base64()`` is a MIME encoder: it line-wraps output at 76
+    chars with CRLF, which Go's ``base64.StdEncoding.DecodeString``
+    (reference marshaller.go:42) rejects — so the wrap must be stripped
+    at marshal time for wire compatibility with the reference's own
+    consumers. Still one codegen'd JVM expression."""
+    return F.regexp_replace(F.base64(payload), _B64_WRAP_RE, "")
+
+
+def _b64_clean(data: Column) -> Column:
+    """Base64 text with MIME line-wraps removed (legacy-record tolerant)."""
+    return F.regexp_replace(data, _B64_WRAP_RE, "")
 
 
 def envelope_json(
@@ -55,12 +81,15 @@ def envelope_json(
 
     ``to_json(struct(...))`` keeps field order (uuid, data, headers),
     matching the reference's ``MessageData`` struct order
-    (marshaller.go:16-20).
+    (marshaller.go:16-20). The payload is unwrapped RFC 4648 base64 —
+    byte-identical to Go ``base64.StdEncoding.EncodeToString``
+    (marshaller.go:57) for any payload length, not just those short
+    enough to dodge Spark's 76-char MIME wrap.
     """
     return F.to_json(
         F.struct(
             uuid.alias(ENVELOPE_UUID_FIELD),
-            F.base64(payload).alias(ENVELOPE_DATA_FIELD),
+            _b64_unwrapped(payload).alias(ENVELOPE_DATA_FIELD),
             metadata.alias(ENVELOPE_HEADERS_FIELD),
         )
     )
@@ -91,11 +120,12 @@ def _is_corrupt(env: Column) -> Column:
     ``data`` field that is not well-formed base64 (the reference's
     ``base64.StdEncoding.DecodeString`` error, marshaller.go:42-46).
     The regex check avoids ANSI-mode decode errors so poison records
-    stay non-fatal."""
+    stay non-fatal. CR/LF is stripped first: MIME-wrapped base64 from
+    legacy records is well-formed payload, not corruption."""
     data = env.getField(ENVELOPE_DATA_FIELD)
     return (
         env.getField(ENVELOPE_UUID_FIELD).isNull()
-        | (data.isNotNull() & ~data.rlike(_BASE64_RE))
+        | (data.isNotNull() & ~_b64_clean(data).rlike(_BASE64_RE))
     )
 
 

@@ -20,13 +20,20 @@ from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.schema import META_PARTITION_KEY
 from watermill_kinesis_spark.sources.tables import load_table
 
+#: Deterministic payload padding: every gate payload must exceed 57
+#: bytes so the oracle-checked envelope queries permanently cover the
+#: base64 MIME-wrap boundary (Spark's base64() line-wraps output for
+#: inputs ≥58 B; an earlier build shipped wrapped envelopes that broke
+#: Go StdEncoding interop — see codec._b64_unwrapped).
+_PAYLOAD_PAD = 56
+
 #: DuckDB fragment producing byte-identical envelopes to ``codec.marshal``
 #: over the same message construction (verified bit-equal incl. JSON
 #: escaping and base64).
-_ORACLE_ENV = """
+_ORACLE_ENV = f"""
     to_json(struct_pack(
         watermill_message_uuid := CAST(event_id AS VARCHAR),
-        data := to_base64(encode(props)),
+        data := to_base64(encode(props || repeat('#', {_PAYLOAD_PAD}))),
         headers := MAP(['partitionKey','eventType'],
                        [CAST(user_id AS VARCHAR), event_type])
     ))::VARCHAR
@@ -38,7 +45,9 @@ def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_id").cast("string").alias("uuid"),
-        F.col("props").cast("binary").alias("payload"),
+        F.concat(F.col("props"), F.repeat(F.lit("#"), _PAYLOAD_PAD))
+        .cast("binary")
+        .alias("payload"),
         F.create_map(
             F.lit(META_PARTITION_KEY),
             F.col("user_id").cast("string"),
@@ -137,7 +146,7 @@ def corrupt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(strlen(props)) AS BIGINT) AS sum_payload_bytes,
+           CAST(SUM(strlen(props) + 56) AS BIGINT) AS sum_payload_bytes,
            CAST(SUM(strlen(CAST(event_id AS VARCHAR))) AS BIGINT) AS sum_uuid_chars,
            0 AS n_mismatch
     FROM events
