@@ -85,12 +85,13 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id, event_id,
            CAST(SUM(SUM(CAST(value AS DECIMAL(12,2)))) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS sum_24h,
-           SUM(COUNT(*)) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_24h
+           CAST(SUM(COUNT(*)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_24h
     FROM events
     WHERE user_id < 50
     GROUP BY user_id, event_id, ts
@@ -102,24 +103,29 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fraud velocity checks, rate counters) where the frame is defined
     by TIME distance, not row count — ROWS frames are wrong whenever
     event density varies. Spark's rangeBetween needs a numeric ordering
-    key, so the timestamp becomes epoch seconds; each partition sorts
-    once and the frame slides in O(n). Values aggregate as exact
-    decimal cents inside the frame (order-independent). The GROUP BY
-    collapses exact-duplicate timestamps first so RANGE peer groups
-    are identical in both engines."""
+    key, so the timestamp becomes INTEGER MICROSECONDS (`unix_micros`,
+    matching the oracle's `epoch_us` exactly — second-truncation would
+    let frames disagree whenever a pair of events straddles the 24 h
+    boundary within one second); each partition sorts once and the
+    frame slides in O(n). Values aggregate as exact decimal cents
+    inside the frame (order-independent). The GROUP BY collapses
+    exact-duplicate timestamps first so RANGE peer groups are
+    identical in both engines. The windowed COUNT is cast to BIGINT on
+    both sides (the oracle's HUGEINT otherwise lands as float64 in the
+    comparator)."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
     base = ev.groupBy(
         "user_id",
         "event_id",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch_s"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch_us"),
     ).agg(
         F.sum(F.col("value").cast("decimal(12,2)")).alias("v_sum"),
         F.count(F.lit(1)).alias("v_n"),
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("epoch_s")
-        .rangeBetween(-86400, W.currentRow)
+        .orderBy("epoch_us")
+        .rangeBetween(-86_400_000_000, W.currentRow)
     )
     return base.select(
         "user_id",

@@ -77,16 +77,78 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 3): a budget-capped harness samples a PREFIX
-    # of this order, so entries that already have a green verification
-    # row from earlier rounds (r1+r2 sampled 77 distinct names, all
-    # green) are rotated to the BACK, and the 90 oracle-backed entries
-    # that have never been independently sampled come FIRST — every
-    # round's window then verifies maximal *new* surface. Within the
-    # front block the order still walks category-by-category so any
-    # prefix stays a representative cross-section.
-    #
-    # round-3 additions (never sampled, oracle-backed)
+    # ---- Rotation (round 4): the driver's budget-capped gate samples a
+    # PREFIX of this order, so the 58 oracle-backed entries that have
+    # NEVER received a driver-green row (through r3) come first —
+    # `window_range_frame` leads because r3 sampled it red (oracle
+    # typing, fixed this round). They are followed by the five codec /
+    # transport entries whose gate payloads changed this round (padded
+    # past the base64 MIME-wrap boundary) so the driver re-verifies the
+    # new boundary-covering construction. Everything already
+    # driver-green in r1–r3 follows in the familiar category order.
+    "window_range_frame",
+    "stream_sliding_window",
+    "stream_session_window",
+    "changelog_compact",
+    "merge_upsert_state",
+    "interval_consolidate",
+    "funnel_analysis",
+    "retention_cohort",
+    "time_weighted_avg",
+    "scd2_intervals",
+    "event_transition_matrix",
+    "table_diff_reconcile",
+    "forward_fill_locf",
+    "period_over_period",
+    "rollup_incremental",
+    "format_json_roundtrip",
+    "format_csv_roundtrip",
+    "format_parquet_roundtrip",
+    "format_orc_roundtrip",
+    "zorder_layout",
+    "binaryfile_ingest",
+    "dedup_paragraph",
+    "dedup_levenshtein",
+    "dedup_prefix_containment",
+    "dedup_containment_ngram",
+    "dedup_exact_hashkey",
+    "hard_negative_mining",
+    "graph_degree_histogram",
+    "inverted_index",
+    "token_count_regex",
+    "lang_filter",
+    "text_quality_score",
+    "repetition_ratio",
+    "vocab_induction",
+    "unigram_freq_score",
+    "ngram_lm_counts",
+    "tfidf_top_terms",
+    "bm25_components",
+    "collocation_pmi",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "corpus_shuffle_hash",
+    "domain_mix_weights",
+    "domain_mix_temperature",
+    "token_budget_allocation",
+    "pack_concat_offsets",
+    "chunk_documents",
+    "pii_redact",
+    "embedding_normalize",
+    "quality_filter_pipeline",
+    "text_normalize",
+    "train_test_split_mod",
+    "sample_weighted",
+    "rtbf_cascade_delete",
+    "kanonymity_audit",
+    "multimodal_audio_energy",
+    "sql_text_interface",
+    "sql_text_subqueries",
+    "envelope_encode",
+    "envelope_decode",
+    "corrupt_skip",
+    "envelope_binary_roundtrip",
+    "custom_source_roundtrip",
     "multimodal_image_decode",
     "graph_triangle_count",
     "interval_overlap_join",
@@ -104,7 +166,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_drift_dims",
     "basket_lift_pairs",
     "event_lateness_profile",
-    # statistics / aggregation
     "agg_skew_kurt",
     "agg_argmax",
     "mode_agg",
@@ -117,105 +178,27 @@ _PRIORITY: tuple[str, ...] = (
     "observe_metrics_audit",
     "heavy_hitters",
     "quantile_sketch_mergeable",
-    # subqueries (TPC-H shapes not yet sampled)
     "q11_important_stock",
     "q16_supplier_cnt",
     "q17_small_quantity_avg",
     "q20_nested_in",
     "q21_late_sole_supplier",
-    # joins
     "join_full_outer",
     "bucketed_join_colocated",
     "join_asof_tolerance",
     "join_asof_forward",
-    # windows / sort
     "window_count_distinct",
-    "window_range_frame",
     "window_percentile_dist",
     "ewma_halflife",
     "string_agg_sorted",
     "unpivot_melt",
-    # set ops / schema evolution
     "union_by_name_evolution",
-    # scalar functions / modern types
     "scalar_map_funcs",
     "variant_shred",
     "xml_shred",
     "collation_group",
-    # event-time / time-series
     "sessionize_batch",
-    "stream_sliding_window",
-    "stream_session_window",
-    "changelog_compact",
-    "merge_upsert_state",
-    "interval_consolidate",
-    "funnel_analysis",
-    "retention_cohort",
-    "time_weighted_avg",
-    "scd2_intervals",
-    "event_transition_matrix",
-    "table_diff_reconcile",
-    "forward_fill_locf",
-    "period_over_period",
-    "rollup_incremental",
-    # file formats / layout
-    "format_json_roundtrip",
-    "format_csv_roundtrip",
-    "format_parquet_roundtrip",
-    "format_orc_roundtrip",
-    "zorder_layout",
-    "binaryfile_ingest",
-    # LLM pipeline: dedup
-    "dedup_paragraph",
-    "dedup_levenshtein",
-    "dedup_prefix_containment",
-    "dedup_containment_ngram",
-    "dedup_exact_hashkey",
-    # LLM pipeline: similarity / graph
-    "hard_negative_mining",
-    "graph_degree_histogram",
-    "inverted_index",
-    # LLM pipeline: text analysis
-    "token_count_regex",
-    "lang_filter",
-    "text_quality_score",
-    "repetition_ratio",
-    "vocab_induction",
-    "unigram_freq_score",
-    "ngram_lm_counts",
-    "tfidf_top_terms",
-    "bm25_components",
-    "collocation_pmi",
-    # LLM pipeline: corpus prep / governance
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "corpus_shuffle_hash",
-    "domain_mix_weights",
-    "domain_mix_temperature",
-    "token_budget_allocation",
-    "pack_concat_offsets",
-    "chunk_documents",
-    "pii_redact",
-    "embedding_normalize",
-    "quality_filter_pipeline",
-    "text_normalize",
-    "train_test_split_mod",
-    "sample_weighted",
-    "rtbf_cascade_delete",
-    "kanonymity_audit",
-    # multimodal / SQL text
-    "multimodal_audio_energy",
-    "sql_text_interface",
-    "sql_text_subqueries",
-    # ---- Already independently verified in r1/r2 (all green) — kept in
-    # the same representative order for human readers; a fresh prefix
-    # window reaches these only after the block above.
-    "envelope_encode",
-    "envelope_decode",
-    "corrupt_skip",
     "partition_key_group",
-    "envelope_binary_roundtrip",
-    "custom_source_roundtrip",
     "project_filter",
     "q1_pricing_summary",
     "agg_hash",
@@ -263,6 +246,50 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_bipartite",
     "similarity_ann_pq",
     "hll_sketch_native",
+    "custom_source_stream",
+    "approx_distinct",
+    "cube_agg",
+    "join_left",
+    "window_running",
+    "topk_per_group",
+    "set_union",
+    "set_intersect",
+    "case_when_bucketing",
+    "scan_parquet",
+    "scalar_subquery_above_avg",
+    "having_filter",
+    "q12_shipmode_case",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "q22_global_filter",
+    "cross_join_small",
+    "distinct_rows",
+    "join_skew_salted",
+    "scalar_array_map",
+    "explode_unnest",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "udf_custom_codec",
+    "dedup_fuzzy_minhash",
+    "dedup_simhash",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "sketch_distinct_mergeable",
+    "cluster_kmeans_embeddings",
+    "embedding_pca_project",
+    "stream_roundtrip_counts",
+    "stream_dedup_uuid",
+    "watermark_late_drop",
+    "stream_stateful_accounting",
+    "stream_static_join",
+    "stream_stream_join",
 )
 
 
