@@ -392,3 +392,30 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         )
         got = {r.doc_id: r.comp for r in connected_components(nodes, edges).collect()}
         assert got == want, f"seed {seed}: CC mismatch"
+
+
+def test_embedding_cosine_pairs_empty_block_no_duplicates(spark):
+    """Regression: an off-diagonal grid cell whose COLUMN block hashes
+    empty must emit nothing — the old code misread an empty right side
+    as 'diagonal cell' and re-emitted the row block's upper-triangle
+    pairs, duplicating the true diagonal cell's output. A tiny corpus
+    (5 vectors over 8 blocks ⇒ ≥3 empty blocks) triggers it
+    deterministically."""
+    from pyspark.sql import Row
+
+    from watermill_kinesis_spark.operators.dedup import embedding_cosine_pairs
+
+    # two near-identical vectors + three orthogonal-ish ones
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.7, 0.7, 0.0]),
+    ]
+    e = spark.createDataFrame(
+        [Row(vec_id=i, emb=v) for i, v in vecs], "vec_id long, emb array<double>"
+    )
+    pairs = [(r.vec_a, r.vec_b) for r in embedding_cosine_pairs(e, 0.9).collect()]
+    assert len(pairs) == len(set(pairs)), "duplicate pairs emitted"
+    assert set(pairs) == {(1, 2)}

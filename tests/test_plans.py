@@ -301,3 +301,27 @@ def test_zorder_single_aggregate_shuffle(spark, sf_dir):
     plan = plan_of(zorder_layout(spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "partial_" in plan
+
+
+def test_connected_components_no_forced_edge_broadcast(spark):
+    """The CC sweep's neighbor join must NOT carry a broadcast HINT on
+    the edge relation: the near-dup edge set is corpus-dependent and
+    unbounded, so a forced broadcast OOMs every executor at 100 TB.
+    (AQE may still *choose* a broadcast at runtime when edges fit —
+    that's fine; the hint in the logical plan is what's banned.)"""
+    from pyspark.sql import Row
+
+    from watermill_kinesis_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    edges = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in [(0, 1), (1, 0), (2, 3), (3, 2)]]
+    )
+    # one sweep's neighbor join is enough to see the hint; run the full
+    # op and inspect the *analyzed* logical plan for ResolvedHint
+    labels = connected_components(nodes, edges)
+    logical = labels._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    # and it still computes the right components
+    got = {r.doc_id: r.comp for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5}

@@ -394,8 +394,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels = nodes.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
     changed = 1
     for _ in range(CC_MAX_ITERS):
+        # Plain shuffle join on doc_id — NO forced broadcast: the
+        # near-dup edge set is corpus-dependent and unbounded (a
+        # duplicate-heavy crawl at 100 TB yields billions of edges,
+        # which a forced broadcast would OOM onto every executor). AQE
+        # still picks a broadcast join at runtime whenever the edge
+        # relation actually fits.
         neigh = labels.join(
-            F.broadcast(edges), labels.doc_id == edges.doc_a
+            edges, labels.doc_id == edges.doc_a
         ).select(F.col("doc_b").alias("doc_id"), "comp")
         propagated = (
             labels.union(neigh).groupBy("doc_id").agg(F.min("comp").alias("comp"))
@@ -531,13 +537,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     B × corpus bytes; per-cell memory = 2·(N/B)·dim doubles — at 100 TB
     you size B so a cell fits an executor (B grows as √N, replication
     stays B, never N)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return embedding_cosine_pairs(e, threshold=0.4)
+
+
+def embedding_cosine_pairs(
+    e: DataFrame, threshold: float, n_blocks: int = EMB_GRID_BLOCKS
+) -> DataFrame:
+    """Block-grid exact cosine pair join over ``(vec_id, emb)`` — the
+    distributed core of ``dedup_embedding_cosine`` (see its docstring
+    for the grid layout and 100 TB cost model). Emits each qualifying
+    unordered pair exactly once, including when some hash blocks are
+    empty (small or skewed corpora)."""
     import numpy as np
     import pandas as pd
 
-    B = EMB_GRID_BLOCKS
-    e = load_table(spark, sf_dir, "embeddings").select(
+    spark = e.sparkSession
+    B = n_blocks
+    e = e.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
+        "emb",
         F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
     )
     grid = spark.createDataFrame(
@@ -555,20 +576,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         left = pdf[pdf["side"] == 0]
         right = pdf[pdf["side"] == 1]
+        # Diagonal is identified by the GROUP KEY (cell = i*(B+1) iff
+        # i == j, unique because 0 <= j-i < B+1), never by an empty
+        # right side: an off-diagonal cell whose column block happens
+        # to hash empty must emit NOTHING — treating it as diagonal
+        # would re-emit the row block's upper triangle and duplicate
+        # the true diagonal cell's pairs.
+        is_diag = int(pdf["cell"].iloc[0]) % (B + 1) == 0
         a_ids = left["vec_id"].to_numpy(dtype=np.int64)
-        if len(left) == 0:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+        empty = pd.DataFrame(
+            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64)}
+        )
+        if len(left) == 0 or (not is_diag and len(right) == 0):
+            return empty
         A = np.stack(left["emb"].to_numpy())
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
-        if len(right) == 0:  # diagonal cell: within-block upper triangle
+        if is_diag:  # within-block upper triangle
             S = An @ An.T
-            ia, ib = np.nonzero((S >= 0.4) & (a_ids[:, None] < a_ids[None, :]))
+            ia, ib = np.nonzero(
+                (S >= threshold) & (a_ids[:, None] < a_ids[None, :])
+            )
             return pd.DataFrame({"vec_a": a_ids[ia], "vec_b": a_ids[ib]})
         b_ids = right["vec_id"].to_numpy(dtype=np.int64)
         Bm = np.stack(right["emb"].to_numpy())
         Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
         S = An @ Bn.T
-        ia, ib = np.nonzero(S >= 0.4)
+        ia, ib = np.nonzero(S >= threshold)
         lo = np.minimum(a_ids[ia], b_ids[ib])
         hi = np.maximum(a_ids[ia], b_ids[ib])
         return pd.DataFrame({"vec_a": lo, "vec_b": hi})
