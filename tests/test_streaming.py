@@ -756,3 +756,37 @@ def test_state_ttl_expires_idle_keys(spark, sf_dir, tmp_path):
         assert r["partition_key"] in b0_counts
         # totals were intact right up to expiry
         assert r["n_messages"] == b0_counts[r["partition_key"]]
+
+
+def test_sim_publisher_roundtrips_bytes_payloads(spark, tmp_path):
+    """KPL-packed (bytes) entries must survive the simulator transport:
+    base64 on the JSON line, latin1-mapped in the string column, exact
+    bytes via encode(data, 'ISO-8859-1')."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.sources import kinesis_sim
+    from watermill_kinesis_spark.streaming.sink import (
+        DirectoryPublisher,
+        PutRecordsEntry,
+    )
+
+    topic = str(tmp_path / "topic")
+    payload = bytes(range(256)) * 2  # every byte value, not UTF-8 safe
+    pub = DirectoryPublisher(topic, n_shards=2)
+    pub.put_records(
+        [
+            PutRecordsEntry(payload, "pk-bytes"),
+            PutRecordsEntry('{"plain":"json"}', "pk-str"),
+        ]
+    )
+    kinesis_sim.register(spark)
+    back = (
+        spark.read.format("kinesis_sim")
+        .option("path", topic)
+        .load()
+        .select("partition_key", F.encode("data", "ISO-8859-1").alias("raw"))
+        .collect()
+    )
+    by_key = {r.partition_key: bytes(r.raw) for r in back}
+    assert by_key["pk-bytes"] == payload
+    assert by_key["pk-str"] == b'{"plain":"json"}'

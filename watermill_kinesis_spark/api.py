@@ -309,8 +309,13 @@ class Subscriber:
         simply dropped — close() is resource cleanup, not a second
         error channel; re-raising here would wedge the teardown of the
         remaining queries (the failure mode the reference's Closer
-        drain avoids too, closer/closer.go:63-67)."""
-        from pyspark.errors.exceptions.captured import StreamingQueryException
+        drain avoids too, closer/closer.go:63-67). The exception is
+        imported from ``pyspark.errors`` (the BASE class): under Spark
+        Connect the raised type is the connect variant, which the
+        captured-module subclass would not match — and a non-matching
+        except here re-raises and wedges teardown of the remaining
+        queries, the exact failure this drain exists to avoid."""
+        from pyspark.errors import StreamingQueryException
 
         while self._queries:
             q = self._queries.pop()

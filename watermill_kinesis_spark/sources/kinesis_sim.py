@@ -83,8 +83,16 @@ def _parse_line(line: str) -> tuple:
     ts = rec.get("approximate_arrival_timestamp")
     if isinstance(ts, str):
         ts = datetime.fromisoformat(ts)
+    data = rec.get("data")
+    if rec.get("data_encoding") == "base64":
+        # bytes payload published through DirectoryPublisher (KPL
+        # containers etc.): surface latin1-mapped in the string column;
+        # consumers recover exact bytes with encode(data, 'ISO-8859-1')
+        import base64 as _b64
+
+        data = _b64.b64decode(data).decode("latin-1")
     return (
-        rec.get("data"),
+        data,
         rec.get("partition_key"),
         rec.get("sequence_number"),
         rec.get("shard_id"),

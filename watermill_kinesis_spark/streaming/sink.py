@@ -73,6 +73,22 @@ class DirectoryPublisher:
         os.makedirs(self.topic_dir, exist_ok=True)
         by_shard: dict[int, list[str]] = {}
         for seq, e in enumerate(entries):
+            # bytes payloads (KPL aggregate containers, binary codecs)
+            # round-trip through the JSON-lines transport as base64 +
+            # a marker field; the kinesis_sim reader decodes them back
+            # into the string `data` column latin1-mapped (one
+            # codepoint per byte — recover exact bytes with
+            # encode(data, 'ISO-8859-1')). json.dumps on raw bytes
+            # would otherwise TypeError and crash the simulator.
+            if isinstance(e.data, (bytes, bytearray)):
+                import base64 as _b64
+
+                data_repr: dict = {
+                    "data": _b64.b64encode(bytes(e.data)).decode("ascii"),
+                    "data_encoding": "base64",
+                }
+            else:
+                data_repr = {"data": e.data}
             # deterministic hash: Python's builtin hash() is
             # PYTHONHASHSEED-randomized per process, which would route the
             # same key to different shards across executors/runs and break
@@ -86,7 +102,7 @@ class DirectoryPublisher:
             by_shard.setdefault(shard, []).append(
                 json.dumps(
                     {
-                        "data": e.data,
+                        **data_repr,
                         "partition_key": e.partition_key,
                         "sequence_number": str(seq),
                         "shard_id": f"shard-{shard}",
@@ -341,38 +357,70 @@ def dead_letter_sink(
     DLQ exists for. Complements the *record*-level corrupt-skip path
     (codec.unmarshal drop_corrupt, reference subscriber.go:54-59):
     that one handles undecodable records, this one handles decodable
-    batches whose *processing* keeps failing."""
+    batches whose *processing* keeps failing.
+
+    Marker I/O goes through the Hadoop FileSystem API resolved from the
+    marker path itself — the SAME abstraction the parquet quarantine
+    write uses — so a remote ``dlq_dir`` (s3a://, hdfs://, dbfs:/)
+    works and the budget survives driver-host replacement (exactly when
+    retries happen). Driver-local ``os`` calls would silently write a
+    bogus local path in that case and the budget would never advance."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        attempts_dir = os.path.join(dlq_dir, "_attempts")
-        marker = os.path.join(attempts_dir, f"epoch-{batch_id}")
+        spark = batch_df.sparkSession
+        marker = f"{dlq_dir}/_attempts/epoch-{batch_id}"
+        fs, mpath = _hadoop_fs(spark, marker)
         try:
             inner(batch_df, batch_id)
         except Exception:
-            os.makedirs(attempts_dir, exist_ok=True)
             prior = 0
-            if os.path.exists(marker):
-                with open(marker) as f:
-                    prior = int(f.read().strip() or 0)
+            if fs.exists(mpath):
+                prior = int(_fs_read_text(spark, fs, mpath).strip() or 0)
             attempts = prior + 1
-            with open(marker, "w") as f:
-                f.write(str(attempts))
+            _fs_write_text(fs, mpath, str(attempts))
             if attempts < max_attempts:
                 raise  # nack: uncommitted epoch replays on restart
             batch_df.write.mode("overwrite").parquet(
-                os.path.join(dlq_dir, f"batch_id={batch_id}")
+                f"{dlq_dir}/batch_id={batch_id}"
             )
             # budget spent and batch quarantined: clear the marker so a
             # FRESH checkpoint that happens to reuse this epoch id gets
             # a full budget. If this very epoch replays (crash between
             # quarantine and commit), the retries re-earn the same
             # quarantine — the overwrite keeps that idempotent.
-            os.remove(marker)
+            fs.delete(mpath, False)
             # swallow: the epoch commits; the stream moves on
             return
         # success: clear any stale budget so a later reuse of this
         # epoch id (fresh checkpoint) starts with a full budget
-        if os.path.exists(marker):
-            os.remove(marker)
+        if fs.exists(mpath):
+            fs.delete(mpath, False)
 
     return write
+
+
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for a URI via the session's Hadoop conf —
+    resolves local paths, s3a://, hdfs://, etc. uniformly."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_read_text(spark, fs, jpath) -> str:
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_text(fs, jpath, text: str) -> None:
+    out = fs.create(jpath, True)  # overwrite; creates parent dirs
+    try:
+        out.write(bytearray(text, "utf-8"))
+    finally:
+        out.close()
