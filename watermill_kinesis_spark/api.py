@@ -203,6 +203,12 @@ class _SubscriberOptions:
     starting_position: str = "TRIM_HORIZON"
     #: override the boto3 client for tests: "module:callable"
     client_factory: str | None = None
+    #: "parallel" (GetRecords on executors, the scale path) or
+    #: "simple" (driver-side fetch) — kinesis transport only
+    reader_mode: str = "parallel"
+    #: shared dir for the parallel reader's position fences (must be
+    #: visible to driver AND executors on a multi-node cluster)
+    position_dir: str | None = None
 
 
 @dataclass
@@ -241,6 +247,9 @@ class Subscriber:
                 reader = reader.option("endpointUrl", opts.kinesis_endpoint_url)
             if opts.client_factory:
                 reader = reader.option("clientfactory", opts.client_factory)
+            reader = reader.option("readerMode", opts.reader_mode)
+            if opts.position_dir:
+                reader = reader.option("positionDir", opts.position_dir)
             return opts.unmarshaller(reader.load())
         kinesis_sim.register(spark)
         wire = (
@@ -346,13 +355,18 @@ class SubscriberBuilder:
         endpoint_url: str | None = None,
         starting_position: str = "TRIM_HORIZON",
         client_factory: str | None = None,
+        reader_mode: str = "parallel",
+        position_dir: str | None = None,
     ) -> "SubscriberBuilder":
         """Consume real AWS Kinesis (topic = stream name) through the
         ``kinesis_aws`` GetRecords source: per-shard sequence-number
         offsets in the Spark checkpoint replace the reference's
         KCL-in-DynamoDB checkpoints (subscriber.go:114-128, 65-75).
         ``endpoint_url`` overrides for Localstack; ``client_factory``
-        ("module:callable") injects a stub client for tests."""
+        ("module:callable") injects a stub client for tests.
+        ``reader_mode='parallel'`` (default) runs GetRecords on
+        executors — one partition per shard; ``position_dir`` must
+        then be shared storage on a multi-node cluster."""
         self._opts = replace(
             self._opts,
             transport="kinesis",
@@ -360,6 +374,8 @@ class SubscriberBuilder:
             kinesis_endpoint_url=endpoint_url,
             starting_position=starting_position,
             client_factory=client_factory,
+            reader_mode=reader_mode,
+            position_dir=position_dir,
         )
         return self
 

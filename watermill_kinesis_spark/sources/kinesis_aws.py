@@ -11,17 +11,18 @@ Spark's own machinery instead of the KCL's:
 
 - **shard discovery** → ``list_shards`` on every micro-batch plan, so
   resharding (split/merge) is picked up mid-stream: new shards enter at
-  the configured starting position, exhausted shards are tombstoned
-  with a ``SHARD_END`` marker — the reference's TERMINATE checkpoint
-  (reference subscriber.go:78-88).
-- **checkpointing** → the offset is ``{shard_id: last sequence
-  number}``, stored in Spark's checkpoint offset log (replacing
-  DynamoDB). A crash between read and commit replays from the last
-  committed sequence — the same at-least-once window the reference
-  leaves open (reference subscriber.go:61-63).
-- **replay** → ``readBetweenOffsets`` re-fetches exactly the
-  (start, end] sequence range per shard with ``AT_SEQUENCE_NUMBER``
-  iterators, which is what makes a checkpointed restart deterministic.
+  TRIM_HORIZON (their data is all post-start, KCL child-shard
+  semantics), exhausted shards are tombstoned with a ``SHARD_END``
+  marker — the reference's TERMINATE checkpoint (reference
+  subscriber.go:78-88).
+- **checkpointing** → the offset is ``{shard_id: position}``, stored in
+  Spark's checkpoint offset log (replacing DynamoDB). A crash between
+  read and commit replays from the last committed position — the same
+  at-least-once window the reference leaves open (reference
+  subscriber.go:61-63). Positions are ``None`` (TRIM_HORIZON), a
+  sequence number, ``AT_TS:<epoch-seconds>`` (a LATEST start pinned by
+  service timestamp — resolved O(1), never by scanning the shard from
+  TRIM_HORIZON), or ``SHARD_END``.
 - **per-record enrichment** → every row carries ``shard_id``,
   ``sequence_number``, ``partition_key`` and the service arrival
   timestamp, the metadata the reference injects per message
@@ -31,25 +32,51 @@ Rows come out in ``WIRE_RECORD_SCHEMA`` — identical to the simulator's
 — so everything downstream (codec, corrupt-skip, semantics, sinks) is
 transport-agnostic; ``codec.unmarshal`` turns them into messages.
 
-This is a ``SimpleDataSourceStreamReader``: record fetch happens on
-the driver, which matches the reference's own deployment shape (one
-KCL worker owns ~10 shards, reference README.md:30-32) and is the
-right v1 for control-plane-sized streams. The 100 TB path is the same
-offset model behind a partition-planning ``DataSourceStreamReader``
-(one ``InputPartition`` per shard, ``get_records`` on executors);
-nothing downstream changes because the schema and offsets are shared.
+Two readers share the offset model; ``option("readerMode", ...)``
+picks one:
+
+- ``parallel`` (default) — a partition-planning
+  ``DataSourceStreamReader``: one ``InputPartition`` per shard, every
+  ``GetRecords`` call runs ON AN EXECUTOR. The driver does
+  control-plane work only (one ``list_shards`` + merging tiny
+  position-fence files per trigger), so read throughput scales with
+  executors × shards — the 100 TB path. Executors report attained
+  positions through fence files under ``positionDir`` (the engine's
+  DynamoDB-checkpoint analogue; defaults to a local temp dir — on a
+  multi-node cluster point it at storage shared by driver and
+  executors, e.g. NFS/EFS/DBFS). The first attempt of a (epoch,
+  shard) task records its attained position as the fence; task
+  RETRIES replay deterministically up to that fence. Losing the
+  fence dir costs nothing but replay width: positions live in
+  Spark's offset log, so the contract degrades to the same
+  at-least-once window the reference has.
+- ``simple`` — a ``SimpleDataSourceStreamReader``: fetch on the
+  driver with prefetch-cache replay (``readBetweenOffsets``
+  re-fetches the exact (start, end] range). Right-sized for
+  control-plane streams at the reference's own deployment shape
+  (~10 shards/worker, reference README.md:30-32).
 
 ``boto3`` is imported lazily. Tests (and Localstack-free CI) inject a
 client via ``option("clientfactory", "module:callable")`` — mirroring
 the reference's own test strategy of faking the producer
-(subscriber/subscriber_test.go:14-25).
+(subscriber/subscriber_test.go:14-25). The factory is called with the
+options dict when it accepts one argument (file-backed stubs need the
+path), else with no arguments.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import json
+import os
+import time
+from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from watermill_kinesis_spark.sources.kinesis_sim import WIRE_DDL
@@ -59,7 +86,11 @@ FORMAT_NAME = "kinesis_aws"
 #: tombstone offset for a fully-consumed shard (post split/merge) —
 #: the reference checkpoints nil at SHARD_END (subscriber.go:78-88)
 SHARD_END = "SHARD_END"
-#: get_records polls per shard per micro-batch: bounds driver work per
+#: a LATEST start pinned as a service-side timestamp (AT_TIMESTAMP
+#: iterators re-resolve it identically across restarts, O(1) — no
+#: TRIM_HORIZON scan, no poll cap)
+AT_TS_PREFIX = "AT_TS:"
+#: get_records polls per shard per micro-batch: bounds work per
 #: trigger; records beyond this arrive in the next micro-batch
 MAX_POLLS_PER_BATCH = 5
 
@@ -70,7 +101,11 @@ def _make_client(options) -> object:
         mod_name, _, attr = factory_path.partition(":")
         import importlib
 
-        return getattr(importlib.import_module(mod_name), attr)()
+        factory = getattr(importlib.import_module(mod_name), attr)
+        try:
+            return factory(options)
+        except TypeError:
+            return factory()
     try:
         import boto3  # noqa: PLC0415 — optional dependency
     except ImportError as e:  # pragma: no cover - env-dependent
@@ -140,9 +175,53 @@ def _record_rows(rec: dict, shard_id: str) -> list[tuple]:
     ]
 
 
+def _get_iterator(client, stream: str, shard_id: str, pos: str | None) -> str | None:
+    """Shard iterator for a stored position (see module docstring for
+    the position alphabet)."""
+    if pos is None:
+        resp = client.get_shard_iterator(
+            StreamName=stream, ShardId=shard_id, ShardIteratorType="TRIM_HORIZON"
+        )
+    elif isinstance(pos, str) and pos.startswith(AT_TS_PREFIX):
+        from datetime import datetime, timezone
+
+        t = float(pos[len(AT_TS_PREFIX) :])
+        resp = client.get_shard_iterator(
+            StreamName=stream,
+            ShardId=shard_id,
+            ShardIteratorType="AT_TIMESTAMP",
+            Timestamp=datetime.fromtimestamp(t, tz=timezone.utc),
+        )
+    else:
+        resp = client.get_shard_iterator(
+            StreamName=stream,
+            ShardId=shard_id,
+            ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+            StartingSequenceNumber=pos,
+        )
+    return resp.get("ShardIterator")
+
+
+def _pos_rank(pos: str | None) -> tuple:
+    """Total order over stored positions: TRIM_HORIZON < AT_TS (by
+    pinned time) < sequence numbers (numeric) < SHARD_END. Used to
+    take the furthest-along of two offsets for the same shard."""
+    if pos is None:
+        return (0, 0)
+    if isinstance(pos, str) and pos.startswith(AT_TS_PREFIX):
+        return (1, float(pos[len(AT_TS_PREFIX) :]))
+    if pos == SHARD_END:
+        return (3, 0)
+    return (2, int(pos))
+
+
+def _max_pos(a: str | None, b: str | None) -> str | None:
+    return a if _pos_rank(a) >= _pos_rank(b) else b
+
+
 class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
-    """Driver-side GetRecords poller with per-shard sequence-number
-    offsets (see module docstring for the semantics mapping)."""
+    """Driver-side GetRecords poller with per-shard position offsets
+    (``readerMode=simple``; see module docstring)."""
 
     def __init__(self, options):
         self.options = options
@@ -167,56 +246,31 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
 
     # -- offset protocol ---------------------------------------------
 
+    def _initial_pos(self) -> str | None:
+        if self.starting_position == "TRIM_HORIZON":
+            return None  # "from the shard's oldest record"
+        # LATEST: pin "now" as a service-side timestamp. O(1) — the
+        # previous design scanned from TRIM_HORIZON with a poll cap,
+        # which cost O(shard retention) GetRecords at startup and, on
+        # a shard holding more than the cap, silently REPLAYED a
+        # mid-shard backlog. AT_TIMESTAMP re-resolves identically on
+        # restart, so the offset stays deterministic.
+        return f"{AT_TS_PREFIX}{time.time()}"
+
     def initialOffset(self) -> dict:
         client = self._client()
         shards = _list_shard_ids(client, self.stream)
-        if self.starting_position == "TRIM_HORIZON":
-            # None = "from the shard's oldest record"
-            return {"shards": {s: None for s in shards}}
-        # LATEST: resolve the current tip so the *offset* pins what
-        # "latest" meant at start time (deterministic restart)
-        state: dict[str, str | None] = {}
-        for s in shards:
-            state[s] = self._tip_sequence(client, s)
-        return {"shards": state}
-
-    def _tip_sequence(self, client, shard_id: str) -> str | None:
-        """Newest sequence number currently in the shard (None if the
-        shard is empty → behaves like TRIM_HORIZON)."""
-        it = client.get_shard_iterator(
-            StreamName=self.stream, ShardId=shard_id, ShardIteratorType="TRIM_HORIZON"
-        )["ShardIterator"]
-        last = None
-        for _ in range(MAX_POLLS_PER_BATCH * 10):
-            resp = client.get_records(ShardIterator=it, Limit=self.max_records)
-            recs = resp.get("Records", [])
-            if recs:
-                last = recs[-1]["SequenceNumber"]
-            it = resp.get("NextShardIterator")
-            if not it or (not recs and not resp.get("MillisBehindLatest")):
-                break
-        return last
+        pos = self._initial_pos()
+        return {"shards": {s: pos for s in shards}}
 
     def _iterator_after(self, client, shard_id: str, seq: str | None) -> str | None:
-        if seq is None:
-            resp = client.get_shard_iterator(
-                StreamName=self.stream,
-                ShardId=shard_id,
-                ShardIteratorType="TRIM_HORIZON",
-            )
-        else:
-            resp = client.get_shard_iterator(
-                StreamName=self.stream,
-                ShardId=shard_id,
-                ShardIteratorType="AFTER_SEQUENCE_NUMBER",
-                StartingSequenceNumber=seq,
-            )
-        return resp.get("ShardIterator")
+        return _get_iterator(client, self.stream, shard_id, seq)
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         client = self._client()
         state: dict[str, str | None] = dict(start.get("shards", {}))
-        # reshard pickup: unseen shards enter at the starting position
+        # reshard pickup: unseen shards enter at TRIM_HORIZON (their
+        # records are all post-start — KCL child-shard semantics)
         for shard_id in _list_shard_ids(client, self.stream):
             state.setdefault(shard_id, None)
         rows: list[tuple] = []
@@ -249,7 +303,9 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         """Deterministic replay of the exact (start, end] range — the
-        restarted-query path after a crash between read and commit."""
+        restarted-query path after a crash between read and commit.
+        An ``AT_TS`` start replays from the same pinned timestamp, so
+        the range is identical to the original read's."""
         client = self._client()
         start_shards = start.get("shards", {})
         rows: list[tuple] = []
@@ -259,6 +315,8 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
             start_seq = start_shards.get(shard_id)
             if end_seq == SHARD_END and start_seq == SHARD_END:
                 continue
+            if isinstance(end_seq, str) and end_seq.startswith(AT_TS_PREFIX):
+                continue  # LATEST pin unmoved ⇒ the range holds no records
             it = self._iterator_after(
                 client, shard_id, None if start_seq == SHARD_END else start_seq
             )
@@ -281,6 +339,233 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+class _ShardPartition(InputPartition):
+    """One Kinesis shard's work for one micro-batch. Carries everything
+    the executor needs (client factory options included) so ``read``
+    never depends on driver state."""
+
+    def __init__(
+        self,
+        shard_id: str,
+        start_pos: str | None,
+        epoch: int,
+        options: dict,
+        stream: str,
+        fence_dir: str,
+        max_records: int,
+        run: str,
+    ):
+        self.shard_id = shard_id
+        self.start_pos = start_pos
+        self.epoch = epoch
+        self.options = options
+        self.stream = stream
+        self.fence_dir = fence_dir
+        self.max_records = max_records
+        self.run = run
+
+
+class KinesisAwsParallelStreamReader(DataSourceStreamReader):
+    """Partition-planning reader: one ``InputPartition`` per shard,
+    ``GetRecords`` on executors (``readerMode=parallel``, the default —
+    see module docstring for the fence/offset protocol)."""
+
+    def __init__(self, options):
+        # reuse the Simple reader's option validation + client cache
+        self._base = KinesisAwsStreamReader(options)
+        self.options = dict(options)
+        self.stream = self._base.stream
+        self.max_records = self._base.max_records
+        self._epoch = 0
+        #: furthest-known position per shard (offset-log authoritative;
+        #: fence files only carry it between executors and driver)
+        self._pos: dict[str, str | None] = {}
+        import uuid as _uuid
+
+        #: this run's token: fence FILENAMES are run-scoped so a
+        #: restarted reader never mistakes an old run's fence for its
+        #: own epoch-N replay target, while position MERGING reads all
+        #: runs' fences (same positionDir = same logical query, so the
+        #: positions are one monotone lineage)
+        self._run = _uuid.uuid4().hex[:12]
+        explicit = options.get("positiondir")
+        if explicit:
+            # stable across restarts → the last pre-crash batch's
+            # attained positions are recovered from its fences and
+            # nothing committed is re-read. The caller owns uniqueness:
+            # one positionDir per query, like checkpointLocation.
+            self._fence_dir = os.path.join(explicit, self.stream)
+        else:
+            # safe default: unique per run. A restart cannot see the
+            # previous run's fences, so the last committed batch's
+            # window is re-read (at-least-once — the same window the
+            # reference leaves open); two unrelated queries can never
+            # cross-contaminate positions.
+            self._fence_dir = os.path.join(
+                __import__("tempfile").gettempdir(),
+                "kinesis_aws_pos",
+                f"{self.stream}-{self._run}",
+            )
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_base"] = None  # client handles don't pickle
+        return state
+
+    def _client(self):
+        if self._base is None:
+            self._base = KinesisAwsStreamReader(self.options)
+        return self._base._client()
+
+    # -- offsets ------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        client = self._client()
+        pos = self._base._initial_pos()
+        self._pos = {s: pos for s in _list_shard_ids(client, self.stream)}
+        return {"epoch": 0, "shards": dict(self._pos)}
+
+    def _merge_fences(self) -> None:
+        try:
+            names = os.listdir(self._fence_dir)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._fence_dir, name)) as f:
+                    fence = json.load(f)
+            except (OSError, ValueError):
+                continue  # half-written fence: next trigger retries
+            shard = fence.get("shard")
+            if shard:
+                self._pos[shard] = _max_pos(self._pos.get(shard), fence.get("pos"))
+
+    def latestOffset(self) -> dict:
+        client = self._client()
+        self._merge_fences()
+        for s in _list_shard_ids(client, self.stream):
+            # reshard pickup: child shards start at TRIM_HORIZON
+            self._pos.setdefault(s, None)
+        self._epoch += 1
+        return {"epoch": self._epoch, "shards": dict(self._pos)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Effective read start per shard = the FURTHEST of the two
+        # offsets: `end` carries fence-merged positions (what the
+        # previous batch actually consumed), `start` carries the
+        # restored offset-log positions (authoritative after a restart,
+        # when the fence dir is gone). Taking the max keeps both
+        # replay-after-restart and steady-state correct.
+        merged: dict[str, str | None] = {}
+        for off in (start.get("shards", {}), end.get("shards", {})):
+            for shard, pos in off.items():
+                merged[shard] = _max_pos(merged.get(shard), pos)
+        self._pos.update(
+            {s: _max_pos(self._pos.get(s), p) for s, p in merged.items()}
+        )
+        return [
+            _ShardPartition(
+                shard_id=shard,
+                start_pos=pos,
+                epoch=int(end.get("epoch", 0)),
+                options=self.options,
+                stream=self.stream,
+                fence_dir=self._fence_dir,
+                max_records=self.max_records,
+                run=self._run,
+            )
+            for shard, pos in sorted(merged.items())
+            if pos != SHARD_END
+        ]
+
+    # -- executor side -------------------------------------------------
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        client = _make_client(partition.options)
+        fence_path = os.path.join(
+            partition.fence_dir,
+            f"{partition.run}.{partition.epoch}.{partition.shard_id}.json",
+        )
+        target: str | None = None
+        try:
+            with open(fence_path) as f:
+                target = json.load(f).get("pos")
+        except (OSError, ValueError):
+            target = None
+        if target is not None and _pos_rank(target) <= _pos_rank(partition.start_pos):
+            return iter(())  # fenced batch made no progress on this shard
+        rows: list[tuple] = []
+        it = _get_iterator(client, partition.stream, partition.shard_id, partition.start_pos)
+        attained = partition.start_pos
+        if not it:
+            attained = SHARD_END
+        else:
+            polls = 0
+            while it:
+                # fenced replay drains to the fence, first attempts
+                # respect the per-trigger poll budget
+                if target is None and polls >= MAX_POLLS_PER_BATCH:
+                    break
+                polls += 1
+                resp = client.get_records(
+                    ShardIterator=it, Limit=partition.max_records
+                )
+                recs = resp.get("Records", [])
+                done = False
+                for rec in recs:
+                    rows.extend(_record_rows(rec, partition.shard_id))
+                    attained = rec["SequenceNumber"]
+                    if target not in (None, SHARD_END) and attained == target:
+                        done = True
+                        break
+                it = resp.get("NextShardIterator")
+                if not it:
+                    attained = SHARD_END  # closed shard fully drained
+                    break
+                if done or (not recs and not resp.get("MillisBehindLatest")):
+                    break
+        if target is None:
+            # first attempt: record the fence so (a) the driver learns
+            # the attained position at the next trigger and (b) task
+            # retries replay exactly this range
+            os.makedirs(partition.fence_dir, exist_ok=True)
+            tmp = f"{fence_path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"shard": partition.shard_id, "pos": attained}, f)
+            os.replace(tmp, fence_path)
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        """Prune fences whose positions are durably in the offset log
+        by now: other runs' fences entirely (merged at this run's first
+        ``latestOffset``), and this run's fences two epochs behind the
+        committed batch."""
+        horizon = int(end.get("epoch", 0)) - 1
+        try:
+            names = os.listdir(self._fence_dir)
+        except FileNotFoundError:
+            return
+        for name in names:
+            parts = name.split(".", 2)
+            if len(parts) != 3:
+                continue
+            run, epoch_part = parts[0], parts[1]
+            if run != self._run or (
+                epoch_part.isdigit() and int(epoch_part) < horizon
+            ):
+                try:
+                    os.remove(os.path.join(self._fence_dir, name))
+                except OSError:
+                    pass
+
+    def stop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._fence_dir, ignore_errors=True)
+
+
 class KinesisAwsDataSource(DataSource):
     """format("kinesis_aws") — streaming read from a real Kinesis
     stream. Writes go through ``PublisherBuilder.with_kinesis()`` /
@@ -292,6 +577,23 @@ class KinesisAwsDataSource(DataSource):
 
     def schema(self) -> str:
         return WIRE_DDL
+
+    def streamReader(self, schema: StructType) -> KinesisAwsParallelStreamReader:
+        mode = (self.options.get("readermode") or "parallel").lower()
+        if mode == "simple":
+            # raising NOT_IMPLEMENTED makes Spark fall back to
+            # simpleStreamReader (the documented dispatch contract)
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        if mode != "parallel":
+            raise ValueError(
+                f"readerMode must be 'parallel' or 'simple', got {mode!r}"
+            )
+        return KinesisAwsParallelStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> KinesisAwsStreamReader:
         return KinesisAwsStreamReader(self.options)

@@ -16,7 +16,10 @@ protocol without the service.
 
 from __future__ import annotations
 
+import base64
 import json
+import os
+from datetime import datetime, timezone
 
 
 class StubKinesisClient:
@@ -34,6 +37,9 @@ class StubKinesisClient:
     # -- producer/test controls --------------------------------------
 
     def put(self, shard_id: str, data: bytes | str, partition_key: str = "k"):
+        import time
+        from datetime import datetime, timezone
+
         if isinstance(data, str):
             data = data.encode("utf-8")
         self._seq += 1
@@ -42,7 +48,9 @@ class StubKinesisClient:
                 "Data": data,
                 "PartitionKey": partition_key,
                 "SequenceNumber": str(self._seq),
-                "ApproximateArrivalTimestamp": None,
+                "ApproximateArrivalTimestamp": datetime.fromtimestamp(
+                    time.time(), tz=timezone.utc
+                ),
             }
         )
 
@@ -66,6 +74,7 @@ class StubKinesisClient:
         ShardId,
         ShardIteratorType,
         StartingSequenceNumber=None,
+        Timestamp=None,
     ):
         self.calls.append(f"get_shard_iterator:{ShardIteratorType}")
         recs = self._shards.get(ShardId, [])
@@ -73,6 +82,22 @@ class StubKinesisClient:
             idx = 0
         elif ShardIteratorType == "LATEST":
             idx = len(recs)
+        elif ShardIteratorType == "AT_TIMESTAMP":
+            # first record whose arrival ts >= Timestamp (service
+            # semantics); Timestamp arrives as datetime (boto3) or
+            # epoch seconds
+            t = Timestamp.timestamp() if hasattr(Timestamp, "timestamp") else float(
+                Timestamp
+            )
+            idx = next(
+                (
+                    i
+                    for i, r in enumerate(recs)
+                    if r["ApproximateArrivalTimestamp"] is not None
+                    and r["ApproximateArrivalTimestamp"].timestamp() >= t
+                ),
+                len(recs),
+            )
         elif ShardIteratorType in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
             idx = next(
                 (
@@ -123,3 +148,103 @@ def demo_client() -> StubKinesisClient:
         c.put(f"shardId-{i % 2:012d}", env, partition_key=f"k{i % 2}")
     c.put("shardId-000000000000", b"{not json", partition_key="k0")
     return c
+
+
+class FileStubKinesisClient(StubKinesisClient):
+    """Disk-backed stub: shard state lives in ``<dir>/state.json``, so
+    a factory-constructed client in an EXECUTOR python worker sees the
+    records the test's driver-side client put — required to exercise
+    the parallel (``DataSourceStreamReader``) read path, where
+    ``get_records`` runs in separate worker processes."""
+
+    def __init__(self, state_dir: str):
+        super().__init__()
+        self._dir = state_dir
+        self._path = os.path.join(state_dir, "state.json")
+        self._load()
+
+    def _load(self) -> None:
+        try:
+            with open(self._path) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            return
+        self._seq = raw["seq"]
+        self._closed = set(raw["closed"])
+        self._shards = {
+            shard: [
+                {
+                    "Data": base64.b64decode(r["data"]),
+                    "PartitionKey": r["key"],
+                    "SequenceNumber": r["seq"],
+                    "ApproximateArrivalTimestamp": (
+                        datetime.fromtimestamp(r["ts"], tz=timezone.utc)
+                        if r["ts"] is not None
+                        else None
+                    ),
+                }
+                for r in recs
+            ]
+            for shard, recs in raw["shards"].items()
+        }
+
+    def _save(self) -> None:
+        os.makedirs(self._dir, exist_ok=True)
+        raw = {
+            "seq": self._seq,
+            "closed": sorted(self._closed),
+            "shards": {
+                shard: [
+                    {
+                        "data": base64.b64encode(bytes(r["Data"])).decode("ascii"),
+                        "key": r["PartitionKey"],
+                        "seq": r["SequenceNumber"],
+                        "ts": (
+                            r["ApproximateArrivalTimestamp"].timestamp()
+                            if r["ApproximateArrivalTimestamp"] is not None
+                            else None
+                        ),
+                    }
+                    for r in recs
+                ]
+                for shard, recs in self._shards.items()
+            },
+        }
+        tmp = f"{self._path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(raw, f)
+        os.replace(tmp, self._path)
+
+    # mutations persist; reads re-load (another process may have put)
+    def put(self, *a, **kw):
+        self._load()
+        super().put(*a, **kw)
+        self._save()
+
+    def add_shard(self, shard_id: str) -> None:
+        self._load()
+        super().add_shard(shard_id)
+        self._save()
+
+    def close_shard(self, shard_id: str) -> None:
+        self._load()
+        super().close_shard(shard_id)
+        self._save()
+
+    def list_shards(self, *a, **kw):
+        self._load()
+        return super().list_shards(*a, **kw)
+
+    def get_shard_iterator(self, *a, **kw):
+        self._load()
+        return super().get_shard_iterator(*a, **kw)
+
+    def get_records(self, *a, **kw):
+        self._load()
+        return super().get_records(*a, **kw)
+
+
+def file_stub_client(options) -> FileStubKinesisClient:
+    """clientfactory target for parallel-reader tests:
+    ``option('stubdir', <dir>)`` points at the shared state dir."""
+    return FileStubKinesisClient(options.get("stubdir"))
