@@ -419,3 +419,108 @@ def test_embedding_cosine_pairs_empty_block_no_duplicates(spark):
     pairs = [(r.vec_a, r.vec_b) for r in embedding_cosine_pairs(e, 0.9).collect()]
     assert len(pairs) == len(set(pairs)), "duplicate pairs emitted"
     assert set(pairs) == {(1, 2)}
+
+
+def test_png_pixel_decode_roundtrip_and_filters():
+    """decode_image_pixels must invert encode_png for every color type,
+    and undo all five PNG scanline filters (spec §9) — filtered
+    scanlines are built by applying the filter forward, so the test is
+    an exact inverse check, no imaging library anywhere."""
+    import zlib
+
+    import numpy as np
+
+    from watermill_kinesis_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_image_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    # round trip through the filter-0 encoder: gray, LA, RGB, RGBA
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        got = decode_image_pixels(encode_png(px))
+        assert got.shape == (11, 7, ch)
+        assert np.array_equal(got, px)
+
+    # all five filter types on an RGB image: filter forward by hand,
+    # decode must recover the original
+    h, w, bpp = 6, 5, 3
+    px = rng.integers(0, 256, size=(h, w * bpp), dtype=np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = []
+    for y in range(h):
+        ftype = y % 5
+        prev = px[y - 1] if y > 0 else np.zeros(w * bpp, dtype=np.int64)
+        row = px[y]
+        filt = np.empty(w * bpp, dtype=np.int64)
+        for x in range(w * bpp):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ftype]
+            filt[x] = (row[x] - pred) % 256
+        lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+
+    def chunk(tag, data):
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + tag + data + crc.to_bytes(4, "big")
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_image_pixels(png)
+    assert np.array_equal(got.reshape(h, w * bpp), px.astype(np.uint8))
+
+
+def test_png_palette_and_errors():
+    import numpy as np
+
+    from watermill_kinesis_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_png,
+    )
+    import zlib
+
+    # palette image: indices expand through PLTE to RGB
+    from watermill_kinesis_spark.operators.multimodal import PNG_SIG
+
+    def chunk(tag, data):
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + tag + data + crc.to_bytes(4, "big")
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_image_pixels(png)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[1, 0].tolist() == [0, 0, 255]
+
+    # non-PNG containers still refuse pixel decode honestly
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_image_pixels(b"definitely not an image")
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_image_pixels(
+            b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03" + b"\x00" * 20
+        )

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     # new boundary-covering construction. Everything already
     # driver-green in r1–r3 follows in the familiar category order.
     "window_range_frame",
+    "multimodal_pixel_stats",
     "stream_sliding_window",
     "stream_session_window",
     "changelog_compact",
