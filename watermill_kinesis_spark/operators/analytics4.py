@@ -766,3 +766,50 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(PATH_TOP_N)
     )
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey < 300 AND NOT EXISTS (
+        SELECT 1 FROM orders d
+        WHERE d.o_custkey < 300
+          AND d.o_orderdate > o.o_orderdate
+          AND d.o_totalprice > o.o_totalprice)
+    """,
+    tags=("window", "analytics"),
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over (recency, value): an order
+    survives iff NO other order is strictly later AND strictly more
+    valuable — the multi-objective shortlist shape (best-tradeoff
+    vendors, non-dominated configs, data-mix candidates). The oracle
+    spells the definition directly as a quadratic NOT EXISTS; the
+    engine's plan is the O(n log n) sweep that survives 100 TB:
+    collapse to per-date maxima (one map-side-combinable aggregate,
+    |dates| rows), take the running max over strictly-later dates with
+    a 1-row-shifted window on that tiny relation, and broadcast-join
+    the per-date dominance threshold back to the rows. No self-join,
+    no row explosion — dominance needs only `max(price | date > d)`,
+    never the pairs."""
+    od = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    daily = od.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("day_max")
+    )
+    w = (
+        W.orderBy(F.col("o_orderdate").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    thresholds = daily.select(
+        "o_orderdate", F.max("day_max").over(w).alias("best_later")
+    )
+    return (
+        od.join(F.broadcast(thresholds), "o_orderdate")
+        .where(
+            F.col("best_later").isNull()
+            | (F.col("best_later") <= F.col("o_totalprice"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )

@@ -238,3 +238,51 @@ def udf_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_levels,
         "l_returnflag string, quantity bigint, n_rows bigint, qty_rank bigint",
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT)
+               AS weighted_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    GROUP BY l_orderkey
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the Arrow-native face of the UDF surface (no
+    pandas materialization at all): the kernel receives raw
+    ``pyarrow.RecordBatch``es and computes with pyarrow.compute, which
+    is the lowest-overhead Python hook Spark offers (zero-copy into
+    Arrow, columnar end to end). The kernel does a per-batch
+    weighted-quantity partial; the final groupBy is JVM-side, so the
+    Python stage stays embarrassingly parallel and map-side only —
+    the pattern for plugging C-speed Arrow kernels (tokenizers,
+    codecs) into a 100 TB scan. All-integer arithmetic ⇒ exact oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_quantity", "l_linenumber")
+    )
+
+    def weighted(batches):
+        for batch in batches:
+            qty = pc.cast(batch.column("l_quantity"), pa.int64())
+            ln = pc.cast(batch.column("l_linenumber"), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), pc.multiply(qty, ln)],
+                ["l_orderkey", "w"],
+            )
+
+    partial = li.mapInArrow(weighted, "l_orderkey long, w long")
+    return partial.groupBy("l_orderkey").agg(
+        F.sum("w").alias("weighted_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )

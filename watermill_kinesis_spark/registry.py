@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     # driver-green in r1–r3 follows in the familiar category order.
     "window_range_frame",
     "multimodal_pixel_stats",
+    "pareto_frontier",
+    "udf_map_in_arrow",
     "stream_sliding_window",
     "stream_session_window",
     "changelog_compact",
