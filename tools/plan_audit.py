@@ -101,15 +101,20 @@ AUDITED = [
     "vocab_induction",
     "bm25_components",
     "hll_sketch_native",
+    "pareto_frontier",
+    "udf_map_in_arrow",
+    "multimodal_pixel_stats",
 ]
 
 
 def _bad_single_partition(plan: str) -> bool:
-    """A SinglePartition exchange is benign when it merges the partials
-    of a GLOBAL scalar aggregate (one row per upstream partition — the
-    only way to produce a one-row result, constant data volume at any
-    scale). It is a red flag anywhere else (global sorts, global
-    windows)."""
+    """A SinglePartition exchange is benign when it consumes the output
+    of an upstream AGGREGATION — scalar-agg partial merges (one row per
+    upstream partition) and global passes over group-bounded relations
+    (e.g. pareto_frontier's suffix-max window over per-DATE maxima:
+    |dates| rows at any corpus size). Those carry constant or
+    group-bounded data volume at every scale. It is a red flag anywhere
+    else — a global sort or global window over ROW-scale data."""
     for m in re.finditer(r"Exchange SinglePartition", plan):
         below = plan[m.end() : m.end() + 400]
         if "HashAggregate" not in below and "partial_" not in below:
