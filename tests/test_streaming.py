@@ -790,3 +790,46 @@ def test_sim_publisher_roundtrips_bytes_payloads(spark, tmp_path):
     by_key = {r.partition_key: bytes(r.raw) for r in back}
     assert by_key["pk-bytes"] == payload
     assert by_key["pk-str"] == b'{"plain":"json"}'
+
+
+import pytest as _pytest
+
+
+def _tws_available() -> bool:
+    from watermill_kinesis_spark.operators.streaming_batch import has_tws_runtime
+
+    return has_tws_runtime()
+
+
+@_pytest.mark.skipif(
+    not _tws_available(),
+    reason="transformWithState needs google.protobuf (absent in container)",
+)
+def test_transform_with_state_restart_continuation(spark, sf_dir):
+    """transformWithState per-key totals must equal the batch-computed
+    ground truth after the two-run checkpointed restart — state
+    CONTINUES, never resets (the engine analogue of the reference's
+    checkpoint-resume, subscriber.go:65-75)."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import (
+        _event_messages,
+        stream_transform_with_state,
+    )
+
+    got = {
+        r.partition_key: (r.total_messages, r.total_bytes)
+        for r in stream_transform_with_state(spark, sf_dir).collect()
+    }
+    truth = {
+        r.partition_key: (r.n, r.b)
+        for r in _event_messages(spark, sf_dir, F.col("event_id") < 1200)
+        .select(
+            F.col("metadata").getItem("partitionKey").alias("partition_key"),
+            F.octet_length("payload").alias("len"),
+        )
+        .groupBy("partition_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("len").alias("b"))
+        .collect()
+    }
+    assert got == truth

@@ -136,3 +136,45 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a 100 TB chain-walk parallelizes per key, bounded by chain
     length not table size."""
     return run_sql(spark, sf_dir, _SQL_RECURSIVE)
+
+
+#: the same logical query twice: Spark runs the Spark-4 PIPE syntax
+#: (SQL chained with |>, each stage reading top-to-bottom), DuckDB the
+#: classic nested spelling — value parity proves the pipe surface is
+#: sugar over the same plan, not a different engine path.
+_SQL_PIPE = """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1995-01-01'
+|> AGGREGATE COUNT(*) AS n_items,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 100
+|> SELECT l_returnflag, l_linestatus, n_items, sum_qty, revenue_cents
+"""
+
+
+@query(
+    "sql_pipe_interface",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_pipe_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL *pipe syntax* (`|>`): the filter→aggregate→having
+    chain written as sequential stages instead of inside-out nesting.
+    Each `|>` stage is parsed into the same logical operators as the
+    classic spelling, so Catalyst plans (pushdown, partial aggregation)
+    are identical — verified here by value-parity against the oracle's
+    classic GROUP BY/HAVING form, exact-integer aggregates."""
+    return run_sql(spark, sf_dir, _SQL_PIPE)

@@ -312,3 +312,91 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_attributed"),
         F.countDistinct("user_c").alias("n_users"),
     )
+
+
+def has_tws_runtime() -> bool:
+    """``transformWithStateInPandas`` needs the protobuf-based state
+    server protocol: the API exists in pyspark, but the streaming
+    python runner crashes without ``google.protobuf`` (absent from
+    this container, pip installs disallowed). Gate the registry entry
+    so an environment that has protobuf gets the operator and one that
+    doesn't gets an honest absence instead of a red query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    from watermill_kinesis_spark.streaming.stateful import HAS_TWS
+
+    return HAS_TWS
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (named state variables on a handle,
+    RocksDB state store, timers, schema evolution) — running the SAME
+    per-key accounting as ``stream_stateful_accounting`` across a
+    checkpointed restart: run 1 streams batch b0, run 2 (same
+    checkpoint) streams b1, and run-2 totals CONTINUE from run 1's
+    persisted ValueState. Rows-only: custom state is not
+    SQL-expressible; continuation invariants asserted in
+    tests/test_streaming.py."""
+    from watermill_kinesis_spark.streaming.stateful import key_accounting_tws
+
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_tws_{run_id}_")
+    topic = os.path.join(base, "topic")
+    ckpt = os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+
+    prior_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        def run_once() -> None:
+            decoded = stream_source.subscribe(spark, topic)
+            acct = key_accounting_tws(decoded)
+            q = (
+                acct.writeStream.format("json")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        b0 = _event_messages(spark, sf_dir, F.col("event_id") < 600)
+        b1 = _event_messages(
+            spark, sf_dir, (F.col("event_id") >= 600) & (F.col("event_id") < 1200)
+        )
+        stream_source.write_stream_files(b0, topic, file_label="b0")
+        run_once()
+        stream_source.write_stream_files(b1, topic, file_label="b1")
+        run_once()  # restart: ValueState restored, totals continue
+    finally:
+        if prior_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior_provider
+            )
+
+    out = spark.read.schema(
+        "partition_key string, n_messages long, n_bytes long, batch_messages long"
+    ).json(out_dir)
+    return out.groupBy("partition_key").agg(
+        F.max("n_messages").alias("total_messages"),
+        F.max("n_bytes").alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_emissions"),
+    )
+
+
+if has_tws_runtime():  # pragma: no cover - container lacks protobuf
+    query("stream_transform_with_state", tags=("streaming", "stateful", "spark4"))(
+        stream_transform_with_state
+    )

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_pixel_stats",
     "pareto_frontier",
     "udf_map_in_arrow",
+    "sql_pipe_interface",
     "stream_sliding_window",
     "stream_session_window",
     "changelog_compact",

@@ -162,3 +162,81 @@ def key_accounting_ttl(messages: DataFrame, ttl_ms: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState — Spark 4's arbitrary-stateful-processing API (the
+# successor to applyInPandasWithState): named state variables on a
+# StatefulProcessorHandle, RocksDB-backed, schema-evolvable. Same
+# accounting semantics as key_accounting so the two faces are directly
+# comparable (and covered by the same invariants).
+
+try:  # pragma: no cover - version gate
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class KeyTotalsProcessor(StatefulProcessor):
+    """Per-key cumulative (n_messages, n_bytes) in a named ValueState;
+    emits one row per key per batch with the running totals —
+    crash-safe because the state store is checkpointed with the query
+    (the generalization of the reference's per-shard sequence
+    checkpoint, subscriber.go:65-75)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_messages long, n_bytes long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        batch_n = 0
+        batch_bytes = 0
+        for pdf in rows:
+            batch_n += len(pdf)
+            batch_bytes += int(pdf["n_bytes"].sum())
+        if self._totals.exists():
+            prior = self._totals.get()
+            n_messages, n_bytes = int(prior[0]), int(prior[1])
+        else:
+            n_messages, n_bytes = 0, 0
+        n_messages += batch_n
+        n_bytes += batch_bytes
+        self._totals.update((n_messages, n_bytes))
+        yield pd.DataFrame(
+            {
+                "partition_key": [key[0]],
+                "n_messages": [n_messages],
+                "n_bytes": [n_bytes],
+                "batch_messages": [batch_n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def key_accounting_tws(messages: DataFrame) -> DataFrame:
+    """``key_accounting`` re-expressed on ``transformWithStateInPandas``
+    (requires the RocksDB state store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` before starting the query; the
+    rocksdbjni jar ships with Spark)."""
+    from pyspark.sql import functions as F
+
+    keyed = messages.select(
+        F.col("metadata").getItem("partitionKey").alias("partition_key"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    return keyed.groupBy("partition_key").transformWithStateInPandas(
+        statefulProcessor=KeyTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
