@@ -325,3 +325,67 @@ def bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BM25_TFNORM).alias("tf_norm"),
         F.expr(_BM25_IDF).alias("idf_rational"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable MinHash signatures (the distributed-sketch algebra, exact)
+
+#: 16 affine hash functions h_j(x) = (a_j·x + b_j) mod P over a
+#: Mersenne prime — a_j < 2^31 and x < 2^31 keep every product inside
+#: int64 in both engines, so the signature arithmetic is exact and
+#: engine-portable (no xxhash dialect dependence)
+MINHASH_P = 2_305_843_009_213_693_951  # 2^61 - 1
+MINHASH_PARAMS = tuple(
+    (j, 1_103_515_245 * (j + 1) % 2_147_483_647, 12_345 + 7_919 * j)
+    for j in range(16)
+)
+
+
+@query(
+    "minhash_signature_merge",
+    oracle=f"""
+    WITH params(j, a, b) AS (
+        SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in MINHASH_PARAMS)})),
+    hashes AS (
+        SELECT d.source, p.j,
+               (p.a * d.doc_id + p.b) % {MINHASH_P} AS h
+        FROM documents d CROSS JOIN params p)
+    SELECT source, j AS hash_idx,
+           CAST(MIN(h) AS BIGINT) AS sig_direct,
+           CAST(MIN(h) AS BIGINT) AS sig_merged
+    FROM hashes GROUP BY source, j
+    """,
+    tags=("sketch", "dedup", "llm-pipeline"),
+)
+def minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures are MERGEABLE — ``sig(A ∪ B) =
+    elementwise_min(sig(A), sig(B))`` — which is the whole reason
+    banded-LSH dedup scales: at 100 TB each partition computes partial
+    signatures with map-side combine and one tiny merge produces the
+    corpus signature; no data moves twice. This operator computes each
+    per-source signature through BOTH routes — ``sig_direct`` in one
+    groupBy, ``sig_merged`` by first reducing per (source, lang)
+    sub-corpora and then min-merging the partials — and the oracle pins
+    both to the exact signature values (affine hashes over a Mersenne
+    prime, pure int64). Equality of the two columns IS the merge
+    law, value-checked per (source, hash_idx)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    params = spark.createDataFrame(
+        list(MINHASH_PARAMS), "j int, a long, b long"
+    )
+    hashes = d.crossJoin(F.broadcast(params)).select(
+        "source",
+        "lang",
+        F.col("j").alias("hash_idx"),
+        ((F.col("a") * F.col("doc_id") + F.col("b")) % F.lit(MINHASH_P)).alias("h"),
+    )
+    direct = hashes.groupBy("source", "hash_idx").agg(
+        F.min("h").cast("bigint").alias("sig_direct")
+    )
+    partials = hashes.groupBy("source", "lang", "hash_idx").agg(
+        F.min("h").alias("partial_sig")
+    )
+    merged = partials.groupBy("source", "hash_idx").agg(
+        F.min("partial_sig").cast("bigint").alias("sig_merged")
+    )
+    return direct.join(merged, ["source", "hash_idx"])

@@ -350,3 +350,76 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_spans") * SPAN_LEN).cast("bigint").alias("n_masked"),
         F.coalesce("span_start_sum", F.lit(0)).cast("bigint").alias("span_start_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist filtering (crawl-policy gate)
+
+#: the policy table: registrable-suffix entries. A host is blocked iff
+#: it equals an entry or is a subdomain of one (label-boundary suffix
+#: match — 'notsrc3.example.com' must NOT match 'src3.example.com').
+BLOCKLIST = (
+    "src3.example.com",
+    "src7.example.com",
+    "example.org",
+    "cdn.src1.example.com",
+)
+
+#: shared host synthesis (three subdomain depths, two TLDs) so the
+#: oracle rebuilds the identical input
+_HOST_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN 'cdn.' || source || '.example.com'
+         WHEN doc_id % 3 = 1 THEN source || '.example.com'
+         ELSE 'm.' || source || '.example.org' END
+"""
+
+
+@query(
+    "domain_blocklist_filter",
+    oracle=f"""
+    WITH hosts AS (
+        SELECT doc_id, {_HOST_SQL} AS host FROM documents)
+    SELECT h.doc_id, h.host,
+           CAST(COUNT(b.entry) > 0 AS INT) AS is_blocked,
+           MIN(b.entry) AS rule
+    FROM hosts h
+    LEFT JOIN (
+        SELECT unnest(['{"','".join(BLOCKLIST)}']) AS entry) b
+      ON h.host = b.entry OR h.host LIKE '%.' || b.entry
+    GROUP BY h.doc_id, h.host
+    """,
+    tags=("pipeline", "governance", "llm-pipeline"),
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy domain filtering with label-boundary suffix
+    matching: every host is expanded to its dot-suffix chain
+    (``cdn.src1.example.com`` → itself, ``src1.example.com``,
+    ``example.com``, ``com`` — ≤ |labels| entries, a constant) and
+    joined against the broadcast blocklist on EQUALITY. That turns the
+    oracle's O(hosts × rules) LIKE scan into a hash join whose build
+    side is the KB-scale policy table — the only formulation that
+    survives a 100 TB crawl with a few thousand rules: work is
+    O(hosts · avg_labels), rules never scan. The emitted flag + first
+    matching rule are value-checked against the LIKE spelling."""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select("doc_id", F.expr(_HOST_SQL.strip()).alias("host"))
+    suffixes = hosts.select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(0, size(split(host, '\\\\.')) - 1),
+                          i -> array_join(slice(split(host, '\\\\.'), i + 1, 99), '.'))
+                """
+            )
+        ).alias("sfx"),
+    )
+    rules = spark.createDataFrame([(e,) for e in BLOCKLIST], "entry string")
+    matched = suffixes.join(
+        F.broadcast(rules), suffixes.sfx == rules.entry, "left"
+    )
+    return matched.groupBy("doc_id", "host").agg(
+        (F.count("entry") > 0).cast("int").alias("is_blocked"),
+        F.min("entry").alias("rule"),
+    )

@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     "pareto_frontier",
     "udf_map_in_arrow",
     "sql_pipe_interface",
+    "domain_blocklist_filter",
+    "minhash_signature_merge",
     "stream_sliding_window",
     "stream_session_window",
     "changelog_compact",
