@@ -389,3 +389,90 @@ def minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("partial_sig").cast("bigint").alias("sig_merged")
     )
     return direct.join(merged, ["source", "hash_idx"])
+
+
+# ---------------------------------------------------------------------------
+# approximate-quantile accuracy audit
+
+#: relative-error budget handed to approx_percentile: the KLL/GK-style
+#: sketch guarantees rank error ≤ ACCURACY⁻¹ of n
+APPROX_Q_ACC = 100
+
+
+@query(
+    "approx_quantile_audit",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_disc(value, [0.10, 0.25, 0.50, 0.75, 0.90, 0.99]) AS qs
+        FROM events)
+    SELECT p.pct, CAST(qs[p.i] AS DOUBLE) AS exact_value,
+           1 AS approx_within_bound
+    FROM q, (VALUES (10, 1), (25, 2), (50, 3),
+                    (75, 4), (90, 5), (99, 6)) p(pct, i)
+    """,
+    tags=("sketch", "statistics"),
+)
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy-audit pattern every sketch deployment needs: run
+    the APPROXIMATE quantile (``approx_percentile``, the mergeable
+    one-pass sketch you'd use at 100 TB) next to the exact quantile
+    (discrete, one sort — affordable at audit scale) and emit whether
+    the sketch landed within its guaranteed rank-error budget
+    (±n/ACCURACY ranks). The oracle pins the exact values AND pins
+    ``approx_within_bound`` to 1 — so a Spark upgrade that silently
+    degrades the sketch, or an accuracy misconfiguration, turns the
+    row red. The approx value itself never crosses the compare (it is
+    engine-specific by construction); the audit VERDICT does."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    pcts = [10, 25, 50, 75, 90, 99]
+    n = ev.count()
+    approx = ev.agg(
+        F.percentile_approx(
+            "value", [p / 100 for p in pcts], APPROX_Q_ACC
+        ).alias("aq")
+    ).collect()[0].aq
+    # exact discrete quantiles + the rank of each approx answer, in one
+    # distributed pass: rank every value once, then take per-pct mins
+    w = W.orderBy("value")
+    ranked = ev.select("value", F.row_number().over(w).alias("rk"))
+    rows = []
+    for p, av in zip(pcts, approx):
+        # rank window the sketch promises: target rank ± n/accuracy
+        target = int(p / 100 * n)
+        lo, hi = target - n // APPROX_Q_ACC - 1, target + n // APPROX_Q_ACC + 1
+        rows.append((p, float(av), lo, hi))
+    audit = spark.createDataFrame(
+        rows, "pct int, approx_value double, lo long, hi long"
+    )
+    # the approx value's actual rank = count of values ≤ it
+    le_counts = (
+        ranked.crossJoin(F.broadcast(audit))
+        .where(F.col("value") <= F.col("approx_value"))
+        .groupBy("pct", "lo", "hi")
+        .agg(F.max("rk").alias("approx_rank"))
+    )
+    exact = (
+        ranked.crossJoin(
+            F.broadcast(audit.select("pct"))
+        )
+        .where(
+            # DuckDB quantile_disc's discrete index: floor(q·(n−1)) + 1
+            F.col("rk")
+            == F.floor(F.col("pct") / F.lit(100.0) * F.lit(n - 1)).cast("long") + 1
+        )
+        .select("pct", F.col("value").alias("exact_value"))
+    )
+    return (
+        exact.join(le_counts, "pct")
+        .select(
+            "pct",
+            "exact_value",
+            F.when(
+                (F.col("approx_rank") >= F.col("lo"))
+                & (F.col("approx_rank") <= F.col("hi")),
+                1,
+            )
+            .otherwise(0)
+            .alias("approx_within_bound"),
+        )
+    )

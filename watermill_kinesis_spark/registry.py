@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_pipe_interface",
     "domain_blocklist_filter",
     "minhash_signature_merge",
+    "approx_quantile_audit",
     "stream_sliding_window",
     "stream_session_window",
     "changelog_compact",
