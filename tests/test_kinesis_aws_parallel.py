@@ -217,3 +217,32 @@ def test_end_to_end_readstream_parallel(spark, tmp_path):
     q.awaitTermination()
     assert sorted(r.uuid for r in out) == [f"uuid-{i}" for i in range(5)]
     assert all(r.metadata["shardID"].startswith("shardId-") for r in out)
+
+
+def test_batch_read_drains_stream(spark, tmp_path):
+    """spark.read.format('kinesis_aws') — the backfill quadrant: one
+    partition per shard, each drained to its tip on executors."""
+    from watermill_kinesis_spark.sources import kinesis_aws
+
+    stub_dir = str(tmp_path / "stub")
+    client = FileStubKinesisClient(stub_dir)
+    for i in range(10):
+        client.put(f"shardId-{i % 3:012d}", f"d{i}", partition_key=f"k{i}")
+    kinesis_aws.register(spark)
+    df = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .load()
+    )
+    rows = df.collect()
+    assert sorted(r.data for r in rows) == [f"d{i}" for i in range(10)]
+    assert {r.shard_id for r in rows} == {
+        f"shardId-{i:012d}" for i in range(3)
+    }
+    # executor-side plan: one task per shard
+    assert df.rdd.getNumPartitions() == 3

@@ -73,6 +73,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -566,6 +567,52 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         shutil.rmtree(self._fence_dir, ignore_errors=True)
 
 
+class _BatchShardPartition(InputPartition):
+    def __init__(self, shard_id: str, start_pos: str | None, options: dict, stream: str):
+        self.shard_id = shard_id
+        self.start_pos = start_pos
+        self.options = options
+        self.stream = stream
+
+
+class KinesisAwsBatchReader(DataSourceReader):
+    """Batch read of a Kinesis stream — drain each shard from the
+    starting position to its current tip, one ``InputPartition`` per
+    shard with all ``GetRecords`` on executors (the backfill/bootstrap
+    quadrant: load the retained stream history into the lake before
+    switching to the streaming reader for the live tail). Polling
+    stops at ``MillisBehindLatest == 0`` or shard close; records
+    arriving mid-scan land in the streaming phase instead."""
+
+    def __init__(self, options):
+        self._base = KinesisAwsStreamReader(options)  # validation + start pos
+        self.options = dict(options)
+        self.stream = self._base.stream
+
+    def partitions(self) -> Sequence[InputPartition]:
+        client = self._base._client()
+        pos = self._base._initial_pos()
+        return [
+            _BatchShardPartition(s, pos, self.options, self.stream)
+            for s in _list_shard_ids(client, self.stream)
+        ]
+
+    def read(self, partition: _BatchShardPartition) -> Iterator[tuple]:
+        client = _make_client(partition.options)
+        it = _get_iterator(
+            client, partition.stream, partition.shard_id, partition.start_pos
+        )
+        max_records = int(partition.options.get("maxrecords", "1000"))
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=max_records)
+            recs = resp.get("Records", [])
+            for rec in recs:
+                yield from _record_rows(rec, partition.shard_id)
+            it = resp.get("NextShardIterator")
+            if not recs and not resp.get("MillisBehindLatest"):
+                break  # at the tip: the batch ends here
+
+
 class KinesisAwsDataSource(DataSource):
     """format("kinesis_aws") — streaming read from a real Kinesis
     stream. Writes go through ``PublisherBuilder.with_kinesis()`` /
@@ -577,6 +624,9 @@ class KinesisAwsDataSource(DataSource):
 
     def schema(self) -> str:
         return WIRE_DDL
+
+    def reader(self, schema: StructType) -> KinesisAwsBatchReader:
+        return KinesisAwsBatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> KinesisAwsParallelStreamReader:
         mode = (self.options.get("readermode") or "parallel").lower()
