@@ -833,3 +833,26 @@ def test_transform_with_state_restart_continuation(spark, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_update_mode_final_counts_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import (
+        _event_messages,
+        stream_update_mode_counts,
+    )
+
+    got = {
+        r.partition_key: r.n_messages
+        for r in stream_update_mode_counts(spark, sf_dir).collect()
+    }
+    truth = {
+        r.partition_key: r.n
+        for r in _event_messages(spark, sf_dir, F.col("event_id") < 2000)
+        .select(F.col("metadata").getItem("partitionKey").alias("partition_key"))
+        .groupBy("partition_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == truth

@@ -661,3 +661,53 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("late_s", F.lit(0.99)), 6).alias("p99_lateness_s"),
         F.max("late_s").cast("bigint").alias("max_lateness_s"),
     )
+
+
+@query(
+    "ohlc_resample",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+           arg_min(value, epoch_us(ts) * 4096 + event_id % 4096) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, epoch_us(ts) * 4096 + event_id % 4096) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+    tags=("event-time", "time-series"),
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — the canonical tick→bar time-series shape
+    (open/high/low/close per key per hour). Open and close are
+    min_by/max_by over an exact integer ordering key
+    (microsecond-epoch ⊕ event_id tail) so ties are deterministic in both
+    engines (single-BIGINT composite key) and the whole bar is ONE
+    map-side-combinable aggregate:
+    no window, no sort, one shuffle on (user, bucket) — at 100 TB the
+    partial aggregation does almost all the work before the exchange.
+    Values are pass-through doubles (no arithmetic), so the compare is
+    bit-exact."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    ts = F.col("ts").cast("timestamp")
+    # one BIGINT ordering key both engines aggregate identically:
+    # microsecond epoch shifted 12 bits + a 12-bit event_id tail as the
+    # equal-timestamp tie-break (epoch_us·4096 stays inside int64
+    # through 2041). (user_id, ts) is unique in the testdata at every
+    # SF, so the tail is belt-and-braces determinism, not load-bearing.
+    order_key = F.unix_micros(ts) * 4096 + F.col("event_id") % 4096
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("hour", ts).cast("timestamp_ntz").alias("bucket"),
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

@@ -400,3 +400,47 @@ if has_tws_runtime():  # pragma: no cover - container lacks protobuf
     query("stream_transform_with_state", tags=("streaming", "stateful", "spark4"))(
         stream_transform_with_state
     )
+
+
+@query("stream_update_mode_counts", tags=("streaming", "output-mode"))
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode — the third face of streaming aggregation
+    output (append emits only finalized groups, complete re-emits all
+    state, UPDATE emits just the groups a batch touched). Two publish
+    batches flow through one unwatermarked running count; the memory
+    sink accumulates one row per (key, update), and the LAST update
+    per key must equal the batch ground truth. Rows-only: output-mode
+    mechanics are not SQL-expressible; the count arithmetic is
+    oracle-verified in batch by partition_key_group."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_upd_{run_id}_")
+    topic = os.path.join(base, "topic")
+    name = f"upd_{run_id}"
+
+    for lo, hi, label in ((0, 1000, "b0"), (1000, 2000, "b1")):
+        msgs = _event_messages(
+            spark, sf_dir, (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        stream_source.write_stream_files(msgs, topic, file_label=label)
+
+    counts = (
+        stream_source.subscribe(spark, topic)
+        .select(F.col("metadata").getItem("partitionKey").alias("partition_key"))
+        .groupBy("partition_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("partition_key")
+        .agg(F.max("n").alias("n_messages"))
+        .orderBy("partition_key")
+    )

@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "domain_blocklist_filter",
     "minhash_signature_merge",
     "approx_quantile_audit",
+    "ohlc_resample",
+    "stream_update_mode_counts",
     "stream_sliding_window",
     "stream_session_window",
     "changelog_compact",
