@@ -476,3 +476,98 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_within_bound"),
         )
     )
+
+
+@query(
+    "hll_accuracy_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+           1 AS hll_within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "statistics"),
+)
+def hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy audit, same pattern as
+    ``approx_quantile_audit``: the native DataSketches HLL estimate
+    (the mergeable structure you'd HLL-union across 100 TB of
+    partitions) runs next to the exact COUNT DISTINCT, and the row
+    carries the VERDICT — estimate within ±5% (or ±1 for tiny
+    groups) — which the oracle pins to 1 alongside the exact counts.
+    The engine-specific estimate never crosses the compare; its
+    correctness envelope does."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_distinct_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    slack = F.greatest(F.lit(1.0), F.col("n_distinct_exact") * F.lit(0.05))
+    return agg.select(
+        "event_type",
+        "n_distinct_exact",
+        F.when(
+            F.abs(F.col("est") - F.col("n_distinct_exact")) <= slack, 1
+        )
+        .otherwise(0)
+        .alias("hll_within_bound"),
+    )
+
+
+#: Count-Min parameters: over-estimate bounded by eps·N with
+#: probability ≥ confidence; seed fixed ⇒ deterministic sketch
+CMS_EPS = 0.005
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+
+
+@query(
+    "count_min_accuracy_audit",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS true_count,
+           1 AS cms_within_bound
+    FROM events WHERE user_id < 30 GROUP BY user_id
+    """,
+    tags=("sketch", "statistics"),
+)
+def count_min_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit: build the sketch distributed (one
+    mergeable aggregate over the full stream — KB-sized at any corpus
+    scale), then check its two-sided guarantee per audited key:
+    never UNDER the true count, and over by at most eps·N. The oracle
+    pins the true counts and the verdict; the sketch's estimates stay
+    engine-side. The audited key set is a bounded filter (30 keys) so
+    the driver-side estimate probing is constant work."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select("user_id")
+    cms_bytes = bytes(
+        keyed.agg(
+            F.count_min_sketch(
+                "user_id", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+            ).alias("s")
+        ).collect()[0].s
+    )
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        cms_bytes
+    )
+    total = keyed.count()
+    est_rows = [(uid, int(sketch.estimateCount(uid))) for uid in range(30)]
+    est = spark.createDataFrame(est_rows, "user_id long, est long")
+    true = (
+        keyed.where(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    slack = int(CMS_EPS * total) + 1
+    return true.join(F.broadcast(est), "user_id").select(
+        "user_id",
+        "true_count",
+        F.when(
+            (F.col("est") >= F.col("true_count"))
+            & (F.col("est") <= F.col("true_count") + F.lit(slack)),
+            1,
+        )
+        .otherwise(0)
+        .alias("cms_within_bound"),
+    )

@@ -95,6 +95,8 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_signature_merge",
     "approx_quantile_audit",
     "ohlc_resample",
+    "hll_accuracy_audit",
+    "count_min_accuracy_audit",
     "stream_update_mode_counts",
     "stream_sliding_window",
     "stream_session_window",
