@@ -246,3 +246,29 @@ def test_batch_read_drains_stream(spark, tmp_path):
     }
     # executor-side plan: one task per shard
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_batch_read_shard_filter_prunes_partitions(spark, tmp_path):
+    """A shard_id predicate must prune whole shard partitions at the
+    source (no GetRecords for pruned shards)."""
+    from watermill_kinesis_spark.sources import kinesis_aws
+
+    stub_dir = str(tmp_path / "stub")
+    client = FileStubKinesisClient(stub_dir)
+    for i in range(9):
+        client.put(f"shardId-{i % 3:012d}", f"d{i}")
+    kinesis_aws.register(spark)
+    df = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .load()
+        .where("shard_id = 'shardId-000000000001'")
+    )
+    rows = df.collect()
+    assert sorted(r.data for r in rows) == ["d1", "d4", "d7"]
+    assert df.rdd.getNumPartitions() == 1  # two shards pruned at plan time

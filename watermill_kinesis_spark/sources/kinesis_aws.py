@@ -588,13 +588,35 @@ class KinesisAwsBatchReader(DataSourceReader):
         self._base = KinesisAwsStreamReader(options)  # validation + start pos
         self.options = dict(options)
         self.stream = self._base.stream
+        self._shard_filter: set[str] | None = None
+
+    def pushFilters(self, filters):
+        """Consume shard_id equality/IN filters: whole shard partitions
+        are pruned before any task launches — the Python-source
+        analogue of parquet partition pruning, same contract as the
+        kinesis_sim batch reader. Everything else stays in Spark's
+        plan."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        unsupported = []
+        for flt in filters:
+            if isinstance(flt, EqualTo) and flt.attribute == ("shard_id",):
+                self._shard_filter = {flt.value}
+            elif isinstance(flt, In) and flt.attribute == ("shard_id",):
+                self._shard_filter = set(flt.values)
+            else:
+                unsupported.append(flt)
+        return iter(unsupported)
 
     def partitions(self) -> Sequence[InputPartition]:
         client = self._base._client()
         pos = self._base._initial_pos()
+        shards = _list_shard_ids(client, self.stream)
+        if self._shard_filter is not None:
+            shards = [s for s in shards if s in self._shard_filter]
         return [
             _BatchShardPartition(s, pos, self.options, self.stream)
-            for s in _list_shard_ids(client, self.stream)
+            for s in shards
         ]
 
     def read(self, partition: _BatchShardPartition) -> Iterator[tuple]:
