@@ -422,7 +422,15 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_within_bound`` to 1 — so a Spark upgrade that silently
     degrades the sketch, or an accuracy misconfiguration, turns the
     row red. The approx value itself never crosses the compare (it is
-    engine-specific by construction); the audit VERDICT does."""
+    engine-specific by construction); the audit VERDICT does.
+
+    The exact order statistic is computed WITHOUT a global
+    single-partition sort (the naive ``row_number() OVER (ORDER BY
+    value)`` funnels the whole relation through one task): the data is
+    range-partitioned and sorted in parallel, global rank =
+    per-partition local rank + the broadcast prefix-offset of the
+    partition — the textbook distributed selection, O(n log n) work at
+    full parallelism."""
     ev = load_table(spark, sf_dir, "events").select("value")
     pcts = [10, 25, 50, 75, 90, 99]
     n = ev.count()
@@ -431,10 +439,6 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", [p / 100 for p in pcts], APPROX_Q_ACC
         ).alias("aq")
     ).collect()[0].aq
-    # exact discrete quantiles + the rank of each approx answer, in one
-    # distributed pass: rank every value once, then take per-pct mins
-    w = W.orderBy("value")
-    ranked = ev.select("value", F.row_number().over(w).alias("rk"))
     rows = []
     for p, av in zip(pcts, approx):
         # rank window the sketch promises: target rank ± n/accuracy
@@ -444,17 +448,43 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = spark.createDataFrame(
         rows, "pct int, approx_value double, lo long, hi long"
     )
-    # the approx value's actual rank = count of values ≤ it
+    # the approx value's actual rank = count of values ≤ it (one
+    # distributed filtered count per pct, no ordering needed)
     le_counts = (
-        ranked.crossJoin(F.broadcast(audit))
+        ev.crossJoin(F.broadcast(audit))
         .where(F.col("value") <= F.col("approx_value"))
         .groupBy("pct", "lo", "hi")
-        .agg(F.max("rk").alias("approx_rank"))
+        .agg(F.count(F.lit(1)).alias("approx_rank"))
+    )
+    # distributed exact selection: parallel range-partitioned sort +
+    # per-partition local ranks + broadcast prefix offsets
+    # localCheckpoint pins ONE materialization: range boundaries come
+    # from sampling, so deriving sizes and ranks from separate
+    # evaluations could see different partitionings
+    parted = (
+        ev.repartitionByRange(32, "value")
+        .sortWithinPartitions("value")
+        .select("value", F.spark_partition_id().alias("pid"))
+        .localCheckpoint()
+    )
+    w_local = W.partitionBy("pid").orderBy("value")
+    local = parted.select(
+        "value", "pid", F.row_number().over(w_local).alias("lrk")
+    )
+    sizes = {
+        r.pid: r.c
+        for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    ranked = local.join(F.broadcast(off), "pid").select(
+        "value", (F.col("off") + F.col("lrk")).alias("rk")
     )
     exact = (
-        ranked.crossJoin(
-            F.broadcast(audit.select("pct"))
-        )
+        ranked.crossJoin(F.broadcast(audit.select("pct")))
         .where(
             # DuckDB quantile_disc's discrete index: floor(q·(n−1)) + 1
             F.col("rk")
