@@ -175,3 +175,54 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "format_json_corrupt_modes",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE event_id % 31 <> 0) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE event_id % 31 = 0) AS BIGINT) AS n_corrupt,
+           CAST(SUM(event_id) FILTER (WHERE event_id % 31 <> 0) AS BIGINT)
+               AS sum_good_ids
+    FROM events
+    """,
+    tags=("format", "codec"),
+)
+def format_json_corrupt_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling at the FORMAT layer — the file-reader
+    counterpart of the wire codec's corrupt-skip (reference
+    subscriber.go:54-59): every 31st JSON line is mangled before
+    writing; the PERMISSIVE read (Spark's default) lands those rows in
+    ``columnNameOfCorruptRecord`` with data columns NULL, and good
+    rows parse fully. The emitted triple (good count, corrupt count,
+    good-id checksum) is pinned by the oracle's arithmetic, proving
+    both that poison lines never kill the scan and that they are
+    EXACTLY the lines the synthesis corrupted — no healthy row is
+    misclassified."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 31 == 0,
+            F.concat(F.lit("{broken"), F.to_json(F.struct("event_id"))),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type")))
+        .alias("value")
+    )
+    out = os.path.join(_tmp("json_corrupt"), "lines")
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "event_id long, event_type string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(out)
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("bigint")
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("event_id")))
+        .cast("bigint")
+        .alias("sum_good_ids"),
+    )

@@ -385,3 +385,65 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_contrib"
         ),
     )
+
+
+@query(
+    "weblog_parse_agg",
+    oracle="""
+    SELECT split_part(event_type, '_', 1) AS section,
+           CASE WHEN event_id % 97 = 0 THEN 500
+                WHEN event_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(event_id % 1000 + 100) AS BIGINT) AS sum_bytes
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("text", "etl"),
+)
+def weblog_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured log parsing — the classic ETL entry point: events are
+    rendered into Apache combined-log lines (deterministic synthesis),
+    then parsed BACK with one ``regexp_extract`` pattern per field and
+    aggregated per (path section, status). The oracle computes the same
+    aggregate straight from the source columns with no regex at all —
+    so what is value-checked is that the render→parse round trip loses
+    nothing and the parser fields line up exactly with ground truth.
+    Pure JVM regex in whole-stage codegen: at 100 TB this is a scan,
+    not a UDF job."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(' - - [14/Aug/2026:00:00:00 +0000] "GET /'),
+        F.regexp_replace("event_type", "_", "/"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.lit(' HTTP/1.1" '),
+        F.when(F.col("event_id") % 97 == 0, 500)
+        .when(F.col("event_id") % 7 == 0, 404)
+        .otherwise(200)
+        .cast("string"),
+        F.lit(" "),
+        (F.col("event_id") % 1000 + 100).cast("string"),
+    )
+    logs = ev.select(line.alias("raw"))
+    pat = r'^(\S+) \S+ \S+ \[[^\]]*\] "(\w+) ([^ "]+) [^"]*" (\d{3}) (\d+)$'
+    parsed = logs.select(
+        F.regexp_extract("raw", pat, 3).alias("path"),
+        F.regexp_extract("raw", pat, 4).cast("int").alias("status"),
+        F.regexp_extract("raw", pat, 5).cast("long").alias("nbytes"),
+    )
+    return (
+        parsed.select(
+            F.split_part(F.col("path"), F.lit("/"), F.lit(2)).alias("section"),
+            "status",
+            "nbytes",
+        )
+        .groupBy("section", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("nbytes").cast("bigint").alias("sum_bytes"),
+        )
+    )

@@ -97,6 +97,8 @@ _PRIORITY: tuple[str, ...] = (
     "ohlc_resample",
     "hll_accuracy_audit",
     "count_min_accuracy_audit",
+    "format_json_corrupt_modes",
+    "weblog_parse_agg",
     "stream_update_mode_counts",
     "stream_sliding_window",
     "stream_session_window",
