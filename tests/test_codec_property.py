@@ -152,3 +152,29 @@ def test_kpl_corruption_never_passes_silently(records, data):
     # collision (practically impossible). If we got records back they
     # must differ from a silent pass-through of the original.
     assert out != records or pos >= len(blob) - 0  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel codec property: decode ∘ encode = id over random images
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_pixel_roundtrip_property(w, h, ch, seed):
+    import numpy as np
+
+    from watermill_kinesis_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    got = decode_image_pixels(encode_png(px))
+    assert got.shape == (h, w, ch)
+    assert np.array_equal(got, px)
