@@ -78,28 +78,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
     # ---- Rotation (round 4): the driver's budget-capped gate samples a
-    # PREFIX of this order, so the 58 oracle-backed entries that have
-    # NEVER received a driver-green row (through r3) come first —
-    # `window_range_frame` leads because r3 sampled it red (oracle
-    # typing, fixed this round). They are followed by the five codec /
-    # transport entries whose gate payloads changed this round (padded
-    # past the base64 MIME-wrap boundary) so the driver re-verifies the
-    # new boundary-covering construction. Everything already
-    # driver-green in r1–r3 follows in the familiar category order.
+    # PREFIX of this order. Front: the 58 oracle-backed entries that
+    # have NEVER received a driver-green row through r3 (leading with
+    # `window_range_frame`, sampled red in r3 and fixed this round) —
+    # the oldest verification debt, cleared first. Then the round-4
+    # additions (locally oracle-verified at sf0.01 AND sf0.1 this
+    # round), then the five codec/transport entries whose gate payloads
+    # changed this round (padded past the base64 MIME-wrap boundary),
+    # then everything already driver-green in r1–r3.
     "window_range_frame",
-    "multimodal_pixel_stats",
-    "pareto_frontier",
-    "udf_map_in_arrow",
-    "sql_pipe_interface",
-    "domain_blocklist_filter",
-    "minhash_signature_merge",
-    "approx_quantile_audit",
-    "ohlc_resample",
-    "hll_accuracy_audit",
-    "count_min_accuracy_audit",
-    "format_json_corrupt_modes",
-    "weblog_parse_agg",
-    "stream_update_mode_counts",
     "stream_sliding_window",
     "stream_session_window",
     "changelog_compact",
@@ -157,6 +144,19 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_energy",
     "sql_text_interface",
     "sql_text_subqueries",
+    "multimodal_pixel_stats",
+    "pareto_frontier",
+    "udf_map_in_arrow",
+    "sql_pipe_interface",
+    "domain_blocklist_filter",
+    "minhash_signature_merge",
+    "approx_quantile_audit",
+    "ohlc_resample",
+    "hll_accuracy_audit",
+    "count_min_accuracy_audit",
+    "format_json_corrupt_modes",
+    "weblog_parse_agg",
+    "stream_update_mode_counts",
     "envelope_encode",
     "envelope_decode",
     "corrupt_skip",
