@@ -133,8 +133,14 @@ def test_image_header_decode_real_fixtures():
     assert sniff_image(b"") is None
     with pytest.raises(ValueError):
         decode_image_features(b"not an image")
-    with pytest.raises(NotImplementedError):
+    # PNG pixels decode for real since round 4; a header-only PNG
+    # (no IDAT) is malformed and must fail CLEANLY, not with a raw
+    # zlib error
+    with pytest.raises(ValueError, match="IDAT"):
         decode_image_pixels(_png_bytes(1, 1))
+    # JPEG entropy decode is the one honestly-absent pixel path
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(_jpeg_bytes(8, 8))
 
 
 def test_multimodal_feature_extract_mixed_payloads(spark):

@@ -210,7 +210,13 @@ def decode_image_pixels(payload: bytes):
         i += 12 + clen
     import zlib
 
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # hostile/truncated containers surface as the same ValueError
+        # contract as every other malformed-image path — the caller's
+        # corrupt-skip logic must never see raw zlib internals
+        raise ValueError(f"PNG IDAT stream undecodable: {e}") from e
     stride = width * channels
     if len(raw) < height * (1 + stride):
         raise ValueError("PNG pixel data truncated")
