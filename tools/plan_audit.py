@@ -104,6 +104,15 @@ AUDITED = [
     "pareto_frontier",
     "udf_map_in_arrow",
     "multimodal_pixel_stats",
+    "sql_pipe_interface",
+    "domain_blocklist_filter",
+    "minhash_signature_merge",
+    "approx_quantile_audit",
+    "ohlc_resample",
+    "hll_accuracy_audit",
+    "count_min_accuracy_audit",
+    "weblog_parse_agg",
+    "format_json_corrupt_modes",
 ]
 
 
