@@ -272,3 +272,59 @@ def test_batch_read_shard_filter_prunes_partitions(spark, tmp_path):
     rows = df.collect()
     assert sorted(r.data for r in rows) == ["d1", "d4", "d7"]
     assert df.rdd.getNumPartitions() == 1  # two shards pruned at plan time
+
+
+def test_live_multi_trigger_no_loss_no_dup(spark, tmp_path):
+    """Records published BETWEEN micro-batches must each arrive exactly
+    once through the live (processingTime) engine loop — the
+    latestOffset/fence/commit cycle under real trigger cadence, not
+    just availableNow."""
+    import time
+
+    from watermill_kinesis_spark.sources import kinesis_aws
+
+    stub_dir = str(tmp_path / "stub")
+    client = FileStubKinesisClient(stub_dir)
+    for i in range(4):
+        client.put(f"shardId-{i % 2:012d}", f"pre-{i}", partition_key=f"k{i}")
+
+    kinesis_aws.register(spark)
+    name = "live_mt"
+    q = (
+        spark.readStream.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .option("positiondir", str(tmp_path / "pos"))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        def wait_for(n):
+            while time.time() < deadline:
+                if spark.table(name).count() >= n:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(4), "initial backlog not delivered"
+        client.put("shardId-000000000000", "mid-0")
+        client.put("shardId-000000000001", "mid-1")
+        assert wait_for(6), "mid-stream records not delivered"
+        client.put("shardId-000000000001", "late-0")
+        assert wait_for(7), "late record not delivered"
+    finally:
+        q.stop()
+    rows = [r.data for r in spark.table(name).collect()]
+    assert sorted(rows) == sorted(
+        [f"pre-{i}" for i in range(4)] + ["mid-0", "mid-1", "late-0"]
+    ), "loss or duplication across triggers"
