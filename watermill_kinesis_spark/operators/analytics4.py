@@ -813,3 +813,95 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+@query(
+    "mad_robust_stats",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type))
+    SELECT event_type,
+           CAST(ANY_VALUE(med) AS DOUBLE) AS median_value,
+           CAST(quantile_disc(adev, 0.5) AS DOUBLE) AS mad
+    FROM dev GROUP BY event_type
+    """,
+    tags=("statistics", "analytics"),
+)
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: exact median and exact MAD
+    (median absolute deviation) — the outlier-resistant alternative to
+    stddev that data-quality monitors want when a corpus has heavy
+    tails. Two grouped exact order statistics: per-group
+    ``row_number`` rank selection (partitioned windows — parallel per
+    group, never a global sort), deviations join back against the
+    broadcast per-group medians, then the same selection again. Both
+    engines pick rank floor((n−1)/2)+1 (DuckDB's quantile_disc index),
+    and medians/MADs are pass-through doubles — bit-exact compare."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(F.col(col), "tb")
+        sized = df.withColumn("tb", F.monotonically_increasing_id())
+        ranked = sized.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("event_type"))
+            .alias("n"),
+        )
+        return ranked.where(
+            F.col("rk") == F.floor((F.col("n") - 1) / 2).cast("long") + 1
+        ).select("event_type", F.col(col).alias(out))
+
+    med = disc_median(ev, "value", "median_value")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("adev"),
+    )
+    mad = disc_median(dev.select("event_type", "adev"), "adev", "mad")
+    return med.join(mad, "event_type")
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(value AS DOUBLE) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM events WHERE value >= 1),
+    tot AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM digits GROUP BY digit
+    """,
+    tags=("statistics", "quality"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution — the Benford's-law data
+    QA probe (fabricated or truncated numeric columns show up as a
+    skewed digit histogram). Values ≥ 1, so the first character of the
+    decimal rendering IS the first significant digit in both engines;
+    the share is exact integer parts-per-million (count·10⁶ // total —
+    no float division crosses the compare). One map-side-combinable
+    aggregate plus a 1-row broadcast scalar for the total."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") >= 1)
+    digits = ev.select(
+        F.substring(F.col("value").cast("double").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    total = digits.count()
+    return digits.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.floor(F.count(F.lit(1)) * 1_000_000 / F.lit(total))
+        .cast("bigint")
+        .alias("share_ppm"),
+    )

@@ -156,6 +156,8 @@ _PRIORITY: tuple[str, ...] = (
     "count_min_accuracy_audit",
     "format_json_corrupt_modes",
     "weblog_parse_agg",
+    "mad_robust_stats",
+    "benford_first_digit",
     "stream_update_mode_counts",
     "envelope_encode",
     "envelope_decode",
