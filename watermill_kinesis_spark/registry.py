@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.frequency",
     "watermill_kinesis_spark.operators.clustering",
     "watermill_kinesis_spark.operators.streaming_batch",
+    "watermill_kinesis_spark.operators.tokenizer",
 )
 
 
@@ -158,6 +159,7 @@ _PRIORITY: tuple[str, ...] = (
     "weblog_parse_agg",
     "mad_robust_stats",
     "benford_first_digit",
+    "bpe_train_merges",
     "stream_update_mode_counts",
     "envelope_encode",
     "envelope_decode",
