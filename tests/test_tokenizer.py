@@ -71,3 +71,24 @@ def test_bpe_greedy_nonoverlap_run_of_three(spark):
     )
     out = _apply_merge(df, "a", "a").select("symbols").collect()[0].symbols
     assert out == ["aa", "a"]
+
+
+def test_bpe_encode_agrees_with_sequential_merge_application():
+    """Encoding by lowest-rank-first must reproduce the trainer's own
+    state: applying merges 0..N-1 sequentially to a word gives the
+    same segmentation as bpe_segment_word with the rank table."""
+    from watermill_kinesis_spark.operators.tokenizer import bpe_segment_word
+
+    merges = [("e", "r"), ("er", "s"), ("t", "h"), ("th", "e")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    for word in ("ers", "there", "tethers", "zzz", "e", ""):
+        syms = list(word)
+        for left, right in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        assert bpe_segment_word(word, ranks) == (syms if word else []), word

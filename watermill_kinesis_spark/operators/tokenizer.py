@@ -140,3 +140,58 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq bigint"
     ).orderBy("rank")
+
+
+def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a learned merge table: repeatedly apply the
+    LOWEST-RANK applicable merge (the standard BPE encode rule) until
+    none applies."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+@query("bpe_apply_segment", tags=("text", "tokenizer", "llm-pipeline"))
+def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned merges: train on the corpus, broadcast
+    the (tiny) merge table, and segment every token in an Arrow batch
+    pass — the subword tokenization step itself. Emits the corpus
+    subword-length histogram (how many tokens end up as 1, 2, 3…
+    symbol pieces) — the statistic tokenizer teams watch to size a
+    vocabulary. Rows-only: iterative lowest-rank merge application is
+    not SQL-expressible; the encoder is pinned against the trainer's
+    own apply-loop in tests/test_tokenizer.py."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = {
+        (left, right): rank
+        for rank, left, right, _ in train_bpe_merges(docs)
+    }
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("word")
+    ).where(F.col("word") != "")
+
+    def segment(batches):
+        for pdf in batches:
+            lens = [
+                len(bpe_segment_word(w, b_ranks.value)) for w in pdf["word"]
+            ]
+            yield pd.DataFrame({"n_pieces": lens})
+
+    pieces = words.mapInPandas(segment, "n_pieces int")
+    return (
+        pieces.groupBy("n_pieces")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("n_pieces")
+    )

@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "mad_robust_stats",
     "benford_first_digit",
     "bpe_train_merges",
+    "bpe_apply_segment",
     "stream_update_mode_counts",
     "envelope_encode",
     "envelope_decode",
