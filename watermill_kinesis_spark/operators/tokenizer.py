@@ -127,6 +127,20 @@ def train_bpe_merges(
     return merges
 
 
+#: per-sf_dir memo of the learned merge table — training is
+#: deterministic, and the two registry entries (learn + encode) share
+#: one training run instead of paying the iteration loop twice
+_MERGES_MEMO: dict[str, list[tuple[int, str, str, int]]] = {}
+
+
+def _trained(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    if sf_dir not in _MERGES_MEMO:
+        _MERGES_MEMO[sf_dir] = train_bpe_merges(
+            load_table(spark, sf_dir, "documents")
+        )
+    return _MERGES_MEMO[sf_dir]
+
+
 @query("bpe_train_merges", tags=("text", "tokenizer", "llm-pipeline"))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table (rank → merged pair + its frequency
@@ -135,8 +149,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly against an independent pure-Python trainer in
     tests/test_tokenizer.py, and ``bpe_pair_counts`` oracle-checks the
     per-iteration counting arithmetic."""
-    docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe_merges(docs)
+    merges = _trained(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq bigint"
     ).orderBy("rank")
@@ -173,8 +186,7 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ranks = {
-        (left, right): rank
-        for rank, left, right, _ in train_bpe_merges(docs)
+        (left, right): rank for rank, left, right, _ in _trained(spark, sf_dir)
     }
     b_ranks = spark.sparkContext.broadcast(ranks)
 
