@@ -67,3 +67,48 @@ def test_pca_components_capture_descending_variance(spark, sf_dir):
     assert abs(pdf["pc1"].mean()) < 1e-6 * max(1.0, v1)
     corr = np.corrcoef(pdf["pc1"], pdf["pc2"])[0, 1]
     assert abs(corr) < 1e-6
+
+
+def test_semdedup_invariants_and_counts(spark, sf_dir):
+    """Greedy-leader invariants, recomputed exactly: kept vectors in a
+    cluster are pairwise below τ; every dropped vector has an earlier
+    KEPT neighbor at or above τ; and the operator's per-cluster counts
+    equal the reference scan's."""
+    import numpy as np
+
+    from watermill_kinesis_spark.operators.clustering import (
+        SEMDEDUP_TAU,
+        kmeans_fit,
+        semdedup_centroid_prune,
+        semdedup_keep_ids,
+    )
+
+    got = {
+        r.cluster: (r.n_vectors, r.n_kept, r.n_dropped)
+        for r in semdedup_centroid_prune(spark, sf_dir).collect()
+    }
+    _, assigned = kmeans_fit(spark, sf_dir)
+    pdf_all = assigned.toPandas()
+    for cluster, cpdf in pdf_all.groupby("cluster"):
+        kept_ids = semdedup_keep_ids(cpdf)
+        n, k = len(cpdf), len(kept_ids)
+        assert got[cluster] == (n, k, n - k), f"cluster {cluster}"
+        # invariant 1: kept are pairwise < tau
+        sub = cpdf[cpdf["vec_id"].isin(kept_ids)].sort_values("vec_id")
+        M = np.stack(sub["emb"].to_numpy())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, 0)
+        assert S.max(initial=0) < SEMDEDUP_TAU
+        # invariant 2: every dropped vector has an earlier kept
+        # neighbor >= tau
+        dropped = cpdf[~cpdf["vec_id"].isin(kept_ids)].sort_values("vec_id")
+        for _, row in dropped.iterrows():
+            earlier = sub[sub["vec_id"] < row.vec_id]
+            if len(earlier) == 0:
+                raise AssertionError("dropped vector with no earlier kept")
+            E = np.stack(earlier["emb"].to_numpy())
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            v = np.asarray(row.emb)
+            v = v / np.linalg.norm(v)
+            assert float((En @ v).max()) >= SEMDEDUP_TAU

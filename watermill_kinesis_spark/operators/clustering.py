@@ -202,3 +202,75 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pc{i + 1} double" for i in range(PCA_COMPONENTS)
     )
     return e.mapInPandas(project_kernel, schema)
+
+
+#: SemDeDup cosine threshold: within-cluster pairs at or above it are
+#: duplicates; one representative survives
+SEMDEDUP_TAU = 0.95
+
+
+@query("semdedup_centroid_prune", tags=("dedup", "clustering", "llm-pipeline"))
+def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): k-means the embeddings, then WITHIN each cluster
+    drop near-duplicates (cosine ≥ τ) keeping one representative per
+    duplicate group — the scalable shape, because the O(m²) cosine
+    work happens per cluster (m ≈ N/k rows, sized to fit a task), and
+    clusters process in parallel; no cross-cluster pairs are ever
+    formed. Representative choice is the deterministic greedy leader
+    scan in ascending vec_id. Emits per-cluster keep/drop counts.
+    Rows-only: the greedy leader selection is sequential by nature;
+    its invariants (kept vectors are pairwise < τ; every dropped
+    vector has an earlier kept neighbor ≥ τ) are asserted exactly in
+    tests/test_clustering.py."""
+    import numpy as np
+    import pandas as pd
+
+    _, assigned = kmeans_fit(spark, sf_dir)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.stack(pdf["emb"].to_numpy())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        kept_idx: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            if kept_idx:
+                sims = Mn[kept_idx] @ Mn[i]
+                if float(sims.max()) >= SEMDEDUP_TAU:
+                    continue
+            kept[i] = True
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "cluster": pdf["cluster"].iloc[:1],
+                "n_vectors": [len(pdf)],
+                "n_kept": [int(kept.sum())],
+                "n_dropped": [int((~kept).sum())],
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(
+            prune, "cluster int, n_vectors long, n_kept long, n_dropped long"
+        )
+        .orderBy("cluster")
+    )
+
+
+def semdedup_keep_ids(assigned_pdf, tau: float = SEMDEDUP_TAU):
+    """Reference-testable core: greedy leader scan over one cluster's
+    (vec_id, emb) rows, ascending vec_id; returns the kept vec_ids."""
+    import numpy as np
+
+    pdf = assigned_pdf.sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(pdf["emb"].to_numpy())
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    kept_rows: list[int] = []
+    for i in range(len(pdf)):
+        if kept_rows and float((Mn[kept_rows] @ Mn[i]).max()) >= tau:
+            continue
+        kept_rows.append(i)
+    return pdf["vec_id"].iloc[kept_rows].tolist()

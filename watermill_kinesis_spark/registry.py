@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "benford_first_digit",
     "bpe_train_merges",
     "bpe_apply_segment",
+    "semdedup_centroid_prune",
     "stream_update_mode_counts",
     "envelope_encode",
     "envelope_decode",
