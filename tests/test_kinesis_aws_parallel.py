@@ -328,3 +328,31 @@ def test_live_multi_trigger_no_loss_no_dup(spark, tmp_path):
     assert sorted(rows) == sorted(
         [f"pre-{i}" for i in range(4)] + ["mid-0", "mid-1", "late-0"]
     ), "loss or duplication across triggers"
+
+
+def test_stop_preserves_explicit_positiondir_fences(tmp_path):
+    """Graceful stop must NOT delete an explicit positionDir's fences —
+    they are the restart-recovery channel for the final batch's
+    attained positions (the default per-run dir IS reaped)."""
+    client, r = _mk(tmp_path)  # _mk passes an explicit positiondir
+    _fill(client, n=2)
+    _run_batch(r, r.initialOffset())
+    assert os.listdir(r._fence_dir)
+    r.stop()
+    assert os.path.isdir(r._fence_dir) and os.listdir(r._fence_dir)
+
+    # default dir (no positiondir option): reaped on stop
+    stub_dir = str(tmp_path / "stub")
+    import watermill_kinesis_spark.sources.kinesis_aws as ka
+
+    r2 = ka.KinesisAwsParallelStreamReader(
+        {
+            "streamname": "s",
+            "clientfactory": "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+            "stubdir": stub_dir,
+        }
+    )
+    _run_batch(r2, r2.initialOffset())
+    assert os.listdir(r2._fence_dir)
+    r2.stop()
+    assert not os.path.isdir(r2._fence_dir)

@@ -390,6 +390,7 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         #: positions are one monotone lineage)
         self._run = _uuid.uuid4().hex[:12]
         explicit = options.get("positiondir")
+        self._explicit_dir = bool(explicit)
         if explicit:
             # stable across restarts → the last pre-crash batch's
             # attained positions are recovered from its fences and
@@ -562,9 +563,14 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
                     pass
 
     def stop(self) -> None:
-        import shutil
+        # Only reap the DEFAULT (per-run) fence dir: an explicit
+        # positionDir's fences are exactly what lets a restarted query
+        # recover the final batch's attained positions — deleting them
+        # on graceful stop would silently re-widen the replay window.
+        if not self._explicit_dir:
+            import shutil
 
-        shutil.rmtree(self._fence_dir, ignore_errors=True)
+            shutil.rmtree(self._fence_dir, ignore_errors=True)
 
 
 class _BatchShardPartition(InputPartition):
