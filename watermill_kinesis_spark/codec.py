@@ -53,11 +53,6 @@ RFC3339_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 # text while marshal now emits unwrapped output only.
 _BASE64_RE = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
 
-# CR/LF inside a base64 value: MIME wrapping artifacts to strip before
-# shape-checking or decoding.
-_B64_WRAP_RE = "[\\r\\n]"
-
-
 def _b64_unwrapped(payload: Column) -> Column:
     """RFC 4648 (unwrapped) base64 of a binary column.
 
@@ -65,13 +60,14 @@ def _b64_unwrapped(payload: Column) -> Column:
     chars with CRLF, which Go's ``base64.StdEncoding.DecodeString``
     (reference marshaller.go:42) rejects — so the wrap must be stripped
     at marshal time for wire compatibility with the reference's own
-    consumers. Still one codegen'd JVM expression."""
-    return F.regexp_replace(F.base64(payload), _B64_WRAP_RE, "")
+    consumers. ``translate`` (plain char deletion) beats a regex pass
+    on the publish hot path; still one codegen'd JVM expression."""
+    return F.translate(F.base64(payload), "\r\n", "")
 
 
 def _b64_clean(data: Column) -> Column:
     """Base64 text with MIME line-wraps removed (legacy-record tolerant)."""
-    return F.regexp_replace(data, _B64_WRAP_RE, "")
+    return F.translate(data, "\r\n", "")
 
 
 def envelope_json(

@@ -65,13 +65,19 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
         F.explode(
             F.expr(
                 """
-                transform(sequence(1, size(symbols) - 1),
-                          i -> struct(element_at(symbols, i) AS left,
-                                      element_at(symbols, i + 1) AS right))
+                CASE WHEN size(symbols) < 2
+                     THEN CAST(array() AS array<struct<left:string,right:string>>)
+                     ELSE transform(sequence(1, size(symbols) - 1),
+                                    i -> struct(element_at(symbols, i) AS left,
+                                                element_at(symbols, i + 1) AS right))
+                END
                 """
             )
         ).alias("p"),
-    ).where(F.expr("size(symbols)") >= 2 if "symbols" in vocab.columns else F.lit(True))
+        # the CASE guard matters: Spark's sequence(1, 0) DESCENDS
+        # ([1, 0]), so an unguarded transform on a 1-symbol word would
+        # read element_at(symbols, 2) and throw
+    )
     return pairs.groupBy("p.left", "p.right").agg(
         F.sum("freq").alias("pair_freq")
     )
