@@ -356,3 +356,35 @@ def test_stop_preserves_explicit_positiondir_fences(tmp_path):
     assert os.listdir(r2._fence_dir)
     r2.stop()
     assert not os.path.isdir(r2._fence_dir)
+
+
+def test_reader_mode_switch_offsets_compatible(tmp_path):
+    """Offsets written by one reader mode must resume correctly in the
+    other (same checkpoint, readerMode flipped): simple → parallel and
+    parallel → simple both continue without loss or re-read."""
+    client, rp = _mk(tmp_path)
+    _fill(client, n=4)
+    simple = KinesisAwsStreamReader(
+        {
+            "streamname": "s",
+            "clientfactory": "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+            "stubdir": client._dir,
+        }
+    )
+    simple._client_obj = client
+
+    # simple consumes the backlog; its offset feeds the parallel reader
+    rows, simple_off = simple.read(simple.initialOffset())
+    assert len(rows) == 4
+    client.put("shardId-000000000000", "after-switch")
+    end = rp.latestOffset()
+    parts = rp.partitions(simple_off, end)  # no "epoch" key in start
+    got = [t[0] for p in parts for t in rp.read(p)]
+    assert got == ["after-switch"]
+
+    # parallel's committed offset (epoch + positions) feeds simple
+    rp._merge_fences()
+    par_off = {"epoch": 99, "shards": dict(rp._pos)}
+    client.put("shardId-000000000001", "back-on-simple")
+    rows2, _ = simple.read(par_off)  # extra "epoch" key ignored
+    assert [t[0] for t in rows2] == ["back-on-simple"]
