@@ -486,8 +486,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed algorithm: ``connected_components`` above — min-label
     propagation with per-sweep pointer doubling (O(log d) sweeps for
     diameter-d chains). Edges are near-dup pairs (orders of magnitude
-    smaller than the corpus) and broadcast; the per-sweep shuffles are
-    one groupBy on doc_id plus the shortcut self-join. The oracle is
+    smaller than the corpus) joined WITHOUT a forced broadcast — AQE
+    broadcasts them at runtime when they fit, and a duplicate-heavy
+    crawl whose edge set doesn't fit shuffles instead of OOMing; the
+    per-sweep shuffles are one groupBy on doc_id plus the shortcut
+    self-join. The oracle is
     the same fixpoint computed as a DuckDB recursive-CTE transitive
     closure."""
     docs = _docs(spark, sf_dir).select("doc_id")
