@@ -610,3 +610,69 @@ def embedding_cosine_pairs(
         return pd.DataFrame({"vec_a": lo, "vec_b": hi})
 
     return tagged.groupBy("cell").applyInPandas(cell_pairs, "vec_a long, vec_b long")
+
+
+@query(
+    "cross_source_duplication",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split(text, ' ')) - {SHINGLE_N}, 0) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '),
+                                                   CAST(i + 1 AS INT),
+                                                   CAST(i + {SHINGLE_N} AS INT)), ' ')
+               )) AS shingles
+        FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    neardup AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.6)
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM neardup n
+    JOIN documents da ON da.doc_id = n.doc_a
+    JOIN documents db ON db.doc_id = n.doc_b
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "reporting", "llm-pipeline"),
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies from WHOM: the near-dup pair graph rolled up to an
+    unordered source×source matrix — the report that decides which
+    crawl feeds get down-weighted or dropped (heavy off-diagonal mass
+    = mirror sites; heavy diagonal = internally duplicative source).
+    Pairs come from the same blocked shared-shingle join as
+    ``dedup_ngram_jaccard`` (ids only through the shuffle); the two
+    source lookups are joins against the slim (doc_id, source)
+    projection, and the unordered rollup uses least/greatest so each
+    pair lands in exactly one cell."""
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labeled = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "source_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "doc_b",
+        )
+    )
+    return labeled.groupBy(
+        F.least("source_a", "source_b").alias("source_x"),
+        F.greatest("source_a", "source_b").alias("source_y"),
+    ).agg(F.count(F.lit(1)).alias("n_dup_pairs"))

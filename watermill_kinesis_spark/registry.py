@@ -159,6 +159,7 @@ _PRIORITY: tuple[str, ...] = (
     "weblog_parse_agg",
     "mad_robust_stats",
     "benford_first_digit",
+    "cross_source_duplication",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
