@@ -10,14 +10,15 @@ only at the edge of the pipeline.
 Decoding: container *headers* (PNG IHDR, JPEG SOFn, GIF screen
 descriptor, BMP info header) are parsed in pure Python — no Pillow
 needed — so ``decode_image_features`` extracts real dimensions from
-real image bytes. Full pixel decode (needed for resize/thumbnail)
-still requires an imaging lib absent from this container; that step
-stays behind ``decode_image_pixels``'s documented
-``NotImplementedError``, and payloads that aren't a recognized image
-container fall back to a deterministic fake decoder (the test seam).
-Everything around the kernels — the binary column handling, the
-metadata map, the Arrow batch shape through ``mapInPandas``, the
-partitioning — is real and tested.
+real image bytes. PNG *pixels* also decode in pure stdlib Python
+(``decode_image_pixels``: zlib IDAT inflate + all five scanline
+unfilters + palette expansion, round-trip- and oracle-verified);
+JPEG entropy decode is the one step that still needs an imaging lib
+and raises a documented ``NotImplementedError``. Payloads that
+aren't a recognized image container fall back to a deterministic
+fake decoder (the test seam). Everything around the kernels — the
+binary column handling, the metadata map, the Arrow batch shape
+through ``mapInPandas``, the partitioning — is real and tested.
 """
 
 from __future__ import annotations
