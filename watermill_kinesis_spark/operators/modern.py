@@ -107,3 +107,37 @@ def hll_sketch_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_users").cast("bigint").alias("approx_users"),
         )
     )
+
+
+@query(
+    "pandas_api_interface",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("api", "pandas-on-spark"),
+)
+def pandas_api_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark face (``pyspark.pandas``): the same
+    engine tables driven with pandas idioms (``.groupby().agg()``),
+    planned by Catalyst like any DataFrame query — a user migrating
+    pandas ETL scripts gets the distributed engine without a rewrite.
+    The round trip DataFrame → pandas-on-Spark → groupby → DataFrame
+    is value-checked against the plain SQL oracle (exact integers)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    psdf = li.pandas_api()
+    agg = psdf.groupby("l_returnflag").agg(
+        sum_qty=("qty", "sum"), n_rows=("qty", "count"), max_qty=("qty", "max")
+    )
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("bigint"),
+        F.col("n_rows").cast("bigint"),
+        F.col("max_qty").cast("bigint"),
+    )

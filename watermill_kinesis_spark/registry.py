@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "mad_robust_stats",
     "benford_first_digit",
     "cross_source_duplication",
+    "pandas_api_interface",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
