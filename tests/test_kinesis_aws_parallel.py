@@ -388,3 +388,47 @@ def test_reader_mode_switch_offsets_compatible(tmp_path):
     client.put("shardId-000000000001", "back-on-simple")
     rows2, _ = simple.read(par_off)  # extra "epoch" key ignored
     assert [t[0] for t in rows2] == ["back-on-simple"]
+
+
+def test_vanished_shard_tombstones_other_errors_raise(tmp_path):
+    """A shard aged past retention (ResourceNotFoundException on
+    iterator acquisition) tombstones to SHARD_END; any other client
+    failure must raise — silent data loss is worse than a dead task."""
+    import pytest
+
+    client, r = _mk(tmp_path)
+    _fill(client, n=2)
+    off0 = r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions(off0, end)
+
+    class ResourceNotFoundException(Exception):
+        pass
+
+    class _Gone(FileStubKinesisClient):
+        def get_shard_iterator(self, *a, **kw):
+            raise ResourceNotFoundException("shard aged out")
+
+    class _Broken(FileStubKinesisClient):
+        def get_shard_iterator(self, *a, **kw):
+            raise RuntimeError("auth failure")
+
+    import watermill_kinesis_spark.sources.kinesis_aws as ka
+
+    orig = ka._make_client
+    try:
+        ka._make_client = lambda opts: _Gone(opts["stubdir"])
+        rows = list(r.read(parts[0]))
+        assert rows == []
+        import json as jsonlib
+        import os as oslib
+
+        fence = [f for f in oslib.listdir(r._fence_dir) if parts[0].shard_id in f]
+        with open(oslib.path.join(r._fence_dir, fence[0])) as f:
+            assert jsonlib.load(f)["pos"] == "SHARD_END"
+
+        ka._make_client = lambda opts: _Broken(opts["stubdir"])
+        with pytest.raises(RuntimeError, match="auth failure"):
+            list(r.read(parts[1]))
+    finally:
+        ka._make_client = orig

@@ -499,7 +499,17 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         if target is not None and _pos_rank(target) <= _pos_rank(partition.start_pos):
             return iter(())  # fenced batch made no progress on this shard
         rows: list[tuple] = []
-        it = _get_iterator(client, partition.stream, partition.shard_id, partition.start_pos)
+        try:
+            it = _get_iterator(
+                client, partition.stream, partition.shard_id, partition.start_pos
+            )
+        except Exception as e:
+            # ONLY a vanished shard (aged past retention after close)
+            # tombstones — any other failure (auth, throttle, network)
+            # must fail the task loudly, never silently drop data
+            if type(e).__name__ != "ResourceNotFoundException":
+                raise
+            it = None
         attained = partition.start_pos
         if not it:
             attained = SHARD_END
