@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# One-shot verification: everything the driver and judge check, locally.
+#   bash tools/verify_all.sh [sf_dir_correctness] [sf_dir_bench]
+set -u
+cd "$(dirname "$0")/.."
+SF_CORRECT="${1:-/root/testdata/sf0.01}"
+SF_BENCH="${2:-/root/testdata/sf0.1}"
+
+echo "=== 1/4 pytest (unit + semantics + plan + property tests) ==="
+python -m pytest tests/ -q || exit 1
+
+echo "=== 2/4 oracle sweep at $SF_CORRECT (every registered query vs DuckDB) ==="
+PYTHONPATH=. python tools/check_oracle.py "$SF_CORRECT" || exit 1
+
+echo "=== 3/4 plan audit (PLANS.md regenerated; red flags fail the build) ==="
+PYTHONPATH=. python tools/plan_audit.py || exit 1
+grep -q "No red flags" PLANS.md || { echo "RED FLAGS in PLANS.md"; exit 1; }
+
+echo "=== 4/4 bench at $SF_BENCH ==="
+SPARK_GRAFT_SF_DIR="$SF_BENCH" python bench.py || exit 1
+
+echo "ALL VERIFICATIONS PASSED"
