@@ -856,3 +856,37 @@ def test_update_mode_final_counts_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_dlq_markers_through_hadoop_fs_uri(spark, tmp_path):
+    """The retry-budget markers must work through the Hadoop FileSystem
+    API with a scheme-qualified URI (the remote-dlq_dir contract:
+    s3a://, hdfs://, …) — exercised here with file:// so the code path
+    is the FS abstraction, not driver-local os.* calls."""
+    from pyspark.sql import Row
+
+    from watermill_kinesis_spark.streaming.sink import dead_letter_sink
+
+    dlq = f"file://{tmp_path}/dlq"
+    attempts = {"n": 0}
+
+    def failing(batch_df, batch_id):
+        attempts["n"] += 1
+        raise RuntimeError("poison")
+
+    sink = dead_letter_sink(failing, dlq, max_attempts=3)
+    batch = spark.createDataFrame([Row(x=1), Row(x=2)])
+
+    import pytest
+
+    for _ in range(2):  # first two failures re-raise (nack/replay)
+        with pytest.raises(RuntimeError, match="poison"):
+            sink(batch, 7)
+    sink(batch, 7)  # third: budget spent -> quarantined, swallowed
+    assert attempts["n"] == 3
+    q = spark.read.parquet(f"{dlq}/batch_id=7")
+    assert sorted(r.x for r in q.collect()) == [1, 2]
+    # marker cleared after quarantine: a fresh epoch-7 gets full budget
+    import os as oslib
+
+    assert not oslib.path.exists(str(tmp_path / "dlq" / "_attempts" / "epoch-7"))
