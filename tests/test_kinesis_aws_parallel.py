@@ -432,3 +432,34 @@ def test_vanished_shard_tombstones_other_errors_raise(tmp_path):
             list(r.read(parts[1]))
     finally:
         ka._make_client = orig
+
+
+def test_kpl_container_deaggregates_on_executors(spark, tmp_path):
+    """A KPL aggregate container published to the stub stream must
+    explode into per-user-record wire rows with sub-sequence numbers
+    through the EXECUTOR-side batch read path."""
+    from watermill_kinesis_spark.sources import kinesis_aws
+    from watermill_kinesis_spark.streaming import kpl
+
+    stub_dir = str(tmp_path / "stub")
+    client = FileStubKinesisClient(stub_dir)
+    packed = kpl.aggregate([("k1", b"sub-a"), ("k2", b"sub-b"), ("k1", b"sub-c")])
+    client.put("shardId-000000000000", packed, partition_key="k1")
+    client.put("shardId-000000000000", "plain", partition_key="kp")
+
+    kinesis_aws.register(spark)
+    rows = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .load()
+        .collect()
+    )
+    datas = sorted(r.data for r in rows)
+    assert datas == ["plain", "sub-a", "sub-b", "sub-c"]
+    subseqs = sorted(r.sequence_number for r in rows if ":" in r.sequence_number)
+    assert [s.split(":")[1] for s in subseqs] == ["0", "1", "2"]
