@@ -110,7 +110,9 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster profile of the embedding corpus: size and
     within-cluster mean cosine-to-centroid per cluster (the semantic
     grouping step of centroid-based dedup / diversity sampling /
-    DoReMi-style domain discovery)."""
+    DoReMi-style domain discovery). Rows-only: an iterative Lloyd's
+    fixpoint is not SQL-expressible; the invariants are pinned in
+    tests/test_clustering.py."""
     import numpy as np
     import pandas as pd
 
@@ -148,6 +150,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     products, map-side summed), the eigendecomposition runs on the
     driver (64×64 — microseconds), and the projection is a second
     scan. The whitening/visualization/IVF-coarse-quantizer primitive;
+    Rows-only: eigenvectors are sign/rotation-ambiguous across
+    library versions, so tests pin the rotation-invariant properties
+    (variance ordering, orthonormality, reconstruction) instead;
     at 100 TB both passes stream, and nothing larger than dim² ever
     leaves an executor. Sign convention: each component's
     largest-magnitude coordinate is made positive (eigenvector sign is

@@ -309,7 +309,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits; the sign vector is the fingerprint. Pairs are blocked on
     16-bit chunks (any pair within Hamming distance 3 shares ≥1 of 4
     chunks — pigeonhole), then verified by exact Hamming ≤ 3 via
-    ``bit_count(xor)``. Fingerprints are 1 long per doc: the shuffle is
+    ``bit_count(xor)``. Rows-only: DuckDB has no xxhash64, so the
+    fingerprints cannot be recomputed cross-engine; the blocking
+    guarantee and verify arithmetic are test-pinned instead.
+    Fingerprints are 1 long per doc: the shuffle is
     16 bytes/row regardless of document size."""
     d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
     tok_hash = F.transform(F.array_distinct("toks"), lambda t: F.xxhash64(t))

@@ -64,7 +64,10 @@ def stream_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream: events become messages, land in a sharded topic directory,
     are re-read with ``readStream`` + envelope decode (corrupt-skip
     on), and counted per event type. Verifies the full §3.1/§3.2
-    lifecycle — marshal → transport → unmarshal — end to end."""
+    lifecycle — marshal → transport → unmarshal — end to end. Rows-only: live streaming offsets and
+    watermark state are not SQL-expressible; the arithmetic twin is
+    oracle-checked in batch and the streaming invariants are asserted
+    in tests/test_streaming.py."""
     run_id = uuidlib.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix=f"wk_stream_{run_id}_")
     topic = os.path.join(base, "topic")
@@ -94,7 +97,10 @@ def stream_dedup_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully duplicated into batch 2 (simulated redelivery after a crash,
     reference README.md:51-53), and ``dropDuplicatesWithinWatermark``
     on the message uuid suppresses every replay. Output counts equal
-    the unique-message count."""
+    the unique-message count. Rows-only: live streaming offsets and
+    watermark state are not SQL-expressible; the arithmetic twin is
+    oracle-checked in batch and the streaming invariants are asserted
+    in tests/test_streaming.py."""
     run_id = uuidlib.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix=f"wk_dedup_{run_id}_")
     topic = os.path.join(base, "topic")
@@ -123,6 +129,7 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint — the crash/replay path) delivers only *ancient* events,
     ≥ 48 h older than the committed watermark, whose 6-hour windows are
     long closed — every one is dropped by late-record filtering
+    (rows-only: watermark state is streaming-only semantics)
     (visible as ``numRowsDroppedByWatermark``). Two separate runs
     because Spark's late filter uses the watermark committed by the
     PREVIOUS batch: in-run it lags one micro-batch, across restart it
@@ -242,7 +249,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the live message stream enriches against the
     static customer dimension (loaded once per micro-batch, broadcast by
     Catalyst). The standard streaming-enrichment shape — dim lookups
-    need no state, no watermark."""
+    need no state, no watermark. Rows-only: live streaming offsets and
+    watermark state are not SQL-expressible; the arithmetic twin is
+    oracle-checked in batch and the streaming invariants are asserted
+    in tests/test_streaming.py."""
     run_id = uuidlib.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix=f"wk_ssj_{run_id}_")
     topic = os.path.join(base, "topic")
