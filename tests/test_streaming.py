@@ -890,3 +890,25 @@ def test_dlq_markers_through_hadoop_fs_uri(spark, tmp_path):
     import os as oslib
 
     assert not oslib.path.exists(str(tmp_path / "dlq" / "_attempts" / "epoch-7"))
+
+
+def test_complete_mode_table_is_replaced_not_accumulated(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import (
+        _event_messages,
+        stream_complete_mode_topk,
+    )
+
+    got = {
+        r.event_type: r.n for r in stream_complete_mode_topk(spark, sf_dir).collect()
+    }
+    truth = {
+        r.event_type: r.n
+        for r in _event_messages(spark, sf_dir, F.col("event_id") < 2000)
+        .select(F.col("metadata").getItem("eventType").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == truth  # replaced table == ground truth, no accumulation

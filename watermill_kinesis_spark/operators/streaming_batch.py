@@ -454,3 +454,44 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").alias("n_messages"))
         .orderBy("partition_key")
     )
+
+
+@query("stream_complete_mode_topk", tags=("streaming", "output-mode"))
+def stream_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode — the last of the three aggregation output
+    modes (append emits finalized groups, update emits touched groups,
+    COMPLETE re-emits the whole result table every batch): a running
+    per-event-type leaderboard where each batch's emission REPLACES
+    the sink table, the mode dashboards want. After draining two
+    publish batches the final table must equal the batch ground truth
+    exactly — not accumulate emissions. Rows-only: output-mode
+    mechanics are not SQL-expressible; the count arithmetic is
+    oracle-checked in batch by partition_key_group."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_cmp_{run_id}_")
+    topic = os.path.join(base, "topic")
+    name = f"cmp_{run_id}"
+
+    for lo, hi, label in ((0, 1000, "b0"), (1000, 2000, "b1")):
+        msgs = _event_messages(
+            spark, sf_dir, (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        stream_source.write_stream_files(msgs, topic, file_label=label)
+
+    counts = (
+        stream_source.subscribe(spark, topic)
+        .select(F.col("metadata").getItem("eventType").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # complete mode: the memory sink holds exactly the LAST emission
+    return spark.table(name).orderBy("event_type")

@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_apply_segment",
     "semdedup_centroid_prune",
     "stream_update_mode_counts",
+    "stream_complete_mode_topk",
     "envelope_encode",
     "envelope_decode",
     "corrupt_skip",
