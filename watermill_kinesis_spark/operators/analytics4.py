@@ -905,3 +905,52 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+@query(
+    "dataset_card_report",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS total_tokens,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars,
+           CAST(COUNT(*) FILTER (WHERE lang = 'en') * 1000000 // COUNT(*)
+                AS BIGINT) AS en_share_ppm
+    FROM documents GROUP BY source
+    """,
+    tags=("reporting", "llm-pipeline"),
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD — the datasheet row every corpus
+    release ships (docs, token volume, length profile, language share)
+    and the input to mixing-weight decisions. One scan: counts, token
+    totals and the exact integer ppm language share are a single
+    map-side-combinable aggregate; the median is the per-group rank
+    selection (partitioned window — parallel per source, identical
+    discrete index to the oracle's quantile_disc)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), " "))
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+        F.floor(
+            F.count(F.when(F.col("lang") == "en", 1)) * 1_000_000
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("en_share_ppm"),
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rk") == F.floor((F.col("n") - 1) / 2).cast("long") + 1
+    ).select("source", F.col("n_chars").cast("bigint").alias("median_chars"))
+    return base.join(med, "source").select(
+        "source", "n_docs", "total_tokens", "median_chars", "en_share_ppm"
+    )

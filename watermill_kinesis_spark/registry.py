@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "benford_first_digit",
     "cross_source_duplication",
     "pandas_api_interface",
+    "dataset_card_report",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
