@@ -447,3 +447,56 @@ def weblog_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nbytes").cast("bigint").alias("sum_bytes"),
         )
     )
+
+
+#: a 5-gram must recur in at least this many DISTINCT documents to
+#: count as boilerplate
+BOILERPLATE_MIN_DOCS = 3
+BOILERPLATE_N = 5
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, greatest(len(string_split(text, ' ')) - {BOILERPLATE_N}, 0) + 1),
+                       i -> array_to_string(list_slice(string_split(text, ' '),
+                                                       CAST(i + 1 AS INT),
+                                                       CAST(i + {BOILERPLATE_N} AS INT)), ' ')
+                   )) AS gram
+            FROM documents))
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY gram
+    HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection at SUB-DOCUMENT granularity — the cleaning
+    pass that catches what document-level dedup can't: phrases
+    repeated across otherwise-distinct pages (navigation chrome,
+    cookie banners, signature lines). A word 5-gram appearing in ≥ 3
+    DISTINCT documents joins the removal list. One explode + distinct
+    + count — (gram, doc_id) pairs through the shuffle, never
+    documents; at 100 TB the same plan keys on xxhash64(gram) to
+    shrink shuffle bytes, with the string re-attached to survivors
+    only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - BOILERPLATE_N, F.lit(0))
+    )
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, BOILERPLATE_N), " ")
+    )
+    pairs = d.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    return (
+        pairs.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )

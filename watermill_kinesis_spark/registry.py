@@ -162,6 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "cross_source_duplication",
     "pandas_api_interface",
     "dataset_card_report",
+    "boilerplate_ngrams",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
