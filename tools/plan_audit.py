@@ -113,6 +113,12 @@ AUDITED = [
     "count_min_accuracy_audit",
     "weblog_parse_agg",
     "format_json_corrupt_modes",
+    "mad_robust_stats",
+    "benford_first_digit",
+    "cross_source_duplication",
+    "pandas_api_interface",
+    "dataset_card_report",
+    "boilerplate_ngrams",
 ]
 
 
