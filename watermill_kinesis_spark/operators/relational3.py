@@ -104,8 +104,13 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
-               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           -- both sums are scaled back to their exact unscaled BIGINTs
+           -- before the single double division: dividing the decimal
+           -- casts instead would round n/1e4 and d/1e4 separately and
+           -- can land 1 ulp away from the engine's n/d (seen at
+           -- sf0.001); the ratio is scaling-invariant
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(17,4)) END) * 10000 AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(volume) * 10000 AS BIGINT) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
                {sql_money('l.l_extendedprice')} * {sql_factor('l.l_discount', '-')} AS volume,
