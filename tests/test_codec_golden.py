@@ -135,3 +135,46 @@ def test_truly_corrupt_base64_still_rejected(spark):
     wire = spark.createDataFrame(rows, "data string")
     kept = codec.unmarshal(wire, partition_key_col=None, drop_corrupt=True).collect()
     assert [r.uuid for r in kept] == ["ok"]
+
+
+def test_binary_codec_golden_byte_layout(spark):
+    """Byte-layout lock for the compact binary envelope (the codec the
+    reference planned at marshaller.go:24): any change to the length
+    prefixes, null sentinel, or field order breaks stored data — this
+    golden pins the exact bytes."""
+    from pyspark.sql import Row
+
+    from watermill_kinesis_spark.schema import MESSAGE_SCHEMA
+
+    msgs = spark.createDataFrame(
+        [
+            ("u1", b"hi", {"partitionKey": "pk", "h": "v"}),
+            ("u2", None, {"k": ""}),
+        ],
+        MESSAGE_SCHEMA,
+    )
+    got = {
+        r.partition_key: bytes(r.data)
+        for r in codec.marshal_binary(msgs).collect()
+    }
+    assert got["pk"] == (
+        b"\x00\x00\x00\x02u1"            # [len][uuid]
+        b"\x00\x00\x00\x02hi"            # [len][payload]
+        b'\x00\x00\x00\x1d{"partitionKey":"pk","h":"v"}'
+    )
+    assert got[None] == (
+        b"\x00\x00\x00\x02u2"
+        b"\xff\xff\xff\xff"              # null-payload sentinel
+        b'\x00\x00\x00\x08{"k":""}'
+    )
+    # and the decoder inverts the pinned bytes
+    back = {
+        r.uuid: (r.payload, dict(r.metadata))
+        for r in codec.unmarshal_binary(
+            spark.createDataFrame(
+                [Row(data=v) for v in got.values()], "data binary"
+            )
+        ).collect()
+    }
+    assert bytes(back["u1"][0]) == b"hi" and back["u1"][1]["h"] == "v"
+    assert back["u2"][0] is None and back["u2"][1] == {"k": ""}
