@@ -58,3 +58,44 @@ def test_collocation_pmi_recompute(spark, sf_dir):
         assert math.isclose(
             r["pmi_lift"], r["c_xy"] * n / (r["c_x"] * r["c_y"]), rel_tol=1e-12
         )
+
+
+def test_blocklist_suffix_match_respects_label_boundaries(spark):
+    """'notsrc3.example.com' must NOT match rule 'src3.example.com' —
+    the dot-suffix explode only produces whole-label suffixes, unlike
+    a naive endswith. Adversarial host shapes locked here."""
+    from pyspark.sql import Row, functions as F
+
+    hosts = [
+        ("src3.example.com", True),        # exact rule
+        ("a.src3.example.com", True),      # subdomain of rule
+        ("notsrc3.example.com", False),    # label-boundary trap
+        ("src3.example.com.evil.org", False),  # rule as non-suffix infix
+        ("m.x.example.org", True),         # deep subdomain of example.org
+        ("example.org", True),             # exact
+        ("badexample.org", False),         # boundary trap again
+        ("com", False),
+    ]
+    rules = ["src3.example.com", "example.org"]
+    df = spark.createDataFrame([Row(host=h) for h, _ in hosts])
+    suffixes = df.select(
+        "host",
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(0, size(split(host, '\\\\.')) - 1),
+                          i -> array_join(slice(split(host, '\\\\.'), i + 1, 99), '.'))
+                """
+            )
+        ).alias("sfx"),
+    )
+    rdf = spark.createDataFrame([Row(entry=e) for e in rules])
+    got = {
+        r.host: r.blocked
+        for r in suffixes.join(F.broadcast(rdf), suffixes.sfx == rdf.entry, "left")
+        .groupBy("host")
+        .agg((F.count("entry") > 0).alias("blocked"))
+        .collect()
+    }
+    for host, want in hosts:
+        assert got[host] == want, host
