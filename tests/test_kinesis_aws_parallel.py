@@ -463,3 +463,19 @@ def test_kpl_container_deaggregates_on_executors(spark, tmp_path):
     assert datas == ["plain", "sub-a", "sub-b", "sub-c"]
     subseqs = sorted(r.sequence_number for r in rows if ":" in r.sequence_number)
     assert [s.split(":")[1] for s in subseqs] == ["0", "1", "2"]
+
+
+def test_poll_budget_paces_batches(tmp_path):
+    """maxRecords × MAX_POLLS_PER_BATCH bounds one trigger's intake per
+    shard (the backpressure knob); the remainder arrives in the next
+    batch, in order, without loss."""
+    client, r = _mk(tmp_path, maxRecords="2")
+    for i in range(14):  # one shard, 14 records; budget = 2*5 = 10
+        client.put("shardId-000000000000", f"d{i:02d}")
+    off0 = r.initialOffset()
+    rows1, off1, _ = _run_batch(r, off0)
+    assert [t[0] for t in rows1] == [f"d{i:02d}" for i in range(10)]
+    rows2, off2, _ = _run_batch(r, off1)
+    assert [t[0] for t in rows2] == [f"d{i:02d}" for i in range(10, 14)]
+    rows3, _, _ = _run_batch(r, off2)
+    assert rows3 == []
