@@ -280,3 +280,58 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("a.l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs")
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s,
+               ts + CASE WHEN event_type = 'click'
+                         THEN INTERVAL 10 MINUTE
+                         ELSE INTERVAL 30 MINUTE END AS e
+        FROM events WHERE user_id < 50),
+    ord AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS brk
+        FROM iv),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM ord)
+    SELECT user_id,
+           MIN(s) AS session_start,
+           MAX(e) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, grp
+    """,
+    tags=("event-time", "session", "spark4"),
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap is a PER-EVENT expression
+    (Spark's dynamic-gap ``session_window``): a click keeps the
+    session alive 10 minutes, anything else 30 — the real-world shape
+    where engagement signals extend sessions differently. Semantics
+    are interval-merge: each event spans [ts, ts+gap(event)) and
+    overlapping spans coalesce; the oracle reproduces exactly that
+    with a gaps-and-islands running MAX(end). Exact microsecond
+    boundaries on both engines — the hash compare covers start, end,
+    and counts."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -163,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "pandas_api_interface",
     "dataset_card_report",
     "boilerplate_ngrams",
+    "session_window_dynamic_gap",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
