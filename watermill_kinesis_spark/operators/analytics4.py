@@ -954,3 +954,80 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(med, "source").select(
         "source", "n_docs", "total_tokens", "median_chars", "en_share_ppm"
     )
+
+
+@query(
+    "quantile_bucket_stats",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM documents),
+    tiled AS (
+        SELECT doc_id, n_chars,
+               -- NTILE(8) in closed form over the global rank: the
+               -- first (n % 8) buckets take (n//8 + 1) rows each
+               CASE WHEN rk <= (n // 8 + 1) * (n % 8)
+                    THEN CAST(ceil(rk / (n // 8 + 1.0)) AS INT)
+                    ELSE CAST((n % 8) + ceil((rk - (n // 8 + 1) * (n % 8))
+                                             / (n // 8 * 1.0)) AS INT)
+               END AS bucket
+        FROM ranked)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tiled GROUP BY bucket
+    """,
+    tags=("statistics", "pipeline", "llm-pipeline"),
+)
+def quantile_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing by document length — the quantile-binning
+    step before per-band curriculum mixing or length-stratified
+    sampling: 8 equal-population bands with boundaries and mass,
+    NTILE semantics (first n%8 buckets take one extra row) written in
+    closed form over the global rank. The rank itself comes from the
+    DISTRIBUTED selection pattern (range-partitioned parallel sort +
+    per-partition local ranks + broadcast prefix offsets) — NO global
+    single-partition window anywhere, so the same plan holds at
+    100 TB. The (n_chars, doc_id) composite key makes assignment
+    deterministic in both engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parted = (
+        d.repartitionByRange(32, "n_chars", "doc_id")
+        .sortWithinPartitions("n_chars", "doc_id")
+        .select("doc_id", "n_chars", F.spark_partition_id().alias("pid"))
+        .localCheckpoint()  # pin ONE materialization of the sampled ranges
+    )
+    w_local = W.partitionBy("pid").orderBy("n_chars", "doc_id")
+    local = parted.select(
+        "doc_id", "n_chars", "pid", F.row_number().over(w_local).alias("lrk")
+    )
+    sizes = {
+        r.pid: r.c
+        for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, "pid int, off long")
+    )
+    rk = F.col("off") + F.col("lrk")
+    q, r = n // 8, n % 8
+    bucket = F.when(
+        rk <= (q + 1) * r, F.ceil(rk / F.lit(float(q + 1)))
+    ).otherwise(r + F.ceil((rk - (q + 1) * r) / F.lit(float(q)))).cast("int")
+    tiled = local.join(off, "pid").select(
+        "n_chars", bucket.alias("bucket")
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

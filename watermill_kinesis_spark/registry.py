@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "dataset_card_report",
     "boilerplate_ngrams",
     "session_window_dynamic_gap",
+    "quantile_bucket_stats",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
