@@ -679,3 +679,65 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("source_a", "source_b").alias("source_x"),
         F.greatest("source_a", "source_b").alias("source_y"),
     ).agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split(text, ' ')) - {SHINGLE_N}, 0) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '),
+                                                   CAST(i + 1 AS INT),
+                                                   CAST(i + {SHINGLE_N} AS INT)), ' ')
+               )) AS shingles
+        FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.6),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM jac),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+             FROM reach GROUP BY src),
+    csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM csize GROUP BY cluster_size
+    """,
+    tags=("dedup", "reporting", "llm-pipeline"),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication PROFILE: how many near-dup families of each size
+    the corpus holds, and how many documents dedup would remove
+    (``n_removable`` = Σ(size−1)) — the headline number a dedup run
+    reports before anyone deletes anything. One rollup over the same
+    distributed connected components as ``dedup_cluster_canonical``;
+    the oracle recomputes the closure with its recursive CTE."""
+    comp = dedup_cluster_canonical(spark, sf_dir).select("cluster_id")
+    csize = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )

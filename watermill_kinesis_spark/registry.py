@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "boilerplate_ngrams",
     "session_window_dynamic_gap",
     "quantile_bucket_stats",
+    "dup_cluster_size_histogram",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
