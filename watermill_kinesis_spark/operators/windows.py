@@ -335,3 +335,38 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+               AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1
+    """,
+    tags=("window", "event-time", "streaming-equivalent"),
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-entity sliding windows — the site-traffic / active-user
+    dashboard shape: unique users per 1-hour window sliding every 15
+    minutes. Each event replicates into its 4 covering windows (the
+    sliding-window identity the oracle spells with the k-offset cross
+    join) and the per-window COUNT DISTINCT is a two-phase exact
+    distinct (partial per partition, merge on the window key) — at
+    100 TB this swaps to approx_count_distinct with
+    ``hll_accuracy_audit`` certifying the error envelope."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_users", "n_events"
+        )
+    )

@@ -166,6 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_dynamic_gap",
     "quantile_bucket_stats",
     "dup_cluster_size_histogram",
+    "sliding_distinct_users",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
