@@ -1031,3 +1031,56 @@ def quantile_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT l_suppkey,
+               datediff('day', DATE '1992-01-01', l_shipdate) AS s,
+               datediff('day', DATE '1992-01-01', l_shipdate)
+                   + (CAST(l_quantity AS INT) % 14) + 1 AS e
+        FROM lineitem WHERE l_suppkey < 100),
+    deltas AS (
+        SELECT l_suppkey, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT l_suppkey, e AS t, -1 AS d FROM iv),
+    swept AS (
+        SELECT l_suppkey,
+               SUM(d) OVER (PARTITION BY l_suppkey ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM deltas)
+    SELECT l_suppkey AS suppkey,
+           CAST(MAX(open_now) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY l_suppkey
+    """,
+    tags=("event-time", "interval", "analytics"),
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open intervals per key — the max-simultaneous-
+    sessions / warehouse-load shape — via the classic +1/−1 boundary
+    sweep: explode each interval into (start, +1) and (end, −1),
+    running-sum per key ordered by (time, +1 before −1 at ties — a
+    closing and an opening interval at the same instant DO overlap
+    under half-open [s, e) only if ordered opens-first; both engines
+    pin the same tie order), take the max. Two rows per interval
+    through one partitioned window — no interval join at all."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 100)
+    s = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+    e = s + (F.col("l_quantity").cast("int") % 14) + 1
+    iv = li.select(F.col("l_suppkey"), s.alias("s"), e.alias("e"))
+    deltas = iv.select("l_suppkey", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select("l_suppkey", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = deltas.select(
+        "l_suppkey", F.sum("d").over(w).alias("open_now")
+    )
+    return swept.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.max("open_now").cast("bigint").alias("peak_concurrent")
+    )

@@ -741,3 +741,50 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
     )
+
+
+@query(
+    "lsh_recall_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split(text, ' ')) - {SHINGLE_N}, 0) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '),
+                                                   CAST(i + 1 AS INT),
+                                                   CAST(i + {SHINGLE_N} AS INT)), ' ')
+               )) AS shingles
+        FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           1 AS lsh_recall_ok
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.85
+    """,
+    tags=("dedup", "lsh", "audit", "llm-pipeline"),
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH deployment gate, in the same verdict-row pattern as the
+    sketch audits: the banded MinHash path (16×8 — ≥97% catch
+    probability at J≈0.85 by the S-curve) runs next to the exact
+    shared-shingle ground truth at J≥0.85, and the row carries the
+    exact high-similarity pair count (oracle-pinned) plus the VERDICT
+    that LSH caught every one of them. A Spark upgrade that perturbs
+    the hashing, or a banding misconfiguration, turns the row red at
+    the gate — previously this invariant lived only in tests."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.85)
+    lsh = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
+    n_exact = exact.count()
+    n_missed = missed.count()
+    return spark.createDataFrame(
+        [(n_exact, 1 if n_missed == 0 else 0)],
+        "n_exact_pairs bigint, lsh_recall_ok int",
+    )

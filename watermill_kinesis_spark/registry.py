@@ -167,6 +167,8 @@ _PRIORITY: tuple[str, ...] = (
     "quantile_bucket_stats",
     "dup_cluster_size_histogram",
     "sliding_distinct_users",
+    "peak_concurrency",
+    "lsh_recall_audit",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
