@@ -119,6 +119,12 @@ AUDITED = [
     "pandas_api_interface",
     "dataset_card_report",
     "boilerplate_ngrams",
+    "session_window_dynamic_gap",
+    "quantile_bucket_stats",
+    "dup_cluster_size_histogram",
+    "sliding_distinct_users",
+    "peak_concurrency",
+    "lsh_recall_audit",
 ]
 
 
