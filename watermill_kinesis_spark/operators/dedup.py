@@ -788,3 +788,81 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, 1 if n_missed == 0 else 0)],
         "n_exact_pairs bigint, lsh_recall_ok int",
     )
+
+
+@query(
+    "seed_label_closure",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split(text, ' ')) - {SHINGLE_N}, 0) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '),
+                                                   CAST(i + 1 AS INT),
+                                                   CAST(i + {SHINGLE_N} AS INT)), ' ')
+               )) AS shingles
+        FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.6),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM jac),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+             FROM reach GROUP BY src),
+    seeds AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0),
+    comp_label AS (
+        SELECT c.cluster_id, s.lang AS seed_label
+        FROM comp c JOIN seeds s ON s.doc_id = c.doc_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                   ORDER BY c.doc_id) = 1)
+    SELECT c.doc_id,
+           CAST(c.doc_id % 10 = 0 AS INT) AS is_seed,
+           cl.seed_label AS propagated_label
+    FROM comp c LEFT JOIN comp_label cl ON c.cluster_id = cl.cluster_id
+    """,
+    tags=("dedup", "graph", "semi-supervised", "llm-pipeline"),
+)
+def seed_label_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL COMPLETION through the near-dup graph:
+    docs with a trusted label (here every 10th doc's ``lang`` plays the
+    human-annotated seed) propagate it to every near-duplicate in
+    their connected component — the cheap-label amplification trick
+    annotation pipelines run before training a classifier. The
+    deterministic rule: a component takes its LOWEST-doc_id seed's
+    label; seedless components stay NULL (honest unlabeled). One extra
+    join over the same distributed connected components; the oracle
+    replays the rule on its recursive-CTE closure."""
+    comp = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "cluster_id")
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.col("lang").alias("seed_label"))
+    )
+    from pyspark.sql import Window as W
+
+    seeded = comp.join(seeds, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy("doc_id")
+    comp_label = (
+        seeded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", "seed_label")
+    )
+    return comp.join(comp_label, "cluster_id", "left").select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).cast("int").alias("is_seed"),
+        F.col("seed_label").alias("propagated_label"),
+    )

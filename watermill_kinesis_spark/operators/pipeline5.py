@@ -423,3 +423,94 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("entry") > 0).cast("int").alias("is_blocked"),
         F.min("entry").alias("rule"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training shard manifest (global prefix-sum sharding)
+
+#: target tokens per output shard
+SHARD_TOKENS = 10_000
+
+
+@query(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               SUM(len(string_split(trim(text), ' '))) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS tokens_before
+        FROM documents),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(tokens_before, 0) // {SHARD_TOKENS} AS BIGINT)
+                   AS shard_id
+        FROM ordered)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY shard_id
+    """,
+    tags=("pipeline", "corpus", "llm-pipeline"),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARD MANIFEST — the last artifact before training shards
+    are written (webdataset/arrayrecord style): documents in a
+    deterministic order are cut into ~10k-token shards by their global
+    token prefix-sum, and the manifest records each shard's doc count,
+    token mass, and id range (what the dataloader actually consumes).
+    The global prefix-sum uses the DISTRIBUTED pattern (range-partition
+    by doc_id, per-partition partial sums, broadcast prefix offsets) —
+    NO single-partition window, so the same plan cuts a 100 TB corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tokens")
+    )
+    parted = (
+        d.repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select("doc_id", "n_tokens", F.spark_partition_id().alias("pid"))
+        .localCheckpoint()  # pin one materialization of the sampled ranges
+    )
+    w_local = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = parted.select(
+        "doc_id",
+        "n_tokens",
+        "pid",
+        F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)).alias("local_before"),
+    )
+    sums = {
+        r.pid: r.s
+        for r in parted.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid]
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, "pid int, off long")
+    )
+    assigned = local.join(off, "pid").select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("off") + F.col("local_before")) / F.lit(SHARD_TOKENS)
+        )
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

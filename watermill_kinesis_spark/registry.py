@@ -169,6 +169,8 @@ _PRIORITY: tuple[str, ...] = (
     "sliding_distinct_users",
     "peak_concurrency",
     "lsh_recall_audit",
+    "seed_label_closure",
+    "training_shard_manifest",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
