@@ -1084,3 +1084,72 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.max("open_now").cast("bigint").alias("peak_concurrent")
     )
+
+
+@query(
+    "rfm_features",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS t_max FROM events),
+    ev AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(datediff('day', MAX(ts), (SELECT t_max FROM anchor))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) FILTER (
+                    WHERE ts >= (SELECT t_max FROM anchor) - INTERVAL 30 DAY)
+                    AS BIGINT) AS n_events_30d
+        FROM events GROUP BY user_id),
+    o AS (
+        SELECT o_custkey AS user_id,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey)
+    SELECT e.user_id, e.recency_days, e.n_events, e.n_events_30d,
+           COALESCE(o.monetary_cents, 0) AS monetary_cents
+    FROM ev e LEFT JOIN o ON o.user_id = e.user_id
+    """,
+    tags=("analytics", "features"),
+)
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store staple: Recency / Frequency / Monetary per
+    user, the three columns behind every churn and LTV model — days
+    since last activity (anchored to the corpus max timestamp so the
+    feature set is reproducible), event counts total and trailing-30d,
+    and lifetime order value in exact cents. One aggregate per source
+    table + a left join; the 1-row anchor broadcasts. Everything
+    integer-exact: the hash compare covers all four features."""
+    ev = load_table(spark, sf_dir, "events")
+    t_max = ev.agg(F.max("ts").alias("t_max"))
+    e = (
+        ev.crossJoin(F.broadcast(t_max))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.datediff(F.max(F.col("t_max")), F.max("ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(
+                F.when(
+                    F.col("ts") >= F.col("t_max") - F.expr("INTERVAL 30 DAY"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_events_30d"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents")
+        )
+    )
+    return e.join(o, "user_id", "left").select(
+        "user_id",
+        "recency_days",
+        "n_events",
+        "n_events_30d",
+        F.coalesce("monetary_cents", F.lit(0)).alias("monetary_cents"),
+    )

@@ -171,6 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "lsh_recall_audit",
     "seed_label_closure",
     "training_shard_manifest",
+    "rfm_features",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
