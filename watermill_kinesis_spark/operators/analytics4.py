@@ -1153,3 +1153,72 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events_30d",
         F.coalesce("monetary_cents", F.lit(0)).alias("monetary_cents"),
     )
+
+
+#: z-statistic from exact integer power sums — ONE shared expression
+#: text evaluated by both engines (sqrt and division are IEEE
+#: correctly-rounded, so identical inputs give identical doubles).
+#: Inputs: n_a/n_b (counts) and s1/s2 per arm in exact value-cents.
+_AB_Z = """
+    (CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt(
+        (CAST(s2a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - (CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           * (CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+        / CAST(n_a AS DOUBLE)
+      + (CAST(s2b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - (CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           * (CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        / CAST(n_b AS DOUBLE))
+"""
+
+
+@query(
+    "ab_test_report",
+    oracle=f"""
+    WITH arms AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_b,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS s1a,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS s1b,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS s2a,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS s2b
+        FROM events GROUP BY event_type)
+    SELECT event_type, n_a, n_b, s1a, s1b,
+           {_AB_Z} AS z_score
+    FROM arms
+    """,
+    tags=("analytics", "statistics", "experimentation"),
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation readout: per metric (event type), a
+    two-sample z-statistic between arms A/B (deterministic hash split
+    on user_id) over the value metric — counts, exact cent sums, and
+    the z-score computed from exact integer power sums by ONE
+    expression text shared verbatim with the oracle (IEEE
+    correctly-rounded sqrt/divide ⇒ bit-identical). The per-arm
+    moments are one map-side-combinable aggregate; nothing but the
+    final statistic is floating point."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    is_a = F.col("user_id") % 2 == 0
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~is_a, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, cents)).cast("bigint").alias("s1a"),
+        F.sum(F.when(~is_a, cents)).cast("bigint").alias("s1b"),
+        F.sum(F.when(is_a, cents * cents)).cast("bigint").alias("s2a"),
+        F.sum(F.when(~is_a, cents * cents)).cast("bigint").alias("s2b"),
+    )
+    return arms.select(
+        "event_type", "n_a", "n_b", "s1a", "s1b",
+        F.expr(_AB_Z).alias("z_score"),
+    )

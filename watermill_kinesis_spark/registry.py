@@ -172,6 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     "seed_label_closure",
     "training_shard_manifest",
     "rfm_features",
+    "ab_test_report",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
