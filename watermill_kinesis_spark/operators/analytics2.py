@@ -458,3 +458,54 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+#: documents per batch for the vocabulary growth curve — per-document
+#: granularity: the curve's row count is bounded by |vocabulary| (only
+#: batches that INTRODUCE a token appear), not by corpus size
+VOCAB_CURVE_BATCH = 1
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id // {VOCAB_CURVE_BATCH} AS batch, unnest(string_split(lower(trim(text)), ' ')) AS token
+        FROM documents),
+    first_seen AS (
+        SELECT token, MIN(batch) AS first_batch FROM toks GROUP BY token),
+    per_batch AS (
+        SELECT first_batch AS batch, COUNT(*) AS n_new FROM first_seen GROUP BY first_batch)
+    SELECT batch,
+           CAST(n_new AS BIGINT) AS n_new_tokens,
+           CAST(SUM(n_new) OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS vocab_size
+    FROM per_batch
+    """,
+    tags=("text", "corpus", "llm-pipeline"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps' law) over ingestion order: how many
+    NEVER-SEEN tokens each successive document contributes, and the
+    running vocabulary size — the curve that tells a corpus team when
+    additional data stops buying lexical diversity (and what
+    vocabulary budget a tokenizer needs). First-seen is one (token →
+    min batch) aggregate — tokens travel once; the cumulative sum runs
+    over a relation with AT MOST |vocabulary| rows (only batches that
+    introduced a new token survive the aggregate) — the group-bounded
+    window pattern at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") / VOCAB_CURVE_BATCH).cast("long").alias("batch"),
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+    )
+    first_seen = toks.groupBy("token").agg(F.min("batch").alias("first_batch"))
+    per_batch = first_seen.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = W.orderBy("batch").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_batch.select(
+        "batch",
+        F.col("n_new").cast("bigint").alias("n_new_tokens"),
+        F.sum("n_new").over(w).cast("bigint").alias("vocab_size"),
+    )

@@ -173,6 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "training_shard_manifest",
     "rfm_features",
     "ab_test_report",
+    "vocab_growth_curve",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
