@@ -125,6 +125,11 @@ AUDITED = [
     "sliding_distinct_users",
     "peak_concurrency",
     "lsh_recall_audit",
+    "seed_label_closure",
+    "training_shard_manifest",
+    "rfm_features",
+    "ab_test_report",
+    "vocab_growth_curve",
 ]
 
 
