@@ -560,6 +560,15 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             return
         for name in names:
+            if ".tmp-" in name:
+                # orphaned half-written fence from a crashed task: the
+                # atomic rename never happened, so it holds nothing a
+                # reader would consume — reap it
+                try:
+                    os.remove(os.path.join(self._fence_dir, name))
+                except OSError:
+                    pass
+                continue
             parts = name.split(".", 2)
             if len(parts) != 3:
                 continue
