@@ -286,3 +286,49 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("weighted_qty"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+           CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — the GROUPED Arrow-native face (the zero-pandas
+    sibling of ``applyInPandas``): each group arrives as one
+    ``pyarrow.Table`` and leaves as another, computed entirely with
+    pyarrow.compute — the hook for grouped C-speed kernels
+    (per-group tokenizer fits, codec passes) without pandas
+    materialization overhead. Exact-integer group statistics pin the
+    Arrow round trip against the SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+
+    def group_stats(table: pa.Table) -> pa.Table:
+        qty = table.column("qty")
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n_rows": [table.num_rows],
+                "sum_qty": [pc.sum(qty).as_py()],
+                "min_qty": [pc.min(qty).as_py()],
+                "max_qty": [pc.max(qty).as_py()],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInArrow(
+        group_stats,
+        "l_returnflag string, n_rows bigint, sum_qty bigint, "
+        "min_qty bigint, max_qty bigint",
+    )

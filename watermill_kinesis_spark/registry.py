@@ -174,6 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "rfm_features",
     "ab_test_report",
     "vocab_growth_curve",
+    "udf_apply_in_arrow",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
