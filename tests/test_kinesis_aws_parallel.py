@@ -479,3 +479,58 @@ def test_poll_budget_paces_batches(tmp_path):
     assert [t[0] for t in rows2] == [f"d{i:02d}" for i in range(10, 14)]
     rows3, _, _ = _run_batch(r, off2)
     assert rows3 == []
+
+
+def test_batch_write_then_read_roundtrip(spark, tmp_path):
+    """The full batch write quadrant: df.write.format('kinesis_aws')
+    publishes from executors through the chunked PutRecords path;
+    reading the stream back returns every record with same-key rows on
+    the same shard (crc32 routing in the stub mirrors the service's
+    stable key→shard mapping)."""
+    from pyspark.sql import Row
+
+    from watermill_kinesis_spark.sources import kinesis_aws
+
+    stub_dir = str(tmp_path / "stub")
+    FileStubKinesisClient(stub_dir)  # creates the empty state file dir
+    kinesis_aws.register(spark)
+    wire = spark.createDataFrame(
+        [Row(data=f"env-{i}", partition_key=f"k{i % 3}") for i in range(40)]
+    )
+    (
+        wire.write.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .load()
+        .collect()
+    )
+    assert sorted(r.data for r in back) == sorted(f"env-{i}" for i in range(40))
+    # per-key shard affinity (ordered delivery per key, reference
+    # marshaller.go:65-69 routing contract)
+    by_key = {}
+    for r in back:
+        by_key.setdefault(r.partition_key, set()).add(r.shard_id)
+    assert all(len(shards) == 1 for shards in by_key.values())
+    # overwrite mode is refused: a stream cannot be overwritten
+    import pytest
+
+    with pytest.raises(Exception, match="append-only"):
+        wire.write.format("kinesis_aws").option("streamName", "s").option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        ).option("stubdir", stub_dir).mode("overwrite").save()

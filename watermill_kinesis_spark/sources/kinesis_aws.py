@@ -75,8 +75,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -660,6 +662,55 @@ class KinesisAwsBatchReader(DataSourceReader):
                 break  # at the tip: the batch ends here
 
 
+class _AwsPutCommit(WriterCommitMessage):
+    def __init__(self, n: int):
+        self.n = n
+
+
+class KinesisAwsWriter(DataSourceWriter):
+    """Batch write quadrant: ``df.write.format("kinesis_aws")`` —
+    every partition publishes its ``(data, partition_key)`` rows from
+    its own executor through the chunked/retrying ``put_chunked`` path
+    (≤500/call, per-record partial-failure retry — the two PutRecords
+    behaviors the reference left as TODO/ignored, publisher.go:65,84).
+    Kinesis appends are not transactional, so a retried task may
+    re-publish — the same at-least-once produce contract the service
+    itself gives every producer."""
+
+    def __init__(self, options):
+        self.options = dict(options)
+        self.stream = options.get("streamname")
+        if not self.stream:
+            raise ValueError(
+                "kinesis_aws write requires option('streamName', <stream>)"
+            )
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        # imported here: runs on the executor
+        from watermill_kinesis_spark.streaming.sink import (
+            KinesisPublisher,
+            PutRecordsEntry,
+            put_chunked,
+        )
+
+        entries = [
+            PutRecordsEntry(row.data, row.partition_key) for row in iterator
+        ]
+        n = 0
+        if entries:
+            pub = KinesisPublisher(
+                self.stream, client=_make_client(self.options)
+            )
+            n = put_chunked(pub, entries)
+        return _AwsPutCommit(n)
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None  # appends are not transactional (at-least-once)
+
+
 class KinesisAwsDataSource(DataSource):
     """format("kinesis_aws") — streaming read from a real Kinesis
     stream. Writes go through ``PublisherBuilder.with_kinesis()`` /
@@ -674,6 +725,14 @@ class KinesisAwsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> KinesisAwsBatchReader:
         return KinesisAwsBatchReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> KinesisAwsWriter:
+        if overwrite:
+            raise ValueError(
+                "kinesis_aws is append-only (a stream cannot be overwritten); "
+                "use mode('append')"
+            )
+        return KinesisAwsWriter(self.options)
 
     def streamReader(self, schema: StructType) -> KinesisAwsParallelStreamReader:
         mode = (self.options.get("readermode") or "parallel").lower()

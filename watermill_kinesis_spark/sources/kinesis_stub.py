@@ -248,3 +248,62 @@ def file_stub_client(options) -> FileStubKinesisClient:
     """clientfactory target for parallel-reader tests:
     ``option('stubdir', <dir>)`` points at the shared state dir."""
     return FileStubKinesisClient(options.get("stubdir"))
+
+
+    # -- producer API (boto3-shaped) ---------------------------------
+
+
+def _stub_put_records(self, StreamName=None, Records=None):
+    """boto3-shaped PutRecords: routes each record to a shard by
+    crc32(partition key) — stable like the service's MD5 routing —
+    and appends with monotonically increasing sequence numbers."""
+    import time as _time
+    import zlib
+    from datetime import datetime, timezone
+
+    self.calls.append("put_records")
+    if not self._shards:
+        for i in range(2):
+            self._shards[f"shardId-{i:012d}"] = []
+    shard_ids = sorted(self._shards)
+    out = []
+    for rec in Records or []:
+        data = rec["Data"]
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        key = rec.get("PartitionKey") or "0"
+        shard = shard_ids[zlib.crc32(key.encode("utf-8")) % len(shard_ids)]
+        self._seq += 1
+        self._shards[shard].append(
+            {
+                "Data": data,
+                "PartitionKey": key,
+                "SequenceNumber": str(self._seq),
+                "ApproximateArrivalTimestamp": datetime.fromtimestamp(
+                    _time.time(), tz=timezone.utc
+                ),
+            }
+        )
+        out.append({"SequenceNumber": str(self._seq), "ShardId": shard})
+    return {"FailedRecordCount": 0, "Records": out}
+
+
+StubKinesisClient.put_records = _stub_put_records
+
+
+def _file_stub_put_records(self, StreamName=None, Records=None):
+    # concurrent executor partitions all publish through one state
+    # file: serialize the read-modify-write with an flock, like the
+    # service serializes per-shard appends
+    import fcntl
+
+    os.makedirs(self._dir, exist_ok=True)
+    with open(os.path.join(self._dir, ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        self._load()
+        resp = _stub_put_records(self, StreamName=StreamName, Records=Records)
+        self._save()
+    return resp
+
+
+FileStubKinesisClient.put_records = _file_stub_put_records
