@@ -534,3 +534,55 @@ def test_batch_write_then_read_roundtrip(spark, tmp_path):
             "clientfactory",
             "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
         ).option("stubdir", stub_dir).mode("overwrite").save()
+
+
+def test_stream_write_quadrant(spark, tmp_path):
+    """writeStream.format('kinesis_aws'): a streaming pipe from the
+    sim topic into the Kinesis transport — micro-batches publish
+    executor-side; everything lands exactly as produced on a clean
+    run."""
+    from pyspark.sql import Row
+
+    from watermill_kinesis_spark.sources import kinesis_aws, kinesis_sim
+
+    stub_dir = str(tmp_path / "stub")
+    FileStubKinesisClient(stub_dir)
+    kinesis_sim.register(spark)
+    kinesis_aws.register(spark)
+
+    topic = str(tmp_path / "topic")
+    wire = spark.createDataFrame(
+        [Row(data=f"m-{i}", partition_key=f"k{i % 2}") for i in range(12)]
+    )
+    wire.write.format("kinesis_sim").option("path", topic).option(
+        "n_shards", "2"
+    ).mode("append").save()
+
+    stream = spark.readStream.format("kinesis_sim").option("path", topic).load()
+    q = (
+        stream.select("data", "partition_key")
+        .writeStream.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "s")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .load()
+        .collect()
+    )
+    assert sorted(r.data for r in landed) == sorted(f"m-{i}" for i in range(12))

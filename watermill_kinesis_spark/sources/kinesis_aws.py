@@ -75,6 +75,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -711,6 +712,30 @@ class KinesisAwsWriter(DataSourceWriter):
         return None  # appends are not transactional (at-least-once)
 
 
+class KinesisAwsStreamWriter(DataSourceStreamWriter):
+    """Streaming write quadrant: ``writeStream.format("kinesis_aws")``
+    — every micro-batch publishes executor-side through the same
+    chunked PutRecords path. Kinesis appends cannot be staged or
+    rolled back, so epoch semantics are at-least-once: a replayed
+    epoch re-publishes (consumers dedup by message uuid — the
+    ``stream_dedup_uuid`` pattern), exactly the contract every real
+    Kinesis producer lives with. A failed task raises → Spark leaves
+    the epoch uncommitted and replays it from the checkpoint (the
+    reference's nack, subscriber.go:61-63)."""
+
+    def __init__(self, options):
+        self._inner = KinesisAwsWriter(options)
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId) -> None:
+        return None
+
+    def abort(self, messages, batchId) -> None:
+        return None  # appends are not transactional (at-least-once)
+
+
 class KinesisAwsDataSource(DataSource):
     """format("kinesis_aws") — streaming read from a real Kinesis
     stream. Writes go through ``PublisherBuilder.with_kinesis()`` /
@@ -733,6 +758,9 @@ class KinesisAwsDataSource(DataSource):
                 "use mode('append')"
             )
         return KinesisAwsWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> KinesisAwsStreamWriter:
+        return KinesisAwsStreamWriter(self.options)
 
     def streamReader(self, schema: StructType) -> KinesisAwsParallelStreamReader:
         mode = (self.options.get("readermode") or "parallel").lower()
