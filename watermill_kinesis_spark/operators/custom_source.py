@@ -116,3 +116,67 @@ def custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "aws_transport_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_messages,
+           COUNT(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("codec", "layer-a", "source", "kinesis-aws"),
+)
+def aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE transport's loop, gate-visible: marshal every
+    event, publish through ``df.write.format("kinesis_aws")``
+    (executor-side chunked PutRecords), read the stream back with the
+    executor-parallel batch reader, unmarshal, aggregate — against the
+    boto3-shaped file-backed stub client, so the exact code path that
+    talks to AWS runs under the oracle gate with no AWS. Per-type
+    counts and distinct partition keys must survive bit-for-bit (no
+    loss, no duplication); the only difference from production is the
+    client factory option."""
+    from watermill_kinesis_spark.sources import kinesis_aws
+
+    kinesis_aws.register(spark)
+    stub_dir = tempfile.mkdtemp(prefix="kinesis_aws_rt_")
+    from watermill_kinesis_spark.sources.kinesis_stub import FileStubKinesisClient
+
+    FileStubKinesisClient(stub_dir)  # init empty stream state
+    wire = codec.marshal(messages_from_events(spark, sf_dir))
+    (
+        wire.write.format("kinesis_aws")
+        .option("streamName", "gate")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("kinesis_aws")
+        .option("streamName", "gate")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .load()
+    )
+    msgs = codec.unmarshal(back, drop_corrupt=False)
+    return (
+        msgs.select(
+            F.col("metadata").getItem("eventType").alias("event_type"),
+            F.col("metadata").getItem("partitionKey").alias("partition_key"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.countDistinct("partition_key").alias("n_keys"),
+        )
+    )

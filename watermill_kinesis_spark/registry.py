@@ -175,6 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     "ab_test_report",
     "vocab_growth_curve",
     "udf_apply_in_arrow",
+    "aws_transport_roundtrip",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
