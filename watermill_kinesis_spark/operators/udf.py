@@ -332,3 +332,40 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, n_rows bigint, sum_qty bigint, "
         "min_qty bigint, max_qty bigint",
     )
+
+
+@query(
+    "udf_scalar_arrow_optimized",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN event_id % 2 = 0
+                         THEN event_id * 3 ELSE event_id END) AS BIGINT)
+               AS transformed_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_scalar_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-OPTIMIZED scalar Python UDF (``useArrow=True``) — the
+    third scalar-UDF flavor next to row-at-a-time pickled UDFs (never
+    used in this engine) and pandas UDFs: plain per-value Python
+    semantics but Arrow-batched transfer, the drop-in accelerator for
+    legacy scalar UDF code that can't be vectorized. The kernel is a
+    branchy per-row function with a pure-SQL twin, so the oracle pins
+    the Arrow path's values exactly."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def branchy(event_id: int) -> int:
+        return event_id * 3 if event_id % 2 == 0 else event_id
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", branchy("event_id").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").cast("bigint").alias("transformed_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

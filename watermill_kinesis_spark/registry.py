@@ -176,6 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "vocab_growth_curve",
     "udf_apply_in_arrow",
     "aws_transport_roundtrip",
+    "udf_scalar_arrow_optimized",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
