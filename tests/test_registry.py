@@ -1,0 +1,51 @@
+"""Registry-level consistency guards — fast (no SparkSession), they
+catch wiring mistakes before any engine runs."""
+
+from __future__ import annotations
+
+import re
+
+from watermill_kinesis_spark.registry import _PRIORITY, all_specs
+from watermill_kinesis_spark.sources.tables import TABLE_NAMES
+
+
+def test_priority_covers_registry_exactly():
+    specs = all_specs()
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entries"
+    missing = [n for n in specs if n not in _PRIORITY]
+    stale = [n for n in _PRIORITY if n not in specs]
+    assert not missing, f"registered but not prioritized: {missing}"
+    assert not stale, f"prioritized but not registered: {stale}"
+
+
+def test_every_oracle_references_known_tables_only():
+    """Oracle SQL may only read the driver's pre-registered views."""
+    known = set(TABLE_NAMES)
+    # words following FROM/JOIN that look like bare table identifiers
+    pat = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", re.IGNORECASE)
+    for name, spec in all_specs().items():
+        if not spec.oracle:
+            continue
+        sql_no_strings = re.sub(r"--[^\n]*", "", spec.oracle)
+        sql_no_strings = re.sub(r"'[^']*'", "''", sql_no_strings)
+        ctes = set(
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\b([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                sql_no_strings,
+                re.IGNORECASE,
+            )
+        )
+        for m in pat.finditer(sql_no_strings):
+            t = m.group(1).lower()
+            if t in known or t in ctes:
+                continue
+            # subquery openers / functions are not identifiers here
+            if t in ("unnest", "range", "generate_series", "values", "lateral"):
+                continue
+            raise AssertionError(f"{name}: oracle references unknown table {t!r}")
+
+
+def test_docstrings_present():
+    for name, spec in all_specs().items():
+        assert spec.doc and len(spec.doc.strip()) > 20, f"{name} lacks a docstring"
