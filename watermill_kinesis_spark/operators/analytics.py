@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from watermill_kinesis_spark.functions.exact import lcents, lsum, sql_dsum
+from watermill_kinesis_spark.functions.exact import lcents, sql_dsum
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 

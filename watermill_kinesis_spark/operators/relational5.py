@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from watermill_kinesis_spark.functions.exact import dsum, sql_dsum, lcents, lsum
+from watermill_kinesis_spark.functions.exact import dsum, sql_dsum
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
