@@ -711,3 +711,63 @@ def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+#: candidate watermark delays (seconds) for the drop-rate table
+WATERMARK_CANDIDATES = (60, 300, 900, 1800)
+
+
+@query(
+    "watermark_droprate_table",
+    oracle=f"""
+    WITH l AS (
+        SELECT event_type, CAST({_LATENESS_EXPR} AS BIGINT) AS late_s
+        FROM events),
+    cand AS (SELECT unnest([60, 300, 900, 1800]) AS delay_s)
+    SELECT c.delay_s, l.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE l.late_s > c.delay_s) AS BIGINT)
+               AS n_dropped,
+           CAST(COUNT(*) FILTER (WHERE l.late_s > c.delay_s) * 1000000
+                // COUNT(*) AS BIGINT) AS drop_ppm
+    FROM l CROSS JOIN cand c
+    GROUP BY c.delay_s, l.event_type
+    """,
+    tags=("event-time", "streaming", "statistics"),
+)
+def watermark_droprate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark DECISION TABLE — the step after
+    ``event_lateness_profile``: for each candidate
+    ``withWatermark(ts, X)`` delay, exactly how many events (and what
+    parts-per-million) each type would LOSE to late-record dropping.
+    Teams pick the knee of this curve; the engine computes it exactly
+    from the same lateness synthesis (with a real arrival column the
+    expression is ``arrival_ts - ts``, nothing else changes). The
+    4-row candidate relation broadcasts; one aggregate over the
+    replicated events — integer-exact ppm, no float division."""
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select(
+        "event_type", F.expr(f"CAST({_LATENESS_EXPR} AS BIGINT)").alias("late_s")
+    )
+    cand = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(d,) for d in WATERMARK_CANDIDATES], "delay_s int"
+        )
+    )
+    return (
+        l.crossJoin(cand)
+        .groupBy("delay_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("late_s") > F.col("delay_s"), 1))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.floor(
+                F.count(F.when(F.col("late_s") > F.col("delay_s"), 1))
+                * 1_000_000
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("drop_ppm"),
+        )
+    )

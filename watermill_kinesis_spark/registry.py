@@ -177,6 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     "udf_apply_in_arrow",
     "aws_transport_roundtrip",
     "udf_scalar_arrow_optimized",
+    "watermark_droprate_table",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
