@@ -408,3 +408,44 @@ def token_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle="""
+    SELECT a.doc_id AS train_doc, b.doc_id AS test_doc
+    FROM documents a
+    JOIN documents b
+      ON a.text = b.text AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+    """,
+    tags=("pipeline", "quality", "llm-pipeline"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit — the check every eval pipeline must
+    run after splitting: exact-duplicate documents that landed on
+    OPPOSITE sides of the split (train copy + test copy = the eval is
+    contaminated). The join keys on ``xxhash64(text)`` — 8 bytes per
+    row through the shuffle instead of document bodies — with an exact
+    text-equality confirm on the survivors, so the plan holds at
+    100 TB while the result is collision-proof. Complements
+    ``decontaminate_ngram`` (near-dup leakage) with the exact-dup
+    case."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.xxhash64("text").alias("h")
+    )
+    train = d.where(F.col("doc_id") % 10 < 8)
+    test = d.where(F.col("doc_id") % 10 >= 8)
+    return (
+        train.alias("a")
+        .join(
+            test.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("train_doc"),
+            F.col("b.doc_id").alias("test_doc"),
+        )
+    )

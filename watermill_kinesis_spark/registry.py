@@ -178,6 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "aws_transport_roundtrip",
     "udf_scalar_arrow_optimized",
     "watermark_droprate_table",
+    "split_leakage_audit",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
