@@ -586,3 +586,72 @@ def test_stream_write_quadrant(spark, tmp_path):
         .collect()
     )
     assert sorted(r.data for r in landed) == sorted(f"m-{i}" for i in range(12))
+
+
+def test_fence_roundtrip_through_file_uri(tmp_path):
+    """positionDir must accept URI schemes like checkpointLocation does
+    (r4 ADVICE: the old POSIX fence store failed outright on any
+    non-local URI). file:/// exercises the pyarrow-resolved path end to
+    end: fences written by read(), merged by the driver, pruned by
+    commit(), across two full batches with no loss or duplication."""
+    client, r = _mk(tmp_path, positionDir=f"file://{tmp_path}/pos-uri")
+    _fill(client, 6)
+    start = r.initialOffset()
+    rows1, end1, _ = _run_batch(r, start)
+    assert sorted(row[0] for row in rows1) == [f"d{i}" for i in range(6)]
+    r.commit(end1)
+    # fences visible through the plain-path view of the same dir
+    plain = str(tmp_path / "pos-uri" / "s")
+    assert [f for f in os.listdir(plain) if f.endswith(".json")]
+    client.put("shardId-000000000000", "d6", partition_key="k0")
+    rows2, end2, _ = _run_batch(r, end1)
+    assert [row[0] for row in rows2] == ["d6"]  # no replay of batch 1
+
+
+def test_fencestore_normalizes_hadoop_scheme_aliases():
+    from watermill_kinesis_spark.sources.fencestore import FenceStore
+
+    assert FenceStore("s3a://bucket/x").base == "s3://bucket/x"
+    assert FenceStore("s3n://bucket/x").base == "s3://bucket/x"
+    assert FenceStore("/plain/dir").base == "/plain/dir"
+    assert FenceStore("file:///plain/dir").base == "file:///plain/dir"
+
+
+def test_driver_failfast_when_fences_never_visible(tmp_path, monkeypatch):
+    """Multi-node misconfiguration shape: executors fence to disks the
+    driver cannot see (driver-local default positionDir on a real
+    cluster). The driver must hard-fail after 3 planned batches rather
+    than silently re-reading the same window forever (r4 ADVICE)."""
+    import pytest
+
+    client, r = _mk(tmp_path)
+    _fill(client, 4)
+    # simulate invisible fences: merging finds nothing, ever
+    monkeypatch.setattr(r._store, "list_names", lambda: [])
+    start = r.initialOffset()
+    end = start
+    for _ in range(3):
+        end2 = r.latestOffset()
+        parts = r.partitions(end, end2)
+        assert parts  # batches ARE being planned
+        end = end2
+    with pytest.raises(RuntimeError, match="positionDir"):
+        r.latestOffset()
+
+
+def test_epoch_counter_seeds_from_restored_offset(tmp_path):
+    """ADVICE r4: a restarted reader's epoch counter restarts at 0
+    while a replayed pending batch plans under its logged epoch N —
+    the counter must seed to N so the fresh run never re-reaches N and
+    mistakes the replay's fence for its own epoch-N target."""
+    client, r = _mk(tmp_path)
+    _fill(client, 4)
+    start = r.initialOffset()
+    rows, end, _ = _run_batch(r, start)
+    assert end["epoch"] == 1 and len(rows) == 4
+    # crash before commit: new reader, same positionDir, replay batch 1
+    _, r2 = _mk(tmp_path)
+    assert r2._epoch == 0
+    parts = r2.partitions(start, end)  # replay the logged pending batch
+    assert r2._epoch == 1  # seeded from the log
+    assert r2.latestOffset()["epoch"] == 2  # next batch does NOT collide

@@ -84,10 +84,13 @@ def test_pii_redact_scrubs_all_planted_pii(spark, sf_dir):
 def test_embedding_normalize_unit_norm(spark, sf_dir):
     out = queries()["embedding_normalize"](spark, sf_dir)
     # q8 codes bounded by the int8 range; norm strictly positive
+    # (q8 arrives as a comma-joined string — the driver's canonicalizer
+    # cannot hash top-level list cells — so split it back for the check)
+    q8 = F.transform(F.split("q8", ","), lambda x: x.cast("int"))
     stats = out.select(
         F.min("l2_norm").alias("n_min"),
-        F.max(F.array_max("q8")).alias("q_max"),
-        F.min(F.array_min("q8")).alias("q_min"),
+        F.max(F.array_max(q8)).alias("q_max"),
+        F.min(F.array_min(q8)).alias("q_min"),
     ).collect()[0]
     assert stats.n_min > 0
     assert stats.q_max <= 127

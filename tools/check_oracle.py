@@ -6,6 +6,13 @@ order-insensitive canonicalization of all values (strict: floats must be
 bit-identical). Usage:
 
     PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [name ...]
+
+Env toggles (both driver-accuracy modes, combinable):
+  SPARK_GRAFT_VANILLA=1       plain SparkSession, none of session.py's tuning
+  SPARK_GRAFT_DRIVER_CANON=1  sort RAW pandas rows before stringifying,
+                              mirroring the gate's _canon (catches
+                              unhashable-cell outputs like r4's
+                              embedding_normalize array column)
 """
 
 from __future__ import annotations
@@ -66,6 +73,25 @@ def canon_df(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def driver_canon_df(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    """Driver-accurate canonicalization: sort the RAW pandas rows first
+    (``sort_values`` over every column, exactly like the gate's
+    ``_canon``), stringify only afterwards.  A top-level list/ndarray
+    cell makes pandas' lexsort raise ``TypeError: unhashable type`` —
+    the r4 ``embedding_normalize`` failure class — so running the sweep
+    in this mode catches harness-compat defects locally that the
+    stringify-first :func:`canon_df` cannot see."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")  # may raise: that IS the check
+    rows = [
+        tuple(canon_cell(df.iloc[i][c]) for c in cols) for i in range(len(df))
+    ]
+    rows.sort()
+    return cols, rows
+
+
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
@@ -115,8 +141,19 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
-        scols, srows = canon_df(sdf)
-        ocols, orows = canon_df(odf)
+        _canon = (
+            driver_canon_df
+            if os.environ.get("SPARK_GRAFT_DRIVER_CANON")
+            else canon_df
+        )
+        try:
+            scols, srows = _canon(sdf)
+            ocols, orows = _canon(odf)
+        except Exception:
+            print(f"FAIL  {name}: canonicalization raised (driver-compat defect)")
+            traceback.print_exc()
+            n_fail += 1
+            continue
         ok = True
         msgs = []
         if scols != ocols:

@@ -57,11 +57,16 @@ def _b64_unwrapped(payload: Column) -> Column:
     """RFC 4648 (unwrapped) base64 of a binary column.
 
     Spark's ``base64()`` is a MIME encoder: it line-wraps output at 76
-    chars with CRLF, which Go's ``base64.StdEncoding.DecodeString``
-    (reference marshaller.go:42) rejects — so the wrap must be stripped
-    at marshal time for wire compatibility with the reference's own
-    consumers. ``translate`` (plain char deletion) beats a regex pass
-    on the publish hot path; still one codegen'd JVM expression."""
+    chars with CRLF. Go's ``base64.StdEncoding.DecodeString``
+    (reference marshaller.go:42) IGNORES \\r and \\n, so wrapped
+    payloads always decoded fine on the Go side — the strip exists for
+    two other reasons: (1) byte-identical output to Go
+    ``EncodeToString`` (interop goldens, content-addressed dedup of
+    wire bytes), and (2) the engine's own strict ``_BASE64_RE``
+    corruption check, which would misclassify its own ≥58-byte wrapped
+    envelopes as corrupt. ``translate`` (plain char deletion) beats a
+    regex pass on the publish hot path; still one codegen'd JVM
+    expression."""
     return F.translate(F.base64(payload), "\r\n", "")
 
 

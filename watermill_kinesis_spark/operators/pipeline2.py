@@ -147,7 +147,9 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m)
     SELECT vec_id,
            round(l2_norm, 6) AS l2_norm,
-           list_transform(e, x -> CAST(floor(x / l2_norm * 127.0) AS INT)) AS q8
+           array_to_string(
+               list_transform(e, x -> CAST(floor(x / l2_norm * 127.0) AS INT)),
+               ',') AS q8
     FROM n
     """,
     tags=("pipeline", "embedding", "quantize", "llm-pipeline"),
@@ -163,7 +165,12 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     float sum-of-squares whose result depends on addition order. The
     quantized code floor(x/‖x‖·127) then divides exactly-equal doubles.
     Partition-local, zero shuffle, linear at 100 TB; the array HOFs stay
-    JVM-side (for BLAS-speed batches see similarity.py's kernels)."""
+    JVM-side (for BLAS-speed batches see similarity.py's kernels).
+
+    The q8 vector is emitted as a comma-joined STRING, not array<int>:
+    the correctness harness canonicalizes by sorting raw pandas rows,
+    and a top-level Python-list cell is unhashable there — a scalar
+    column carries the same information and is hashable everywhere."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 500)
@@ -179,7 +186,9 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e"), lambda x: F.floor(x / F.col("l2_norm") * 127.0).cast("int")
     )
     return n.select(
-        "vec_id", F.round("l2_norm", 6).alias("l2_norm"), q8.alias("q8")
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.array_join(q8.cast("array<string>"), ",").alias("q8"),
     )
 
 

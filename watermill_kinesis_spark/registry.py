@@ -78,15 +78,58 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 4): the driver's budget-capped gate samples a
-    # PREFIX of this order. Front: the 58 oracle-backed entries that
-    # have NEVER received a driver-green row through r3 (leading with
-    # `window_range_frame`, sampled red in r3 and fixed this round) —
-    # the oldest verification debt, cleared first. Then the round-4
-    # additions (locally oracle-verified at sf0.01 AND sf0.1 this
-    # round), then the five codec/transport entries whose gate payloads
-    # changed this round (padded past the base64 MIME-wrap boundary),
-    # then everything already driver-green in r1–r3.
+    # ---- Rotation (round 5): the driver's budget-capped gate samples a
+    # PREFIX of this order. Front: the 43 oracle-backed entries with NO
+    # driver-green row through r4, leading with the two r4 judge-/driver-
+    # red entries fixed this round (`embedding_normalize` — q8 now a
+    # joined string, hashable under the driver's raw-row canonicalizer;
+    # `aws_transport_roundtrip` — register() now flips the
+    # filterPushdown conf on vanilla sessions). A full green prefix here
+    # closes cumulative coverage at 217/217. Round-5 additions follow,
+    # then everything already driver-green in r1–r4.
+    "embedding_normalize",
+    "aws_transport_roundtrip",
+    "text_normalize",
+    "train_test_split_mod",
+    "sample_weighted",
+    "rtbf_cascade_delete",
+    "kanonymity_audit",
+    "multimodal_audio_energy",
+    "sql_text_interface",
+    "sql_text_subqueries",
+    "multimodal_pixel_stats",
+    "pareto_frontier",
+    "udf_map_in_arrow",
+    "sql_pipe_interface",
+    "domain_blocklist_filter",
+    "minhash_signature_merge",
+    "approx_quantile_audit",
+    "ohlc_resample",
+    "hll_accuracy_audit",
+    "count_min_accuracy_audit",
+    "format_json_corrupt_modes",
+    "weblog_parse_agg",
+    "mad_robust_stats",
+    "benford_first_digit",
+    "cross_source_duplication",
+    "pandas_api_interface",
+    "dataset_card_report",
+    "boilerplate_ngrams",
+    "session_window_dynamic_gap",
+    "quantile_bucket_stats",
+    "dup_cluster_size_histogram",
+    "sliding_distinct_users",
+    "peak_concurrency",
+    "lsh_recall_audit",
+    "seed_label_closure",
+    "training_shard_manifest",
+    "rfm_features",
+    "ab_test_report",
+    "vocab_growth_curve",
+    "udf_apply_in_arrow",
+    "udf_scalar_arrow_optimized",
+    "watermark_droprate_table",
+    "split_leakage_audit",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
@@ -135,50 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "pack_concat_offsets",
     "chunk_documents",
     "pii_redact",
-    "embedding_normalize",
     "quality_filter_pipeline",
-    "text_normalize",
-    "train_test_split_mod",
-    "sample_weighted",
-    "rtbf_cascade_delete",
-    "kanonymity_audit",
-    "multimodal_audio_energy",
-    "sql_text_interface",
-    "sql_text_subqueries",
-    "multimodal_pixel_stats",
-    "pareto_frontier",
-    "udf_map_in_arrow",
-    "sql_pipe_interface",
-    "domain_blocklist_filter",
-    "minhash_signature_merge",
-    "approx_quantile_audit",
-    "ohlc_resample",
-    "hll_accuracy_audit",
-    "count_min_accuracy_audit",
-    "format_json_corrupt_modes",
-    "weblog_parse_agg",
-    "mad_robust_stats",
-    "benford_first_digit",
-    "cross_source_duplication",
-    "pandas_api_interface",
-    "dataset_card_report",
-    "boilerplate_ngrams",
-    "session_window_dynamic_gap",
-    "quantile_bucket_stats",
-    "dup_cluster_size_histogram",
-    "sliding_distinct_users",
-    "peak_concurrency",
-    "lsh_recall_audit",
-    "seed_label_closure",
-    "training_shard_manifest",
-    "rfm_features",
-    "ab_test_report",
-    "vocab_growth_curve",
-    "udf_apply_in_arrow",
-    "aws_transport_roundtrip",
-    "udf_scalar_arrow_optimized",
-    "watermark_droprate_table",
-    "split_leakage_audit",
     "bpe_train_merges",
     "bpe_apply_segment",
     "semdedup_centroid_prune",
@@ -330,6 +330,16 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stateful_accounting",
     "stream_static_join",
     "stream_stream_join",
+    "stream_transform_with_state",
+)
+
+#: Names listed in ``_PRIORITY`` unconditionally but REGISTERED only
+#: when an optional runtime dependency is importable — absent from
+#: ``all_specs()`` in environments lacking the gate, present (and
+#: prioritized) everywhere else. The registry/priority bijection test
+#: tolerates exactly these when they are gated-absent.
+_GATED: tuple[str, ...] = (
+    "stream_transform_with_state",  # needs google.protobuf (transformWithState)
 )
 
 

@@ -42,9 +42,17 @@ picks one:
   position-fence files per trigger), so read throughput scales with
   executors × shards — the 100 TB path. Executors report attained
   positions through fence files under ``positionDir`` (the engine's
-  DynamoDB-checkpoint analogue; defaults to a local temp dir — on a
-  multi-node cluster point it at storage shared by driver and
-  executors, e.g. NFS/EFS/DBFS). The first attempt of a (epoch,
+  DynamoDB-checkpoint analogue). Fence I/O goes through pyarrow's
+  filesystem layer (``fencestore.py``) so ``positionDir`` accepts the
+  same URI schemes as ``checkpointLocation`` — file://, s3a://,
+  hdfs://, gs:// — and works from executor Python workers, which have
+  no JVM gateway for Hadoop's FileSystem API. It defaults to a
+  DRIVER-LOCAL temp dir, valid only on local[n]; on a multi-node
+  cluster point it at storage shared by driver and executors
+  (NFS/EFS, s3a://, hdfs://) — a loud warning fires at start when the
+  default is used, and the driver hard-fails (rather than silently
+  re-reading the same window forever) if planned batches never
+  surface a fence. The first attempt of a (epoch,
   shard) task records its attained position as the fence; task
   RETRIES replay deterministically up to that fence. Losing the
   fence dir costs nothing but replay width: positions live in
@@ -83,6 +91,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from watermill_kinesis_spark.sources.fencestore import FenceStore
+
 from watermill_kinesis_spark.sources.kinesis_sim import WIRE_DDL
 
 FORMAT_NAME = "kinesis_aws"
@@ -106,10 +116,16 @@ def _make_client(options) -> object:
         import importlib
 
         factory = getattr(importlib.import_module(mod_name), attr)
+        # Arity by signature, NOT try/except TypeError: catching would
+        # also swallow TypeErrors raised INSIDE a one-arg factory body
+        # and retry zero-arg, masking the real bug with a second error.
+        import inspect
+
         try:
-            return factory(options)
-        except TypeError:
-            return factory()
+            takes_options = bool(inspect.signature(factory).parameters)
+        except (TypeError, ValueError):  # builtins without signatures
+            takes_options = True
+        return factory(options) if takes_options else factory()
     try:
         import boto3  # noqa: PLC0415 — optional dependency
     except ImportError as e:  # pragma: no cover - env-dependent
@@ -399,18 +415,40 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
             # attained positions are recovered from its fences and
             # nothing committed is re-read. The caller owns uniqueness:
             # one positionDir per query, like checkpointLocation.
-            self._fence_dir = os.path.join(explicit, self.stream)
+            # Accepts the same URI schemes as checkpointLocation
+            # (file://, s3a://, hdfs://, ...) — see fencestore.py.
+            self._fence_dir = f"{explicit.rstrip('/')}/{self.stream}"
         else:
             # safe default: unique per run. A restart cannot see the
             # previous run's fences, so the last committed batch's
             # window is re-read (at-least-once — the same window the
             # reference leaves open); two unrelated queries can never
-            # cross-contaminate positions.
+            # cross-contaminate positions. DRIVER-LOCAL, so only valid
+            # when executors share the driver's filesystem (local[n]):
+            # on a multi-node cluster executors would fence to their
+            # own disks and the driver would never see progress — warn
+            # loudly here, and _merge_fences hard-fails if it ever
+            # observes that shape (planned batches, zero fences).
             self._fence_dir = os.path.join(
                 __import__("tempfile").gettempdir(),
                 "kinesis_aws_pos",
                 f"{self.stream}-{self._run}",
             )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kinesis_aws readerMode=parallel is using a DRIVER-LOCAL "
+                "positionDir default (%s). This only works when executors "
+                "share the driver's filesystem (local[n]). On a multi-node "
+                "cluster, set .option('positionDir', <shared URI>) to "
+                "storage reachable by driver and executors (NFS/EFS, "
+                "s3a://, hdfs://) — like checkpointLocation.",
+                self._fence_dir,
+            )
+        self._store = FenceStore(self._fence_dir)
+        #: livelock guard state: non-empty batches planned since a
+        #: fence file was last observed (see latestOffset)
+        self._planned_since_fence = 0
 
     def __getstate__(self):
         state = dict(self.__dict__)
@@ -431,25 +469,42 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         return {"epoch": 0, "shards": dict(self._pos)}
 
     def _merge_fences(self) -> None:
-        try:
-            names = os.listdir(self._fence_dir)
-        except FileNotFoundError:
-            return
+        names = self._store.list_names()
+        saw_fence = False
         for name in names:
             if not name.endswith(".json"):
                 continue
-            try:
-                with open(os.path.join(self._fence_dir, name)) as f:
-                    fence = json.load(f)
-            except (OSError, ValueError):
+            fence = self._store.read_json(name)
+            if fence is None:
                 continue  # half-written fence: next trigger retries
+            saw_fence = True
             shard = fence.get("shard")
             if shard:
                 self._pos[shard] = _max_pos(self._pos.get(shard), fence.get("pos"))
+        if saw_fence:
+            self._planned_since_fence = 0
 
     def latestOffset(self) -> dict:
         client = self._client()
         self._merge_fences()
+        if self._planned_since_fence >= 3:
+            # Livelock guard: ≥3 consecutive non-empty batches planned
+            # yet not ONE fence file ever became visible to the driver.
+            # Tasks write a fence unconditionally on their first
+            # attempt, so this shape means executors are fencing to a
+            # filesystem the driver cannot see (driver-local default
+            # positionDir on a multi-node cluster). Without this check
+            # the query silently re-reads the same <=MAX_POLLS window
+            # forever and never advances past it.
+            raise RuntimeError(
+                "kinesis_aws parallel reader: executors' position fences "
+                f"are not visible to the driver under {self._fence_dir!r} "
+                "after 3 planned micro-batches — shard positions cannot "
+                "advance (each trigger would re-read the same window). "
+                "Set .option('positionDir', <URI>) to storage shared by "
+                "driver and executors (NFS/EFS mount, s3a://, hdfs://), "
+                "exactly like checkpointLocation."
+            )
         for s in _list_shard_ids(client, self.stream):
             # reshard pickup: child shards start at TRIM_HORIZON
             self._pos.setdefault(s, None)
@@ -470,7 +525,14 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         self._pos.update(
             {s: _max_pos(self._pos.get(s), p) for s, p in merged.items()}
         )
-        return [
+        # Seed the epoch counter from the offset log: after a restart
+        # this instance starts at _epoch=0 while a replayed pending
+        # batch plans under its LOGGED epoch N — without the seed, the
+        # fresh counter would later reach N again and read() would
+        # mistake the replay's stale fence for its own target (one
+        # trigger of empty shards + an unfenced retry window).
+        self._epoch = max(self._epoch, int(end.get("epoch", 0)))
+        parts = [
             _ShardPartition(
                 shard_id=shard,
                 start_pos=pos,
@@ -484,21 +546,20 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
             for shard, pos in sorted(merged.items())
             if pos != SHARD_END
         ]
+        if parts:
+            self._planned_since_fence += 1
+        return parts
 
     # -- executor side -------------------------------------------------
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         client = _make_client(partition.options)
-        fence_path = os.path.join(
-            partition.fence_dir,
-            f"{partition.run}.{partition.epoch}.{partition.shard_id}.json",
-        )
-        target: str | None = None
-        try:
-            with open(fence_path) as f:
-                target = json.load(f).get("pos")
-        except (OSError, ValueError):
-            target = None
+        # FenceStore, not POSIX: read() runs in executor Python workers
+        # (no JVM gateway), and positionDir may be a remote URI
+        store = FenceStore(partition.fence_dir)
+        fence_name = f"{partition.run}.{partition.epoch}.{partition.shard_id}.json"
+        fence = store.read_json(fence_name)
+        target: str | None = fence.get("pos") if fence else None
         if target is not None and _pos_rank(target) <= _pos_rank(partition.start_pos):
             return iter(())  # fenced batch made no progress on this shard
         rows: list[tuple] = []
@@ -545,11 +606,9 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
             # first attempt: record the fence so (a) the driver learns
             # the attained position at the next trigger and (b) task
             # retries replay exactly this range
-            os.makedirs(partition.fence_dir, exist_ok=True)
-            tmp = f"{fence_path}.tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump({"shard": partition.shard_id, "pos": attained}, f)
-            os.replace(tmp, fence_path)
+            store.write_json(
+                fence_name, {"shard": partition.shard_id, "pos": attained}
+            )
         return iter(rows)
 
     def commit(self, end: dict) -> None:
@@ -558,19 +617,12 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         ``latestOffset``), and this run's fences two epochs behind the
         committed batch."""
         horizon = int(end.get("epoch", 0)) - 1
-        try:
-            names = os.listdir(self._fence_dir)
-        except FileNotFoundError:
-            return
-        for name in names:
+        for name in self._store.list_names():
             if ".tmp-" in name:
                 # orphaned half-written fence from a crashed task: the
                 # atomic rename never happened, so it holds nothing a
                 # reader would consume — reap it
-                try:
-                    os.remove(os.path.join(self._fence_dir, name))
-                except OSError:
-                    pass
+                self._store.delete(name)
                 continue
             parts = name.split(".", 2)
             if len(parts) != 3:
@@ -579,10 +631,7 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
             if run != self._run or (
                 epoch_part.isdigit() and int(epoch_part) < horizon
             ):
-                try:
-                    os.remove(os.path.join(self._fence_dir, name))
-                except OSError:
-                    pass
+                self._store.delete(name)
 
     def stop(self) -> None:
         # Only reap the DEFAULT (per-run) fence dir: an explicit
@@ -590,9 +639,7 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         # recover the final batch's attained positions — deleting them
         # on graceful stop would silently re-widen the replay window.
         if not self._explicit_dir:
-            import shutil
-
-            shutil.rmtree(self._fence_dir, ignore_errors=True)
+            self._store.delete_all()
 
 
 class _BatchShardPartition(InputPartition):
@@ -784,5 +831,14 @@ class KinesisAwsDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the format on a session."""
+    """Idempotently register the format on a session (vanilla sessions
+    included — the driver's SparkSession carries none of our configs).
+
+    Also flips ``spark.sql.python.filterPushdown.enabled`` (runtime-
+    settable, default false): ``KinesisAwsBatchReader`` implements
+    ``pushFilters`` and Spark hard-fails with
+    ``DATA_SOURCE_PUSHDOWN_DISABLED`` when the flag is off — the same
+    flip :func:`kinesis_sim.register` performs.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KinesisAwsDataSource)
