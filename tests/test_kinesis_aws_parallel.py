@@ -655,3 +655,72 @@ def test_epoch_counter_seeds_from_restored_offset(tmp_path):
     parts = r2.partitions(start, end)  # replay the logged pending batch
     assert r2._epoch == 1  # seeded from the log
     assert r2.latestOffset()["epoch"] == 2  # next batch does NOT collide
+
+
+def test_split_defers_children_until_parent_drained(tmp_path):
+    """KCL TERMINATE ordering (reference subscriber.go:78-88): after a
+    split, no child record may be emitted in a batch before the
+    parent's final record was emitted. The parent drains to SHARD_END
+    first; children enter only at the NEXT trigger."""
+    client, r = _mk(tmp_path)
+    client.put("shardId-000000000000", "p0", partition_key="k")
+    off0 = r.initialOffset()
+    rows1, off1, _ = _run_batch(r, off0)
+    assert [t[0] for t in rows1] == ["p0"]
+    # split: parent gets its final record, then closes; children appear
+    client.put("shardId-000000000000", "p-final", partition_key="k")
+    client.split_shard(
+        "shardId-000000000000", "shardId-000000000002", "shardId-000000000003"
+    )
+    client.put("shardId-000000000002", "c0", partition_key="k")
+    # batch 2: ONLY the parent's tail — children gated on SHARD_END
+    rows2, off2, parts2 = _run_batch(r, off1)
+    assert [t[0] for t in rows2] == ["p-final"]
+    assert {p.shard_id for p in parts2} == {"shardId-000000000000"}
+    assert off2["shards"].get("shardId-000000000002") is None or (
+        "shardId-000000000002" not in off2["shards"]
+    )
+    # batch 3: parent fence reported SHARD_END → children admitted
+    rows3, off3, parts3 = _run_batch(r, off2)
+    assert [t[0] for t in rows3] == ["c0"]
+    assert "shardId-000000000000" not in {p.shard_id for p in parts3}
+    assert off3["shards"]["shardId-000000000000"] == SHARD_END
+    # no batch ever interleaved child records before the parent's tail
+    all_rows = [t[0] for t in rows1 + rows2 + rows3]
+    assert all_rows.index("c0") > all_rows.index("p-final")
+
+
+def test_split_ordering_simple_reader(tmp_path):
+    """Same TERMINATE ordering through the simple (driver-side)
+    reader: children wait for the parent's SHARD_END tombstone."""
+    stub_dir = str(tmp_path / "stub")
+    client = FileStubKinesisClient(stub_dir)
+    r = KinesisAwsStreamReader({"streamname": "s", "clientfactory": "x:y"})
+    r._client_obj = client
+    client.put("shardId-000000000000", "p0", partition_key="k")
+    client.split_shard("shardId-000000000000", "shardId-000000000002")
+    client.put("shardId-000000000002", "c0", partition_key="k")
+    rows1, off1 = r.read(r.initialOffset())
+    # parent drains fully (p0 then SHARD_END); child deferred
+    assert [t[0] for t in rows1] == ["p0"]
+    assert off1["shards"]["shardId-000000000000"] == SHARD_END
+    assert "shardId-000000000002" not in off1["shards"]
+    rows2, off2 = r.read(off1)
+    assert [t[0] for t in rows2] == ["c0"]
+
+
+def test_late_child_pickup_enters_at_pinned_position(tmp_path):
+    """A LATEST start pins AT_TS:<t0>; a child admitted after its
+    parent drains must enter at that same pin, not TRIM_HORIZON —
+    pre-start history must stay unread."""
+    client, r = _mk(tmp_path, startingPosition="LATEST")
+    client.put("shardId-000000000000", "pre-start", partition_key="k")
+    off0 = r.initialOffset()
+    assert off0["init"] and off0["init"].startswith("AT_TS:")
+    client.split_shard("shardId-000000000000", "shardId-000000000002")
+    rows1, off1, _ = _run_batch(r, off0)  # parent drains (post-pin: empty)
+    assert rows1 == []
+    rows2, off2, _ = _run_batch(r, off1)  # child admitted at the pin
+    assert off2["shards"]["shardId-000000000002"] == off0["init"]
+    # the pinned child start means pre-start parent history stayed unread
+    assert rows2 == []

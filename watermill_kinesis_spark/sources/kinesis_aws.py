@@ -142,16 +142,47 @@ def _make_client(options) -> object:
     return boto3.client("kinesis", **kwargs)
 
 
-def _list_shard_ids(client, stream: str) -> list[str]:
-    ids: list[str] = []
+def _list_shards(client, stream: str) -> list[dict]:
+    """Full shard descriptors (``ShardId`` + ``ParentShardId`` lineage),
+    paginated."""
+    shards: list[dict] = []
     kwargs = {"StreamName": stream}
     while True:
         resp = client.list_shards(**kwargs)
-        ids.extend(s["ShardId"] for s in resp.get("Shards", []))
+        shards.extend(resp.get("Shards", []))
         token = resp.get("NextToken")
         if not token:
-            return sorted(ids)
+            return sorted(shards, key=lambda s: s["ShardId"])
         kwargs = {"NextToken": token}
+
+
+def _list_shard_ids(client, stream: str) -> list[str]:
+    return [s["ShardId"] for s in _list_shards(client, stream)]
+
+
+def _admit_new_shards(
+    pos: dict, shards: list[dict], default_pos: str | None
+) -> None:
+    """Add unseen shards to the position map, honoring parent→child
+    ordering across reshard: a child shard (one carrying a
+    ``ParentShardId`` that is still listed) is DEFERRED until its
+    parent's position is ``SHARD_END`` — the KCL drains a parent to its
+    TERMINATE checkpoint before any worker leases the children
+    (reference subscriber.go:78-88), which is what preserves per-key
+    record order through a split. A parent that has aged out of the
+    listing entirely gates nothing. New shards enter at ``default_pos``
+    — the query's pinned initial position (``AT_TS:`` behaves
+    identically to TRIM_HORIZON on a post-start child, since all its
+    records postdate the pin) — falling back to TRIM_HORIZON."""
+    listed = {s["ShardId"] for s in shards}
+    for s in shards:
+        sid = s["ShardId"]
+        if sid in pos:
+            continue
+        parent = s.get("ParentShardId")
+        if parent and parent in listed and pos.get(parent) != SHARD_END:
+            continue  # parent not drained yet: child waits a trigger
+        pos[sid] = default_pos
 
 
 def _record_rows(rec: dict, shard_id: str) -> list[tuple]:
@@ -279,9 +310,15 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         client = self._client()
-        shards = _list_shard_ids(client, self.stream)
         pos = self._initial_pos()
-        return {"shards": {s: pos for s in shards}}
+        state: dict[str, str | None] = {}
+        # parent-gated even at t0: a listing taken right after a split
+        # still carries the drained-later parent; children wait for its
+        # SHARD_END like any mid-stream pickup. "init" pins the start
+        # position so deferred children later enter at the SAME pin
+        # (AT_TS) instead of TRIM_HORIZON.
+        _admit_new_shards(state, _list_shards(client, self.stream), pos)
+        return {"shards": state, "init": pos}
 
     def _iterator_after(self, client, shard_id: str, seq: str | None) -> str | None:
         return _get_iterator(client, self.stream, shard_id, seq)
@@ -289,10 +326,13 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         client = self._client()
         state: dict[str, str | None] = dict(start.get("shards", {}))
-        # reshard pickup: unseen shards enter at TRIM_HORIZON (their
-        # records are all post-start — KCL child-shard semantics)
-        for shard_id in _list_shard_ids(client, self.stream):
-            state.setdefault(shard_id, None)
+        # reshard pickup, parent-gated (KCL TERMINATE ordering): a
+        # child enters only after its parent drained to SHARD_END, at
+        # the query's pinned initial position (≡ TRIM_HORIZON for
+        # post-start children)
+        _admit_new_shards(
+            state, _list_shards(client, self.stream), start.get("init")
+        )
         rows: list[tuple] = []
         for shard_id in sorted(state):
             seq = state[shard_id]
@@ -319,7 +359,7 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
                     break  # caught up; next trigger continues
         # materialized list, not a generator: Spark's prefetch cache
         # copy.copy()s the iterator for possible replay
-        return rows, {"shards": state}
+        return rows, {"shards": state, "init": start.get("init")}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         """Deterministic replay of the exact (start, end] range — the
@@ -400,6 +440,11 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         #: furthest-known position per shard (offset-log authoritative;
         #: fence files only carry it between executors and driver)
         self._pos: dict[str, str | None] = {}
+        #: the query's pinned initial position (None = TRIM_HORIZON,
+        #: or AT_TS:<ts>); late shard pickups enter at this pin.
+        #: Set by initialOffset, recovered from the offset log's
+        #: "init" field in partitions() after a restart.
+        self._init_pos: str | None = None
         import uuid as _uuid
 
         #: this run's token: fence FILENAMES are run-scoped so a
@@ -465,8 +510,11 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         client = self._client()
         pos = self._base._initial_pos()
-        self._pos = {s: pos for s in _list_shard_ids(client, self.stream)}
-        return {"epoch": 0, "shards": dict(self._pos)}
+        self._init_pos = pos
+        self._pos = {}
+        # parent-gated admission even at t0 (see _admit_new_shards)
+        _admit_new_shards(self._pos, _list_shards(client, self.stream), pos)
+        return {"epoch": 0, "shards": dict(self._pos), "init": pos}
 
     def _merge_fences(self) -> None:
         names = self._store.list_names()
@@ -505,11 +553,20 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
                 "driver and executors (NFS/EFS mount, s3a://, hdfs://), "
                 "exactly like checkpointLocation."
             )
-        for s in _list_shard_ids(client, self.stream):
-            # reshard pickup: child shards start at TRIM_HORIZON
-            self._pos.setdefault(s, None)
+        # reshard pickup, parent-gated: a child shard enters only after
+        # its parent drained to SHARD_END (KCL TERMINATE ordering, so a
+        # micro-batch can never hold child records that precede the
+        # parent's tail in per-key order), at the query's pinned
+        # initial position
+        _admit_new_shards(
+            self._pos, _list_shards(client, self.stream), self._init_pos
+        )
         self._epoch += 1
-        return {"epoch": self._epoch, "shards": dict(self._pos)}
+        return {
+            "epoch": self._epoch,
+            "shards": dict(self._pos),
+            "init": self._init_pos,
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         # Effective read start per shard = the FURTHEST of the two
@@ -522,6 +579,10 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
         for off in (start.get("shards", {}), end.get("shards", {})):
             for shard, pos in off.items():
                 merged[shard] = _max_pos(merged.get(shard), pos)
+        if self._init_pos is None:
+            # restart path: recover the pinned initial position from
+            # the logged offsets (initialOffset was not called)
+            self._init_pos = end.get("init") or start.get("init")
         self._pos.update(
             {s: _max_pos(self._pos.get(s), p) for s, p in merged.items()}
         )

@@ -30,6 +30,7 @@ class StubKinesisClient:
     def __init__(self):
         self._shards: dict[str, list[dict]] = {}
         self._closed: set[str] = set()
+        self._parents: dict[str, str] = {}
         self._seq = 0
         #: call log for assertions
         self.calls: list[str] = []
@@ -54,19 +55,39 @@ class StubKinesisClient:
             }
         )
 
-    def add_shard(self, shard_id: str) -> None:
+    def add_shard(self, shard_id: str, parent: str | None = None) -> None:
         self._shards.setdefault(shard_id, [])
+        if parent:
+            self._parents[shard_id] = parent
 
     def close_shard(self, shard_id: str) -> None:
         """No more records will arrive; readers drain then see a null
         NextShardIterator (split/merge retirement)."""
         self._closed.add(shard_id)
 
+    def split_shard(self, parent: str, *children: str) -> None:
+        """Service-shaped split: children appear carrying
+        ``ParentShardId``, the parent closes (drains then SHARD_END) —
+        the lineage ``list_shards`` exposes on the real service."""
+        for child in children:
+            self.add_shard(child, parent=parent)
+        self.close_shard(parent)
+
     # -- boto3-shaped API --------------------------------------------
 
     def list_shards(self, StreamName=None, NextToken=None):
         self.calls.append("list_shards")
-        return {"Shards": [{"ShardId": s} for s in sorted(self._shards)]}
+        return {
+            "Shards": [
+                {"ShardId": s}
+                | (
+                    {"ParentShardId": self._parents[s]}
+                    if s in self._parents
+                    else {}
+                )
+                for s in sorted(self._shards)
+            ]
+        }
 
     def get_shard_iterator(
         self,
@@ -171,6 +192,7 @@ class FileStubKinesisClient(StubKinesisClient):
             return
         self._seq = raw["seq"]
         self._closed = set(raw["closed"])
+        self._parents = dict(raw.get("parents", {}))
         self._shards = {
             shard: [
                 {
@@ -209,6 +231,7 @@ class FileStubKinesisClient(StubKinesisClient):
                 ]
                 for shard, recs in self._shards.items()
             },
+            "parents": self._parents,
         }
         tmp = f"{self._path}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
@@ -221,14 +244,19 @@ class FileStubKinesisClient(StubKinesisClient):
         super().put(*a, **kw)
         self._save()
 
-    def add_shard(self, shard_id: str) -> None:
+    def add_shard(self, shard_id: str, parent: str | None = None) -> None:
         self._load()
-        super().add_shard(shard_id)
+        super().add_shard(shard_id, parent=parent)
         self._save()
 
     def close_shard(self, shard_id: str) -> None:
         self._load()
         super().close_shard(shard_id)
+        self._save()
+
+    def split_shard(self, parent: str, *children: str) -> None:
+        self._load()
+        super().split_shard(parent, *children)
         self._save()
 
     def list_shards(self, *a, **kw):
