@@ -43,7 +43,15 @@ HEADLINE = [
     "dedup_levenshtein",
     "similarity_ann_pq",
     "dedup_cluster_canonical",
+    # r4-added heavies (VERDICT r4 #8): tracked as their own subtotal
+    "bpe_train_merges",
+    "semdedup_centroid_prune",
+    "cross_source_duplication",
+    "multimodal_pixel_stats",
 ]
+
+#: index where the r4-added heavies start in HEADLINE
+_R4_START = HEADLINE.index("bpe_train_merges")
 
 
 def main() -> int:
@@ -89,7 +97,9 @@ def main() -> int:
     # stays apples-to-apples after round 3 added the LLM heavies
     core14 = HEADLINE[:14]
     core_total = round(sum(timings.get(n, 0.0) for n in core14), 3)
-    heavy_total = round(total - core_total, 3)
+    r4_heavies = HEADLINE[_R4_START:]
+    r4_total = round(sum(timings.get(n, 0.0) for n in r4_heavies), 3)
+    heavy_total = round(total - core_total - r4_total, 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -105,6 +115,7 @@ def main() -> int:
                 "subtotals": {
                     "core14_r1r2_comparable": core_total,
                     "llm_heavies_added_r3": heavy_total,
+                    "heavies_added_r4": r4_total,
                 },
                 "sf": sf_val,
             }

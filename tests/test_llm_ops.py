@@ -138,8 +138,9 @@ def test_image_header_decode_real_fixtures():
     # zlib error
     with pytest.raises(ValueError, match="IDAT"):
         decode_image_pixels(_png_bytes(1, 1))
-    # JPEG entropy decode is the one honestly-absent pixel path
-    with pytest.raises(NotImplementedError):
+    # JPEG pixels decode for real since round 5; a header-only JPEG
+    # (SOF but no scan) is malformed and must fail CLEANLY
+    with pytest.raises(ValueError, match="SOF/SOS"):
         decode_image_pixels(_jpeg_bytes(8, 8))
 
 
@@ -521,12 +522,15 @@ def test_png_palette_and_errors():
     assert got[0, 0].tolist() == [255, 0, 0]
     assert got[1, 0].tolist() == [0, 0, 255]
 
-    # non-PNG containers still refuse pixel decode honestly
+    # non-image payloads still refuse pixel decode honestly; since
+    # round 5 every recognized container decodes for real, so a bare
+    # SOF0 fragment with no scan is a MALFORMED jpeg (ValueError),
+    # not an unimplemented format
     import pytest
 
     with pytest.raises(ValueError):
         decode_image_pixels(b"definitely not an image")
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    with pytest.raises(ValueError):
         decode_image_pixels(
             b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03" + b"\x00" * 20
         )

@@ -325,3 +325,38 @@ def test_connected_components_no_forced_edge_broadcast(spark):
     # and it still computes the right components
     got = {r.doc_id: r.comp for r in labels.collect()}
     assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5}
+
+
+def test_no_red_flags_in_r4_added_plans(spark, sf_dir):
+    """The r4/r5 audit extension (tools/plan_audit.py now sweeps the
+    whole registry): the newest entries are where plan regressions
+    land — assert the red-flag predicates stay empty on a spread of
+    them, including the two scalar-subquery shapes whose 1-row
+    BroadcastNestedLoopJoin build side is benign by design."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import _bad_nested_loop, _bad_single_partition
+
+    from watermill_kinesis_spark.registry import all_specs
+
+    specs = all_specs()
+    for name in (
+        "scalar_subquery_above_avg",
+        "q22_global_filter",
+        "split_leakage_audit",
+        "watermark_droprate_table",
+        "udf_scalar_arrow_optimized",
+        "bpe_train_merges",
+        "semdedup_centroid_prune",
+        "token_length_histogram_log2",
+    ):
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not _bad_single_partition(plan), f"{name}: bad single-partition"
+        assert not _bad_nested_loop(plan), f"{name}: bad nested loop"

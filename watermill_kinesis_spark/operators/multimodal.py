@@ -10,15 +10,16 @@ only at the edge of the pipeline.
 Decoding: container *headers* (PNG IHDR, JPEG SOFn, GIF screen
 descriptor, BMP info header) are parsed in pure Python — no Pillow
 needed — so ``decode_image_features`` extracts real dimensions from
-real image bytes. PNG *pixels* also decode in pure stdlib Python
-(``decode_image_pixels``: zlib IDAT inflate + all five scanline
-unfilters + palette expansion, round-trip- and oracle-verified);
-JPEG entropy decode is the one step that still needs an imaging lib
-and raises a documented ``NotImplementedError``. Payloads that
-aren't a recognized image container fall back to a deterministic
-fake decoder (the test seam). Everything around the kernels — the
-binary column handling, the metadata map, the Arrow batch shape
-through ``mapInPandas``, the partitioning — is real and tested.
+real image bytes. *Pixels* decode in pure stdlib+numpy Python for
+EVERY recognized container (``decode_image_pixels``): PNG here (zlib
+IDAT inflate + all five scanline unfilters + palette expansion), and
+BMP / GIF-LZW / baseline-JPEG in ``functions/imaging.py`` (Huffman +
+IDCT + chroma upsample for JPEG) — all round-trip-tested, the
+lossless three oracle-verified. Payloads that aren't a recognized
+image container fall back to a deterministic fake decoder (the test
+seam). Everything around the kernels — the binary column handling,
+the metadata map, the Arrow batch shape through ``mapInPandas``, the
+partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -155,22 +156,24 @@ def decode_image_features(payload: bytes) -> tuple[int, int, str]:
 
 
 def decode_image_pixels(payload: bytes):
-    """Full pixel decode. PNG is decoded HERE, in pure stdlib Python:
-    IDAT streams are ``zlib``-inflated and the per-scanline filters
-    (PNG spec §9: None/Sub/Up/Average/Paeth) are undone; 8-bit
-    grayscale/LA/RGB/RGBA and palette images, non-interlaced. Returns
-    a numpy ``uint8`` array of shape ``(height, width, channels)``
-    (palette rows expand through PLTE to RGB). JPEG entropy decode is
-    the one step that still needs an imaging library:
+    """Full pixel decode for EVERY container ``sniff_image``
+    recognizes, in pure stdlib+numpy Python — no imaging library:
 
-        from PIL import Image
-        import io
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    - **PNG** (decoded here): IDAT streams are ``zlib``-inflated and
+      the per-scanline filters (PNG spec §9: None/Sub/Up/Average/
+      Paeth) are undone; 8-bit grayscale/LA/RGB/RGBA and palette,
+      non-interlaced.
+    - **BMP / GIF / JPEG** (``functions/imaging.py``): uncompressed
+      BI_RGB BMP (8/24/32-bit, palette, row padding, both row
+      orders); GIF87a/89a with full LZW and interlace; baseline
+      sequential JPEG (SOF0) with Huffman decode, dequantize, IDCT,
+      chroma upsample, restart markers.
 
-    The scanline unfilter is a per-row Python loop — correct and fine
-    for fixtures and spot decodes; a 100 TB decode pass should swap a
-    C-backed decoder into the same kernel seam (nothing else
-    changes)."""
+    Returns a numpy ``uint8`` array of shape ``(height, width,
+    channels)`` (palette rows expand to RGB). The per-row/per-block
+    Python loops are correct and fine for fixtures and spot decodes;
+    a 100 TB decode pass should swap a C-backed decoder into the same
+    kernel seam (nothing else changes)."""
     import numpy as np
 
     info = sniff_image(payload)
@@ -178,10 +181,14 @@ def decode_image_pixels(payload: bytes):
         raise ValueError("payload is not a recognized image container")
     fmt = info[0]
     if fmt != "png":
-        raise NotImplementedError(
-            f"{fmt} pixel decode requires an imaging library (Pillow); "
-            "PNG decodes in pure Python here"
-        )
+        from watermill_kinesis_spark.functions import imaging
+
+        decoder = {
+            "bmp": imaging.decode_bmp,
+            "gif": imaging.decode_gif,
+            "jpeg": imaging.decode_jpeg,
+        }[fmt]
+        return decoder(payload)
     p = bytes(payload)
     # walk chunks: [len:4][type:4][data][crc:4]
     width = int.from_bytes(p[16:20], "big")
@@ -642,4 +649,85 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return a.mapInPandas(
         energy, "doc_id long, n_frames bigint, max_energy bigint, total_energy bigint"
+    )
+
+
+@query(
+    "multimodal_pixel_decode_formats",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, (doc_id * 31 + t.i) % 256 AS v
+        FROM documents,
+             unnest(range(0, (4 + doc_id % 13) * (3 + doc_id % 7))) AS t(i))
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                ELSE 'gif' END AS fmt,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MAX(v) AS BIGINT) AS max_pixel
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_pixel_decode_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE lossless pixel-decode surface under one value-exact
+    oracle: each document synthesizes a real container in a format
+    cycled by ``doc_id % 3`` — a compressed PNG (``encode_png``), a
+    24-bit BMP (``encode_bmp``), or an LZW-compressed GIF
+    (``encode_gif`` through an identity-grayscale palette) — whose
+    pixels derive arithmetically from ``doc_id``; then ONE call,
+    ``decode_image_pixels``, sniffs the container and dispatches to
+    the right decoder (zlib inflate+unfilter / BGR+padding unpack /
+    LZW), and the emitted statistics come from the DECODED pixels.
+    The DuckDB oracle recomputes them from the generating arithmetic,
+    so every decoder and the dispatch seam are verified bit-exactly
+    on every row. (JPEG is deliberately absent: its decode is
+    quantization-lossy, so it is round-trip-tested with tolerance in
+    ``tests/test_imaging.py`` instead of hash-compared.) One Arrow
+    pass, no shuffle, linear at 100 TB — on a real lake the synth
+    step is replaced by stored payload bytes, the kernel unchanged."""
+    import numpy as np
+
+    from watermill_kinesis_spark.functions.imaging import encode_bmp, encode_gif
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    _GRAY_PAL = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fmt", "width", "height",
+                "n_pixels", "sum_pixels", "max_pixel",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                gray = (
+                    (did * 31 + np.arange(w * h, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w)
+                fmt = ("png", "bmp", "gif")[did % 3]
+                if fmt == "png":
+                    payload = encode_png(gray)
+                elif fmt == "bmp":
+                    payload = encode_bmp(gray)
+                else:
+                    payload = encode_gif(gray, _GRAY_PAL)
+                decoded = decode_image_pixels(payload)  # sniff + dispatch
+                chan0 = decoded[:, :, 0].astype(np.int64)
+                assert chan0.shape == (h, w)
+                out["doc_id"].append(did)
+                out["fmt"].append(fmt)
+                out["width"].append(chan0.shape[1])
+                out["height"].append(chan0.shape[0])
+                out["n_pixels"].append(int(chan0.size))
+                out["sum_pixels"].append(int(chan0.sum()))
+                out["max_pixel"].append(int(chan0.max()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_decode,
+        "doc_id long, fmt string, width int, height int, "
+        "n_pixels long, sum_pixels long, max_pixel long",
     )

@@ -130,6 +130,10 @@ _PRIORITY: tuple[str, ...] = (
     "udf_scalar_arrow_optimized",
     "watermark_droprate_table",
     "split_leakage_audit",
+    # ---- round-5 additions (locally oracle-verified at sf0.01 in
+    # vanilla + driver-canon mode): placed directly after the
+    # never-green block so the driver's ~50-entry prefix samples them
+    "multimodal_pixel_decode_formats",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
