@@ -1,0 +1,171 @@
+"""Pipeline wave 6 invariants — semantic guarantees the row-hash
+oracle can't express (the oracle pins values; these pin meaning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.operators.pipeline6 import (
+    NOVELTY_N,
+    WINNOW_K,
+    WINNOW_W,
+    chunk_cdc_rolling,
+    length_trim_percentile,
+    ngram_novelty_score,
+    shard_balance_audit,
+    vocab_coverage_topk,
+    winnowing_fingerprints,
+)
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def test_winnowing_counts_and_density(spark, sf_dir):
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = winnowing_fingerprints(spark, sf_dir).collect()
+    for r in rows:
+        # full windows = (#grams) - (w-1) = n_chars - k - w + 2
+        assert r.n_windows == docs[r.doc_id] - WINNOW_K - WINNOW_W + 2
+        assert 1 <= r.n_fingerprints <= r.n_windows
+        # winnowing density ~2/(w+1): selected set is a strict subset
+        assert r.n_fingerprints < r.n_windows or r.n_windows <= 2
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark, sf_dir):
+    """The winnowing guarantee: two docs sharing a substring of length
+    ≥ k+w−1 share at least one selected fingerprint. The synthetic
+    corpus repeats phrases heavily, so find any 2 docs sharing a
+    (k+w−1)-char substring and check their fingerprint sets meet."""
+    d = load_table(spark, sf_dir, "documents")
+    L = WINNOW_K + WINNOW_W - 1
+    sub = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - L + 1)
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.substr("text", F.col("i"), F.lit(L)).alias("s"))
+    pair = (
+        sub.alias("a")
+        .join(sub.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .first()
+    )
+    assert pair is not None, "corpus unexpectedly has no shared substrings"
+    # recompute the SELECTED fingerprint sets for the two docs
+    from pyspark.sql import Window as W
+
+    grams = (
+        d.where(F.col("doc_id").isin(pair.x, pair.y))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1)
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.substr("text", F.col("i"), F.lit(WINNOW_K))).alias("h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(WINNOW_W - 1), 0)
+    rn = W.partitionBy("doc_id").orderBy("i")
+    fps = (
+        grams.select(
+            "doc_id",
+            F.min("h").over(win).alias("fp"),
+            F.row_number().over(rn).alias("rn"),
+        )
+        .where(F.col("rn") >= WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    shared = (
+        fps.where(F.col("doc_id") == pair.x)
+        .select("fp")
+        .intersect(fps.where(F.col("doc_id") == pair.y).select("fp"))
+        .count()
+    )
+    assert shared >= 1
+
+
+def test_cdc_chunks_partition_the_document(spark, sf_dir):
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in chunk_cdc_rolling(spark, sf_dir).collect():
+        assert r.n_chunks >= 1
+        assert 0 <= r.tail_chunk <= docs[r.doc_id]
+        assert r.max_chunk <= docs[r.doc_id]
+
+
+def test_novelty_first_doc_fully_novel_and_totals(spark, sf_dir):
+    rows = ngram_novelty_score(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    first = min(by_id)
+    assert by_id[first].novelty_permille == 1000  # nothing precedes it
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+    # every distinct gram is novel in exactly one doc (its first)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size("t") - NOVELTY_N + 1)
+    n_distinct = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= NOVELTY_N)
+        .select(F.explode(starts).alias("i"), "t")
+        .select(F.array_join(F.slice("t", F.col("i"), NOVELTY_N), " ").alias("g"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_length_trim_bounds(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    per_source = {
+        r.source: (r.n, r.lo, r.hi)
+        for r in d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        ).collect()
+    }
+    for r in length_trim_percentile(spark, sf_dir).collect():
+        n, lo, hi = per_source[r.source]
+        assert r.n_total == n
+        cut = n * 5 // 100
+        assert r.n_kept == n - 2 * cut
+        assert lo <= r.min_kept_chars <= r.max_kept_chars <= hi
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = {r.k: r for r in vocab_coverage_topk(spark, sf_dir).collect()}
+    assert set(rows) == {10, 100, 1000}
+    assert (
+        rows[10].covered_tokens
+        <= rows[100].covered_tokens
+        <= rows[1000].covered_tokens
+        <= rows[10].total_tokens
+    )
+    assert len({r.total_tokens for r in rows.values()}) == 1
+    # full-vocab coverage is total
+    if rows[1000].n_types <= 1000:
+        assert rows[1000].covered_tokens == rows[1000].total_tokens
+
+
+def test_shard_balance_partitions_everything(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_bytes = d.agg(F.sum("n_chars")).collect()[0][0]
+    rows = shard_balance_audit(spark, sf_dir).collect()
+    assert len(rows) <= 16
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_bytes for r in rows) == n_bytes
+    assert all(set(r.shard) <= set("0123456789abcdef") for r in rows)

@@ -1,0 +1,411 @@
+"""Pipeline wave 6: fingerprint selection (winnowing), content-defined
+chunking, first-occurrence novelty, rank-exact length trimming, vocab
+coverage, and shard-balance auditing.
+
+The reference has no relational surface at all (SURVEY.md §2-B); these
+are Layer-B LLM-corpus operators extending the driver's north star.
+Cross-engine determinism discipline: every hash that must agree with
+the DuckDB oracle is md5 (both engines emit identical lowercase hex)
+ordered LEXICOGRAPHICALLY or bucketed by hex prefix — never an
+engine-private hash like xxhash64 — and every ratio reaching the
+oracle hash is an exact integer (permille via integer division), never
+a float division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+#: winnowing: char-k-gram length and window width (MOSS defaults scaled
+#: down to the synthetic corpus' ~250-char documents)
+WINNOW_K = 8
+WINNOW_W = 4
+
+#: content-defined chunking: a boundary fires where the k-gram hash's
+#: first two hex chars are "00" — P(boundary) = 1/256, E[chunk] ≈ 256
+CDC_K = 8
+CDC_BOUNDARY_PREFIX = "00"
+
+#: n-gram width for first-occurrence novelty
+NOVELTY_N = 5
+
+#: trim fraction per tail for length_trim_percentile (5% ⇒ inner 90%)
+TRIM_PCT = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _char_gram_hashes(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, i, h): md5 of the k-char gram starting at 1-based i.
+    The hash stays a STRING — lexicographic order and hex-prefix
+    bucketing are engine-portable; parsing hex to integers is not."""
+    starts = F.sequence(F.lit(1), F.length("text") - k + 1)
+    return (
+        d.where(F.length("text") >= k)
+        .select("doc_id", F.explode(starts).alias("i"), "text")
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.substr("text", F.col("i"), F.lit(k))).alias("h"),
+        )
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, i,
+               md5(substr(text, CAST(i AS INT), {WINNOW_K})) AS h
+        FROM documents,
+             unnest(range(1, length(text) - {WINNOW_K} + 2)) AS t(i)
+        WHERE length(text) >= {WINNOW_K}),
+    wins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                     AND CURRENT ROW) AS fp,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        FROM grams)
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (rn >= {WINNOW_W}) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT fp) FILTER (rn >= {WINNOW_W}) AS BIGINT)
+               AS n_fingerprints,
+           MIN(fp) FILTER (rn >= {WINNOW_W}) AS min_fingerprint
+    FROM wins GROUP BY doc_id
+    """,
+    tags=("pipeline", "fingerprint", "dedup", "llm-pipeline"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every char k-gram, slide a w-window over
+    the hash sequence, keep each window's MINIMUM — guaranteeing any
+    shared substring of length ≥ k+w−1 yields at least one shared
+    fingerprint, with ~2/(w+1) selection density. Hashes are md5
+    strings ordered lexicographically (any total order works for
+    winnowing, and this one is identical on every engine). Emits
+    per-doc window/fingerprint counts + the smallest fingerprint
+    (the doc's minhash over all windows). One explode + one w-row
+    window frame + one groupBy — all partitioned by doc_id, so the
+    whole plan is one doc-keyed shuffle at any corpus size."""
+    grams = _char_gram_hashes(_docs(spark, sf_dir), WINNOW_K)
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    rn = W.partitionBy("doc_id").orderBy("i")
+    full = F.col("rn") >= WINNOW_W  # first w-1 windows are partial
+    wins = grams.select(
+        "doc_id",
+        F.min("h").over(win).alias("fp"),
+        F.row_number().over(rn).alias("rn"),
+    )
+    return wins.groupBy("doc_id").agg(
+        F.count(F.when(full, 1)).alias("n_windows"),
+        F.count_distinct(F.when(full, F.col("fp"))).alias("n_fingerprints"),
+        F.min(F.when(full, F.col("fp"))).alias("min_fingerprint"),
+    )
+
+
+@query(
+    "chunk_cdc_rolling",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT doc_id, i
+        FROM documents,
+             unnest(range(1, length(text) - {CDC_K} + 2)) AS t(i)
+        WHERE length(text) >= {CDC_K}
+          AND substr(md5(substr(text, CAST(i AS INT), {CDC_K})), 1, 2)
+              = '{CDC_BOUNDARY_PREFIX}'),
+    chunks AS (
+        SELECT doc_id,
+               i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                   AS chunk_len
+        FROM bounds)
+    SELECT d.doc_id,
+           CAST(COALESCE(COUNT(c.chunk_len), 0) + 1 AS BIGINT) AS n_chunks,
+           CAST(COALESCE(MAX(c.chunk_len), 0) AS BIGINT) AS max_chunk,
+           CAST(d.n_chars - COALESCE(SUM(c.chunk_len), 0) AS BIGINT)
+               AS tail_chunk
+    FROM documents d LEFT JOIN chunks c ON d.doc_id = c.doc_id
+    GROUP BY d.doc_id, d.n_chars
+    """,
+    tags=("pipeline", "chunking", "dedup", "llm-pipeline"),
+)
+def chunk_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rabin family used by
+    dedup storage and by long-document splitters that must keep chunk
+    boundaries STABLE under insertions — fixed-size chunks shift every
+    boundary after an edit; content-defined ones realign): a boundary
+    fires wherever the rolling k-gram hash lands in a 1/256 target
+    region (md5 hex prefix "00" — engine-portable, stateless per
+    position, no sequential scan dependency). Chunk lengths come from
+    LAG over the boundary positions; the trailing unclosed chunk is
+    reported separately. Per-doc windowing only — one doc-keyed
+    shuffle; positions explode is Catalyst-vectorized; linear at
+    100 TB."""
+    d = _docs(spark, sf_dir)
+    grams = _char_gram_hashes(d, CDC_K)
+    bounds = grams.where(
+        F.substr("h", F.lit(1), F.lit(2)) == CDC_BOUNDARY_PREFIX
+    ).select("doc_id", "i")
+    lag = W.partitionBy("doc_id").orderBy("i")
+    chunks = bounds.select(
+        "doc_id",
+        (F.col("i") - F.coalesce(F.lag("i").over(lag), F.lit(0))).alias(
+            "chunk_len"
+        ),
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(chunks, "doc_id", "left")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            (F.count("chunk_len") + 1).alias("n_chunks"),
+            F.coalesce(F.max("chunk_len"), F.lit(0)).alias("max_chunk"),
+            (
+                F.col("n_chars") - F.coalesce(F.sum("chunk_len"), F.lit(0))
+            ).alias("tail_chunk"),
+        )
+        .select("doc_id", "n_chunks", "max_chunk", "tail_chunk")
+    )
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {NOVELTY_N - 1}], ' ') AS gram
+        FROM toks, unnest(range(1, len(t) - {NOVELTY_N} + 2)) AS r(i)
+        WHERE len(t) >= {NOVELTY_N}),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (f.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+           CAST(COUNT(*) FILTER (f.first_doc = g.doc_id) * 1000
+                // COUNT(*) AS BIGINT) AS novelty_permille
+    FROM g JOIN firsts f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+    tags=("pipeline", "novelty", "dedup", "llm-pipeline"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty — the per-document "how much of this
+    have we already ingested" metric used to rank crawl snapshots and
+    prioritize fresh data: a doc's distinct n-grams are NOVEL if no
+    lower-doc_id document contains them (doc_id is ingest order here;
+    any monotone ingest key works). Computed set-exactly: distinct
+    grams per doc → min(doc_id) per gram (one gram-keyed reduce) →
+    join back and count. Both shuffles key on the gram (tiny rows);
+    novelty is an exact integer permille, never a float. At 100 TB
+    the firsts table is the gram dictionary — the same asset the
+    decontamination ops build — computed in one pass."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size("t") - NOVELTY_N + 1)
+    g = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= NOVELTY_N)
+        .select("doc_id", F.explode(starts).alias("i"), "t")
+        .select(
+            "doc_id",
+            F.array_join(F.slice("t", F.col("i"), NOVELTY_N), " ").alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    return (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(novel).alias("n_novel"),
+            F.expr("CAST(count(IF(first_doc = doc_id, 1, NULL)) * 1000"
+                   " div count(1) AS BIGINT)").alias("novelty_permille"),
+        )
+    )
+
+
+@query(
+    "length_trim_percentile",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+    kept AS (
+        SELECT * FROM ranked
+        WHERE rn > n * {TRIM_PCT} // 100 AND rn <= n - n * {TRIM_PCT} // 100)
+    SELECT r.source,
+           CAST(MAX(r.n) AS BIGINT) AS n_total,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(MIN(k.n_chars) AS BIGINT) AS min_kept_chars,
+           CAST(MAX(k.n_chars) AS BIGINT) AS max_kept_chars
+    FROM ranked r LEFT JOIN kept k
+      ON r.source = k.source AND r.doc_id = k.doc_id
+    GROUP BY r.source
+    """,
+    tags=("pipeline", "quality", "llm-pipeline"),
+)
+def length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-trimming by RANK, not by approximate quantile: drop each
+    source's shortest and longest 5% of documents (truncation-extreme
+    docs and boilerplate mega-docs distort token budgets). Quantile
+    functions differ subtly across engines (interpolation modes), so
+    the cut is defined by exact integer ranks — row_number over
+    (n_chars, doc_id) with floor(n·5/100) trimmed per tail — which is
+    reproducible everywhere, deterministic under ties, and at scale
+    costs one source-keyed window (no global sort: each source ranks
+    inside its own partition)."""
+    d = _docs(spark, sf_dir)
+    win = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    cnt = W.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    lo = F.expr(f"n * {TRIM_PCT} div 100")
+    keep = (F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo)
+    kept_chars = F.when(keep, F.col("n_chars"))
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.min(kept_chars).alias("min_kept_chars"),
+        F.max(kept_chars).alias("max_kept_chars"),
+    )
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (
+        SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS rn
+        FROM freq),
+    tot AS (
+        SELECT SUM(f) AS total_tokens, COUNT(*) AS n_types FROM freq)
+    SELECT k.k,
+           CAST(t.n_types AS BIGINT) AS n_types,
+           CAST(COALESCE(SUM(r.f) FILTER (r.rn <= k.k), 0) AS BIGINT)
+               AS covered_tokens,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(r.f) FILTER (r.rn <= k.k), 0) * 1000
+                // t.total_tokens AS BIGINT) AS coverage_permille
+    FROM ranked r, tot t, (VALUES (10), (100), (1000)) AS k(k)
+    GROUP BY k.k, t.n_types, t.total_tokens
+    """,
+    tags=("pipeline", "tokenizer", "llm-pipeline"),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing question "what
+    fraction of corpus tokens does a k-entry vocab cover" answered
+    exactly for k ∈ {10, 100, 1000}: rank token types by (frequency
+    desc, token asc) — a total order, so ties cannot flip between
+    engines — and report covered/total as exact integer permille.
+    One token-keyed reduce builds the frequency table; the ranking
+    runs over TYPES (vocabulary-sized, millions at worst — not corpus
+    rows), so the single-partition window is bounded regardless of
+    corpus size; the k-expansion is a 3-row broadcast cross join."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.col("f").desc(), F.col("token")))
+        .alias("rn"),
+    )
+    tot = freq.agg(
+        F.sum("f").alias("total_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    ks = d.sparkSession.createDataFrame([(10,), (100,), (1000,)], "k int")
+    covered = F.coalesce(F.sum(F.when(F.col("rn") <= F.col("k"), F.col("f"))), F.lit(0))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(covered.alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_types",
+            "covered_tokens",
+            "total_tokens",
+            F.expr("CAST(covered_tokens * 1000 div total_tokens AS BIGINT)")
+            .alias("coverage_permille"),
+        )
+    )
+
+
+@query(
+    "shard_balance_audit",
+    oracle="""
+    WITH b AS (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               n_chars
+        FROM documents),
+    per AS (
+        SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS n_bytes
+        FROM b GROUP BY shard)
+    SELECT shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_bytes * 16 * 1000 // SUM(n_bytes) OVER () AS BIGINT)
+               AS load_permille_of_even
+    FROM per
+    """,
+    tags=("pipeline", "partitioning", "llm-pipeline"),
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for a content-hash partitioning: bucket
+    every document by the first hex char of md5(doc_id) (16 shards —
+    the same family of keys `corpus_shuffle_hash` and the shard
+    manifest use) and report per-shard document count, byte load, and
+    load as permille of the even share (1000 = perfectly balanced;
+    the writer's pre-flight check before committing a layout). The
+    audit reduces the corpus to 16 rows BEFORE the window computes
+    the total, so the single-partition exchange carries 16 rows at
+    any corpus size."""
+    d = _docs(spark, sf_dir)
+    per = (
+        d.select(
+            F.substr(F.md5(F.col("doc_id").cast("string")), F.lit(1), F.lit(1)).alias(
+                "shard"
+            ),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_bytes"),
+        )
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_bytes",
+        F.expr(
+            "CAST(n_bytes * 16 * 1000 div SUM(n_bytes) OVER () AS BIGINT)"
+        ).alias("load_permille_of_even"),
+    )

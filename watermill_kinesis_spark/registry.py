@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.pipeline3",
     "watermill_kinesis_spark.operators.pipeline4",
     "watermill_kinesis_spark.operators.pipeline5",
+    "watermill_kinesis_spark.operators.pipeline6",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.modern",
     "watermill_kinesis_spark.operators.governance",
@@ -134,6 +135,12 @@ _PRIORITY: tuple[str, ...] = (
     # vanilla + driver-canon mode): placed directly after the
     # never-green block so the driver's ~50-entry prefix samples them
     "multimodal_pixel_decode_formats",
+    "winnowing_fingerprints",
+    "chunk_cdc_rolling",
+    "ngram_novelty_score",
+    "length_trim_percentile",
+    "vocab_coverage_topk",
+    "shard_balance_audit",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
