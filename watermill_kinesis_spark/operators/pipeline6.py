@@ -409,3 +409,116 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_bytes * 16 * 1000 div SUM(n_bytes) OVER () AS BIGINT)"
         ).alias("load_permille_of_even"),
     )
+
+
+#: deterministic per-source sample size for reservoir_sample_per_source
+RESERVOIR_K = 10
+
+#: context-window capacity (chars) for packing_next_fit
+BIN_CAPACITY = 2048
+
+
+@query(
+    "reservoir_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents)
+    SELECT source, doc_id, rk AS sample_rank
+    FROM ranked WHERE rk <= {RESERVOIR_K}
+    """,
+    tags=("pipeline", "sampling", "llm-pipeline"),
+)
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-group sample — the reservoir-sampling
+    use case (k docs per source for eval sets, spot QA, data cards)
+    without reservoir sampling's run-to-run nondeterminism: rank each
+    source's docs by md5(doc_id) (statistically uniform, identical on
+    every engine/run/retry) and keep the k smallest. One source-keyed
+    window, no global pass; at 100 TB each source ranks inside its own
+    partition and emits exactly k rows."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    win = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", F.row_number().over(win).alias("sample_rank"))
+        .where(F.col("sample_rank") <= RESERVOIR_K)
+    )
+
+
+@query(
+    "packing_next_fit",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+    walk(source, rn, fill, bins) AS (
+        SELECT source, rn, n_chars, 1 FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.source, o.rn,
+               CASE WHEN w.fill + o.n_chars > {BIN_CAPACITY}
+                    THEN o.n_chars ELSE w.fill + o.n_chars END,
+               w.bins + CASE WHEN w.fill + o.n_chars > {BIN_CAPACITY}
+                             THEN 1 ELSE 0 END
+        FROM walk w JOIN ordered o
+          ON o.source = w.source AND o.rn = w.rn + 1)
+    SELECT w.source,
+           CAST(MAX(w.rn) AS BIGINT) AS n_docs,
+           CAST(MAX(w.bins) AS BIGINT) AS n_bins,
+           CAST(SUM(o.n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(w.bins) * {BIN_CAPACITY} - SUM(o.n_chars) AS BIGINT)
+               AS wasted_chars
+    FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn
+    GROUP BY w.source
+    """,
+    tags=("pipeline", "packing", "tokenizer", "llm-pipeline"),
+)
+def packing_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing — the context-window packing step of
+    training-data prep (greedy, ORDER-PRESERVING: a doc that would
+    overflow the open bin closes it and starts the next; an oversize
+    doc occupies a bin alone), reported as per-source bin counts and
+    padding waste. The sequential fold is genuinely not windowable
+    (each bin boundary depends on the previous boundary), so it runs
+    as a per-source ``applyInPandas`` fold — the realistic 100 TB
+    shape packs per SHARD exactly like this, one sequential pass over
+    each shard's docs in parallel across shards. The oracle computes
+    the same fold as a DuckDB recursive CTE, so the engine's
+    sequential kernel is value-checked against an independent
+    formulation, not against itself."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        fill = 0
+        bins = 0
+        for n in pdf["n_chars"]:
+            n = int(n)
+            if bins == 0 or fill + n > BIN_CAPACITY:
+                bins += 1
+                fill = n
+            else:
+                fill += n
+        total = int(pdf["n_chars"].sum())
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[:1],
+                "n_docs": [len(pdf)],
+                "n_bins": [bins],
+                "total_chars": [total],
+                "wasted_chars": [bins * BIN_CAPACITY - total],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        pack,
+        "source string, n_docs long, n_bins long, "
+        "total_chars long, wasted_chars long",
+    )

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.graph",
     "watermill_kinesis_spark.operators.text",
     "watermill_kinesis_spark.operators.multimodal",
+    "watermill_kinesis_spark.operators.multimodal2",
     "watermill_kinesis_spark.operators.pipeline",
     "watermill_kinesis_spark.operators.pipeline2",
     "watermill_kinesis_spark.operators.analytics",
@@ -141,6 +142,11 @@ _PRIORITY: tuple[str, ...] = (
     "length_trim_percentile",
     "vocab_coverage_topk",
     "shard_balance_audit",
+    "multimodal_wav_decode",
+    "multimodal_mp4_probe",
+    "multimodal_exif_orientation",
+    "reservoir_sample_per_source",
+    "packing_next_fit",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
