@@ -330,3 +330,49 @@ def test_register_flips_filter_pushdown_on_vanilla_session(spark, sf_dir):
         assert out.count() > 0
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_get_records_retries_throttle_then_succeeds(monkeypatch):
+    """Transient ProvisionedThroughputExceededException must retry with
+    backoff inside the task (the KCL's behavior) instead of failing the
+    whole Spark task over a routine rate blip; other errors raise
+    immediately."""
+    import watermill_kinesis_spark.sources.kinesis_aws as ka
+
+    monkeypatch.setattr(ka.time, "sleep", lambda s: None)
+
+    class Throttle(Exception):
+        pass
+
+    Throttle.__name__ = "ProvisionedThroughputExceededException"
+
+    class Flaky:
+        def __init__(self, fail_times):
+            self.left = fail_times
+            self.calls = 0
+
+        def get_records(self, **kw):
+            self.calls += 1
+            if self.left > 0:
+                self.left -= 1
+                raise Throttle("slow down")
+            return {"Records": [], "NextShardIterator": None}
+
+    c = Flaky(2)
+    resp = ka._get_records_throttled(c, ShardIterator="it", Limit=10)
+    assert resp["Records"] == [] and c.calls == 3
+
+    # budget exhausted → the throttle surfaces
+    c = Flaky(99)
+    import pytest
+
+    with pytest.raises(Exception, match="slow down"):
+        ka._get_records_throttled(c, ShardIterator="it", Limit=10)
+    assert c.calls == ka.THROTTLE_RETRIES
+
+    class Auth:
+        def get_records(self, **kw):
+            raise PermissionError("denied")
+
+    with pytest.raises(PermissionError):  # non-retryable: immediate
+        ka._get_records_throttled(Auth(), ShardIterator="it", Limit=10)

@@ -226,6 +226,36 @@ def _record_rows(rec: dict, shard_id: str) -> list[tuple]:
     ]
 
 
+#: throttle retry budget for get_records: attempts and base backoff.
+#: The KCL retries ProvisionedThroughputExceededException with backoff
+#: (the service's documented contract: throttles are transient and
+#: per-shard); failing the whole Spark task instead would tear down
+#: and replay the entire batch for a routine rate blip.
+THROTTLE_RETRIES = 5
+THROTTLE_BACKOFF_S = 0.2
+
+#: transient per-call error names worth a bounded in-task retry
+_RETRYABLE = ("ProvisionedThroughputExceededException", "LimitExceededException")
+
+
+def _get_records_throttled(client, **kwargs) -> dict:
+    """``get_records`` with bounded exponential backoff on throttling.
+    Any other failure (auth, network, iterator expiry) raises
+    immediately — those are not resolved by waiting, and silently
+    retrying them would hide real misconfiguration."""
+    for attempt in range(THROTTLE_RETRIES):
+        try:
+            return client.get_records(**kwargs)
+        except Exception as e:
+            if (
+                type(e).__name__ not in _RETRYABLE
+                or attempt == THROTTLE_RETRIES - 1
+            ):
+                raise
+            time.sleep(THROTTLE_BACKOFF_S * (2**attempt))
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
 def _get_iterator(client, stream: str, shard_id: str, pos: str | None) -> str | None:
     """Shard iterator for a stored position (see module docstring for
     the position alphabet)."""
@@ -343,7 +373,7 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
                 state[shard_id] = SHARD_END
                 continue
             for _ in range(MAX_POLLS_PER_BATCH):
-                resp = client.get_records(ShardIterator=it, Limit=self.max_records)
+                resp = _get_records_throttled(client, ShardIterator=it, Limit=self.max_records)
                 recs = resp.get("Records", [])
                 for rec in recs:
                     rows.extend(_record_rows(rec, shard_id))
@@ -384,7 +414,7 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
                 continue
             done = False
             while not done and it:
-                resp = client.get_records(ShardIterator=it, Limit=self.max_records)
+                resp = _get_records_throttled(client, ShardIterator=it, Limit=self.max_records)
                 recs = resp.get("Records", [])
                 for rec in recs:
                     rows.extend(_record_rows(rec, shard_id))
@@ -646,8 +676,8 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
                 if target is None and polls >= MAX_POLLS_PER_BATCH:
                     break
                 polls += 1
-                resp = client.get_records(
-                    ShardIterator=it, Limit=partition.max_records
+                resp = _get_records_throttled(
+                    client, ShardIterator=it, Limit=partition.max_records
                 )
                 recs = resp.get("Records", [])
                 done = False
@@ -762,7 +792,7 @@ class KinesisAwsBatchReader(DataSourceReader):
         )
         max_records = int(partition.options.get("maxrecords", "1000"))
         while it:
-            resp = client.get_records(ShardIterator=it, Limit=max_records)
+            resp = _get_records_throttled(client, ShardIterator=it, Limit=max_records)
             recs = resp.get("Records", [])
             for rec in recs:
                 yield from _record_rows(rec, partition.shard_id)
