@@ -10,7 +10,11 @@ echo "=== 1/4 pytest (unit + semantics + plan + property tests) ==="
 python -m pytest tests/ -q || exit 1
 
 echo "=== 2/4 oracle sweep at $SF_CORRECT (every registered query vs DuckDB) ==="
-PYTHONPATH=. python tools/check_oracle.py "$SF_CORRECT" || exit 1
+# Driver-accurate mode: vanilla SparkSession (no session.py tuning) +
+# the gate's raw-row canonicalizer — catches hidden-config coupling and
+# unhashable-cell outputs that a tuned/stringified sweep would miss.
+SPARK_GRAFT_VANILLA=1 SPARK_GRAFT_DRIVER_CANON=1 \
+    PYTHONPATH=. python tools/check_oracle.py "$SF_CORRECT" || exit 1
 
 echo "=== 3/4 plan audit (PLANS.md regenerated; red flags fail the build) ==="
 PYTHONPATH=. python tools/plan_audit.py || exit 1
