@@ -395,8 +395,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     never leave the cluster (the driver only sees a 0/1 changed count).
     ``localCheckpoint`` truncates the growing loop lineage."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     changed = 1
-    for _ in range(CC_MAX_ITERS):
+    for sweep in range(CC_MAX_ITERS):
         # Plain shuffle join on doc_id — NO forced broadcast: the
         # near-dup edge set is corpus-dependent and unbounded (a
         # duplicate-heavy crawl at 100 TB yields billions of edges,
@@ -415,18 +416,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         lut = propagated.select(
             F.col("doc_id").alias("c_id"), F.col("comp").alias("c_comp")
         )
+        # Convergence via the label-sum invariant, observed FOR FREE:
+        # every node's label is NON-INCREASING across sweeps (min over
+        # self+neighbors, then shortcut to an ≤ value), so sum(comp)
+        # strictly decreases until the fixpoint — equal sums ⟺ no
+        # label moved. The sum rides the checkpoint materialization
+        # job via observe(), so the check costs zero extra jobs AND
+        # zero extra shuffles — the old new-vs-old join would reshuffle
+        # two corpus-size label tables per sweep at 100 TB.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_sweep_{sweep}")
         new_labels = (
             propagated.join(lut, propagated.comp == lut.c_id)
             .select("doc_id", F.col("c_comp").alias("comp"))
+            .observe(obs, F.sum("comp").alias("s"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = obs.get["s"]
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         labels = new_labels
         if changed == 0:
             break
