@@ -169,3 +169,36 @@ def test_shard_balance_partitions_everything(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_docs
     assert sum(r.n_bytes for r in rows) == n_bytes
     assert all(set(r.shard) <= set("0123456789abcdef") for r in rows)
+
+
+def test_exact_substring_winnowing_superset_guarantee(spark, sf_dir):
+    """The candidate set from the fingerprint join must contain EVERY
+    pair sharing a >=L-char window (the winnowing guarantee) — checked
+    here against the direct gram join the oracle also uses, and the
+    final result must equal that direct join exactly."""
+    from watermill_kinesis_spark.operators.pipeline6 import (
+        SUB_L,
+        SUB_MAX_DOC,
+        _char_gram_hashes,
+        dedup_exact_substring,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < SUB_MAX_DOC)
+    )
+    g = _char_gram_hashes(d, SUB_L).select("doc_id", "h").distinct()
+    direct = (
+        g.alias("a")
+        .join(g.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+    got = dedup_exact_substring(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -522,3 +522,104 @@ def packing_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_docs long, n_bins long, "
         "total_chars long, wasted_chars long",
     )
+
+
+#: exact-substring dedup: guarantee length L = SUB_K + SUB_W − 1 —
+#: any pair sharing an exact ≥L-char substring shares a selected
+#: winnowing fingerprint (Schleimer et al. 2003, Theorem: correctness
+#: of winnowing), so the fingerprint join's candidates are a SUPERSET
+#: of the true pairs and the verify step makes the result exact.
+SUB_K = 18
+SUB_W = 7
+SUB_L = SUB_K + SUB_W - 1
+#: bound the pair blow-up on the deliberately-repetitive synthetic
+#: corpus (same device as embedding_normalize's vec_id < 500)
+SUB_MAX_DOC = 500
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, CAST(i AS INT), {SUB_L})) AS h
+        FROM documents,
+             unnest(range(1, length(text) - {SUB_L} + 2)) AS t(i)
+        WHERE length(text) >= {SUB_L} AND doc_id < {SUB_MAX_DOC})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("pipeline", "dedup", "fingerprint", "llm-pipeline"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    criterion, at window granularity): every unordered doc pair
+    sharing at least one exact SUB_L(=24)-char window, with the count of
+    distinct shared windows. The engine computes it the SCALABLE way —
+    winnowing-accelerated:
+
+    1. select winnowing fingerprints (k=SUB_K, w=SUB_W) — ~2/(w+1)
+       of positions, so the candidate join shuffles a fraction of the
+       gram volume;
+    2. candidate pairs = docs sharing a selected fingerprint. The
+       winnowing guarantee makes this a SUPERSET of all pairs sharing
+       a ≥k+w−1-char substring — no recall loss by construction;
+    3. verify: the full SUB_L-gram sets of CANDIDATE DOCS ONLY are
+       joined to produce exact shared-window counts.
+
+    The oracle is the direct all-grams self-join — an INDEPENDENT
+    formulation that never sees the fingerprints — so the driver's
+    hash compare re-proves the winnowing superset guarantee over the
+    whole corpus every round, not just on a test fixture. At 100 TB
+    the fingerprint join is the only corpus-wide shuffle; the verify
+    join touches candidate docs only (dup-heavy inputs degrade toward
+    the plain gram join, never past it)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < SUB_MAX_DOC)
+    grams = _char_gram_hashes(d, SUB_L).select("doc_id", "h").distinct()
+    # 1. winnowing selection over the SUB_K-gram hash sequence
+    kg = _char_gram_hashes(d, SUB_K)
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(SUB_W - 1), 0)
+    rn = W.partitionBy("doc_id").orderBy("i")
+    fps = (
+        kg.select(
+            "doc_id",
+            F.min("h").over(win).alias("fp"),
+            F.row_number().over(rn).alias("rn"),
+        )
+        .where(F.col("rn") >= SUB_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    # 2. candidate pairs from the sparse fingerprint join
+    cand = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    # 3. exact verify over candidate docs only
+    cg = grams.join(cand_docs, "doc_id", "left_semi")
+    shared = (
+        cg.alias("a")
+        .join(cg.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+    # inner-join against cand: drops nothing when the guarantee holds
+    # (every truly-sharing pair IS a candidate); keeps the plan honest
+    # if parameters are ever edited out of sync
+    return shared.join(cand, ["doc_a", "doc_b"])

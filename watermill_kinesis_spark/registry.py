@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_exif_orientation",
     "reservoir_sample_per_source",
     "packing_next_fit",
+    "dedup_exact_substring",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
