@@ -48,10 +48,19 @@ HEADLINE = [
     "semdedup_centroid_prune",
     "cross_source_duplication",
     "multimodal_pixel_stats",
+    # r5-added heavies: winnowing + novelty (the widest new scans),
+    # the winnowing-accelerated exact-substring dedup, and the
+    # multi-format pixel decode
+    "winnowing_fingerprints",
+    "ngram_novelty_score",
+    "dedup_exact_substring",
+    "multimodal_pixel_decode_formats",
 ]
 
 #: index where the r4-added heavies start in HEADLINE
 _R4_START = HEADLINE.index("bpe_train_merges")
+#: index where the r5-added heavies start
+_R5_START = HEADLINE.index("winnowing_fingerprints")
 
 
 def main() -> int:
@@ -97,9 +106,11 @@ def main() -> int:
     # stays apples-to-apples after round 3 added the LLM heavies
     core14 = HEADLINE[:14]
     core_total = round(sum(timings.get(n, 0.0) for n in core14), 3)
-    r4_heavies = HEADLINE[_R4_START:]
+    r4_heavies = HEADLINE[_R4_START:_R5_START]
     r4_total = round(sum(timings.get(n, 0.0) for n in r4_heavies), 3)
-    heavy_total = round(total - core_total - r4_total, 3)
+    r5_heavies = HEADLINE[_R5_START:]
+    r5_total = round(sum(timings.get(n, 0.0) for n in r5_heavies), 3)
+    heavy_total = round(total - core_total - r4_total - r5_total, 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -116,6 +127,7 @@ def main() -> int:
                     "core14_r1r2_comparable": core_total,
                     "llm_heavies_added_r3": heavy_total,
                     "heavies_added_r4": r4_total,
+                    "heavies_added_r5": r5_total,
                 },
                 "sf": sf_val,
             }
