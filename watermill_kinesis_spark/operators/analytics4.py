@@ -1222,3 +1222,49 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_a", "n_b", "s1a", "s1b",
         F.expr(_AB_Z).alias("z_score"),
     )
+
+
+@query(
+    "seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, day),
+    scored AS (
+        SELECT event_type, day, cents,
+               LAG(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS forecast
+        FROM daily)
+    SELECT event_type,
+           CAST(COUNT(forecast) AS BIGINT) AS n_days_scored,
+           CAST(SUM(abs(cents - forecast)) AS BIGINT) AS sum_abs_err_cents,
+           CAST(MAX(abs(cents - forecast)) AS BIGINT) AS max_abs_err_cents
+    FROM scored GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "analytics"),
+)
+def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest — the forecasting BASELINE every model
+    must beat (M-competition practice: forecast(d) = actual(d − season))
+    — scored in exact integer cents: daily revenue per event type,
+    weekly seasonality (lag 7 over days), per-type absolute-error
+    totals. The lag window orders DAYS per type — calendar-bounded
+    rows, not data-bounded — after the daily rollup reduced the corpus,
+    so the window is constant-size at any event volume; errors are
+    integer cents end to end (no float drift between engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(lcents("value")).alias("cents"))
+    w = W.partitionBy("event_type").orderBy("day")
+    forecast = F.lag("cents", 7).over(w)
+    scored = daily.select(
+        "event_type", "cents", forecast.alias("forecast")
+    )
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return scored.groupBy("event_type").agg(
+        F.count("forecast").alias("n_days_scored"),
+        F.sum(err).alias("sum_abs_err_cents"),
+        F.max(err).alias("max_abs_err_cents"),
+    )

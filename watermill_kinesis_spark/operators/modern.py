@@ -141,3 +141,99 @@ def pandas_api_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint"),
         F.col("max_qty").cast("bigint"),
     )
+
+
+@query(
+    "bitmap_distinct_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "bitmap", "spark4", "modern"),
+)
+def bitmap_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark's bitmap aggregate family
+    (``bitmap_bucket_number`` / ``bitmap_construct_agg`` /
+    ``bitmap_or_agg`` / ``bitmap_count``, Spark 3.5+): per-bucket
+    bitmaps build map-side (each 4 KB covers 32768 ids), OR-merge
+    across partitions, and their popcounts sum to the exact distinct —
+    the warehouse pattern for distinct counts that must be BOTH exact
+    and re-aggregable (a materialized bitmap per (group, bucket) can
+    answer any rollup later by re-ORing, which COUNT(DISTINCT) cannot).
+    The two-level plan here IS that shape: construct per
+    (event_type, bucket), OR-merge, popcount, sum. The oracle pins it
+    to a plain COUNT(DISTINCT) — values must agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.col("user_id"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .select("event_type", "n_users", "n_events")
+    )
+
+
+@query(
+    "sql_lateral_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(t.top_cents) AS BIGINT) AS sum_top2_cents
+    FROM customer c, LATERAL (
+        SELECT COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                   AS top_cents
+        FROM (SELECT o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o.o_totalprice DESC, o.o_orderkey
+              LIMIT 2) o
+    ) t
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "sql", "lateral", "spark4"),
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATERAL correlated-subquery face (Spark 3.2+/4 SQL): per
+    customer, the top-2 order totals via a correlated LATERAL subquery
+    — the syntax users port from Postgres/DuckDB — rolled up per
+    market segment. Catalyst DECORRELATES the lateral into a
+    window-ranked join (no per-row re-execution), which is exactly why
+    the face is safe at scale; the oracle runs the identical LATERAL
+    spelling on DuckDB. Top-2 ties break on o_orderkey so both
+    engines pick the same rows; money sums in exact cents."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(t.top_cents) AS BIGINT) AS sum_top2_cents
+        FROM customer c, LATERAL (
+            SELECT COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                       AS top_cents
+            FROM (SELECT o_totalprice, o_orderkey
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o.o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+        ) t
+        GROUP BY c.c_mktsegment
+        """
+    )

@@ -148,6 +148,9 @@ _PRIORITY: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "packing_next_fit",
     "dedup_exact_substring",
+    "bitmap_distinct_agg",
+    "sql_lateral_join",
+    "seasonal_naive_error",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
