@@ -534,3 +534,31 @@ def test_png_palette_and_errors():
         decode_image_pixels(
             b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03" + b"\x00" * 20
         )
+
+
+def test_compression_ratio_exact_zlib_lengths(spark, sf_dir):
+    """Rows-only entry contract: the kernel's compressed lengths must
+    equal a direct zlib.compress outside Spark, byte-exactly, and the
+    gate flag must follow the permille threshold."""
+    import zlib
+
+    from watermill_kinesis_spark.operators.text import (
+        COMPRESS_LEVEL,
+        COMPRESS_MAX_PERMILLE,
+        compression_ratio_filter,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = compression_ratio_filter(spark, sf_dir).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        raw = texts[r.doc_id].encode("utf-8")
+        exp = len(zlib.compress(raw, COMPRESS_LEVEL))
+        assert r.raw_bytes == len(raw)
+        assert r.compressed_bytes == exp
+        assert r.ratio_permille == exp * 1000 // len(raw)
+        assert r.too_repetitive == (r.ratio_permille < COMPRESS_MAX_PERMILLE)

@@ -1268,3 +1268,58 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).alias("sum_abs_err_cents"),
         F.max(err).alias("max_abs_err_cents"),
     )
+
+
+@query(
+    "multi_touch_attribution_linear",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'),
+    touches AS (
+        SELECT c.conv_id, e.event_type,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        FROM conv c JOIN events e
+          ON e.user_id = c.user_id
+         AND e.ts < c.conv_ts
+         AND e.ts >= c.conv_ts - INTERVAL 7 DAY
+         AND e.event_type <> 'purchase')
+    SELECT event_type,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+           CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_ppm
+    FROM touches GROUP BY event_type
+    """,
+    tags=("analytics", "attribution", "event"),
+)
+def multi_touch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — every purchase's credit is
+    split EQUALLY across the user's touches (non-purchase events) in
+    the preceding 7 days, the marketing-analytics baseline between
+    last-touch and data-driven models. Credit is integer ppm
+    (1000000 div n_touches per touch), so per-type totals are exact
+    on both engines. The touch join keys on user_id with a bounded
+    time predicate — a per-user range join whose fan-out is the
+    user's own 7-day activity, never a cross join; the per-conversion
+    count is a conversion-keyed window over already-joined rows."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touches = conv.join(
+        ev.where(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts"
+        ),
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    n_touches = F.count(F.lit(1)).over(W.partitionBy("conv_id"))
+    credited = touches.select(
+        "conv_id", "event_type", n_touches.alias("n_touches")
+    )
+    return credited.groupBy("event_type").agg(
+        F.count_distinct("conv_id").alias("n_conversions_touched"),
+        F.sum(F.expr("1000000 div n_touches")).alias("credit_ppm"),
+    )

@@ -256,3 +256,72 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node_type"), F.asc("node_key"))
         .limit(PAGERANK_TOP)
     )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH adj AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey < 200),
+    deg AS (SELECT cust, COUNT(*) AS d FROM adj GROUP BY cust),
+    common AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common
+        FROM adj a JOIN adj b ON a.supp = b.supp AND a.cust < b.cust
+        GROUP BY a.cust, b.cust)
+    SELECT c.cust_a, c.cust_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.n_common * 1000 // (da.d + db.d - c.n_common) AS BIGINT)
+               AS jaccard_permille
+    FROM common c
+    JOIN deg da ON da.cust = c.cust_a
+    JOIN deg db ON db.cust = c.cust_b
+    WHERE c.n_common * 10 >= (da.d + db.d - c.n_common) * 3
+    """,
+    tags=("graph", "similarity", "link-prediction"),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity on the customer↔supplier
+    bipartite graph — the classic link-prediction / entity-resolution
+    score ("customers who buy from the same suppliers are the same
+    market"): for each customer pair sharing ≥1 supplier, |N(a)∩N(b)|
+    / |N(a)∪N(b)|, kept at ≥ 0.3. Computed the inverted-index way
+    (the same shape as the shingle dedups): pairs form ONLY through
+    shared suppliers — never a customer×customer cross join — so the
+    shuffle volume follows the supplier-key fan-out, and a supplier
+    shared by m customers contributes m(m−1)/2 pair rows (the blocked-
+    join cost model). Jaccard is exact integer permille; the ≥0.3 gate
+    is written in cross-multiplied integer form on both engines."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    l = load_table(spark, sf_dir, "lineitem")
+    adj = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = adj.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    common = (
+        adj.alias("a")
+        .join(adj.alias("b"), "supp")
+        .where(F.col("a.cust") < F.col("b.cust"))
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db"))
+    union_size = F.col("da") + F.col("db") - F.col("n_common")
+    return (
+        common.join(da, "cust_a")
+        .join(db, "cust_b")
+        .where(F.col("n_common") * 10 >= union_size * 3)
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            F.expr("CAST(n_common * 1000 div (da + db - n_common) AS BIGINT)")
+            .alias("jaccard_permille"),
+        )
+    )

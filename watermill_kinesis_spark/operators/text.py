@@ -500,3 +500,60 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
     )
+
+
+#: compression-ratio gate: docs whose deflate ratio (permille) falls
+#: below this are "too compressible" = highly repetitive (boilerplate,
+#: generated spam) — the Gopher/CCNet-family quality heuristic
+COMPRESS_LEVEL = 6
+COMPRESS_MAX_PERMILLE = 350
+
+
+@query("compression_ratio_filter", tags=("text", "quality", "llm-pipeline"))
+def compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality screen: deflate each document (zlib
+    level 6) and report compressed/raw size as integer permille — the
+    repetitiveness signal the Gopher/CCNet-family pipelines gate on
+    (natural prose lands ~400–600‰; templated boilerplate and
+    generated spam compress far below). Rows-only: no SQL engine
+    exposes deflate, so the oracle cannot replay it — instead
+    tests/test_llm_ops.py pins the EXACT compressed lengths against a
+    direct ``zlib.compress`` call outside Spark (deterministic for a
+    fixed level within a zlib build), and the repetition_ratio oracle
+    entry cross-checks the same ranking direction on its exact
+    token-based signal. One Arrow pass, no shuffle; DEFLATE is
+    ~100 MB/s/core — at 100 TB this kernel is the budget item and
+    runs exactly once per doc."""
+    import zlib
+
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp_len = raw.map(
+                lambda b: len(zlib.compress(b, COMPRESS_LEVEL))
+            )
+            raw_len = raw.map(len)
+            permille = comp_len * 1000 // raw_len
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw_len.astype("int64"),
+                    "compressed_bytes": comp_len.astype("int64"),
+                    "ratio_permille": permille.astype("int64"),
+                    "too_repetitive": (
+                        permille < COMPRESS_MAX_PERMILLE
+                    ).astype("bool"),
+                }
+            )
+
+    return d.mapInPandas(
+        ratios,
+        "doc_id long, raw_bytes long, compressed_bytes long, "
+        "ratio_permille long, too_repetitive boolean",
+    )

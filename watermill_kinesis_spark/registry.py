@@ -151,6 +151,9 @@ _PRIORITY: tuple[str, ...] = (
     "bitmap_distinct_agg",
     "sql_lateral_join",
     "seasonal_naive_error",
+    "graph_jaccard_neighbors",
+    "multi_touch_attribution_linear",
+    "compression_ratio_filter",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
