@@ -52,6 +52,7 @@ class FenceStore:
 
     def __init__(self, base: str):
         self.base = _normalize(base)
+        self._resolved = None  # (fs, root), memoized per process
 
     # -- filesystem plumbing ------------------------------------------
 
@@ -60,15 +61,21 @@ class FenceStore:
 
     def __setstate__(self, state):
         self.base = state["base"]
+        self._resolved = None
 
     def _resolve(self):
-        from pyarrow import fs as pafs
+        # memoized: FileSystem.from_uri builds a fresh client (S3 etc.)
+        # each call, and _merge_fences touches every fence per trigger —
+        # one filesystem handle per FenceStore instance, not per file
+        if self._resolved is None:
+            from pyarrow import fs as pafs
 
-        if "://" in self.base:
-            fs, root = pafs.FileSystem.from_uri(self.base)
-        else:
-            fs, root = pafs.LocalFileSystem(), self.base
-        return fs, root.rstrip("/")
+            if "://" in self.base:
+                fs, root = pafs.FileSystem.from_uri(self.base)
+            else:
+                fs, root = pafs.LocalFileSystem(), self.base
+            self._resolved = (fs, root.rstrip("/"))
+        return self._resolved
 
     def _is_local(self, fs) -> bool:
         from pyarrow import fs as pafs
@@ -87,7 +94,7 @@ class FenceStore:
             infos = fs.get_file_info(
                 pafs.FileSelector(root, recursive=False, allow_not_found=True)
             )
-        except (OSError, pafs.lib.ArrowException):  # pragma: no cover
+        except Exception:  # transient listing failure: retry next trigger
             return []
         return [
             i.base_name for i in infos if i.type == pafs.FileType.File
