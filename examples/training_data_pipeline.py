@@ -159,7 +159,8 @@ def main() -> int:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "ratio_permille": comp * 1000 // raw.map(len),
+                    "ratio_permille": comp * 1000
+                    // raw.map(len).clip(lower=1),
                 }
             )
 

@@ -285,3 +285,32 @@ def test_jpeg_truncated_header_raises():
     px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(px)[:20])
+
+
+def test_jpeg_truncated_entropy_stream_raises():
+    """r5 ADVICE: a stream cut mid-entropy-data must raise, not
+    silently pad zero bits into garbage pixels. Cut several points in
+    the scan data of a multi-MCU image (big enough that decode MUST
+    consume bits past every cut)."""
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    full = encode_jpeg(px)
+    sos = full.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(full[sos + 2 : sos + 4], "big")
+    for frac in (0.25, 0.5, 0.9):
+        cut = scan_start + int((len(full) - 2 - scan_start) * frac)
+        with pytest.raises(ValueError, match="truncated|Huffman|overflow"):
+            decode_jpeg(full[:cut])
+
+
+def test_jpeg_multi_scan_baseline_rejected():
+    """r5 ADVICE: a second SOS (multi-scan baseline) must raise rather
+    than silently return only the first scan's plane."""
+    px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    full = bytearray(encode_jpeg(px))
+    assert full[-2:] == b"\xff\xd9"
+    sos = full.index(b"\xff\xda")
+    seglen = int.from_bytes(full[sos + 2 : sos + 4], "big")
+    second_scan = bytes(full[sos : sos + 2 + seglen]) + b"\x00\x01\x02"
+    doctored = bytes(full[:-2]) + second_scan + b"\xff\xd9"
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(doctored)

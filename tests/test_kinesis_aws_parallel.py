@@ -709,6 +709,62 @@ def test_split_ordering_simple_reader(tmp_path):
     assert [t[0] for t in rows2] == ["c0"]
 
 
+def test_merge_child_waits_for_adjacent_parent_unit():
+    """A MERGE child carries TWO lineage edges. Admitting on the
+    primary ``ParentShardId`` alone (the pre-r6 bug) lets child
+    records overtake the adjacent parent's undrained tail; the gate
+    must hold until BOTH parents fence SHARD_END."""
+    from watermill_kinesis_spark.sources.kinesis_aws import _admit_new_shards
+
+    shards = [
+        {"ShardId": "A"},
+        {"ShardId": "B"},
+        {"ShardId": "C", "ParentShardId": "A", "AdjacentParentShardId": "B"},
+    ]
+    pos = {"A": SHARD_END, "B": "42"}  # primary drained, adjacent NOT
+    _admit_new_shards(pos, shards, "TRIM_HORIZON")
+    assert "C" not in pos  # the exact pre-fix admission bug
+    pos["B"] = SHARD_END
+    _admit_new_shards(pos, shards, "TRIM_HORIZON")
+    assert pos["C"] == "TRIM_HORIZON"
+
+
+def test_merge_ordering_staggered_parents(tmp_path):
+    """End-to-end KCL TERMINATE ordering through a MERGE where the
+    primary parent drains a full batch BEFORE the adjacent parent
+    (the stagger that exposes primary-only gating): the child emits
+    nothing until the slow adjacent parent's tail is out."""
+    client, r = _mk(tmp_path, maxrecords="1")  # 1 record/poll, 5 polls/batch
+    client.put("shardId-000000000000", "a0", partition_key="ka")
+    for i in range(11):
+        client.put("shardId-000000000001", f"b{i}", partition_key="kb")
+    off0 = r.initialOffset()
+    rows1, off1, _ = _run_batch(r, off0)  # a0 + b0..b4
+    assert sorted(t[0] for t in rows1) == sorted(["a0"] + [f"b{i}" for i in range(5)])
+    client.merge_shards(
+        "shardId-000000000000", "shardId-000000000001", "shardId-000000000004"
+    )
+    client.put("shardId-000000000004", "c0", partition_key="ka")
+    # batch 2: A drains to SHARD_END at read time; B reads b5..b9 and
+    # still has b10 pending (fences surface in the NEXT planning pass)
+    rows2, off2, parts2 = _run_batch(r, off1)
+    assert "shardId-000000000004" not in {p.shard_id for p in parts2}
+    assert sorted(t[0] for t in rows2) == [f"b{i}" for i in range(5, 10)]
+    # batch 3 planning merges batch-2 fences: A=SHARD_END, B mid-drain
+    # → the child STILL gated (primary-only gating would admit it HERE)
+    rows3, off3, parts3 = _run_batch(r, off2)
+    assert off3["shards"]["shardId-000000000000"] == SHARD_END
+    assert off3["shards"]["shardId-000000000001"] != SHARD_END
+    assert "shardId-000000000004" not in {p.shard_id for p in parts3}
+    assert [t[0] for t in rows3] == ["b10"]
+    # batch 4: both parents fenced SHARD_END → child admitted
+    rows4, off4, parts4 = _run_batch(r, off3)
+    assert off4["shards"]["shardId-000000000001"] == SHARD_END
+    assert [t[0] for t in rows4] == ["c0"]
+    all_rows = [t[0] for t in rows1 + rows2 + rows3 + rows4]
+    assert all_rows.index("c0") > all_rows.index("b10")
+
+
 def test_late_child_pickup_enters_at_pinned_position(tmp_path):
     """A LATEST start pins AT_TS:<t0>; a child admitted after its
     parent drains must enter at that same pin, not TRIM_HORIZON —

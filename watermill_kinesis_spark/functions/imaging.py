@@ -389,19 +389,31 @@ def _huff_decode_table(bits, huffval):
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
-    byte-stuffing removal and restart-marker awareness."""
+    byte-stuffing removal and restart-marker awareness.
+
+    Truncation is an ERROR, not garbage pixels: ``_fill`` keeps a
+    count of synthetic pad bits it appends past end-of-data / EOI /
+    an unconsumed restart marker, and ``bit()`` raises ``ValueError``
+    the moment decode would CONSUME one — so a hostile or truncated
+    entropy stream surfaces through the module's corrupt-skip
+    contract instead of silently decoding to noise. (A valid stream
+    never trips this: its byte-alignment 1-fill lives in real bytes,
+    and decode of the final MCU ends before any synthetic pad is
+    read.)"""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.pad_bits = 0  # synthetic bits in the LOW end of acc
 
     def _fill(self):
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.acc = (self.acc << 8) | 0  # pad: spec allows 1-fill/0-pad
                 self.nbits += 8
+                self.pad_bits += 8
                 continue
             b = self.data[self.pos]
             if b == 0xFF:
@@ -412,11 +424,14 @@ class _BitReader:
                     # restart marker: caller resyncs via sync_restart()
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
+                    self.pad_bits += 8
                     continue
                 else:
-                    # EOI or other marker: treat as end, pad zeros
+                    # EOI or other marker: real data ends here; any
+                    # consumption of these pad bits means truncation
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
+                    self.pad_bits += 8
                     continue
             else:
                 self.pos += 1
@@ -427,6 +442,11 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
+        if self.nbits < self.pad_bits:
+            raise ValueError(
+                "JPEG: truncated entropy stream (decode ran past "
+                "end of scan data)"
+            )
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
@@ -439,6 +459,7 @@ class _BitReader:
         """Skip to just past the next RSTn marker and reset bit state."""
         self.acc = 0
         self.nbits = 0
+        self.pad_bits = 0
         d = self.data
         while self.pos + 1 < len(d):
             if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
@@ -586,6 +607,15 @@ def decode_jpeg(p: bytes) -> np.ndarray:
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
+    # Multi-scan baseline (a second SOS after this scan's data) would
+    # silently return a partial image; byte-stuffing guarantees
+    # neither 0xFFDA nor 0xFFD9 can occur INSIDE entropy data, so a
+    # straight scan of the remaining bytes (up to EOI — trailing bytes
+    # past EOI are ignored, as decoders conventionally do) is sound.
+    tail = p[data_start + reader.pos :]
+    eoi = tail.find(b"\xff\xd9")
+    if tail.find(b"\xff\xda", 0, eoi if eoi != -1 else len(tail)) != -1:
+        raise ValueError("JPEG: multi-scan baseline files unsupported")
     out_planes = []
     for c in scan_comps:
         pl = planes[c["id"]]

@@ -17,7 +17,7 @@ Scale design (the whole point of these):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
@@ -424,8 +424,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         # job via observe(), so the check costs zero extra jobs AND
         # zero extra shuffles — the old new-vs-old join would reshuffle
         # two corpus-size label tables per sweep at 100 TB.
-        from pyspark.sql import Observation
-
         obs = Observation(f"cc_sweep_{sweep}")
         new_labels = (
             propagated.join(lut, propagated.comp == lut.c_id)

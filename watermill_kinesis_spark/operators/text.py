@@ -539,7 +539,11 @@ def compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda b: len(zlib.compress(b, COMPRESS_LEVEL))
             )
             raw_len = raw.map(len)
-            permille = comp_len * 1000 // raw_len
+            # empty doc ⇒ raw_len 0: int//0 would yield inf and the
+            # int64 cast would kill the whole job on one empty row;
+            # clamp the divisor — an empty doc reports its (tiny)
+            # compressed size as the permille, far above the gate
+            permille = comp_len * 1000 // raw_len.clip(lower=1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -169,19 +169,28 @@ def _admit_new_shards(
     parent's position is ``SHARD_END`` — the KCL drains a parent to its
     TERMINATE checkpoint before any worker leases the children
     (reference subscriber.go:78-88), which is what preserves per-key
-    record order through a split. A parent that has aged out of the
-    listing entirely gates nothing. New shards enter at ``default_pos``
-    — the query's pinned initial position (``AT_TS:`` behaves
-    identically to TRIM_HORIZON on a post-start child, since all its
-    records postdate the pin) — falling back to TRIM_HORIZON."""
+    record order through a split. A MERGE child carries a second
+    lineage edge, ``AdjacentParentShardId`` — the service sets both on
+    the merged shard — and per-key order demands BOTH parents drain to
+    SHARD_END before the child emits (a key that hashed into the
+    adjacent parent continues in the child; admitting on the primary
+    parent alone would let child records overtake the adjacent
+    parent's tail). A parent that has aged out of the listing entirely
+    gates nothing. New shards enter at ``default_pos`` — the query's
+    pinned initial position (``AT_TS:`` behaves identically to
+    TRIM_HORIZON on a post-start child, since all its records postdate
+    the pin) — falling back to TRIM_HORIZON."""
     listed = {s["ShardId"] for s in shards}
     for s in shards:
         sid = s["ShardId"]
         if sid in pos:
             continue
-        parent = s.get("ParentShardId")
-        if parent and parent in listed and pos.get(parent) != SHARD_END:
-            continue  # parent not drained yet: child waits a trigger
+        undrained = any(
+            parent and parent in listed and pos.get(parent) != SHARD_END
+            for parent in (s.get("ParentShardId"), s.get("AdjacentParentShardId"))
+        )
+        if undrained:
+            continue  # a parent not drained yet: child waits a trigger
         pos[sid] = default_pos
 
 

@@ -31,6 +31,7 @@ class StubKinesisClient:
         self._shards: dict[str, list[dict]] = {}
         self._closed: set[str] = set()
         self._parents: dict[str, str] = {}
+        self._adj_parents: dict[str, str] = {}
         self._seq = 0
         #: call log for assertions
         self.calls: list[str] = []
@@ -73,6 +74,20 @@ class StubKinesisClient:
             self.add_shard(child, parent=parent)
         self.close_shard(parent)
 
+    def merge_shards(self, parent: str, adjacent: str, child: str) -> None:
+        """Service-shaped merge: ONE child carrying BOTH lineage edges
+        (``ParentShardId`` = parent, ``AdjacentParentShardId`` =
+        adjacent, exactly as MergeShards reports them); both parents
+        close and drain independently to SHARD_END."""
+        self.add_shard(child, parent=parent)
+        self.close_shard(parent)
+        self.close_shard(adjacent)
+        # set the adjacency edge LAST: in the file-backed subclass the
+        # close_shard calls above each reload state from disk, which
+        # would wipe an earlier in-memory-only assignment before the
+        # wrapper's final save
+        self._adj_parents[child] = adjacent
+
     # -- boto3-shaped API --------------------------------------------
 
     def list_shards(self, StreamName=None, NextToken=None):
@@ -83,6 +98,11 @@ class StubKinesisClient:
                 | (
                     {"ParentShardId": self._parents[s]}
                     if s in self._parents
+                    else {}
+                )
+                | (
+                    {"AdjacentParentShardId": self._adj_parents[s]}
+                    if s in self._adj_parents
                     else {}
                 )
                 for s in sorted(self._shards)
@@ -193,6 +213,7 @@ class FileStubKinesisClient(StubKinesisClient):
         self._seq = raw["seq"]
         self._closed = set(raw["closed"])
         self._parents = dict(raw.get("parents", {}))
+        self._adj_parents = dict(raw.get("adj_parents", {}))
         self._shards = {
             shard: [
                 {
@@ -232,6 +253,7 @@ class FileStubKinesisClient(StubKinesisClient):
                 for shard, recs in self._shards.items()
             },
             "parents": self._parents,
+            "adj_parents": self._adj_parents,
         }
         tmp = f"{self._path}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
@@ -257,6 +279,11 @@ class FileStubKinesisClient(StubKinesisClient):
     def split_shard(self, parent: str, *children: str) -> None:
         self._load()
         super().split_shard(parent, *children)
+        self._save()
+
+    def merge_shards(self, parent: str, adjacent: str, child: str) -> None:
+        self._load()
+        super().merge_shards(parent, adjacent, child)
         self._save()
 
     def list_shards(self, *a, **kw):
