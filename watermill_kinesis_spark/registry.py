@@ -80,15 +80,31 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 5): the driver's budget-capped gate samples a
-    # PREFIX of this order. Front: the 43 oracle-backed entries with NO
-    # driver-green row through r4, leading with the two r4 judge-/driver-
-    # red entries fixed this round (`embedding_normalize` — q8 now a
-    # joined string, hashable under the driver's raw-row canonicalizer;
-    # `aws_transport_roundtrip` — register() now flips the
-    # filterPushdown conf on vanilla sessions). A full green prefix here
-    # closes cumulative coverage at 217/217. Round-5 additions follow,
-    # then everything already driver-green in r1–r4.
+    # ---- Rotation (round 6): the driver's budget-capped gate samples a
+    # PREFIX of this order (exactly 50 entries in r5). Front: the 11
+    # oracle-backed r5 additions that are judge-green but were never
+    # driver-sampled (they sat at positions 51+ in r5's order) — a green
+    # prefix here closes cumulative driver-green at 235/235 — plus
+    # `compression_ratio_filter` (rows-only, also never sampled) and
+    # `approx_distinct`, which gains an oracle this round (retiring the
+    # registry's only sampled-never-green row, r1's no_oracle probe).
+    # Round-6 additions follow, then everything driver-green in r1–r5.
+    "multimodal_wav_decode",
+    "multimodal_mp4_probe",
+    "multimodal_exif_orientation",
+    "reservoir_sample_per_source",
+    "packing_next_fit",
+    "dedup_exact_substring",
+    "bitmap_distinct_agg",
+    "sql_lateral_join",
+    "seasonal_naive_error",
+    "graph_jaccard_neighbors",
+    "multi_touch_attribution_linear",
+    "compression_ratio_filter",
+    "approx_distinct",
+    # ---- round-6 additions (locally oracle-verified at sf0.01 in
+    # vanilla + driver-canon mode) ----
+    # ---- r1–r5 driver-green entries follow ----
     "embedding_normalize",
     "aws_transport_roundtrip",
     "text_normalize",
@@ -142,18 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "length_trim_percentile",
     "vocab_coverage_topk",
     "shard_balance_audit",
-    "multimodal_wav_decode",
-    "multimodal_mp4_probe",
-    "multimodal_exif_orientation",
-    "reservoir_sample_per_source",
-    "packing_next_fit",
-    "dedup_exact_substring",
-    "bitmap_distinct_agg",
-    "sql_lateral_join",
-    "seasonal_naive_error",
-    "graph_jaccard_neighbors",
-    "multi_touch_attribution_linear",
-    "compression_ratio_filter",
     "window_range_frame",
     "stream_sliding_window",
     "stream_session_window",
@@ -311,7 +315,6 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ann_pq",
     "hll_sketch_native",
     "custom_source_stream",
-    "approx_distinct",
     "cube_agg",
     "join_left",
     "window_running",
