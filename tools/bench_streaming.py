@@ -12,6 +12,12 @@ numbers, not hand-waving:
   codec_roundtrip messages → wire → messages (decode + corrupt check)
   pubsub_e2e      publish to a topic dir + streaming read-back with
                   checkpoint (the full subscribe path incl. decode)
+  kinesis_aws_parallel_read
+                  spark.readStream.format('kinesis_aws') in the
+                  default executor-parallel readerMode against the
+                  file-backed stub (GetRecords on executor python
+                  workers, position fences, decode) — the 100 TB read
+                  path, previously correctness-tested but unmeasured
 
     PYTHONPATH=/root/repo python tools/bench_streaming.py [sf_dir]
 """
@@ -72,10 +78,93 @@ def main() -> None:
     q.awaitTermination()
     results["pubsub_e2e_msgs_per_s"] = round(n / (time.perf_counter() - t0))
 
+    results["kinesis_aws_parallel_read_msgs_per_s"] = _bench_kinesis_parallel(
+        spark, base
+    )
+
     results["reference_ceiling_msgs_per_s_per_shard"] = 1000  # Kinesis write limit
     msgs.unpersist()
     print(json.dumps(results))
     spark.stop()
+
+
+#: records seeded for the parallel-source bench: 8 shards × the
+#: per-trigger poll budget (MAX_POLLS_PER_BATCH × Limit = 5000), so
+#: one availableNow micro-batch drains everything
+KINESIS_BENCH_SHARDS = 8
+KINESIS_BENCH_PER_SHARD = 5000
+
+
+def _bench_kinesis_parallel(spark, base: str) -> int:
+    """Time the executor-parallel kinesis_aws read: seed wire
+    envelopes into the file-backed stub (one state write — per-put
+    saves would be quadratic), then readStream → unmarshal → count
+    through a real micro-batch with position fences."""
+    import base64
+    from datetime import datetime, timezone
+
+    from watermill_kinesis_spark import codec
+    from watermill_kinesis_spark.sources import kinesis_aws
+    from watermill_kinesis_spark.sources.kinesis_stub import FileStubKinesisClient
+
+    stub_dir = os.path.join(base, "stub")
+    client = FileStubKinesisClient(stub_dir)
+    ts = datetime.fromtimestamp(1_700_000_000, tz=timezone.utc)
+    seq = 0
+    for s in range(KINESIS_BENCH_SHARDS):
+        shard = f"shardId-{s:012d}"
+        recs = []
+        for i in range(KINESIS_BENCH_PER_SHARD):
+            seq += 1
+            env = json.dumps(
+                {
+                    "watermill_message_uuid": f"uuid-{s}-{i}",
+                    "data": base64.b64encode(f"payload-{s}-{i}".encode()).decode(),
+                    "headers": {"partitionKey": f"k{s}"},
+                }
+            )
+            recs.append(
+                {
+                    "Data": env.encode(),
+                    "PartitionKey": f"k{s}",
+                    "SequenceNumber": str(seq),
+                    "ApproximateArrivalTimestamp": ts,
+                }
+            )
+        client._shards[shard] = recs
+    client._seq = seq
+    client._save()
+    n = KINESIS_BENCH_SHARDS * KINESIS_BENCH_PER_SHARD
+
+    kinesis_aws.register(spark)
+    out = {"n": 0}
+
+    def sink(batch_df, batch_id):
+        out["n"] += batch_df.count()
+
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("kinesis_aws")
+        .option("streamName", "bench")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", stub_dir)
+        .option("positionDir", os.path.join(base, "pos"))
+        .load()
+    )
+    msgs = codec.unmarshal(q, drop_corrupt=True)
+    run = (
+        msgs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "kckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run.awaitTermination()
+    dt = time.perf_counter() - t0
+    assert out["n"] == n, f"parallel read lost rows: {out['n']}/{n}"
+    return round(n / dt)
 
 
 if __name__ == "__main__":
