@@ -1,0 +1,163 @@
+"""Brute-force cross-checks for the evaluation-metrics family: the
+oracle already pins Spark vs DuckDB value-exactly; these tests pin
+both against straight-line Python over the same rows, so a shared
+misreading of a formula (the one failure mode a twin-engine compare
+cannot catch) is caught too."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from watermill_kinesis_spark.registry import queries
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def test_auc_matches_bruteforce_mann_whitney(spark, sf_dir):
+    out = {r.grp: r for r in queries()["auc_roc_exact"](spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderstatus"
+    ).collect()
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r.o_orderpriority, []).append(
+            (r.o_totalprice, 1 if r.o_orderstatus == "F" else 0)
+        )
+    for grp, pts in by_grp.items():
+        # pairwise AUC: wins + half-ties over pos×neg pairs
+        pos = [s for s, p in pts if p]
+        neg = [s for s, p in pts if not p]
+        wins = sum(1 for a in pos for b in neg if a > b)
+        ties = sum(1 for a in pos for b in neg if a == b)
+        expect = Fraction(2 * wins + ties, 2 * len(pos) * len(neg))
+        got = out[grp]
+        assert got.n_pos == len(pos) and got.n_neg == len(neg)
+        assert got.auc_permille == int(expect * 1000)  # floor of exact
+
+
+def test_ks_matches_bruteforce(spark, sf_dir):
+    out = {
+        (r.t1, r.t2): r
+        for r in queries()["ks_drift_matrix"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    samples: dict[str, list] = {}
+    for r in rows:
+        samples.setdefault(r.event_type, []).append(r.value)
+    types = sorted(samples)
+    assert set(out) == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    for (a, b), r in out.items():
+        s1, s2 = sorted(samples[a]), sorted(samples[b])
+        n1, n2 = len(s1), len(s2)
+        grid = sorted(set(s1) | set(s2))
+        import bisect
+
+        d = max(
+            abs(bisect.bisect_right(s1, v) * n2 - bisect.bisect_right(s2, v) * n1)
+            for v in grid
+        )
+        assert (r.n1, r.n2, r.d_scaled) == (n1, n2, d)
+        assert r.ks_permille == d * 1000 // (n1 * n2)
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    out = {
+        r.source: r
+        for r in queries()["gini_corpus_inequality"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    for src, xs in by_src.items():
+        xs.sort()
+        n, s = len(xs), sum(xs)
+        si = sum((i + 1) * x for i, x in enumerate(xs))
+        assert out[src].n_docs == n and out[src].total_chars == s
+        assert out[src].gini_permille == (2 * si - (n + 1) * s) * 1000 // (n * s)
+        assert 0 <= out[src].gini_permille < 1000
+
+
+def test_chi2_cells_match_bruteforce(spark, sf_dir):
+    out = queries()["chi2_statistic_exact"](spark, sf_dir).collect()
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    from collections import Counter
+
+    obs = Counter((r.event_type, r.user_id % 3) for r in rows)
+    n = sum(obs.values())
+    rt = Counter()
+    ct = Counter()
+    for (a, b), o in obs.items():
+        rt[a] += o
+        ct[b] += o
+    assert len(out) == len(obs)
+    for row in out:
+        o = obs[(row.a, row.b)]
+        r, c = rt[row.a], ct[row.b]
+        assert row.observed == o
+        assert row.expected_permille == r * c * 1000 // n
+        assert row.chi2_contrib_micro == (o * n - r * c) ** 2 * 10**6 // (n * r * c)
+
+
+def test_calibration_bins_partition_each_group(spark, sf_dir):
+    out = queries()["calibration_bins_exact"](spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").collect()
+    from collections import Counter
+
+    grp_sizes = Counter(r.o_orderpriority for r in orders)
+    by_grp = Counter()
+    for r in out:
+        assert 1 <= r.bin <= 10
+        assert 0 <= r.rate_permille <= 1000
+        assert r.rate_permille == r.positives * 1000 // r.n
+        by_grp[r.grp] += r.n
+    assert dict(by_grp) == dict(grp_sizes)  # bins tile each group exactly
+
+
+def test_kfold_assignment_total_and_determinism(spark, sf_dir):
+    out = queries()["kfold_assign_balance"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    assert {r.fold for r in out} <= {0, 1, 2, 3, 4}
+    # determinism: a doc's fold is a pure function of its id
+    again = queries()["kfold_assign_balance"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_content_addressing_canonical_invariants(spark, sf_dir):
+    out = queries()["content_addressed_ids"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs  # one row per doc
+    groups: dict[str, list] = {}
+    for r in out:
+        assert len(r.content_hash) == 32
+        groups.setdefault(r.content_hash, []).append(r)
+    for rows in groups.values():
+        canon = min(r.doc_id for r in rows)
+        assert all(r.canonical_id == canon for r in rows)
+        assert all(r.n_copies == len(rows) for r in rows)
+
+
+def test_linreg_matches_exact_fraction(spark, sf_dir):
+    out = queries()["linreg_closed_form"](spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ).collect()
+    xs = [int(r.l_quantity) for r in rows]
+    ys = [int(r.l_extendedprice * 100 + 0.5) for r in rows]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
+    assert out.n == n
+    assert out.slope_micro_cents == int(slope * 10**6)
+    assert out.mean_x_milli == sx * 1000 // n
+    assert out.mean_y_milli == sy * 10 // n

@@ -1,0 +1,516 @@
+"""Model/data evaluation metrics — the measurement half of a training
+pipeline: ranking quality (exact AUC), distribution drift (exact
+Kolmogorov–Smirnov matrix), corpus inequality (exact Gini), the
+chi-square statistic completing ``crosstab_expected``'s promise,
+probability calibration bins, deterministic k-fold assignment, content
+addressing, and a closed-form regression fit from distributed sums.
+
+Every metric that reaches the oracle hash is INTEGER arithmetic
+(permille / micro scaling with integer division), so Spark and DuckDB
+agree bit-for-bit with no float-accumulation-order hazard — the same
+determinism discipline as analytics.py / frequency.py. Quotients are
+non-negative by construction (Spark ``div`` truncates toward zero,
+DuckDB ``//`` floors — identical only on non-negatives); wide
+intermediates go through decimal(38,0) on Spark and HUGEINT in the
+oracle, both exact to 10^38.
+
+100 TB posture: rank metrics (AUC, Gini, calibration) run their
+windows PARTITIONED by the report group, so the sort distributes
+across groups; KS aggregates to per-(pair, value) cells before any
+window, bounding window input by distinct-value cardinality (quantize
+continuous scores upstream when that cardinality is unbounded); chi2 /
+linreg reduce the corpus to a handful of exact sums in one map-side-
+combinable aggregate. The only ``collect()`` is the event-type enum
+for pair formation — a bounded model artifact (an enum, not data).
+
+Reference parity note: the reference engine (a Go Kinesis Pub/Sub
+connector) has no analytics surface; this family belongs to the
+driver-mandated LLM-pipeline layer (SURVEY.md §2-C "beyond-reference
+operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+#: folds for the deterministic k-fold split
+KFOLD_K = 5
+#: Knuth multiplicative hash constant (public domain, TAOCP §6.4)
+KFOLD_MULT = 2654435761
+#: calibration report: deciles within each priority class
+CALIB_BINS = 10
+
+
+@query(
+    "auc_roc_exact",
+    oracle="""
+    WITH scored AS (
+        SELECT o_orderpriority AS grp,
+               o_totalprice AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders),
+    ranked AS (
+        SELECT grp, pos,
+               RANK() OVER (PARTITION BY grp ORDER BY score) AS r,
+               COUNT(*) OVER (PARTITION BY grp, score) AS c
+        FROM scored),
+    agg AS (
+        SELECT grp,
+               CAST(SUM(pos) AS HUGEINT) AS n_pos,
+               CAST(SUM(1 - pos) AS HUGEINT) AS n_neg,
+               CAST(SUM(CASE WHEN pos = 1 THEN 2 * r + c - 1 ELSE 0 END)
+                    AS HUGEINT) AS s2
+        FROM ranked GROUP BY grp)
+    SELECT grp,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST((s2 - n_pos * (n_pos + 1)) * 1000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_permille
+    FROM agg
+    """,
+    tags=("evaluation", "statistics", "ranking"),
+)
+def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per report group, as integer
+    permille: does ``o_totalprice`` rank finished orders above open
+    ones within each priority class? AUC is computed by the
+    Mann–Whitney identity AUC = (Σ_pos r̄ − n₊(n₊+1)/2)/(n₊·n₋) with
+    ties at half credit; doubling average ranks (2r̄ = 2·rank + ties −
+    1) keeps every term integral, so the permille is exact integer
+    division on both engines. The rank window is PARTITIONED by group
+    — the sort distributes across groups, and the doubled rank-sum
+    rides a decimal(38,0)/HUGEINT aggregate so n up to 10^19 per
+    group cannot overflow. The scalable shape of sklearn's
+    ``roc_auc_score`` for grouped-report evaluation."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    w_rank = W.partitionBy("grp").orderBy("score")
+    w_tie = W.partitionBy("grp", "score")
+    ranked = scored.select(
+        "grp",
+        "pos",
+        F.rank().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_tie).alias("c"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum("pos").cast("decimal(38,0)").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("decimal(38,0)").alias("n_neg"),
+        F.sum(
+            F.when(F.col("pos") == 1, F.lit(2) * F.col("r") + F.col("c") - 1)
+            .otherwise(0)
+            .cast("decimal(25,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    # exact integer quotient via SQL `div` (truncating; operands are
+    # non-negative, so it matches DuckDB's flooring `//` bit-for-bit —
+    # NOT fractional decimal division, whose 6-dp rounding could tip
+    # a near-integer quotient over the boundary)
+    u2 = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "grp",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        (u2 * 1000).alias("num"),
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).alias("den"),
+    ).selectExpr(
+        "grp",
+        "n_pos",
+        "n_neg",
+        "CAST(num div den AS BIGINT) AS auc_permille",
+    )
+
+
+@query(
+    "ks_drift_matrix",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type AS t, value AS v, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (
+        SELECT a.t AS t1, b.t AS t2 FROM types a JOIN types b ON a.t < b.t),
+    tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM vals GROUP BY t),
+    cells AS (
+        SELECT p.t1, p.t2, v.v,
+               SUM(CASE WHEN v.t = p.t1 THEN v.c ELSE 0 END) AS c1,
+               SUM(CASE WHEN v.t = p.t2 THEN v.c ELSE 0 END) AS c2
+        FROM pairs p JOIN vals v ON v.t = p.t1 OR v.t = p.t2
+        GROUP BY p.t1, p.t2, v.v),
+    cum AS (
+        SELECT t1, t2, v,
+               SUM(c1) OVER (PARTITION BY t1, t2 ORDER BY v) AS cum1,
+               SUM(c2) OVER (PARTITION BY t1, t2 ORDER BY v) AS cum2
+        FROM cells)
+    SELECT c.t1, c.t2, ta.n AS n1, tb.n AS n2,
+           CAST(MAX(ABS(cum1 * tb.n - cum2 * ta.n)) AS BIGINT) AS d_scaled,
+           CAST(MAX(ABS(cum1 * tb.n - cum2 * ta.n)) * 1000
+                // (CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT) AS ks_permille
+    FROM cum c JOIN tot ta ON ta.t = c.t1 JOIN tot tb ON tb.t = c.t2
+    GROUP BY c.t1, c.t2, ta.n, tb.n
+    """,
+    tags=("evaluation", "statistics", "drift"),
+)
+def ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    ``value`` distributions of every pair of event types — the
+    distribution-drift screen a data pipeline runs between corpus
+    snapshots or train/serve populations. Integer-exact: with counts
+    c₁,c₂ cumulated over the merged value axis, D = max|F₁−F₂| =
+    max|cum1·n₂ − cum2·n₁| / (n₁·n₂), so d_scaled and the permille
+    are pure integer arithmetic. Scale shape: one corpus-wide
+    aggregate down to (type, value) cells, pair expansion via two
+    broadcast equi-joins against the 10-row pair enum (never a
+    non-equi join), and the cumulative window runs per PAIR over
+    value-cardinality-bounded cells — for continuous scores at 100 TB,
+    quantize upstream to bound that cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy(
+        F.col("event_type").alias("t"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # the event-type enum is bounded (it is a code, not data): collect
+    # to build the pair list driver-side, then broadcast
+    types = sorted(r.t for r in vals.select("t").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]],
+        "t1 string, t2 string",
+    )
+    e1 = F.broadcast(pairs).join(vals, pairs.t1 == vals.t).select(
+        "t1", "t2", "v", F.col("c").alias("c1"), F.lit(0).alias("c2")
+    )
+    e2 = F.broadcast(pairs).join(vals, pairs.t2 == vals.t).select(
+        "t1", "t2", "v", F.lit(0).alias("c1"), F.col("c").alias("c2")
+    )
+    cells = (
+        e1.unionByName(e2)
+        .groupBy("t1", "t2", "v")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    w = W.partitionBy("t1", "t2").orderBy("v")
+    cum = cells.select(
+        "t1",
+        "t2",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = vals.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
+    ta = tot.select(F.col("t").alias("t1"), F.col("n").alias("n1"))
+    tb = tot.select(F.col("t").alias("t2"), F.col("n").alias("n2"))
+    d = F.max(
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    )
+    return (
+        cum.join(F.broadcast(ta), "t1")
+        .join(F.broadcast(tb), "t2")
+        .groupBy("t1", "t2", "n1", "n2")
+        .agg(d.cast("decimal(38,0)").alias("d_max"))
+        .selectExpr(
+            "t1",
+            "t2",
+            "n1",
+            "n2",
+            "CAST(d_max AS BIGINT) AS d_scaled",
+            "CAST((d_max * 1000) div (CAST(n1 AS DECIMAL(38,0)) * n2) "
+            "AS BIGINT) AS ks_permille",
+        )
+    )
+
+
+@query(
+    "gini_corpus_inequality",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS i
+        FROM documents),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(n_chars) AS HUGEINT) AS s,
+               CAST(SUM(CAST(i AS HUGEINT) * n_chars) AS HUGEINT) AS si
+        FROM ranked GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(s AS BIGINT) AS total_chars,
+           CAST((2 * si - (n + 1) * s) * 1000 // (n * s) AS BIGINT)
+               AS gini_permille
+    FROM agg
+    """,
+    tags=("evaluation", "statistics", "corpus-balance"),
+)
+def gini_corpus_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of document sizes per source — the
+    corpus-balance inequality audit (a source where a few giant docs
+    hold most of the tokens trains differently from an even one).
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted sizes:
+    the numerator is non-negative by the Chebyshev sum inequality, so
+    integer permille division is exact and engine-identical. The rank
+    window is partitioned by source (the report group), wide sums ride
+    decimal(38,0)/HUGEINT."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("si"),
+    )
+    num = F.lit(2) * F.col("si") - (F.col("n") + 1) * F.col("s")
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("s").cast("bigint").alias("total_chars"),
+        (num * 1000).alias("num"),
+        (F.col("n") * F.col("s")).alias("den"),
+    ).selectExpr(
+        "source",
+        "n_docs",
+        "total_chars",
+        "CAST(num div den AS BIGINT) AS gini_permille",
+    )
+
+
+@query(
+    "chi2_statistic_exact",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS a, user_id % 3 AS b, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT a, b, CAST(o AS HUGEINT) AS o,
+               CAST(SUM(o) OVER (PARTITION BY a) AS HUGEINT) AS r,
+               CAST(SUM(o) OVER (PARTITION BY b) AS HUGEINT) AS c,
+               CAST(SUM(o) OVER () AS HUGEINT) AS n
+        FROM cells)
+    SELECT a, CAST(b AS BIGINT) AS b, CAST(o AS BIGINT) AS observed,
+           CAST(r * c * 1000 // n AS BIGINT) AS expected_permille,
+           CAST((o * n - r * c) * (o * n - r * c) * 1000000
+                // (n * r * c) AS BIGINT) AS chi2_contrib_micro
+    FROM m
+    """,
+    tags=("evaluation", "statistics"),
+)
+def chi2_statistic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contributions for event type × (user_id
+    mod 3) — the 'one further aggregation' ``crosstab_expected``'s
+    docstring promises, kept integer-exact: each cell reports O, the
+    independence expectation r·c/N as permille, and (O·N − r·c)²/
+    (N·r·c) — the χ² term times N, scaled to micro units — so the
+    statistic is Σ contrib / (N·10⁶) with no float anywhere. One
+    corpus aggregate to |A×B| cells; marginal windows run over that
+    tiny cell table. Squared intermediates (≤ N⁴) ride decimal(38,0)/
+    HUGEINT, exact through N ≈ 3·10⁹ rows; beyond that, pre-scale
+    counts (the statistic is scale-invariant)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("a"),
+        (F.col("user_id") % 3).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    o = F.col("o").cast("decimal(38,0)")
+    r = F.sum("o").over(W.partitionBy("a")).cast("decimal(38,0)")
+    c = F.sum("o").over(W.partitionBy("b")).cast("decimal(38,0)")
+    n = F.sum("o").over(W.partitionBy()).cast("decimal(38,0)")
+    dev = o * n - r * c
+    return cells.select(
+        "a",
+        F.col("b").cast("bigint").alias("b"),
+        F.col("o").cast("bigint").alias("observed"),
+        (r * c * 1000).alias("exp_num"),
+        n.alias("n_tot"),
+        (dev * dev).alias("dev2"),
+        (n * r * c).alias("nrc"),
+    ).selectExpr(
+        "a",
+        "b",
+        "observed",
+        "CAST(exp_num div n_tot AS BIGINT) AS expected_permille",
+        "CAST((dev2 * 1000000) div nrc AS BIGINT) AS chi2_contrib_micro",
+    )
+
+
+@query(
+    "calibration_bins_exact",
+    oracle=f"""
+    WITH scored AS (
+        SELECT o_orderpriority AS grp,
+               NTILE({CALIB_BINS}) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders)
+    SELECT grp, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS positives,
+           CAST(SUM(pos) * 1000 // COUNT(*) AS BIGINT) AS rate_permille
+    FROM scored GROUP BY grp, bin
+    """,
+    tags=("evaluation", "statistics", "ranking"),
+)
+def calibration_bins_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration table: within each priority class, decile
+    buckets of ``o_totalprice`` (NTILE over a deterministic
+    (score, key) order — identical bucketing on both engines) with the
+    exact positive rate per bucket in permille. The reliability-diagram
+    input for any score column; windows are partitioned by the report
+    group so the sort distributes."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    scored = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.ntile(CALIB_BINS).over(w).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    return (
+        scored.groupBy("grp", F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("bigint").alias("positives"),
+        )
+        .selectExpr(
+            "grp",
+            "bin",
+            "n",
+            "positives",
+            "CAST((positives * 1000) div n AS BIGINT) AS rate_permille",
+        )
+    )
+
+
+@query(
+    "kfold_assign_balance",
+    oracle=f"""
+    WITH folds AS (
+        SELECT lang,
+               ((doc_id % 1000003) * {KFOLD_MULT}) % 2147483647
+                   % {KFOLD_K} AS fold
+        FROM documents)
+    SELECT CAST(fold AS BIGINT) AS fold, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM folds GROUP BY fold, lang
+    """,
+    tags=("evaluation", "sampling", "llm-pipeline"),
+)
+def kfold_assign_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with a class-
+    balance audit: fold = knuth_hash(doc_id) mod k via pure integer
+    arithmetic (no engine RNG, no engine hash — the SAME expression
+    runs on both engines), reported as fold × lang counts so skewed
+    folds are visible before any training run. The id is pre-reduced
+    mod 1000003 to keep the multiply inside int64 on every engine.
+    Embarrassingly parallel: one map + one small aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        ((F.col("doc_id") % 1000003) * F.lit(KFOLD_MULT)) % 2147483647
+    ) % KFOLD_K
+    return (
+        d.select(fold.cast("bigint").alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "content_addressed_ids",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5(text) AS content_hash FROM documents),
+    canon AS (
+        SELECT content_hash, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_copies
+        FROM hashed GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, c.canonical_id,
+           CAST(c.n_copies AS BIGINT) AS n_copies
+    FROM hashed h JOIN canon c USING (content_hash)
+    """,
+    tags=("evaluation", "dedup", "llm-pipeline"),
+)
+def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content addressing: every document keyed by md5(text) — the
+    standard content-addressed store / CAS id a dataset pipeline uses
+    for provenance, resumable ingestion, and exact dedup across
+    snapshots (both engines emit identical lowercase-hex md5 over the
+    UTF-8 bytes). Each doc row carries its group's canonical id
+    (min doc_id) and copy count — the hash-keyed shuffle is 16 B/row,
+    the same exact-dedup scale shape as ``dedup_exact_hashkey``."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return hashed.join(canon, "content_hash").select(
+        "doc_id", "content_hash", "canonical_id", "n_copies"
+    )
+
+
+@query(
+    "linreg_closed_form",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(l_quantity AS HUGEINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        FROM lineitem),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro_cents,
+           CAST(sx * 1000 // n AS BIGINT) AS mean_x_milli,
+           CAST(sy * 10 // n AS BIGINT) AS mean_y_milli
+    FROM s
+    """,
+    tags=("evaluation", "statistics", "ml"),
+)
+def linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of extended price on quantity by the normal
+    equations — model training as ONE distributed aggregate: the five
+    power sums (n, Σx, Σy, Σx², Σxy) are map-side-combinable exact
+    integer sums (quantity is integral; price in half-up cents), and
+    the closed-form slope (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is evaluated
+    in decimal(38,0)/HUGEINT integer arithmetic, reported in micro
+    cents-per-unit. The denominator is n·Var(x) > 0 and the slope is
+    positive for this data, keeping trunc-vs-floor division identical
+    across engines. The same shape trains any linear model whose
+    sufficient statistics are sums — at 100 TB the whole 'training
+    job' is one whole-stage-codegen scan. Means are exact milli-unit
+    integer divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,0)")
+    # half-up cents, same rounding as the oracle's FLOOR(p*100 + 0.5)
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("decimal(19,0)")
+    s = li.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        (num * 1000000).alias("num"),
+        den.alias("den"),
+        (F.col("sx") * 1000).alias("sx_milli"),
+        (F.col("sy") * 10).alias("sy_milli"),
+        F.col("n").alias("n_dec"),
+    ).selectExpr(
+        "n_rows AS n",
+        "CAST(num div den AS BIGINT) AS slope_micro_cents",
+        "CAST(sx_milli div n_dec AS BIGINT) AS mean_x_milli",
+        "CAST(sy_milli div n_dec AS BIGINT) AS mean_y_milli",
+    )

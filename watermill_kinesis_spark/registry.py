@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.clustering",
     "watermill_kinesis_spark.operators.streaming_batch",
     "watermill_kinesis_spark.operators.tokenizer",
+    "watermill_kinesis_spark.operators.evaluation",
 )
 
 
@@ -104,6 +105,14 @@ _PRIORITY: tuple[str, ...] = (
     "approx_distinct",
     # ---- round-6 additions (locally oracle-verified at sf0.01 in
     # vanilla + driver-canon mode) ----
+    "auc_roc_exact",
+    "ks_drift_matrix",
+    "gini_corpus_inequality",
+    "chi2_statistic_exact",
+    "calibration_bins_exact",
+    "kfold_assign_balance",
+    "content_addressed_ids",
+    "linreg_closed_form",
     # ---- r1–r5 driver-green entries follow ----
     "embedding_normalize",
     "aws_transport_roundtrip",
