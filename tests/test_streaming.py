@@ -352,6 +352,53 @@ def test_stream_stream_join_within_interval(spark, sf_dir):
     assert row.n_attributed >= row.n_users >= 0
 
 
+def test_stream_left_outer_join_conserves_clicks(spark, sf_dir):
+    """Outer-join semantics: matched + abandoned accounts for every
+    click exactly, and the abandoned count equals the batch-side
+    anti-join recompute (clicks with NO same-user purchase within
+    1 hour) — proving the watermark actually flushed the null-padded
+    state instead of dropping it at end-of-stream."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.streaming_batch import (
+        stream_left_outer_join,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    row = stream_left_outer_join(spark, sf_dir).collect()[0]
+    assert row.n_click_rows == row.n_matched + row.n_abandoned
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 4000)
+    # timestamps ride the wire as second-precision strings: truncate
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.date_trunc("second", "ts").alias("cts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ub"), F.date_trunc("second", "ts").alias("bts")
+    )
+    join_cond = (
+        (F.col("user_id") == F.col("ub"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    batch_abandoned = clicks.join(buys, join_cond, "left_anti")
+    n_abandoned_total = batch_abandoned.count()
+    # end-of-stream caveat: a click whose join window never ages past
+    # the final watermark (min of the two sides' max ts, minus the 2 h
+    # delay) stays buffered and is NOT emitted null-padded — so the
+    # stream reports between [flushable, total] abandoned clicks
+    max_c = clicks.agg(F.max("cts")).first()[0]
+    max_b = buys.agg(F.max("bts")).first()[0]
+    wm = min(max_c, max_b)
+    n_flushable = batch_abandoned.where(
+        F.col("cts") + F.expr("INTERVAL 3 HOUR") < F.lit(wm)
+    ).count()
+    assert n_flushable <= row.n_abandoned <= n_abandoned_total
+    # ...and the tail holdback is the ONLY discrepancy allowed
+    assert n_abandoned_total - row.n_abandoned <= (
+        batch_abandoned.count() - n_flushable
+    )
+
+
 def test_rate_limited_drain_paces_micro_batches(spark, sf_dir, tmp_path):
     """Backpressure mapping (SURVEY.md §4.2): the reference bounds
     in-flight work structurally (unbuffered channel, 1 msg/shard;

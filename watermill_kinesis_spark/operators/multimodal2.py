@@ -200,3 +200,134 @@ def multimodal_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_walk,
         "doc_id long, byte_order string, width long, height long, orientation long",
     )
+
+
+@query(
+    "multimodal_gif_animation_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST(4 + doc_id % 6 AS BIGINT) AS frame_delay_cs,
+           CAST((1 + doc_id % 4) * (4 + doc_id % 6) AS BIGINT)
+               AS total_delay_cs,
+           CAST((1 + doc_id % 4) * (4 + doc_id % 6) * 10 AS BIGINT)
+               AS duration_ms,
+           CAST(doc_id % 3 AS BIGINT) AS loops
+    FROM documents
+    """,
+    tags=("multimodal", "video", "llm-pipeline"),
+)
+def multimodal_gif_animation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF block-stream walking under the oracle gate:
+    each document synthesizes a multi-frame GIF89a
+    (``encode_animated_gif``: NETSCAPE loop extension + per-frame
+    Graphic Control Extensions + LZW image data) with frame count,
+    delay, and loop count derived arithmetically from ``doc_id``, and
+    ``probe_gif_animation`` recovers them by WALKING THE BLOCKS —
+    sub-block skipping, GCE delay accumulation, app-extension parse —
+    without decoding any pixels (the animation-index pass of a media
+    catalog; frame-level pixel decode stays ``decode_gif``'s job).
+    One Arrow pass, zero shuffle, linear at 100 TB."""
+    import numpy as np
+
+    from watermill_kinesis_spark.functions.containers import (
+        encode_animated_gif,
+        probe_gif_animation,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+    def synth_probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "n_frames",
+                    "frame_delay_cs",
+                    "total_delay_cs",
+                    "duration_ms",
+                    "loops",
+                )
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = 1 + did % 4
+                delay = 4 + did % 6
+                frames = [
+                    np.full((8, 8), (did + f) % 4, dtype=np.uint8)
+                    for f in range(k)
+                ]
+                payload = encode_animated_gif(
+                    frames, pal, [delay] * k, loops=did % 3
+                )
+                info = probe_gif_animation(payload)  # the real block walker
+                out["doc_id"].append(did)
+                out["n_frames"].append(info["n_frames"])
+                out["frame_delay_cs"].append(delay)
+                out["total_delay_cs"].append(info["total_delay_cs"])
+                out["duration_ms"].append(info["total_delay_cs"] * 10)
+                out["loops"].append(info["loops"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_probe,
+        "doc_id long, n_frames long, frame_delay_cs long, "
+        "total_delay_cs long, duration_ms long, loops long",
+    )
+
+
+@query(
+    "multimodal_png_text_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 16 AS BIGINT) AS width,
+           CAST(1 + doc_id % 9 AS BIGINT) AS height,
+           CAST(5 AS BIGINT) AS n_chunks,
+           'Title=doc-' || CAST(doc_id AS VARCHAR) || ';Source=' || source
+               AS text_meta
+    FROM documents
+    """,
+    tags=("multimodal", "image", "llm-pipeline"),
+)
+def multimodal_png_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG chunk-stream walking with CRC verification under the
+    oracle gate: each document synthesizes a valid PNG
+    (``encode_png_text``: IHDR + tEXt metadata + real zlib IDAT +
+    IEND, every chunk CRC32-sealed) carrying Title/Source text chunks
+    derived from the row, and ``probe_png_chunks`` walks the chunks
+    back, RECOMPUTING every CRC (a flipped bit anywhere raises into
+    the corrupt-skip contract) and extracting the metadata pairs —
+    the ingest-integrity + sidecar-metadata pass of an image lake.
+    One Arrow pass, zero shuffle."""
+    from watermill_kinesis_spark.functions.containers import (
+        encode_png_text,
+        probe_png_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth_walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_chunks", "text_meta")}
+            for did, src in zip(pdf["doc_id"], pdf["source"]):
+                did = int(did)
+                w, h = 1 + did % 16, 1 + did % 9
+                payload = encode_png_text(
+                    w, h, [("Title", f"doc-{did}"), ("Source", str(src))]
+                )
+                info = probe_png_chunks(payload)  # CRC-verified walk
+                out["doc_id"].append(did)
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["n_chunks"].append(info["n_chunks"])
+                out["text_meta"].append(
+                    ";".join(f"{k}={v}" for k, v in info["texts"])
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_walk,
+        "doc_id long, width long, height long, n_chunks long, text_meta string",
+    )

@@ -256,3 +256,79 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "negative_id", "neg_label", "rank")
     )
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
+#: the fused-list cutoff per query group
+RRF_K = 60
+RRF_TOP = 10
+
+
+@query(
+    "hybrid_rank_fusion_rrf",
+    oracle=f"""
+    WITH r1 AS (
+        SELECT source, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank1
+        FROM documents),
+    r2 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY (doc_id * {2654435761} % {2147483647}), doc_id) AS rank2
+        FROM documents),
+    fused AS (
+        SELECT source, r1.doc_id, rank1, rank2,
+               1000000 // ({RRF_K} + rank1) + 1000000 // ({RRF_K} + rank2)
+                   AS rrf_micro
+        FROM r1 JOIN r2 USING (doc_id)),
+    topped AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY rrf_micro DESC, doc_id) AS pos
+        FROM fused)
+    SELECT source, doc_id, CAST(rank1 AS BIGINT) AS rank1,
+           CAST(rank2 AS BIGINT) AS rank2,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(pos AS BIGINT) AS pos
+    FROM topped WHERE pos <= {RRF_TOP}
+    """,
+    tags=("similarity", "retrieval", "ranking"),
+)
+def hybrid_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two retrieval rankings — the standard
+    hybrid-search combiner (lexical BM25 list ⊕ vector ANN list,
+    Cormack et al. 2009): score(d) = Σ 1/(k + rankᵢ(d)), k=60, fused
+    PER QUERY GROUP (source stands in for the query: every ranking
+    window is partitioned, so the sort distributes across groups and
+    the top-10 cut compiles to WindowGroupLimit — no global sort, no
+    single-partition exchange). Two deterministic scorers (doc length
+    as the 'lexical' signal, a multiplicative-hash pseudo-score as
+    the 'semantic' one) keep the FUSION arithmetic the thing under
+    test: each reciprocal is the integer quotient 10⁶ div (k + rank),
+    making fused scores and the (score desc, doc_id) cutoff
+    bit-identical on both engines."""
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w1 = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    w2 = W.partitionBy("source").orderBy(
+        (F.col("doc_id") * 2654435761 % 2147483647), "doc_id"
+    )
+    r1 = d.select(
+        "source", "doc_id", F.row_number().over(w1).alias("rank1")
+    )
+    r2 = d.select("doc_id", F.row_number().over(w2).alias("rank2"))
+    fused = r1.join(r2, "doc_id").selectExpr(
+        "source",
+        "doc_id",
+        "CAST(rank1 AS BIGINT) AS rank1",
+        "CAST(rank2 AS BIGINT) AS rank2",
+        f"CAST(1000000 div ({RRF_K} + rank1) "
+        f"+ 1000000 div ({RRF_K} + rank2) AS BIGINT) AS rrf_micro",
+    )
+    wtop = W.partitionBy("source").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("pos", F.row_number().over(wtop).cast("bigint"))
+        .where(F.col("pos") <= RRF_TOP)
+    )

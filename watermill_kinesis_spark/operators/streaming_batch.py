@@ -324,6 +324,69 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_left_outer_join", tags=("streaming", "join"))
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks: every click
+    joins its within-1-hour purchase, and clicks with NO matching
+    purchase are emitted null-padded once the watermark passes their
+    join window — the semantics that separates outer from inner
+    stream joins (Spark buffers the left row until the watermark
+    proves no match can still arrive; an inner join would silently
+    drop it). The canonical abandoned-funnel shape: conversion AND
+    abandonment from one join. Rows-only: two watermark-bounded state
+    buffers with timeout-driven null emission are not SQL-expressible;
+    tests/test_streaming.py pins matched + abandoned = emitted rows
+    AND brackets the abandoned count between the batch recompute and
+    its watermark-flushable subset (clicks whose window never ages
+    past the final watermark legitimately stay buffered at
+    end-of-stream — the documented outer-join tail holdback)."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_slo_{run_id}_")
+    topic = os.path.join(base, "topic")
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 4000)
+    stream_source.write_stream_files(msgs, topic)
+
+    def side(kind: str, ts_alias: str, key_alias: str):
+        return (
+            stream_source.subscribe(spark, topic)
+            .where(F.col("metadata").getItem("eventType") == kind)
+            .select(
+                F.col("metadata").getItem("partitionKey").alias(key_alias),
+                F.col("metadata")
+                .getItem("eventTime")
+                .cast("timestamp")
+                .alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = side("click", "click_ts", "user_c")
+    buys = side("purchase", "buy_ts", "user_b")
+    joined = clicks.join(
+        buys,
+        (F.col("user_c") == F.col("user_b"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    name = f"slo_{run_id}"
+    _run_available_now(
+        joined.select("user_c", "click_ts", "buy_ts"),
+        name,
+        os.path.join(base, "ckpt"),
+    )
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_click_rows"),
+        F.sum(F.when(F.col("buy_ts").isNotNull(), 1).otherwise(0)).alias(
+            "n_matched"
+        ),
+        F.sum(F.when(F.col("buy_ts").isNull(), 1).otherwise(0)).alias(
+            "n_abandoned"
+        ),
+        F.countDistinct("user_c").alias("n_users"),
+    )
+
+
 def has_tws_runtime() -> bool:
     """``transformWithStateInPandas`` needs the protobuf-based state
     server protocol: the API exists in pyspark, but the streaming

@@ -113,6 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     "kfold_assign_balance",
     "content_addressed_ids",
     "linreg_closed_form",
+    "multimodal_gif_animation_probe",
+    "multimodal_png_text_probe",
+    "hybrid_rank_fusion_rrf",
+    "stream_left_outer_join",
     # ---- r1–r5 driver-green entries follow ----
     "embedding_normalize",
     "aws_transport_roundtrip",
