@@ -55,12 +55,21 @@ HEADLINE = [
     "ngram_novelty_score",
     "dedup_exact_substring",
     "multimodal_pixel_decode_formats",
+    # r6-added heavies: the widest of the evaluation-metrics family
+    # (group-partitioned rank windows, the KS pair matrix, md5 content
+    # addressing) and the animated-GIF block walker
+    "auc_roc_exact",
+    "ks_drift_matrix",
+    "content_addressed_ids",
+    "multimodal_gif_animation_probe",
 ]
 
 #: index where the r4-added heavies start in HEADLINE
 _R4_START = HEADLINE.index("bpe_train_merges")
 #: index where the r5-added heavies start
 _R5_START = HEADLINE.index("winnowing_fingerprints")
+#: index where the r6-added heavies start
+_R6_START = HEADLINE.index("auc_roc_exact")
 
 #: Calibration anchor (r5 VERDICT "what's wrong #3"): the machine is
 #: co-tenant, so round-over-round per-query numbers drift with load the
@@ -143,9 +152,13 @@ def main() -> int:
     core_total = round(sum(timings.get(n, 0.0) for n in core14), 3)
     r4_heavies = HEADLINE[_R4_START:_R5_START]
     r4_total = round(sum(timings.get(n, 0.0) for n in r4_heavies), 3)
-    r5_heavies = HEADLINE[_R5_START:]
+    r5_heavies = HEADLINE[_R5_START:_R6_START]
     r5_total = round(sum(timings.get(n, 0.0) for n in r5_heavies), 3)
-    heavy_total = round(total - core_total - r4_total - r5_total, 3)
+    r6_heavies = HEADLINE[_R6_START:]
+    r6_total = round(sum(timings.get(n, 0.0) for n in r6_heavies), 3)
+    heavy_total = round(
+        total - core_total - r4_total - r5_total - r6_total, 3
+    )
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -163,6 +176,7 @@ def main() -> int:
                     "llm_heavies_added_r3": heavy_total,
                     "heavies_added_r4": r4_total,
                     "heavies_added_r5": r5_total,
+                    "heavies_added_r6": r6_total,
                 },
                 "calibration": {
                     "sec": calib,

@@ -161,3 +161,42 @@ def test_linreg_matches_exact_fraction(spark, sf_dir):
     assert out.slope_micro_cents == int(slope * 10**6)
     assert out.mean_x_milli == sx * 1000 // n
     assert out.mean_y_milli == sy * 10 // n
+
+
+def test_confusion_matrix_matches_bruteforce(spark, sf_dir):
+    out = queries()["confusion_matrix_exact"](spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderstatus"
+    ).collect()
+    from watermill_kinesis_spark.operators.evaluation import PRICE_CUTOFF
+
+    tp = fp = fn = tn = 0
+    for r in rows:
+        pred = r.o_totalprice >= PRICE_CUTOFF
+        lab = r.o_orderstatus == "F"
+        tp += pred and lab
+        fp += pred and not lab
+        fn += (not pred) and lab
+        tn += (not pred) and (not lab)
+    assert (out.tp, out.fp, out.fn, out.tn) == (tp, fp, fn, tn)
+    assert out.accuracy_permille == (tp + tn) * 1000 // (tp + fp + fn + tn)
+    assert out.precision_permille == tp * 1000 // (tp + fp)
+    assert out.recall_permille == tp * 1000 // (tp + fn)
+    assert out.f1_permille == 2 * tp * 1000 // (2 * tp + fp + fn)
+
+
+def test_cohens_kappa_matches_bruteforce(spark, sf_dir):
+    out = queries()["cohens_kappa_exact"](spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    n = len(rows)
+    r1 = [r.o_orderpriority in ("1-URGENT", "2-HIGH") for r in rows]
+    r2 = [r.o_orderstatus == "F" for r in rows]
+    agree = sum(a == b for a, b in zip(r1, r2))
+    p1, p2 = sum(r1), sum(r2)
+    chance = p1 * p2 + (n - p1) * (n - p2)
+    assert out.n == n and out.agree == agree
+    expect = Fraction((n * agree - chance) * 1000, n * n - chance)
+    assert out.kappa_permille == int(expect)  # trunc of exact rational
+    assert out.po_permille == agree * 1000 // n

@@ -514,3 +514,132 @@ def linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sx_milli div n_dec AS BIGINT) AS mean_x_milli",
         "CAST(sy_milli div n_dec AS BIGINT) AS mean_y_milli",
     )
+
+
+#: deterministic stand-in classifier: "high-value order" if totalprice
+#: crosses this threshold — the predictions whose quality the
+#: confusion/kappa entries measure
+PRICE_CUTOFF = 150000.0
+
+
+@query(
+    "confusion_matrix_exact",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_totalprice >= {PRICE_CUTOFF} THEN 1 ELSE 0 END
+                   AS pred,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders),
+    cm AS (
+        SELECT CAST(SUM(pred * label) AS HUGEINT) AS tp,
+               CAST(SUM(pred * (1 - label)) AS HUGEINT) AS fp,
+               CAST(SUM((1 - pred) * label) AS HUGEINT) AS fn,
+               CAST(SUM((1 - pred) * (1 - label)) AS HUGEINT) AS tn
+        FROM scored)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST((tp + tn) * 1000 // (tp + fp + fn + tn) AS BIGINT)
+               AS accuracy_permille,
+           CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_permille,
+           CAST(tp * 1000 // (tp + fn) AS BIGINT) AS recall_permille,
+           CAST(2 * tp * 1000 // (2 * tp + fp + fn) AS BIGINT)
+               AS f1_permille
+    FROM cm
+    """,
+    tags=("evaluation", "statistics", "ml"),
+)
+def confusion_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier-evaluation primitive: confusion counts for a
+    deterministic threshold predictor (high total price ⇒ finished
+    order) plus exact integer-permille accuracy / precision / recall /
+    F1 — F1 in its division-free form 2TP/(2TP+FP+FN), so every
+    metric is one integer quotient. ONE map-side-combinable aggregate
+    over the corpus (four sums of 0/1 products); metric arithmetic
+    runs on the single result row. The permille gates a data-quality
+    classifier pipeline thresholds on before a model swap."""
+    o = load_table(spark, sf_dir, "orders")
+    pred = F.when(F.col("o_totalprice") >= PRICE_CUTOFF, 1).otherwise(0)
+    label = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    cm = o.select(pred.alias("pred"), label.alias("label")).agg(
+        F.sum(F.col("pred") * F.col("label")).cast("decimal(38,0)").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label")))
+        .cast("decimal(38,0)")
+        .alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label"))
+        .cast("decimal(38,0)")
+        .alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label")))
+        .cast("decimal(38,0)")
+        .alias("tn"),
+    )
+    return cm.selectExpr(
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(fn AS BIGINT) AS fn",
+        "CAST(tn AS BIGINT) AS tn",
+        "CAST(((tp + tn) * 1000) div (tp + fp + fn + tn) AS BIGINT)"
+        " AS accuracy_permille",
+        "CAST((tp * 1000) div (tp + fp) AS BIGINT) AS precision_permille",
+        "CAST((tp * 1000) div (tp + fn) AS BIGINT) AS recall_permille",
+        "CAST((2 * tp * 1000) div (2 * tp + fp + fn) AS BIGINT)"
+        " AS f1_permille",
+    )
+
+
+@query(
+    "cohens_kappa_exact",
+    oracle="""
+    WITH rated AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS r1,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r2
+        FROM orders),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS agree,
+               CAST(SUM(r1) AS HUGEINT) AS p1,
+               CAST(SUM(r2) AS HUGEINT) AS p2
+        FROM rated)
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+           CAST((n * agree - (p1 * p2 + (n - p1) * (n - p2))) * 1000
+                // (n * n - (p1 * p2 + (n - p1) * (n - p2))) AS BIGINT)
+               AS kappa_permille,
+           CAST(agree * 1000 // n AS BIGINT) AS po_permille
+    FROM s
+    """,
+    tags=("evaluation", "statistics", "annotation"),
+)
+def cohens_kappa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic binary 'raters'
+    (urgent-priority flag vs finished-status flag) — the
+    inter-annotator-agreement gate every labeling pipeline runs before
+    trusting its labels. κ = (p₀ − p_e)/(1 − p_e) clears to the pure-
+    integer form (N·agree − Σ marginal products)·1000 div (N² −
+    Σ marginal products); chance-corrected agreement with zero float.
+    One aggregate of four sums; κ ∈ (−1, 1] but the permille quotient
+    stays engine-identical either way because a negative numerator
+    only arises with a positive denominator — and for THIS pair of
+    raters agreement exceeds chance, keeping the quotient positive
+    (the driver's value compare re-proves it each sweep)."""
+    o = load_table(spark, sf_dir, "orders")
+    r1 = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    r2 = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    s = o.select(r1.alias("r1"), r2.alias("r2")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("agree"),
+        F.sum("r1").cast("decimal(38,0)").alias("p1"),
+        F.sum("r2").cast("decimal(38,0)").alias("p2"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(agree AS BIGINT) AS agree",
+        "CAST(((n * agree - (p1 * p2 + (n - p1) * (n - p2))) * 1000)"
+        " div (n * n - (p1 * p2 + (n - p1) * (n - p2))) AS BIGINT)"
+        " AS kappa_permille",
+        "CAST((agree * 1000) div n AS BIGINT) AS po_permille",
+    )

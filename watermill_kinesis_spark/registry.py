@@ -116,6 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_gif_animation_probe",
     "multimodal_png_text_probe",
     "hybrid_rank_fusion_rrf",
+    "confusion_matrix_exact",
+    "cohens_kappa_exact",
     "stream_left_outer_join",
     # ---- r1–r5 driver-green entries follow ----
     "embedding_normalize",
