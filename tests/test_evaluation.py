@@ -200,3 +200,28 @@ def test_cohens_kappa_matches_bruteforce(spark, sf_dir):
     expect = Fraction((n * agree - chance) * 1000, n * n - chance)
     assert out.kappa_permille == int(expect)  # trunc of exact rational
     assert out.po_permille == agree * 1000 // n
+
+
+def test_quantile_normalization_aligns_distributions(spark, sf_dir):
+    """After normalization every source's multiset of normalized
+    values at shared ranks is IDENTICAL — the defining property."""
+    out = queries()["quantile_normalization"](spark, sf_dir).collect()
+    by_src: dict[str, dict[int, int]] = {}
+    for r in out:
+        by_src.setdefault(r.source, {})[r.r] = r.normalized_milli
+    min_depth = min(len(v) for v in by_src.values())
+    ref = None
+    for src, vals in by_src.items():
+        shared = [vals[i] for i in range(1, min_depth + 1)]
+        if ref is None:
+            ref = shared
+        assert shared == ref, f"{src} distribution not aligned"
+    # and each normalized value is the exact mean-at-rank in milli
+    from collections import defaultdict
+
+    rank_vals = defaultdict(list)
+    for r in out:
+        rank_vals[r.r].append(r.n_chars)
+    for r in out:
+        xs = rank_vals[r.r]
+        assert r.normalized_milli == sum(xs) * 1000 // len(xs)

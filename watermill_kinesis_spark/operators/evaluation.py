@@ -643,3 +643,57 @@ def cohens_kappa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS kappa_permille",
         "CAST((agree * 1000) div n AS BIGINT) AS po_permille",
     )
+
+
+@query(
+    "quantile_normalization",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS r
+        FROM documents),
+    ref AS (
+        SELECT r,
+               CAST(SUM(n_chars) AS HUGEINT) AS s,
+               CAST(COUNT(*) AS HUGEINT) AS c
+        FROM ranked GROUP BY r)
+    SELECT ranked.source, ranked.doc_id, ranked.n_chars,
+           CAST(ranked.r AS BIGINT) AS r,
+           CAST(ref.s * 1000 // ref.c AS BIGINT) AS normalized_milli
+    FROM ranked JOIN ref USING (r)
+    """,
+    tags=("evaluation", "preprocessing", "statistics"),
+)
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the Bolstad et al.
+    microarray recipe, reused in ML feature alignment): every source's
+    documents are ranked by size, and each document's value is
+    replaced by the MEAN value at its rank across ALL sources — after
+    which every source has an identical size distribution, removing
+    per-source scale artifacts before cross-source quality
+    comparisons. Exact: ranks from per-source windows (partitioned —
+    the sort distributes), the reference distribution is one
+    rank-keyed aggregate, and the normalized value is the exact
+    integer milli-quotient sum·1000 div count. Sources of unequal
+    size contribute to the ranks they reach — the standard unequal-n
+    convention, identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("r")
+    )
+    ref = ranked.groupBy("r").agg(
+        F.sum("n_chars").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+    )
+    return (
+        ranked.join(ref, "r")
+        .selectExpr(
+            "source",
+            "doc_id",
+            "n_chars",
+            "CAST(r AS BIGINT) AS r",
+            "CAST((s * 1000) div c AS BIGINT) AS normalized_milli",
+        )
+    )

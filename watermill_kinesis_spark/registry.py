@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "hybrid_rank_fusion_rrf",
     "confusion_matrix_exact",
     "cohens_kappa_exact",
+    "quantile_normalization",
     "stream_left_outer_join",
     # ---- r1–r5 driver-green entries follow ----
     "embedding_normalize",
