@@ -8,11 +8,13 @@ addressing, and a closed-form regression fit from distributed sums.
 Every metric that reaches the oracle hash is INTEGER arithmetic
 (permille / micro scaling with integer division), so Spark and DuckDB
 agree bit-for-bit with no float-accumulation-order hazard — the same
-determinism discipline as analytics.py / frequency.py. Quotients are
-non-negative by construction (Spark ``div`` truncates toward zero,
-DuckDB ``//`` floors — identical only on non-negatives); wide
-intermediates go through decimal(38,0) on Spark and HUGEINT in the
-oracle, both exact to 10^38.
+determinism discipline as analytics.py / frequency.py. Integer
+division is SQL ``div`` on Spark and ``//`` in the oracle — BOTH
+truncate toward zero (verified on negatives: −7÷2 → −3 on each), so
+signed quotients like a below-chance kappa are exact and identical;
+only Python's flooring ``//`` differs, which the brute-force tests
+account for. Wide intermediates go through decimal(38,0) on Spark and
+HUGEINT in the oracle, both exact to 10^38.
 
 100 TB posture: rank metrics (AUC, Gini, calibration) run their
 windows PARTITIONED by the report group, so the sort distributes
@@ -110,10 +112,9 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("s2"),
     )
-    # exact integer quotient via SQL `div` (truncating; operands are
-    # non-negative, so it matches DuckDB's flooring `//` bit-for-bit —
-    # NOT fractional decimal division, whose 6-dp rounding could tip
-    # a near-integer quotient over the boundary)
+    # exact integer quotient via SQL `div` (truncating, same as the
+    # oracle's `//`) — NOT fractional decimal division, whose 6-dp
+    # rounding could tip a near-integer quotient over the boundary
     u2 = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
     return agg.select(
         "grp",
@@ -617,11 +618,10 @@ def cohens_kappa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting its labels. κ = (p₀ − p_e)/(1 − p_e) clears to the pure-
     integer form (N·agree − Σ marginal products)·1000 div (N² −
     Σ marginal products); chance-corrected agreement with zero float.
-    One aggregate of four sums; κ ∈ (−1, 1] but the permille quotient
-    stays engine-identical either way because a negative numerator
-    only arises with a positive denominator — and for THIS pair of
-    raters agreement exceeds chance, keeping the quotient positive
-    (the driver's value compare re-proves it each sweep)."""
+    One aggregate of four sums; κ ∈ (−1, 1] and the quotient is
+    engine-identical at EITHER sign — Spark ``div`` and DuckDB ``//``
+    both truncate toward zero (at sf0.001 these raters land slightly
+    below chance, κ = −24‰, and the compare stays value-exact)."""
     o = load_table(spark, sf_dir, "orders")
     r1 = F.when(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
