@@ -273,3 +273,84 @@ def test_publisher_partial_failure_retry_on_real_pipeline(monkeypatch):
         )
         stub.assert_no_pending_responses()
     assert n == 2
+
+
+def test_expired_iterator_refreshes_at_last_position():
+    """A stalled consumer's iterator ages out (~5 min validity); the
+    poll path must mint a fresh iterator AT THE LAST CONSUMED
+    POSITION and continue — losing nothing, replaying nothing —
+    instead of failing the task (the KCL's internal refresh)."""
+    from watermill_kinesis_spark.sources.kinesis_aws import (
+        _get_records_refreshing,
+    )
+
+    c = _client()
+    with Stubber(c) as stub:
+        stub.add_client_error(
+            "get_records",
+            service_error_code="ExpiredIteratorException",
+            service_message="Iterator expired",
+            http_status_code=400,
+        )
+        # refresh: AFTER_SEQUENCE_NUMBER at the last consumed position
+        stub.add_response(
+            "get_shard_iterator",
+            {"ShardIterator": "fresh"},
+            {
+                "StreamName": "s",
+                "ShardId": "sh",
+                "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                "StartingSequenceNumber": "41",
+            },
+        )
+        stub.add_response(
+            "get_records",
+            {
+                "Records": [
+                    {"SequenceNumber": "42", "Data": b"d", "PartitionKey": "k"}
+                ],
+                "NextShardIterator": "n1",
+                "MillisBehindLatest": 0,
+            },
+            {"ShardIterator": "fresh", "Limit": 7},
+        )
+        resp = _get_records_refreshing(c, "s", "sh", "stale-it", "41", 7)
+        stub.assert_no_pending_responses()
+    assert [r["SequenceNumber"] for r in resp["Records"]] == ["42"]
+
+
+def test_expired_iterator_double_expiry_propagates(monkeypatch):
+    """A refresh that immediately expires again is a stuck consumer,
+    not a stale handle — it must propagate, not loop."""
+    import pytest as _pytest
+
+    from watermill_kinesis_spark.sources.kinesis_aws import (
+        _get_records_refreshing,
+    )
+
+    c = _client()
+    with Stubber(c) as stub:
+        stub.add_client_error(
+            "get_records",
+            service_error_code="ExpiredIteratorException",
+            service_message="Iterator expired",
+            http_status_code=400,
+        )
+        stub.add_response(
+            "get_shard_iterator",
+            {"ShardIterator": "fresh"},
+            {
+                "StreamName": "s",
+                "ShardId": "sh",
+                "ShardIteratorType": "TRIM_HORIZON",
+            },
+        )
+        stub.add_client_error(
+            "get_records",
+            service_error_code="ExpiredIteratorException",
+            service_message="Iterator expired",
+            http_status_code=400,
+        )
+        with _pytest.raises(Exception) as ei:
+            _get_records_refreshing(c, "s", "sh", "stale-it", None, 7)
+    assert type(ei.value).__name__ == "ExpiredIteratorException"

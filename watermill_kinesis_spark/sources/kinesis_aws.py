@@ -265,6 +265,31 @@ def _get_records_throttled(client, **kwargs) -> dict:
     raise AssertionError("unreachable")  # pragma: no cover
 
 
+def _get_records_refreshing(
+    client, stream: str, shard_id: str, it: str, last_pos: str | None, limit: int
+) -> dict:
+    """``get_records`` with throttle backoff AND a one-shot
+    expired-iterator refresh: a shard iterator is only valid for ~5
+    minutes, so any long stall between polls (GC pause, co-tenant
+    freeze, slow task start, a big prior shard in the same task) ages
+    it out. Because every consumed record's position is tracked in the
+    offset alphabet, the consumer can mint a fresh iterator AT THE
+    LAST POSITION and continue exactly where it stopped — losing
+    nothing — instead of failing the task and replaying the whole
+    batch (the KCL does the same refresh internally). Any second
+    expiry inside one poll propagates: that is a stuck consumer, not
+    a stale handle."""
+    try:
+        return _get_records_throttled(client, ShardIterator=it, Limit=limit)
+    except Exception as e:
+        if type(e).__name__ != "ExpiredIteratorException":
+            raise
+        fresh = _get_iterator(client, stream, shard_id, last_pos)
+        if not fresh:
+            return {"Records": [], "NextShardIterator": None}
+        return _get_records_throttled(client, ShardIterator=fresh, Limit=limit)
+
+
 def _get_iterator(client, stream: str, shard_id: str, pos: str | None) -> str | None:
     """Shard iterator for a stored position (see module docstring for
     the position alphabet)."""
@@ -382,7 +407,10 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
                 state[shard_id] = SHARD_END
                 continue
             for _ in range(MAX_POLLS_PER_BATCH):
-                resp = _get_records_throttled(client, ShardIterator=it, Limit=self.max_records)
+                resp = _get_records_refreshing(
+                    client, self.stream, shard_id, it,
+                    state[shard_id], self.max_records,
+                )
                 recs = resp.get("Records", [])
                 for rec in recs:
                     rows.extend(_record_rows(rec, shard_id))
@@ -422,11 +450,15 @@ class KinesisAwsStreamReader(SimpleDataSourceStreamReader):
             if not it:
                 continue
             done = False
+            last = None if start_seq == SHARD_END else start_seq
             while not done and it:
-                resp = _get_records_throttled(client, ShardIterator=it, Limit=self.max_records)
+                resp = _get_records_refreshing(
+                    client, self.stream, shard_id, it, last, self.max_records
+                )
                 recs = resp.get("Records", [])
                 for rec in recs:
                     rows.extend(_record_rows(rec, shard_id))
+                    last = rec["SequenceNumber"]
                     if end_seq != SHARD_END and rec["SequenceNumber"] == end_seq:
                         done = True
                         break
@@ -685,8 +717,9 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
                 if target is None and polls >= MAX_POLLS_PER_BATCH:
                     break
                 polls += 1
-                resp = _get_records_throttled(
-                    client, ShardIterator=it, Limit=partition.max_records
+                resp = _get_records_refreshing(
+                    client, partition.stream, partition.shard_id, it,
+                    attained, partition.max_records,
                 )
                 recs = resp.get("Records", [])
                 done = False
