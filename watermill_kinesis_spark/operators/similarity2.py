@@ -332,3 +332,123 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("pos", F.row_number().over(wtop).cast("bigint"))
         .where(F.col("pos") <= RRF_TOP)
     )
+
+
+#: Matryoshka audit: dimensionality of the truncated prefix embedding
+MRL_DIM = 16
+
+
+@query(
+    "embedding_matryoshka_audit",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    full_s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+                       DESC, e.vec_id) AS rank
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+    trunc_s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   list_cosine_similarity(q.qe[1:{MRL_DIM}],
+                       CAST(e.embedding AS DOUBLE[])[1:{MRL_DIM}])
+                       DESC, e.vec_id) AS rank
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+    SELECT f.query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t.neighbor_id) * 1000 // {TOP_K} AS BIGINT)
+               AS overlap_permille
+    FROM (SELECT * FROM full_s WHERE rank <= {TOP_K}) f
+    LEFT JOIN (SELECT * FROM trunc_s WHERE rank <= {TOP_K}) t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "embeddings", "llm-pipeline"),
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022 /
+    the MRL deployment question): if the index stores only the first
+    16 of 64 dimensions (MRL_DIM/EMB_DIM) — 4× less memory/bandwidth —
+    how much of each query's exact top-k survives? Both rankings run
+    brute-force in ONE dual Arrow kernel (a batch is scored against
+    the full and prefix query matrices simultaneously), batch-local
+    top-k + a per-(variant, query) window merges as in
+    ``similarity_topk``, and the overlap count per query is the
+    decision metric for adopting truncated indexes. Only rank
+    identities and integer overlap reach the oracle — scores stay
+    engine-internal, the family's float-tie discipline."""
+    import numpy as np
+    import pandas as pd
+
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.emb for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qt = Q[:, :MRL_DIM]
+    Qtn = Qt / np.linalg.norm(Qt, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.stack(pdf["emb"].to_numpy())
+            out = {"variant": [], "query_id": [], "neighbor_id": [], "score": []}
+            for variant, (Mv, Qv) in (
+                ("full", (M, Qn)),
+                ("trunc", (M[:, :MRL_DIM], Qtn)),
+            ):
+                Mn = Mv / np.linalg.norm(Mv, axis=1, keepdims=True)
+                S = Mn @ Qv.T
+                S[ids[:, None] == qids[None, :]] = -np.inf
+                k = min(TOP_K, len(ids))
+                top = np.argpartition(-S, k - 1, axis=0)[:k]
+                sc = np.take_along_axis(S, top, axis=0).ravel()
+                keep = np.isfinite(sc)
+                out["variant"] += [variant] * int(keep.sum())
+                out["query_id"] += list(
+                    np.repeat(qids[None, :], k, axis=0).ravel()[keep]
+                )
+                out["neighbor_id"] += list(ids[top].ravel()[keep])
+                out["score"] += list(sc[keep])
+            yield pd.DataFrame(out)
+
+    scored = e.mapInPandas(
+        kernel, "variant string, query_id long, neighbor_id long, score double"
+    )
+    w = W.partitionBy("variant", "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("variant", "query_id", "neighbor_id")
+    )
+    full = ranked.where(F.col("variant") == "full").drop("variant")
+    trunc = ranked.where(F.col("variant") == "trunc").drop("variant")
+    return (
+        full.join(
+            trunc.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_ov"))
+        .selectExpr(
+            "query_id",
+            f"CAST({TOP_K} AS BIGINT) AS k",
+            "CAST(n_ov AS BIGINT) AS n_overlap",
+            f"CAST((n_ov * 1000) div {TOP_K} AS BIGINT) AS overlap_permille",
+        )
+    )

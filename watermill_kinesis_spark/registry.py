@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "confusion_matrix_exact",
     "cohens_kappa_exact",
     "quantile_normalization",
+    "embedding_matryoshka_audit",
     "stream_left_outer_join",
     # ---- r1–r5 driver-green entries follow ----
     "embedding_normalize",
