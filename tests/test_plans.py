@@ -360,3 +360,49 @@ def test_no_red_flags_in_r4_added_plans(spark, sf_dir):
         )
         assert not _bad_single_partition(plan), f"{name}: bad single-partition"
         assert not _bad_nested_loop(plan), f"{name}: bad nested loop"
+
+
+def test_r6_additions_stay_red_flag_free(spark, sf_dir):
+    """Round-6 plan guards: the evaluation family's rank windows are
+    group-partitioned (no data-scale single-partition exchange), the
+    KS pair expansion uses broadcast equi-joins (no nested loop), the
+    PPJoin graph query forms pairs only through prefix tokens, and
+    RRF's per-group top-k compiles to WindowGroupLimit."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import _bad_nested_loop, _bad_single_partition
+
+    from watermill_kinesis_spark.registry import all_specs
+
+    specs = all_specs()
+    for name in (
+        "auc_roc_exact",
+        "ks_drift_matrix",
+        "gini_corpus_inequality",
+        "calibration_bins_exact",
+        "quantile_normalization",
+        "content_addressed_ids",
+        "graph_jaccard_neighbors",
+        "hybrid_rank_fusion_rrf",
+        "embedding_matryoshka_audit",
+    ):
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not _bad_single_partition(plan), f"{name}: bad single-partition"
+        assert not _bad_nested_loop(plan), f"{name}: bad nested loop"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    # RRF's per-group cutoff short-circuits inside the window
+    rrf_plan = (
+        specs["hybrid_rank_fusion_rrf"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in rrf_plan
