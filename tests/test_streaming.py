@@ -959,3 +959,18 @@ def test_complete_mode_table_is_replaced_not_accumulated(spark, sf_dir):
         .collect()
     }
     assert got == truth  # replaced table == ground truth, no accumulation
+
+
+def test_statestore_reader_matches_live_query(spark, sf_dir):
+    """Spark 4 state data source: every state row read back from the
+    checkpoint files equals the live query's output, keys are
+    complete, and exactly one stateful operator is present."""
+    from watermill_kinesis_spark.operators.streaming_batch import (
+        statestore_reader_audit,
+    )
+
+    rows = statestore_reader_audit(spark, sf_dir).collect()
+    assert rows, "no state rows read back"
+    assert all(r.state_matches_live for r in rows)
+    assert all(r.n_state_operators == 1 for r in rows)
+    assert all(r.n_state is not None and r.n_live is not None for r in rows)
