@@ -561,3 +561,104 @@ def compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, raw_bytes long, compressed_bytes long, "
         "ratio_permille long, too_repetitive boolean",
     )
+
+
+#: Stupid Backoff discount (Brants et al. 2007's alpha = 0.4, as the
+#: exact rational 2/5 folded into the integer scoring below)
+SB_BACKOFF_NUM = 400_000  # 0.4 in micro units
+
+
+@query(
+    "stupid_backoff_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+    bi_train AS (
+        SELECT unnest(list_transform(range(1, len(p)),
+                                     i -> p[i] || ' ' || p[i + 1])) AS bg
+        FROM toks WHERE doc_id % 10 <> 0 AND len(p) >= 2),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bi_train GROUP BY bg),
+    uni_train AS (
+        SELECT unnest(p) AS w FROM toks WHERE doc_id % 10 <> 0),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM uni_train GROUP BY w),
+    n_tot AS (SELECT COUNT(*) AS n FROM uni_train),
+    held AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(p)),
+                                     i -> p[i] || ' ' || p[i + 1])) AS bg
+        FROM toks WHERE doc_id % 10 = 0 AND len(p) >= 2),
+    scored AS (
+        SELECT h.doc_id,
+               CASE WHEN c12.c12 IS NOT NULL
+                    THEN c12.c12 * 1000000
+                         // cl.c1
+                    ELSE COALESCE(cr.c1, 0) * {SB_BACKOFF_NUM}
+                         // (SELECT n FROM n_tot)
+               END AS score_micro
+        FROM held h
+        LEFT JOIN c12 ON c12.bg = h.bg
+        LEFT JOIN c1 cl ON cl.w = split_part(h.bg, ' ', 1)
+        LEFT JOIN c1 cr ON cr.w = split_part(h.bg, ' ', 2))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro,
+           CAST(SUM(score_micro) // COUNT(*) AS BIGINT) AS avg_score_micro
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "language-model", "llm-pipeline"),
+)
+def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram scoring (Brants et al. 2007 — the web-scale
+    count-based LM that skips normalization entirely because at corpus
+    scale the counts themselves rank quality): held-out documents
+    (doc_id ≡ 0 mod 10) are scored against the TRAIN slice's bigram and
+    unigram counts — S(w₂|w₁) = c(w₁w₂)/c(w₁), backing off to
+    0.4·c(w₂)/N for unseen bigrams (which genuinely occur, since the
+    scorer never sees the held-out text). The integer-exact cousin of a
+    KenLM perplexity gate: every score is one integer quotient in micro
+    units, summed and averaged exactly. Scale shape: two count
+    aggregates over the train corpus (map-side combinable), then
+    count-table joins back to held-out bigrams — broadcast when the
+    vocab/bigram tables fit, shuffle join otherwise (Catalyst decides);
+    the per-doc reduce is one more keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    p = F.split(F.col("text"), " ")
+    toks = d.select("doc_id", p.alias("p"), F.size(p).alias("np"))
+    bigram_expr = F.expr(
+        "transform(sequence(1, size(p) - 1),"
+        " i -> concat(element_at(p, i), ' ', element_at(p, i + 1)))"
+    )
+    train = toks.where(F.col("doc_id") % 10 != 0)
+    bi_train = train.where(F.col("np") >= 2).select(
+        F.explode(bigram_expr).alias("bg")
+    )
+    c12 = bi_train.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    uni_train = train.select(F.explode("p").alias("w"))
+    c1 = uni_train.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n_tot = uni_train.count()  # scalar train-token count (driver int)
+    held = (
+        toks.where((F.col("doc_id") % 10 == 0) & (F.col("np") >= 2))
+        .select("doc_id", F.explode(bigram_expr).alias("bg"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+    )
+    cl = c1.select(F.col("w").alias("w1"), F.col("c1").alias("c_left"))
+    cr = c1.select(F.col("w").alias("w2"), F.col("c1").alias("c_right"))
+    score_expr = (
+        "CASE WHEN c12 IS NOT NULL THEN (c12 * 1000000) div c_left"
+        f" ELSE (COALESCE(c_right, 0) * {SB_BACKOFF_NUM}) div {n_tot}"
+        " END AS score_micro"
+    )
+    scored = (
+        held.join(c12, "bg", "left")
+        .join(cl, "w1", "left")
+        .join(cr, "w2", "left")
+        .selectExpr("doc_id", score_expr)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
+        F.expr("CAST(SUM(score_micro) div COUNT(*) AS BIGINT)").alias(
+            "avg_score_micro"
+        ),
+    )

@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "cohens_kappa_exact",
     "quantile_normalization",
     "embedding_matryoshka_audit",
+    "stupid_backoff_score",
     "stream_left_outer_join",
     "statestore_reader_audit",
     # ---- r1–r5 driver-green entries follow ----
