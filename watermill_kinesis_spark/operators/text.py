@@ -662,3 +662,58 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_score_micro"
         ),
     )
+
+
+@query(
+    "template_skeleton_dedup",
+    oracle="""
+    WITH skel AS (
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),
+                                  ' +', ' ', 'g')) AS skeleton_hash
+        FROM documents),
+    grp AS (
+        SELECT skeleton_hash, COUNT(*) AS n_sharing, MIN(doc_id) AS canon
+        FROM skel GROUP BY skeleton_hash)
+    SELECT s.doc_id, s.skeleton_hash,
+           CAST(g.n_sharing AS BIGINT) AS n_sharing,
+           CAST(g.canon AS BIGINT) AS canonical_id,
+           CAST(g.n_sharing >= 2 AS INT) AS is_template_dup
+    FROM skel s JOIN grp g USING (skeleton_hash)
+    """,
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def template_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection by skeleton hashing — the form-letter /
+    generated-page screen exact dedup misses: numbers are collapsed to
+    a placeholder and whitespace runs normalized, so documents that
+    differ ONLY in ids, prices, dates-as-digits, or counters share a
+    skeleton hash (the cheap structural cousin of the boilerplate
+    n-gram miner; CommonCrawl pipelines run both). Every doc row
+    carries its skeleton, group size, canonical id, and the dup flag —
+    so the oracle pins the skeleton arithmetic on every document even
+    on a corpus with no template twins (this synthetic one), and a
+    templated crawl lights up ``is_template_dup`` with no plan change.
+    One JVM regex pass per doc + a 16-byte-key shuffle — the same
+    scale shape as ``dedup_exact_hashkey``; group size IS the signal,
+    so skew equals output."""
+    d = _docs(spark, sf_dir)
+    skeleton = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit("[0-9]+"), F.lit("0")),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    skel = d.select("doc_id", skeleton.alias("skeleton_hash"))
+    grp = skel.groupBy("skeleton_hash").agg(
+        F.count(F.lit(1)).alias("n_sharing"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return skel.join(grp, "skeleton_hash").select(
+        "doc_id",
+        "skeleton_hash",
+        "n_sharing",
+        "canonical_id",
+        (F.col("n_sharing") >= 2).cast("int").alias("is_template_dup"),
+    )

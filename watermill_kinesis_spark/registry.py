@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "quantile_normalization",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
+    "template_skeleton_dedup",
     "stream_left_outer_join",
     "statestore_reader_audit",
     # ---- r1–r5 driver-green entries follow ----
