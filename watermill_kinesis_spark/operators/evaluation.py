@@ -72,6 +72,7 @@ CALIB_BINS = 10
            CAST((s2 - n_pos * (n_pos + 1)) * 1000
                 // (2 * n_pos * n_neg) AS BIGINT) AS auc_permille
     FROM agg
+    WHERE n_pos > 0 AND n_neg > 0
     """,
     tags=("evaluation", "statistics", "ranking"),
 )
@@ -115,6 +116,10 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer quotient via SQL `div` (truncating, same as the
     # oracle's `//`) — NOT fractional decimal division, whose 6-dp
     # rounding could tip a near-integer quotient over the boundary
+    # degenerate groups (all-positive / all-negative) have no ranking
+    # to score: drop them on BOTH engines rather than divide by zero
+    # (Spark div would NULL, DuckDB // would error — a latent skew)
+    agg = agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
     u2 = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
     return agg.select(
         "grp",
@@ -244,6 +249,7 @@ def ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((2 * si - (n + 1) * s) * 1000 // (n * s) AS BIGINT)
                AS gini_permille
     FROM agg
+    WHERE s > 0
     """,
     tags=("evaluation", "statistics", "corpus-balance"),
 )
@@ -268,6 +274,9 @@ def gini_corpus_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("si"),
     )
+    # a source whose docs are all zero-length has no inequality to
+    # measure: drop it identically on both engines (div-by-zero guard)
+    agg = agg.where(F.col("s") > 0)
     num = F.lit(2) * F.col("si") - (F.col("n") + 1) * F.col("s")
     return agg.select(
         "source",
