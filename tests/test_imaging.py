@@ -314,3 +314,19 @@ def test_jpeg_multi_scan_baseline_rejected():
     doctored = bytes(full[:-2]) + second_scan + b"\xff\xd9"
     with pytest.raises(ValueError, match="multi-scan"):
         decode_jpeg(doctored)
+
+
+def test_jpeg_trailing_comment_with_marker_bytes_is_not_multiscan():
+    """r6 review: COM/APPn payloads between the scan and EOI are NOT
+    byte-stuffed, so one containing 0xFFDA must not be mistaken for a
+    second scan — the multi-scan check walks segments by length."""
+    px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    full = bytearray(encode_jpeg(px))
+    assert full[-2:] == b"\xff\xd9"
+    payload = b"note \xff\xda inside comment"
+    com = b"\xff\xfe" + (len(payload) + 2).to_bytes(2, "big") + payload
+    doctored = bytes(full[:-2]) + com + b"\xff\xd9"
+    dec = decode_jpeg(doctored)
+    assert dec.shape == (16, 16, 1)
+    # and identical pixels to the undoctored decode
+    assert (dec == decode_jpeg(bytes(full))).all()

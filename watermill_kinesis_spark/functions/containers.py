@@ -136,7 +136,16 @@ def probe_mp4(p: bytes) -> dict:
     n_tracks = 0
     for _, btype, b0, b1 in boxes:
         if btype == b"mvhd":
+            # the corrupt-skip contract: a short mvhd BODY must raise
+            # ValueError, never struct.error/IndexError — and a bounds
+            # check against b1 (the box's own end) also stops
+            # unpack_from silently reading into the NEXT box's bytes
+            if b1 - b0 < 1:
+                raise ValueError("MP4 mvhd truncated")
             ver = p[b0]
+            need = 32 if ver == 1 else 20
+            if b1 - b0 < need:
+                raise ValueError("MP4 mvhd truncated")
             if ver == 1:
                 timescale = struct.unpack_from(">I", p, b0 + 20)[0]
                 duration = struct.unpack_from(">Q", p, b0 + 24)[0]

@@ -608,14 +608,30 @@ def decode_jpeg(p: bytes) -> np.ndarray:
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
     # Multi-scan baseline (a second SOS after this scan's data) would
-    # silently return a partial image; byte-stuffing guarantees
-    # neither 0xFFDA nor 0xFFD9 can occur INSIDE entropy data, so a
-    # straight scan of the remaining bytes (up to EOI — trailing bytes
-    # past EOI are ignored, as decoders conventionally do) is sound.
-    tail = p[data_start + reader.pos :]
-    eoi = tail.find(b"\xff\xd9")
-    if tail.find(b"\xff\xda", 0, eoi if eoi != -1 else len(tail)) != -1:
-        raise ValueError("JPEG: multi-scan baseline files unsupported")
+    # silently return a partial image. Byte-stuffing only protects
+    # ENTROPY bytes — a COM/APPn payload between the scan and EOI may
+    # legally contain 0xFFDA — so the check WALKS the marker segments
+    # (skipping each by its declared length) rather than substring-
+    # searching the raw tail: first skip residual entropy up to the
+    # first real marker (0xFF followed by neither 0x00 nor RSTn), then
+    # follow segment lengths until EOI.
+    j = data_start + reader.pos
+    while j + 1 < len(p) and not (
+        p[j] == 0xFF and p[j + 1] != 0x00 and not (0xD0 <= p[j + 1] <= 0xD7)
+    ):
+        j += 1
+    while j + 1 < len(p):
+        marker = p[j + 1]
+        if marker == 0xD9:  # EOI: trailing bytes beyond are ignored
+            break
+        if marker == 0xDA:
+            raise ValueError("JPEG: multi-scan baseline files unsupported")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            j += 2 if marker != 0xFF else 1  # standalone / fill byte
+            continue
+        if j + 4 > len(p):
+            break  # truncated trailer: the image itself decoded fully
+        j += 2 + struct.unpack_from(">H", p, j + 2)[0]
     out_planes = []
     for c in scan_comps:
         pl = planes[c["id"]]

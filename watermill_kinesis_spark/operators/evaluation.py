@@ -157,8 +157,11 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(c2) OVER (PARTITION BY t1, t2 ORDER BY v) AS cum2
         FROM cells)
     SELECT c.t1, c.t2, ta.n AS n1, tb.n AS n2,
-           CAST(MAX(ABS(cum1 * tb.n - cum2 * ta.n)) AS BIGINT) AS d_scaled,
-           CAST(MAX(ABS(cum1 * tb.n - cum2 * ta.n)) * 1000
+           CAST(MAX(ABS(CAST(cum1 AS HUGEINT) * tb.n
+                        - CAST(cum2 AS HUGEINT) * ta.n)) AS BIGINT)
+               AS d_scaled,
+           CAST(MAX(ABS(CAST(cum1 AS HUGEINT) * tb.n
+                        - CAST(cum2 AS HUGEINT) * ta.n)) * 1000
                 // (CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT) AS ks_permille
     FROM cum c JOIN tot ta ON ta.t = c.t1 JOIN tot tb ON tb.t = c.t2
     GROUP BY c.t1, c.t2, ta.n, tb.n
@@ -210,8 +213,15 @@ def ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vals.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
     ta = tot.select(F.col("t").alias("t1"), F.col("n").alias("n1"))
     tb = tot.select(F.col("t").alias("t2"), F.col("n").alias("n2"))
+    # cum·n reaches n1·n2 — past int64 at ~3·10⁹ rows per side, where
+    # Spark would wrap silently: keep the product in decimal(38,0)
+    # (the module's wide-intermediate rule), mirroring the HUGEINT cast
+    # in the oracle
     d = F.max(
-        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        F.abs(
+            F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+        )
     )
     return (
         cum.join(F.broadcast(ta), "t1")
@@ -550,10 +560,13 @@ PRICE_CUTOFF = 150000.0
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
            CAST((tp + tn) * 1000 // (tp + fp + fn + tn) AS BIGINT)
                AS accuracy_permille,
-           CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_permille,
-           CAST(tp * 1000 // (tp + fn) AS BIGINT) AS recall_permille,
-           CAST(2 * tp * 1000 // (2 * tp + fp + fn) AS BIGINT)
-               AS f1_permille
+           CAST(CASE WHEN tp + fp > 0 THEN tp * 1000 // (tp + fp) END
+                AS BIGINT) AS precision_permille,
+           CAST(CASE WHEN tp + fn > 0 THEN tp * 1000 // (tp + fn) END
+                AS BIGINT) AS recall_permille,
+           CAST(CASE WHEN 2 * tp + fp + fn > 0
+                     THEN 2 * tp * 1000 // (2 * tp + fp + fn) END
+                AS BIGINT) AS f1_permille
     FROM cm
     """,
     tags=("evaluation", "statistics", "ml"),
@@ -582,6 +595,9 @@ def confusion_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("tn"),
     )
+    # guards: a single-class prediction or label slice zeroes a
+    # denominator — emit NULL identically on both engines (Spark div
+    # would NULL while DuckDB // would ERROR without the CASE)
     return cm.selectExpr(
         "CAST(tp AS BIGINT) AS tp",
         "CAST(fp AS BIGINT) AS fp",
@@ -589,9 +605,12 @@ def confusion_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(tn AS BIGINT) AS tn",
         "CAST(((tp + tn) * 1000) div (tp + fp + fn + tn) AS BIGINT)"
         " AS accuracy_permille",
-        "CAST((tp * 1000) div (tp + fp) AS BIGINT) AS precision_permille",
-        "CAST((tp * 1000) div (tp + fn) AS BIGINT) AS recall_permille",
-        "CAST((2 * tp * 1000) div (2 * tp + fp + fn) AS BIGINT)"
+        "CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000) div (tp + fp) END"
+        " AS BIGINT) AS precision_permille",
+        "CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000) div (tp + fn) END"
+        " AS BIGINT) AS recall_permille",
+        "CAST(CASE WHEN 2 * tp + fp + fn > 0"
+        " THEN (2 * tp * 1000) div (2 * tp + fp + fn) END AS BIGINT)"
         " AS f1_permille",
     )
 
@@ -612,9 +631,11 @@ def confusion_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(r2) AS HUGEINT) AS p2
         FROM rated)
     SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
-           CAST((n * agree - (p1 * p2 + (n - p1) * (n - p2))) * 1000
-                // (n * n - (p1 * p2 + (n - p1) * (n - p2))) AS BIGINT)
-               AS kappa_permille,
+           CAST(CASE WHEN n * n > p1 * p2 + (n - p1) * (n - p2)
+                     THEN (n * agree - (p1 * p2 + (n - p1) * (n - p2)))
+                          * 1000
+                          // (n * n - (p1 * p2 + (n - p1) * (n - p2)))
+                END AS BIGINT) AS kappa_permille,
            CAST(agree * 1000 // n AS BIGINT) AS po_permille
     FROM s
     """,
@@ -644,11 +665,14 @@ def cohens_kappa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r1").cast("decimal(38,0)").alias("p1"),
         F.sum("r2").cast("decimal(38,0)").alias("p2"),
     )
+    # degenerate guard: both raters single-class ⇒ pe = 1 ⇒ kappa
+    # undefined — NULL on both engines rather than div-by-zero skew
     return s.selectExpr(
         "CAST(n AS BIGINT) AS n",
         "CAST(agree AS BIGINT) AS agree",
-        "CAST(((n * agree - (p1 * p2 + (n - p1) * (n - p2))) * 1000)"
-        " div (n * n - (p1 * p2 + (n - p1) * (n - p2))) AS BIGINT)"
+        "CAST(CASE WHEN n * n > p1 * p2 + (n - p1) * (n - p2)"
+        " THEN ((n * agree - (p1 * p2 + (n - p1) * (n - p2))) * 1000)"
+        " div (n * n - (p1 * p2 + (n - p1) * (n - p2))) END AS BIGINT)"
         " AS kappa_permille",
         "CAST((agree * 1000) div n AS BIGINT) AS po_permille",
     )

@@ -274,7 +274,7 @@ RRF_TOP = 10
     r2 AS (
         SELECT doc_id, ROW_NUMBER() OVER (
             PARTITION BY source
-            ORDER BY (doc_id * {2654435761} % {2147483647}), doc_id) AS rank2
+            ORDER BY ((doc_id % 1000003) * {2654435761} % {2147483647}), doc_id) AS rank2
         FROM documents),
     fused AS (
         SELECT source, r1.doc_id, rank1, rank2,
@@ -302,7 +302,9 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-10 cut compiles to WindowGroupLimit — no global sort, no
     single-partition exchange). Two deterministic scorers (doc length
     as the 'lexical' signal, a multiplicative-hash pseudo-score as
-    the 'semantic' one) keep the FUSION arithmetic the thing under
+    the 'semantic' one — its id pre-reduced mod 1000003 so the
+    multiply stays inside int64 on every engine, the kfold guard) keep
+    the FUSION arithmetic the thing under
     test: each reciprocal is the integer quotient 10⁶ div (k + rank),
     making fused scores and the (score desc, doc_id) cutoff
     bit-identical on both engines."""
@@ -313,7 +315,7 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
     w2 = W.partitionBy("source").orderBy(
-        (F.col("doc_id") * 2654435761 % 2147483647), "doc_id"
+        ((F.col("doc_id") % 1000003) * 2654435761 % 2147483647), "doc_id"
     )
     r1 = d.select(
         "source", "doc_id", F.row_number().over(w1).alias("rank1")

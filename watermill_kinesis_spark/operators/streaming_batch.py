@@ -276,16 +276,16 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stream_join", tags=("streaming", "join"))
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join with watermarks and a time-range
-    condition: click events join purchase events of the same user
-    within 1 hour — both sides buffer state bounded by their
-    watermarks, the canonical funnel/attribution shape. Rows-only:
-    stream-stream state semantics are not SQL-expressible (DuckDB has
-    no notion of two buffered sides)."""
+def _watermarked_click_buy_join(
+    spark: SparkSession, sf_dir: str, prefix: str, how: str
+):
+    """Shared scaffolding for the stream-stream funnel joins: publish
+    one batch of events to a topic, subscribe twice (clicks /
+    purchases), watermark both sides 2 h, and join on same-user within
+    a 1-hour window with the given join type. Returns the name of the
+    memory table holding (user_c, click_ts, buy_ts) rows."""
     run_id = uuidlib.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix=f"wk_s2j_{run_id}_")
+    base = tempfile.mkdtemp(prefix=f"wk_{prefix}_{run_id}_")
     topic = os.path.join(base, "topic")
     msgs = _event_messages(spark, sf_dir, F.col("event_id") < 4000)
     stream_source.write_stream_files(msgs, topic)
@@ -311,13 +311,26 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_c") == F.col("user_b"))
         & (F.col("buy_ts") >= F.col("click_ts"))
         & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        how,
     )
-    name = f"s2j_{run_id}"
+    name = f"{prefix}_{run_id}"
     _run_available_now(
         joined.select("user_c", "click_ts", "buy_ts"),
         name,
         os.path.join(base, "ckpt"),
     )
+    return name
+
+
+@query("stream_stream_join", tags=("streaming", "join"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-range
+    condition: click events join purchase events of the same user
+    within 1 hour — both sides buffer state bounded by their
+    watermarks, the canonical funnel/attribution shape. Rows-only:
+    stream-stream state semantics are not SQL-expressible (DuckDB has
+    no notion of two buffered sides)."""
+    name = _watermarked_click_buy_join(spark, sf_dir, "s2j", "inner")
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_attributed"),
         F.countDistinct("user_c").alias("n_users"),
@@ -340,41 +353,7 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     its watermark-flushable subset (clicks whose window never ages
     past the final watermark legitimately stay buffered at
     end-of-stream — the documented outer-join tail holdback)."""
-    run_id = uuidlib.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix=f"wk_slo_{run_id}_")
-    topic = os.path.join(base, "topic")
-    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 4000)
-    stream_source.write_stream_files(msgs, topic)
-
-    def side(kind: str, ts_alias: str, key_alias: str):
-        return (
-            stream_source.subscribe(spark, topic)
-            .where(F.col("metadata").getItem("eventType") == kind)
-            .select(
-                F.col("metadata").getItem("partitionKey").alias(key_alias),
-                F.col("metadata")
-                .getItem("eventTime")
-                .cast("timestamp")
-                .alias(ts_alias),
-            )
-            .withWatermark(ts_alias, "2 hours")
-        )
-
-    clicks = side("click", "click_ts", "user_c")
-    buys = side("purchase", "buy_ts", "user_b")
-    joined = clicks.join(
-        buys,
-        (F.col("user_c") == F.col("user_b"))
-        & (F.col("buy_ts") >= F.col("click_ts"))
-        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    )
-    name = f"slo_{run_id}"
-    _run_available_now(
-        joined.select("user_c", "click_ts", "buy_ts"),
-        name,
-        os.path.join(base, "ckpt"),
-    )
+    name = _watermarked_click_buy_join(spark, sf_dir, "slo", "left_outer")
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_click_rows"),
         F.sum(F.when(F.col("buy_ts").isNotNull(), 1).otherwise(0)).alias(
@@ -384,70 +363,6 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_abandoned"
         ),
         F.countDistinct("user_c").alias("n_users"),
-    )
-
-
-@query("statestore_reader_audit", tags=("streaming", "state", "observability"))
-def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4's State Data Source: after a checkpointed streaming
-    aggregation, ``spark.read.format("statestore")`` opens the state
-    store FILES themselves — the ops/debugging face that lets an
-    operator audit, backfill-verify, or migrate streaming state
-    without replaying the stream (the engine-side replacement for the
-    reference's "inspect the DynamoDB lease/checkpoint table"
-    workflow). A per-key running count runs over one publish batch,
-    then the state rows read back from the checkpoint must agree with
-    the live query's own output: per-key counts AND the operator
-    metadata (one 'stateStoreSave' operator). Rows-only: state-file
-    layout is engine-internal; the count arithmetic itself is
-    oracle-verified in batch by partition_key_group."""
-    run_id = uuidlib.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix=f"wk_ssr_{run_id}_")
-    topic = os.path.join(base, "topic")
-    ckpt = os.path.join(base, "ckpt")
-    name = f"ssr_{run_id}"
-
-    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 2000)
-    stream_source.write_stream_files(msgs, topic)
-    counts = (
-        stream_source.subscribe(spark, topic)
-        .select(F.col("metadata").getItem("partitionKey").alias("partition_key"))
-        .groupBy("partition_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    live = spark.table(name).select(
-        "partition_key", F.col("n").alias("n_live")
-    )
-    meta = spark.read.format("state-metadata").load(ckpt)
-    n_operators = meta.count()
-    st = spark.read.format("statestore").load(ckpt)
-    # key/value struct field names follow the aggregation's grouping
-    # column and agg alias — resolve from the schema, not by guess
-    key_field = st.schema["key"].dataType.names[0]
-    val_field = st.schema["value"].dataType.names[0]
-    state = st.select(
-        F.col(f"key.{key_field}").alias("partition_key"),
-        F.col(f"value.{val_field}").alias("n_state"),
-    )
-    return (
-        state.join(live, "partition_key", "full_outer")
-        .select(
-            "partition_key",
-            "n_state",
-            "n_live",
-            (F.col("n_state") == F.col("n_live")).alias("state_matches_live"),
-            F.lit(n_operators).alias("n_state_operators"),
-        )
-        .orderBy("partition_key")
     )
 
 

@@ -634,8 +634,11 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c12 = bi_train.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     uni_train = train.select(F.explode("p").alias("w"))
-    c1 = uni_train.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    n_tot = uni_train.count()  # scalar train-token count (driver int)
+    # cache the vocab-sized count table: the scalar N comes from ITS
+    # sum (not a second full explode-and-count over the train corpus)
+    # and both count-table joins below reuse the same materialization
+    c1 = uni_train.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).cache()
+    n_tot = int(c1.agg(F.sum("c1")).first()[0])
     held = (
         toks.where((F.col("doc_id") % 10 == 0) & (F.col("np") >= 2))
         .select("doc_id", F.explode(bigram_expr).alias("bg"))
