@@ -225,3 +225,20 @@ def test_quantile_normalization_aligns_distributions(spark, sf_dir):
     for r in out:
         xs = rank_vals[r.r]
         assert r.normalized_milli == sum(xs) * 1000 // len(xs)
+
+
+def test_cumulative_gains_monotone_and_complete(spark, sf_dir):
+    out = queries()["cumulative_gains_deciles"](spark, sf_dir).collect()
+    by_grp: dict[str, list] = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rows] == list(range(1, 11))
+        # gains curve is monotone nondecreasing and ends at 1000 permille
+        caps = [r.capture_permille for r in rows]
+        assert caps == sorted(caps)
+        assert caps[-1] == 1000
+        # cumulative counts are consistent
+        for a, b in zip(rows, rows[1:]):
+            assert b.cum_n > a.cum_n and b.cum_pos >= a.cum_pos

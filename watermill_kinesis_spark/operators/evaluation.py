@@ -730,3 +730,85 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((s * 1000) div c AS BIGINT) AS normalized_milli",
         )
     )
+
+
+@query(
+    "cumulative_gains_deciles",
+    oracle=f"""
+    WITH scored AS (
+        SELECT o_orderpriority AS grp,
+               NTILE({CALIB_BINS}) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS decile,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders),
+    per_bin AS (
+        SELECT grp, decile,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(pos) AS HUGEINT) AS pos
+        FROM scored GROUP BY grp, decile),
+    cum AS (
+        SELECT grp, decile, n, pos,
+               SUM(n) OVER (PARTITION BY grp ORDER BY decile) AS cum_n,
+               SUM(pos) OVER (PARTITION BY grp ORDER BY decile) AS cum_pos,
+               SUM(pos) OVER (PARTITION BY grp) AS tot_pos,
+               SUM(n) OVER (PARTITION BY grp) AS tot_n
+        FROM per_bin)
+    SELECT grp, CAST(decile AS BIGINT) AS decile,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(CASE WHEN tot_pos > 0
+                     THEN cum_pos * 1000 // tot_pos END AS BIGINT)
+               AS capture_permille,
+           CAST(CASE WHEN cum_n * tot_pos > 0
+                     THEN (cum_pos * tot_n * 1000) // (cum_n * tot_pos) END
+                AS BIGINT) AS lift_permille
+    FROM cum
+    """,
+    tags=("evaluation", "statistics", "ranking"),
+)
+def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift chart per report group: score-ordered
+    deciles (highest ``o_totalprice`` first) with the fraction of all
+    positives captured so far (gains) and the lift over random
+    targeting ((cum_pos/cum_n)/(tot_pos/tot_n), cleared to one integer
+    quotient) — the complement of ``calibration_bins_exact`` (per-bin
+    rate there, cumulative capture here) and the last face of the
+    model-targeting report besides AUC. Same scale shape: per-group
+    NTILE windows, tiny cumulative windows over 10 bins per group,
+    decimal(38,0)/HUGEINT wide terms, NULL-guarded denominators
+    identical on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    scored = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.ntile(CALIB_BINS).over(w).alias("decile"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    per_bin = scored.groupBy("grp", "decile").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("pos").cast("decimal(38,0)").alias("pos"),
+    )
+    wc = W.partitionBy("grp").orderBy("decile")
+    wg = W.partitionBy("grp")
+    cum = per_bin.select(
+        "grp",
+        "decile",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("pos").over(wg).alias("tot_pos"),
+        F.sum("n").over(wg).alias("tot_n"),
+    )
+    return cum.selectExpr(
+        "grp",
+        "CAST(decile AS BIGINT) AS decile",
+        "CAST(cum_n AS BIGINT) AS cum_n",
+        "CAST(cum_pos AS BIGINT) AS cum_pos",
+        "CAST(CASE WHEN tot_pos > 0 THEN (cum_pos * 1000) div tot_pos END"
+        " AS BIGINT) AS capture_permille",
+        "CAST(CASE WHEN cum_n * tot_pos > 0"
+        " THEN (cum_pos * tot_n * 1000) div (cum_n * tot_pos) END"
+        " AS BIGINT) AS lift_permille",
+    )

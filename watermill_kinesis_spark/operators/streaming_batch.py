@@ -366,6 +366,70 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("statestore_reader_audit", tags=("streaming", "state", "observability"))
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's State Data Source: after a checkpointed streaming
+    aggregation, ``spark.read.format("statestore")`` opens the state
+    store FILES themselves — the ops/debugging face that lets an
+    operator audit, backfill-verify, or migrate streaming state
+    without replaying the stream (the engine-side replacement for the
+    reference's "inspect the DynamoDB lease/checkpoint table"
+    workflow). A per-key running count runs over one publish batch,
+    then the state rows read back from the checkpoint must agree with
+    the live query's own output: per-key counts AND the operator
+    metadata (one 'stateStoreSave' operator). Rows-only: state-file
+    layout is engine-internal; the count arithmetic itself is
+    oracle-verified in batch by partition_key_group."""
+    run_id = uuidlib.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"wk_ssr_{run_id}_")
+    topic = os.path.join(base, "topic")
+    ckpt = os.path.join(base, "ckpt")
+    name = f"ssr_{run_id}"
+
+    msgs = _event_messages(spark, sf_dir, F.col("event_id") < 2000)
+    stream_source.write_stream_files(msgs, topic)
+    counts = (
+        stream_source.subscribe(spark, topic)
+        .select(F.col("metadata").getItem("partitionKey").alias("partition_key"))
+        .groupBy("partition_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    live = spark.table(name).select(
+        "partition_key", F.col("n").alias("n_live")
+    )
+    meta = spark.read.format("state-metadata").load(ckpt)
+    n_operators = meta.count()
+    st = spark.read.format("statestore").load(ckpt)
+    # key/value struct field names follow the aggregation's grouping
+    # column and agg alias — resolve from the schema, not by guess
+    key_field = st.schema["key"].dataType.names[0]
+    val_field = st.schema["value"].dataType.names[0]
+    state = st.select(
+        F.col(f"key.{key_field}").alias("partition_key"),
+        F.col(f"value.{val_field}").alias("n_state"),
+    )
+    return (
+        state.join(live, "partition_key", "full_outer")
+        .select(
+            "partition_key",
+            "n_state",
+            "n_live",
+            (F.col("n_state") == F.col("n_live")).alias("state_matches_live"),
+            F.lit(n_operators).alias("n_state_operators"),
+        )
+        .orderBy("partition_key")
+    )
+
+
 def has_tws_runtime() -> bool:
     """``transformWithStateInPandas`` needs the protobuf-based state
     server protocol: the API exists in pyspark, but the streaming

@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "confusion_matrix_exact",
     "cohens_kappa_exact",
     "quantile_normalization",
+    "cumulative_gains_deciles",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
