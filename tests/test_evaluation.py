@@ -242,3 +242,68 @@ def test_cumulative_gains_monotone_and_complete(spark, sf_dir):
         # cumulative counts are consistent
         for a, b in zip(rows, rows[1:]):
             assert b.cum_n > a.cum_n and b.cum_pos >= a.cum_pos
+
+
+def test_spearman_matches_bruteforce(spark, sf_dir):
+    out = {
+        r.grp: r
+        for r in queries()["spearman_rank_corr_exact"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "orders").collect()
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r.o_orderpriority, []).append(r)
+    for grp, rs in by_grp.items():
+        # RANK() with (value, key) tie-break == 1-based sorted position
+        bx = sorted(rs, key=lambda r: (r.o_totalprice, r.o_orderkey))
+        by = sorted(rs, key=lambda r: (r.o_orderdate, r.o_orderkey))
+        rx = {r.o_orderkey: i + 1 for i, r in enumerate(bx)}
+        ry = {r.o_orderkey: i + 1 for i, r in enumerate(by)}
+        n = len(rs)
+        sd2 = sum((rx[r.o_orderkey] - ry[r.o_orderkey]) ** 2 for r in rs)
+        assert out[grp].n == n and out[grp].sum_d2 == sd2
+        expect = Fraction(1) - Fraction(6 * sd2, n * (n * n - 1))
+        # engine form: 1000 − trunc(6000·sd2 / denom)
+        assert out[grp].spearman_permille == 1000 - (6000 * sd2) // (
+            n * (n * n - 1)
+        )
+        assert abs(out[grp].spearman_permille - float(expect) * 1000) <= 1
+
+
+def test_hhi_matches_bruteforce(spark, sf_dir):
+    out = queries()["hhi_concentration"](spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "documents").select("source").collect()
+    from collections import Counter
+
+    c = Counter(r.source for r in rows)
+    t = sum(c.values())
+    assert out.n_sources == len(c) and out.n_docs == t
+    assert out.hhi_ppm == sum(v * v for v in c.values()) * 10**6 // (t * t)
+    assert out.uniform_hhi_ppm == 10**6 // len(c)
+    assert out.hhi_ppm >= out.uniform_hhi_ppm  # uniform mix is the floor
+
+
+def test_runs_test_matches_bruteforce(spark, sf_dir):
+    out = {
+        r.event_type: r
+        for r in queries()["runs_test_shuffle_audit"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    ).collect()
+    import statistics
+
+    by_t: dict[str, list] = {}
+    for r in rows:
+        by_t.setdefault(r.event_type, []).append(r)
+    for t, rs in by_t.items():
+        m = statistics.median(r.value for r in rs)
+        seq = [
+            1 if r.value > m else 0
+            for r in sorted(rs, key=lambda r: (r.ts, r.event_id))
+        ]
+        n_runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        n1, n2 = sum(seq), len(seq) - sum(seq)
+        got = out[t]
+        assert (got.n_runs, got.n1, got.n2) == (n_runs, n1, n2)
+        assert got.expected_runs_milli == 1000 + (2000 * n1 * n2) // (n1 + n2)

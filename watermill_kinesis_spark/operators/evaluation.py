@@ -812,3 +812,185 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN (cum_pos * tot_n * 1000) div (cum_n * tot_pos) END"
         " AS BIGINT) AS lift_permille",
     )
+
+
+@query(
+    "spearman_rank_corr_exact",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rx,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate, o_orderkey) AS ry
+        FROM orders),
+    s AS (
+        SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS HUGEINT)
+                   AS sd2
+        FROM ranked GROUP BY grp)
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST(sd2 AS BIGINT) AS sum_d2,
+           CAST(CASE WHEN n > 1
+                     THEN 1000 - (6000 * sd2) // (n * (n * n - 1)) END
+                AS BIGINT) AS spearman_permille
+    FROM s
+    """,
+    tags=("evaluation", "statistics"),
+)
+def spearman_rank_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation per report group — the
+    monotone-association twin of ``corr_matrix_exact``'s Pearson
+    (outlier-robust, the drift-vs-feature screen that works on any
+    monotone scale): ρ = 1 − 6Σd²/(n(n²−1)) with d the rank
+    difference, cleared to one integer quotient in permille. Ranks
+    come from two per-group windows (tie-broken by key so both
+    engines produce identical rankings); Σd² rides decimal(38,0)/
+    HUGEINT — exact past 10⁹ rows per group. Note the deliberate
+    tie-break-by-key convention (not average ranks): identical on
+    both engines and stable, the property the oracle actually
+    needs."""
+    o = load_table(spark, sf_dir, "orders")
+    wx = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wy = W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.rank().over(wx).alias("rx"),
+        F.rank().over(wy).alias("ry"),
+    )
+    d = (F.col("rx") - F.col("ry")).cast("decimal(19,0)")
+    s = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d * d).cast("decimal(38,0)").alias("sd2"),
+    )
+    return s.selectExpr(
+        "grp",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sd2 AS BIGINT) AS sum_d2",
+        "CAST(CASE WHEN n > 1"
+        " THEN 1000 - (6000 * sd2) div (n * (n * n - 1)) END AS BIGINT)"
+        " AS spearman_permille",
+    )
+
+
+@query(
+    "hhi_concentration",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cnt)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST((SELECT t FROM tot) AS BIGINT) AS n_docs,
+           CAST(SUM(c * c) * 1000000 // ((SELECT t FROM tot)
+                * (SELECT t FROM tot)) AS BIGINT) AS hhi_ppm,
+           CAST(1000000 // COUNT(*) AS BIGINT) AS uniform_hhi_ppm
+    FROM cnt
+    """,
+    tags=("evaluation", "statistics", "corpus-balance"),
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of the corpus across
+    sources: HHI = Σ shareᵢ² in exact parts-per-million (Σc²·10⁶ div
+    T²) with the uniform-mix floor 10⁶/n for context — the
+    one-number "is this corpus dominated by a few sources?" audit
+    that complements ``gini_corpus_inequality`` (within-source size
+    inequality there, across-source mass concentration here) and
+    feeds the domain-mix reweighting decisions. One count aggregate +
+    arithmetic on |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    s = cnt.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_sources"),
+        F.sum("c").cast("decimal(38,0)").alias("t"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("sc2"),
+    )
+    return s.selectExpr(
+        "CAST(n_sources AS BIGINT) AS n_sources",
+        "CAST(t AS BIGINT) AS n_docs",
+        "CAST((sc2 * 1000000) div (t * t) AS BIGINT) AS hhi_ppm",
+        "CAST(1000000 div n_sources AS BIGINT) AS uniform_hhi_ppm",
+    )
+
+
+@query(
+    "runs_test_shuffle_audit",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS m
+        FROM events GROUP BY event_type),
+    seq AS (
+        SELECT e.event_type,
+               CASE WHEN e.value > med.m THEN 1 ELSE 0 END AS above,
+               ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                  ORDER BY e.ts, e.event_id) AS pos
+        FROM events e JOIN med USING (event_type)),
+    runs AS (
+        SELECT event_type, above,
+               CASE WHEN above <> LAG(above) OVER (
+                        PARTITION BY event_type ORDER BY pos)
+                    THEN 1 ELSE 0 END AS boundary
+        FROM seq),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(boundary) + 1 AS HUGEINT) AS n_runs,
+               CAST(SUM(above) AS HUGEINT) AS n1,
+               CAST(SUM(1 - above) AS HUGEINT) AS n2
+        FROM runs GROUP BY event_type)
+    SELECT event_type, CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(CASE WHEN n1 + n2 > 0
+                     THEN 1000 + (2000 * n1 * n2) // (n1 + n2) END
+                AS BIGINT) AS expected_runs_milli
+    FROM s
+    """,
+    tags=("evaluation", "statistics", "sampling"),
+)
+def runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs count per event type: the sequence-
+    randomness audit a pipeline runs AFTER shuffling (the check
+    behind ``corpus_shuffle_hash``'s promise) — a time-ordered value
+    sequence that still clusters above/below its median has too FEW
+    runs; a well-shuffled one lands near the expectation
+    1 + 2n₁n₂/(n₁+n₂), reported exactly in milli units beside the
+    observed count (the z-statistic needs a square root, so the
+    comparison is left to the caller — the counts are the exact
+    part). Per-type windows (partitioned) over a single pass; the
+    median comes from each group's exact order statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("median(value)").alias("m")
+    )
+    seq = (
+        ev.join(med, "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("value") > F.col("m"), 1).otherwise(0).alias("above"),
+            F.col("ts"),
+            F.col("event_id"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    runs = seq.select(
+        "event_type",
+        "above",
+        F.when(
+            F.col("above") != F.lag("above").over(w), 1
+        ).otherwise(0).alias("boundary"),
+    )
+    s = runs.groupBy("event_type").agg(
+        (F.sum("boundary") + 1).cast("decimal(38,0)").alias("n_runs"),
+        F.sum("above").cast("decimal(38,0)").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).cast("decimal(38,0)").alias("n2"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "CAST(n_runs AS BIGINT) AS n_runs",
+        "CAST(n1 AS BIGINT) AS n1",
+        "CAST(n2 AS BIGINT) AS n2",
+        "CAST(CASE WHEN n1 + n2 > 0"
+        " THEN 1000 + (2000 * n1 * n2) div (n1 + n2) END AS BIGINT)"
+        " AS expected_runs_milli",
+    )

@@ -120,6 +120,9 @@ _PRIORITY: tuple[str, ...] = (
     "cohens_kappa_exact",
     "quantile_normalization",
     "cumulative_gains_deciles",
+    "spearman_rank_corr_exact",
+    "hhi_concentration",
+    "runs_test_shuffle_audit",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
