@@ -307,3 +307,31 @@ def test_runs_test_matches_bruteforce(spark, sf_dir):
         got = out[t]
         assert (got.n_runs, got.n1, got.n2) == (n_runs, n1, n2)
         assert got.expected_runs_milli == 1000 + (2000 * n1 * n2) // (n1 + n2)
+
+
+def test_cusum_changepoint_matches_bruteforce(spark, sf_dir):
+    out = {
+        r.event_type: r
+        for r in queries()["cusum_changepoint"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    ).collect()
+    by_t: dict[str, list] = {}
+    for r in rows:
+        by_t.setdefault(r.event_type, []).append(r)
+    for t, rs in by_t.items():
+        xs = [
+            int(r.value * 100 + 0.5)
+            for r in sorted(rs, key=lambda r: (r.ts, r.event_id))
+        ]
+        n, s = len(xs), sum(xs)
+        c = 0
+        best = (-1, None)
+        for pos, x in enumerate(xs, start=1):
+            c += n * x - s
+            if abs(c) > best[0]:
+                best = (abs(c), pos)
+        got = out[t]
+        assert got.n_events == n
+        assert (got.max_abs_cusum_scaled, got.changepoint_pos) == best

@@ -432,3 +432,120 @@ def corpus_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rn")).alias("shuffle_pos"),
         )
     )
+
+
+@query(
+    "distinct_on_latest",
+    oracle="""
+    SELECT user_id, ts, event_type, value
+    FROM (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+    tags=("relational", "dedup", "window"),
+)
+def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key — Postgres/DuckDB's ``DISTINCT ON (key) ...
+    ORDER BY key, ts DESC`` spelled the Spark way (row_number window +
+    rn = 1): the single most common CDC/state-materialization dedup
+    ("current row per entity"). The window partitions by the entity
+    key, so the sort distributes; at 100 TB prefer this over
+    ``groupBy(max(struct(...)))`` only when you need ALL columns of
+    the winning row — which is exactly this shape. Deterministic
+    (ts, event_id) tie-break keeps both engines identical; the oracle
+    uses the same ROW_NUMBER form (DuckDB's DISTINCT ON is sugar over
+    it, with an unspecified tie rule this pins down)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS xc,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS pos
+        FROM events),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(xc) AS HUGEINT) AS s
+        FROM seq GROUP BY event_type),
+    cus AS (
+        SELECT seq.event_type, pos,
+               SUM(CAST(tot.n AS HUGEINT) * xc - tot.s) OVER (
+                   PARTITION BY seq.event_type ORDER BY pos) AS c
+        FROM seq JOIN tot USING (event_type)),
+    best AS (
+        SELECT event_type, pos, ABS(c) AS a,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(c) DESC, pos) AS rn
+        FROM cus)
+    SELECT b.event_type, t.n AS n_events,
+           CAST(b.pos AS BIGINT) AS changepoint_pos,
+           CAST(b.a AS BIGINT) AS max_abs_cusum_scaled
+    FROM (SELECT * FROM best WHERE rn = 1) b
+    JOIN (SELECT event_type, CAST(n AS BIGINT) AS n FROM tot) t
+      USING (event_type)
+    """,
+    tags=("evaluation", "timeseries", "monitoring"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type — the level-shift
+    monitor a pipeline runs on a metric stream: the cumulative sum of
+    mean-deviations peaks where the level changed. Kept EXACT by
+    clearing the rational mean: cusumₖ = Σᵢ≤ₖ (n·xᵢ − S) (x in
+    half-up centi-units) is pure integer arithmetic, and the
+    change-point is the (deterministically tie-broken) position of
+    max |cusum|. Windows partition by series; the scaled partial sums
+    ride decimal(38,0)/HUGEINT — n·x terms pass int64 around 10⁹ rows
+    per series."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("decimal(19,0)").alias("xc"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("ts", "event_id")
+        ),
+    )
+    tot = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xc").cast("decimal(38,0)").alias("s"),
+    )
+    cus = (
+        seq.join(tot, "event_type")
+        .withColumn(
+            "c",
+            F.sum(
+                (F.col("n") * F.col("xc") - F.col("s")).cast("decimal(38,0)")
+            ).over(W.partitionBy("event_type").orderBy("pos")),
+        )
+        .select("event_type", "pos", F.abs(F.col("c")).alias("a"), "n")
+    )
+    best = cus.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("a").desc(), "pos")
+        ),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("pos").cast("bigint").alias("changepoint_pos"),
+        F.col("a").cast("bigint").alias("max_abs_cusum_scaled"),
+    )

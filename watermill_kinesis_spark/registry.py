@@ -123,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "spearman_rank_corr_exact",
     "hhi_concentration",
     "runs_test_shuffle_audit",
+    "distinct_on_latest",
+    "cusum_changepoint",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
