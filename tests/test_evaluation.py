@@ -335,3 +335,32 @@ def test_cusum_changepoint_matches_bruteforce(spark, sf_dir):
         got = out[t]
         assert got.n_events == n
         assert (got.max_abs_cusum_scaled, got.changepoint_pos) == best
+
+
+def test_arrival_inversions_matches_bruteforce(spark, sf_dir):
+    out = {
+        r.user_id: r
+        for r in queries()["arrival_inversions"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    by_u: dict[int, list] = {}
+    for r in rows:
+        by_u.setdefault(r.user_id, []).append(r)
+    for u, rs in by_u.items():
+        rs.sort(key=lambda r: r.event_id)
+        k = len(rs)
+        if k < 2:
+            assert u not in out
+            continue
+        inv = sum(
+            1
+            for i in range(k)
+            for j in range(i + 1, k)
+            if rs[i].ts > rs[j].ts
+        )
+        got = out[u]
+        assert (got.n_events, got.n_inversions) == (k, inv)
+        assert got.n_pairs == k * (k - 1) // 2
+        assert got.disorder_permille == inv * 1000 // got.n_pairs

@@ -1323,3 +1323,115 @@ def multi_touch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFram
         F.count_distinct("conv_id").alias("n_conversions_touched"),
         F.sum(F.expr("1000000 div n_touches")).alias("credit_ppm"),
     )
+
+
+@query(
+    "arrival_inversions",
+    oracle="""
+    WITH inv AS (
+        SELECT a.user_id, CAST(COUNT(*) AS HUGEINT) AS n_inv
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND a.ts > b.ts
+        GROUP BY a.user_id),
+    cnt AS (
+        SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS k
+        FROM events GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(c.k AS BIGINT) AS n_events,
+           CAST(COALESCE(i.n_inv, 0) AS BIGINT) AS n_inversions,
+           CAST(c.k * (c.k - 1) / 2 AS BIGINT) AS n_pairs,
+           CAST(COALESCE(i.n_inv, 0) * 1000
+                // (c.k * (c.k - 1) / 2) AS BIGINT) AS disorder_permille
+    FROM cnt c LEFT JOIN inv i USING (user_id)
+    WHERE c.k >= 2
+    """,
+    tags=("evaluation", "streaming", "event-time"),
+)
+def arrival_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-disorder audit: per user, the number of event pairs
+    whose EVENT-TIME order disagrees with their ARRIVAL order
+    (event_id) — the normalized Kendall distance between the two
+    orderings, i.e. exactly the quantity a watermark delay must
+    absorb (0‰ ⇒ in-order source; high permille ⇒ deep reordering ⇒
+    longer watermark or more dropped-late rows). Computed per key in
+    an Arrow kernel with a MERGESORT inversion counter — O(k log k)
+    per user where the oracle's all-pairs join is O(k²), the honest
+    scale path for the same exact integers (per-key sequences are
+    bounded; corpus scale lives in the number of keys, which
+    ``applyInPandas`` shards by hash)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def count_inversions(vals: "np.ndarray") -> int:
+        # iterative bottom-up mergesort counting cross-run inversions
+        # (strict: equal timestamps are NOT inversions, matching the
+        # oracle's a.ts > b.ts)
+        arr = vals
+        n = len(arr)
+        inv = 0
+        width = 1
+        arr = arr.copy()
+        buf = np.empty_like(arr)
+        while width < n:
+            for lo in range(0, n, 2 * width):
+                mid = min(lo + width, n)
+                hi = min(lo + 2 * width, n)
+                i, j, k = lo, mid, lo
+                while i < mid and j < hi:
+                    if arr[i] <= arr[j]:
+                        buf[k] = arr[i]
+                        i += 1
+                    else:
+                        inv += mid - i  # arr[i..mid) all > arr[j]
+                        buf[k] = arr[j]
+                        j += 1
+                    k += 1
+                while i < mid:
+                    buf[k] = arr[i]
+                    i += 1
+                    k += 1
+                while j < hi:
+                    buf[k] = arr[j]
+                    j += 1
+                    k += 1
+            arr, buf = buf, arr
+            width *= 2
+        return inv
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        k = len(pdf)
+        if k < 2:
+            return pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "n_events",
+                    "n_inversions",
+                    "n_pairs",
+                    "disorder_permille",
+                ]
+            )
+        ts_ns = pdf["ts"].astype("int64").to_numpy()
+        inv = count_inversions(ts_ns)
+        pairs = k * (k - 1) // 2
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [k],
+                "n_inversions": [inv],
+                "n_pairs": [pairs],
+                "disorder_permille": [inv * 1000 // pairs],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        "user_id long, n_events long, n_inversions long, n_pairs long, "
+        "disorder_permille long",
+    )

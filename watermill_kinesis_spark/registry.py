@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "runs_test_shuffle_audit",
     "distinct_on_latest",
     "cusum_changepoint",
+    "arrival_inversions",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
