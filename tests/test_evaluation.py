@@ -364,3 +364,24 @@ def test_arrival_inversions_matches_bruteforce(spark, sf_dir):
         assert (got.n_events, got.n_inversions) == (k, inv)
         assert got.n_pairs == k * (k - 1) // 2
         assert got.disorder_permille == inv * 1000 // got.n_pairs
+
+
+def test_waterfall_identity_closes_exactly(spark, sf_dir):
+    """The decomposition identity Δ = volume + price + new − lost +
+    residual must close EXACTLY, and the residual (pure truncation
+    bits, one sub-cent per matched part) must be tiny relative to
+    the delta it explains."""
+    r = queries()["revenue_waterfall_decomposition"](spark, sf_dir).collect()[0]
+    assert r.delta_cents == r.rev1_cents - r.rev0_cents
+    assert (
+        r.delta_cents
+        == r.volume_eff_cents
+        + r.price_eff_cents
+        + r.new_parts_cents
+        - r.lost_parts_cents
+        + r.residual_cents
+    )
+    n_parts = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey"
+    ).distinct().count()
+    assert abs(r.residual_cents) <= n_parts  # ≤1 truncated cent per part

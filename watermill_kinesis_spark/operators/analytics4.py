@@ -1435,3 +1435,122 @@ def arrival_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_events long, n_inversions long, n_pairs long, "
         "disorder_permille long",
     )
+
+
+#: waterfall decomposition period boundary (TPC-H shipdates 1992-1998)
+WATERFALL_PIVOT = "1996-01-01"
+
+
+@query(
+    "revenue_waterfall_decomposition",
+    oracle=f"""
+    WITH pp AS (
+        SELECT l_partkey,
+               CASE WHEN l_shipdate < TIMESTAMP '{WATERFALL_PIVOT}'
+                    THEN 0 ELSE 1 END AS period,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS rev
+        FROM lineitem GROUP BY 1, 2),
+    m AS (
+        SELECT COALESCE(a.l_partkey, b.l_partkey) AS pk,
+               COALESCE(a.q, 0) AS q0, COALESCE(a.rev, 0) AS rev0,
+               COALESCE(b.q, 0) AS q1, COALESCE(b.rev, 0) AS rev1
+        FROM (SELECT * FROM pp WHERE period = 0) a
+        FULL OUTER JOIN (SELECT * FROM pp WHERE period = 1) b
+          ON a.l_partkey = b.l_partkey),
+    terms AS (
+        SELECT
+            SUM(rev0) AS rev0, SUM(rev1) AS rev1,
+            SUM(CASE WHEN q0 > 0 AND q1 > 0
+                     THEN (q1 - q0) * rev0 // q0 ELSE 0 END) AS volume_eff,
+            SUM(CASE WHEN q0 > 0 AND q1 > 0
+                     THEN rev1 - (q1 * rev0 // q0) ELSE 0 END) AS price_eff,
+            SUM(CASE WHEN q0 = 0 THEN rev1 ELSE 0 END) AS new_parts_rev,
+            SUM(CASE WHEN q1 = 0 THEN rev0 ELSE 0 END) AS lost_parts_rev
+        FROM m)
+    SELECT CAST(rev0 AS BIGINT) AS rev0_cents,
+           CAST(rev1 AS BIGINT) AS rev1_cents,
+           CAST(rev1 - rev0 AS BIGINT) AS delta_cents,
+           CAST(volume_eff AS BIGINT) AS volume_eff_cents,
+           CAST(price_eff AS BIGINT) AS price_eff_cents,
+           CAST(new_parts_rev AS BIGINT) AS new_parts_cents,
+           CAST(lost_parts_rev AS BIGINT) AS lost_parts_cents,
+           CAST((rev1 - rev0) - volume_eff - price_eff - new_parts_rev
+                + lost_parts_rev AS BIGINT) AS residual_cents
+    FROM terms
+    """,
+    tags=("analytics", "finance", "statistics"),
+)
+def revenue_waterfall_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix waterfall — the FP&A decomposition of a
+    period-over-period revenue change into named causes: for parts
+    sold in BOTH periods, volume effect (q₁−q₀)·p̄₀ and price effect
+    rev₁ − q₁·p̄₀ (p̄₀ = period-0 average unit revenue, kept as the
+    exact rational rev₀/q₀ and truncated identically on both engines
+    by integer div); parts entering/leaving contribute whole-revenue
+    new/lost buckets; the residual column closes the identity
+    Δ = volume + price + new − lost + residual exactly (it absorbs
+    the per-part truncation bits — asserted small in tests). Scale
+    shape: one partkey-period aggregate, a partkey full-outer join of
+    two period slices (both pre-aggregated to |parts| rows), then a
+    scalar reduce; every value is integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy(
+        "l_partkey",
+        F.when(F.col("l_shipdate") < WATERFALL_PIVOT, 0)
+        .otherwise(1)
+        .alias("period"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+        )
+        .cast("decimal(38,0)")
+        .alias("rev"),
+    )
+    p0 = pp.where(F.col("period") == 0).select(
+        "l_partkey", F.col("q").alias("q0"), F.col("rev").alias("rev0")
+    )
+    p1 = pp.where(F.col("period") == 1).select(
+        "l_partkey", F.col("q").alias("q1"), F.col("rev").alias("rev1")
+    )
+    m = (
+        p0.join(p1, "l_partkey", "full_outer")
+        .select(
+            F.coalesce("q0", F.lit(0)).alias("q0"),
+            F.coalesce("rev0", F.lit(0)).alias("rev0"),
+            F.coalesce("q1", F.lit(0)).alias("q1"),
+            F.coalesce("rev1", F.lit(0)).alias("rev1"),
+        )
+    )
+    terms = m.selectExpr(
+        "rev0",
+        "rev1",
+        "CASE WHEN q0 > 0 AND q1 > 0"
+        " THEN ((q1 - q0) * rev0) div q0 ELSE 0 END AS vol_t",
+        "CASE WHEN q0 > 0 AND q1 > 0"
+        " THEN rev1 - ((q1 * rev0) div q0) ELSE 0 END AS price_t",
+        "CASE WHEN q0 = 0 THEN rev1 ELSE 0 END AS new_t",
+        "CASE WHEN q1 = 0 THEN rev0 ELSE 0 END AS lost_t",
+    ).agg(
+        F.sum("rev0").cast("decimal(38,0)").alias("rev0"),
+        F.sum("rev1").cast("decimal(38,0)").alias("rev1"),
+        F.sum("vol_t").cast("decimal(38,0)").alias("volume_eff"),
+        F.sum("price_t").cast("decimal(38,0)").alias("price_eff"),
+        F.sum("new_t").cast("decimal(38,0)").alias("new_parts_rev"),
+        F.sum("lost_t").cast("decimal(38,0)").alias("lost_parts_rev"),
+    )
+    return terms.selectExpr(
+        "CAST(rev0 AS BIGINT) AS rev0_cents",
+        "CAST(rev1 AS BIGINT) AS rev1_cents",
+        "CAST(rev1 - rev0 AS BIGINT) AS delta_cents",
+        "CAST(volume_eff AS BIGINT) AS volume_eff_cents",
+        "CAST(price_eff AS BIGINT) AS price_eff_cents",
+        "CAST(new_parts_rev AS BIGINT) AS new_parts_cents",
+        "CAST(lost_parts_rev AS BIGINT) AS lost_parts_cents",
+        "CAST((rev1 - rev0) - volume_eff - price_eff - new_parts_rev"
+        " + lost_parts_rev AS BIGINT) AS residual_cents",
+    )

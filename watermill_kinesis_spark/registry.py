@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_on_latest",
     "cusum_changepoint",
     "arrival_inversions",
+    "revenue_waterfall_decomposition",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
