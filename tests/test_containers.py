@@ -192,3 +192,25 @@ def test_packing_next_fit_semantics(spark, sf_dir):
         assert r.wasted_chars == bins * BIN_CAPACITY - r.total_chars
         # packing never wastes a whole bin beyond the open one
         assert r.n_bins * BIN_CAPACITY >= r.total_chars
+
+
+def test_id3v2_roundtrip_and_truncation():
+    from watermill_kinesis_spark.functions.containers import (
+        encode_id3v2,
+        probe_id3v2,
+    )
+    import pytest
+
+    p = encode_id3v2([("TIT2", "A Song"), ("TPE1", "An Artist"), ("TALB", "LP")])
+    info = probe_id3v2(p)
+    assert info["version"] == 3
+    assert info["frames"] == [
+        ("TIT2", "A Song"),
+        ("TPE1", "An Artist"),
+        ("TALB", "LP"),
+    ]
+    assert info["tag_bytes"] == len(p)
+    with pytest.raises(ValueError):
+        probe_id3v2(p[: len(p) // 2])
+    with pytest.raises(ValueError):
+        probe_id3v2(b"ID3\x04\x00\x00\x00\x00\x00\x00")  # v2.4 rejected

@@ -28,6 +28,8 @@ __all__ = [
     "probe_gif_animation",
     "encode_png_text",
     "probe_png_chunks",
+    "encode_id3v2",
+    "probe_id3v2",
 ]
 
 
@@ -495,3 +497,69 @@ def probe_png_chunks(p: bytes) -> dict:
         "idat_bytes": idat_bytes,
         "texts": texts,
     }
+
+
+# ---------------------------------------------------------------------------
+# MP3 / ID3v2.3 tag container
+
+
+def _synchsafe(n: int) -> bytes:
+    """28-bit synchsafe size (7 bits per byte, MSB clear) — the ID3v2
+    header's length encoding."""
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsynchsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("ID3: non-synchsafe size byte")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def encode_id3v2(frames: list[tuple[str, str]], padding: int = 16) -> bytes:
+    """ID3v2.3 tag: header with synchsafe total size + one text frame
+    per (id, value) — encoding byte 0x00 (latin-1), plain 32-bit frame
+    sizes per the 2.3 spec — followed by zero padding."""
+    body = b""
+    for fid, text in frames:
+        if len(fid) != 4:
+            raise ValueError("ID3 frame id must be 4 chars")
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode("latin-1") + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+    body += b"\x00" * padding
+    return b"ID3\x03\x00\x00" + _synchsafe(len(body)) + body
+
+
+def probe_id3v2(p: bytes) -> dict:
+    """Walk an ID3v2.3 tag's frame list WITHOUT any audio decode:
+    frame census + text-frame extraction (the music-catalog metadata
+    pass). Raises ``ValueError`` on malformed/truncated structure —
+    the corrupt-skip contract."""
+    p = bytes(p)
+    if p[:3] != b"ID3" or len(p) < 10:
+        raise ValueError("not an ID3v2 container")
+    if p[3] != 3:
+        raise ValueError("ID3: only v2.3 supported")
+    size = _unsynchsafe(p[6:10])
+    if 10 + size > len(p):
+        raise ValueError("ID3: truncated tag body")
+    i = 10
+    end = 10 + size
+    frames: list[tuple[str, str]] = []
+    while i + 10 <= end:
+        fid = p[i : i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        fsize = struct.unpack_from(">I", p, i + 4)[0]
+        if i + 10 + fsize > end:
+            raise ValueError("ID3: frame overruns tag")
+        payload = p[i + 10 : i + 10 + fsize]
+        if fid[:1] == b"T" and payload[:1] == b"\x00":
+            frames.append(
+                (fid.decode("latin-1"), payload[1:].decode("latin-1"))
+            )
+        else:
+            frames.append((fid.decode("latin-1"), ""))
+        i += 10 + fsize
+    return {"version": 3, "tag_bytes": 10 + size, "frames": frames}

@@ -331,3 +331,58 @@ def multimodal_png_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_walk,
         "doc_id long, width long, height long, n_chunks long, text_meta string",
     )
+
+
+@query(
+    "multimodal_id3_tag_probe",
+    oracle="""
+    SELECT doc_id,
+           'track-' || CAST(doc_id AS VARCHAR) AS title,
+           source AS artist,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(10 + (10 + 1 + 6 + length(CAST(doc_id AS VARCHAR)))
+                + (10 + 1 + length(source))
+                + 16 AS BIGINT) AS tag_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "audio", "llm-pipeline"),
+)
+def multimodal_id3_tag_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v2.3 tag walking under the oracle gate: each document
+    synthesizes a spec-valid tag (``encode_id3v2``: synchsafe header
+    size, 32-bit frame sizes, latin-1 text frames, zero padding) with
+    title/artist derived from the row, and ``probe_id3v2`` recovers
+    them by WALKING THE FRAMES — the music-catalog metadata pass that
+    indexes an audio lake before any sample decode. The oracle
+    recomputes the title/artist strings AND the exact byte-level tag
+    size (header 10 + per-frame 10+1+text + padding 16) from the same
+    row arithmetic, so the synchsafe size round-trip is value-checked
+    per row. One Arrow pass, zero shuffle."""
+    from watermill_kinesis_spark.functions.containers import (
+        encode_id3v2,
+        probe_id3v2,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth_walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "title", "artist", "n_frames", "tag_bytes")}
+            for did, src in zip(pdf["doc_id"], pdf["source"]):
+                did, src = int(did), str(src)
+                payload = encode_id3v2(
+                    [("TIT2", f"track-{did}"), ("TPE1", src)]
+                )
+                info = probe_id3v2(payload)  # the real frame walker
+                frames = dict(info["frames"])
+                out["doc_id"].append(did)
+                out["title"].append(frames["TIT2"])
+                out["artist"].append(frames["TPE1"])
+                out["n_frames"].append(len(info["frames"]))
+                out["tag_bytes"].append(info["tag_bytes"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_walk,
+        "doc_id long, title string, artist string, n_frames long, tag_bytes long",
+    )

@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "cusum_changepoint",
     "arrival_inversions",
     "revenue_waterfall_decomposition",
+    "multimodal_id3_tag_probe",
+    "format_fixedwidth_parse",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
