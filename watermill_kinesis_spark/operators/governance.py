@@ -127,3 +127,85 @@ def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("sz").alias("min_group_size"),
     )
+
+
+#: per-type retention policies (days kept, relative to the corpus's
+#: own max event time — a fixed "now" would rot with the testdata)
+TTL_POLICY = {
+    "click": 7,
+    "view": 7,
+    "signup": 90,
+    "purchase": 90,
+    "error": 14,
+}
+
+
+@query(
+    "ttl_retention_sweep",
+    oracle=f"""
+    WITH now_ AS (SELECT MAX(ts) AS now FROM events),
+    policy(event_type, keep_days) AS (
+        VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(TTL_POLICY.items()))}),
+    tagged AS (
+        SELECT e.event_type, p.keep_days,
+               CASE WHEN e.ts < (SELECT now FROM now_)
+                             - to_days(p.keep_days) THEN 1 ELSE 0 END
+                   AS expired
+        FROM events e JOIN policy p USING (event_type))
+    SELECT event_type,
+           CAST(keep_days AS BIGINT) AS keep_days,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(expired) AS BIGINT) AS n_expired,
+           CAST(SUM(1 - expired) AS BIGINT) AS n_retained,
+           CAST(SUM(expired) * 1000 // COUNT(*) AS BIGINT)
+               AS expired_permille
+    FROM tagged GROUP BY event_type, keep_days
+    """,
+    tags=("governance", "retention"),
+)
+def ttl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy (TTL) sweep: per event type, how many rows
+    fall outside the policy's keep-window — the dry-run report a
+    governance job emits before the actual expiry DELETE (pair of
+    ``rtbf_cascade_delete``: that one erases by SUBJECT, this one by
+    AGE). The policy ships as a broadcast literal table; "now" is the
+    corpus's own max timestamp so the report is deterministic; the
+    sweep itself is one scan + map-side-combinable aggregate — at
+    100 TB the real deletion would push these predicates down as
+    partition drops, which is why the report groups by the partition
+    key a time-partitioned table would use."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts")).first()[0]
+    policy = spark.createDataFrame(
+        sorted(TTL_POLICY.items()), "event_type string, keep_days int"
+    )
+    tagged = (
+        ev.join(F.broadcast(policy), "event_type")
+        .select(
+            "event_type",
+            "keep_days",
+            F.when(
+                F.col("ts")
+                < F.lit(now) - F.col("keep_days") * F.expr("INTERVAL 1 DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("expired"),
+        )
+    )
+    return (
+        tagged.groupBy("event_type", F.col("keep_days").cast("bigint").alias("keep_days"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("expired").cast("bigint").alias("n_expired"),
+            F.sum(F.lit(1) - F.col("expired")).cast("bigint").alias("n_retained"),
+        )
+        .selectExpr(
+            "event_type",
+            "keep_days",
+            "n_rows",
+            "n_expired",
+            "n_retained",
+            "CAST((n_expired * 1000) div n_rows AS BIGINT) AS expired_permille",
+        )
+    )

@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_waterfall_decomposition",
     "multimodal_id3_tag_probe",
     "format_fixedwidth_parse",
+    "ttl_retention_sweep",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
