@@ -549,3 +549,53 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("changepoint_pos"),
         F.col("a").cast("bigint").alias("max_abs_cusum_scaled"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(user_id % 7, 0) AS k, COUNT(*) AS ca
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+    b AS (
+        SELECT NULLIF(user_id % 7, 0) AS k, COUNT(*) AS cb
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT a.k AS k, CAST(a.ca AS BIGINT) AS n_clicks,
+           CAST(b.cb AS BIGINT) AS n_purchases,
+           CAST(a.ca * b.cb AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "null-semantics"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) — the
+    three-valued-logic face a regular equi-join silently gets wrong:
+    with a nullable key (NULLIF-derived here), ``a.k = b.k`` DROPS the
+    NULL group entirely, while the null-safe form matches NULL to NULL
+    exactly once — the semantics CDC/merge pipelines need for nullable
+    business keys. Both sides pre-aggregate to per-key counts before
+    the join (never a row-level pair blowup), and Spark plans ``<=>``
+    as an ordinary hash join (no nested loop — plan audit enforced).
+    The NULL row's presence in the output IS the semantics under
+    test; the oracle spells it IS NOT DISTINCT FROM."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 7, F.lit(0))
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(
+            a["k"].alias("k"),
+            "n_clicks",
+            "n_purchases",
+            (F.col("n_clicks") * F.col("n_purchases")).alias("n_pairs"),
+        )
+    )

@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_id3_tag_probe",
     "format_fixedwidth_parse",
     "ttl_retention_sweep",
+    "join_null_safe_eq",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
