@@ -214,3 +214,23 @@ def test_id3v2_roundtrip_and_truncation():
         probe_id3v2(p[: len(p) // 2])
     with pytest.raises(ValueError):
         probe_id3v2(b"ID3\x04\x00\x00\x00\x00\x00\x00")  # v2.4 rejected
+
+
+def test_id3v2_flags_and_tail_garbage_raise():
+    """r6 review: header flags (ext-header/unsync) change the body
+    layout — walking anyway emits phantom frames; and 1-9 junk bytes
+    after the last frame are torn-frame corruption, not padding."""
+    from watermill_kinesis_spark.functions.containers import (
+        encode_id3v2,
+        probe_id3v2,
+    )
+    import pytest
+
+    good = bytearray(encode_id3v2([("TIT2", "Song")]))
+    flagged = bytes(good[:5]) + b"\x40" + bytes(good[6:])
+    with pytest.raises(ValueError, match="flags"):
+        probe_id3v2(flagged)
+    # replace the trailing zero padding's last 3 bytes with junk
+    torn = bytes(good[:-3]) + b"\x07\x07\x07"
+    with pytest.raises(ValueError, match="padding"):
+        probe_id3v2(torn)

@@ -541,6 +541,11 @@ def probe_id3v2(p: bytes) -> dict:
         raise ValueError("not an ID3v2 container")
     if p[3] != 3:
         raise ValueError("ID3: only v2.3 supported")
+    if p[5] != 0:
+        # unsynchronisation / extended header / experimental flags
+        # change the body layout: walking anyway would emit phantom
+        # frames with control-character ids (r6 review, reproduced)
+        raise ValueError("ID3: header flags unsupported")
     size = _unsynchsafe(p[6:10])
     if 10 + size > len(p):
         raise ValueError("ID3: truncated tag body")
@@ -562,4 +567,9 @@ def probe_id3v2(p: bytes) -> dict:
         else:
             frames.append((fid.decode("latin-1"), ""))
         i += 10 + fsize
+    # everything after the last frame must be zero padding: a torn
+    # final frame header (1-9 junk bytes) is structural corruption,
+    # not padding (r6 review, reproduced)
+    if any(p[i:end]):
+        raise ValueError("ID3: non-padding bytes after last frame")
     return {"version": 3, "tag_bytes": 10 + size, "frames": frames}

@@ -1341,9 +1341,9 @@ def multi_touch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT c.user_id,
            CAST(c.k AS BIGINT) AS n_events,
            CAST(COALESCE(i.n_inv, 0) AS BIGINT) AS n_inversions,
-           CAST(c.k * (c.k - 1) / 2 AS BIGINT) AS n_pairs,
+           CAST(c.k * (c.k - 1) // 2 AS BIGINT) AS n_pairs,
            CAST(COALESCE(i.n_inv, 0) * 1000
-                // (c.k * (c.k - 1) / 2) AS BIGINT) AS disorder_permille
+                // (c.k * (c.k - 1) // 2) AS BIGINT) AS disorder_permille
     FROM cnt c LEFT JOIN inv i USING (user_id)
     WHERE c.k >= 2
     """,
@@ -1355,12 +1355,12 @@ def arrival_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_id) — the normalized Kendall distance between the two
     orderings, i.e. exactly the quantity a watermark delay must
     absorb (0‰ ⇒ in-order source; high permille ⇒ deep reordering ⇒
-    longer watermark or more dropped-late rows). Computed per key in
-    an Arrow kernel with a MERGESORT inversion counter — O(k log k)
-    per user where the oracle's all-pairs join is O(k²), the honest
-    scale path for the same exact integers (per-key sequences are
-    bounded; corpus scale lives in the number of keys, which
-    ``applyInPandas`` shards by hash)."""
+    longer watermark or more dropped-late rows). Computed per key
+    with a numpy-vectorized merge counter (searchsorted per pass,
+    O(k log²k) with C inner loops) where the oracle's all-pairs join
+    is O(k²) — the honest scale path for the same exact integers
+    (per-key sequences are bounded; corpus scale lives in the number
+    of keys, which ``applyInPandas`` shards by hash)."""
     import numpy as np
     import pandas as pd
 
@@ -1369,38 +1369,30 @@ def arrival_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def count_inversions(vals: "np.ndarray") -> int:
-        # iterative bottom-up mergesort counting cross-run inversions
+        # bottom-up merge counting with VECTORIZED passes: per block
+        # pair, each right-run element x contributes the number of
+        # left-run elements strictly greater than x — len(left) −
+        # searchsorted(left, x, 'right') summed in one numpy call
         # (strict: equal timestamps are NOT inversions, matching the
-        # oracle's a.ts > b.ts)
-        arr = vals
+        # oracle's a.ts > b.ts). The merge itself is a C-speed sort of
+        # the concatenated (already pairwise-sorted) block. O(k log²k)
+        # with numpy inner loops — the r6 review replaced the original
+        # element-at-a-time Python mergesort on this hot path.
+        arr = vals.copy()
         n = len(arr)
         inv = 0
         width = 1
-        arr = arr.copy()
-        buf = np.empty_like(arr)
         while width < n:
             for lo in range(0, n, 2 * width):
                 mid = min(lo + width, n)
                 hi = min(lo + 2 * width, n)
-                i, j, k = lo, mid, lo
-                while i < mid and j < hi:
-                    if arr[i] <= arr[j]:
-                        buf[k] = arr[i]
-                        i += 1
-                    else:
-                        inv += mid - i  # arr[i..mid) all > arr[j]
-                        buf[k] = arr[j]
-                        j += 1
-                    k += 1
-                while i < mid:
-                    buf[k] = arr[i]
-                    i += 1
-                    k += 1
-                while j < hi:
-                    buf[k] = arr[j]
-                    j += 1
-                    k += 1
-            arr, buf = buf, arr
+                if mid >= hi:
+                    continue
+                left = arr[lo:mid]
+                right = arr[mid:hi]
+                pos = np.searchsorted(left, right, side="right")
+                inv += int((len(left) - pos).sum())
+                arr[lo:hi] = np.sort(arr[lo:hi], kind="stable")
             width *= 2
         return inv
 

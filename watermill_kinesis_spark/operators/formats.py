@@ -233,17 +233,20 @@ def format_json_corrupt_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rendered AS (
         -- the fixed-width record a legacy feed would emit: 12-char
-        -- right-padded status+priority code, 10-char zero-padded key,
-        -- 12-char zero-padded cents amount
+        -- right-padded status+priority code, 20-char zero-padded key,
+        -- 20-char zero-padded cents amount (both sized past int64's
+        -- 19 digits so lpad can NEVER truncate — lpad silently keeps
+        -- a prefix on overflow, which would corrupt keys while both
+        -- engines agreed; r6 review)
         SELECT rpad(o_orderstatus || substr(o_orderpriority, 1, 1), 12, ' ')
-               || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+               || lpad(CAST(o_orderkey AS VARCHAR), 20, '0')
                || lpad(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-                            AS VARCHAR), 12, '0') AS line
+                            AS VARCHAR), 20, '0') AS line
         FROM orders),
     parsed AS (
         SELECT trim(substr(line, 1, 12)) AS code,
-               CAST(substr(line, 13, 10) AS BIGINT) AS okey,
-               CAST(substr(line, 23, 12) AS BIGINT) AS cents
+               CAST(substr(line, 13, 20) AS BIGINT) AS okey,
+               CAST(substr(line, 33, 20) AS BIGINT) AS cents
         FROM rendered)
     SELECT code,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -256,13 +259,16 @@ def format_json_corrupt_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def format_fixedwidth_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width (COBOL-copybook-style) record round trip — the
-    legacy-feed ingestion face: render each order into a 34-char
-    fixed-layout line (right-padded code, zero-padded key and cents),
-    then parse it back with pure substring arithmetic and aggregate —
-    proving the offsets, padding, and numeric reconversion are
-    lossless. Everything is JVM ``substring``/``lpad``/``rpad`` inside
-    whole-stage codegen (the classic mainframe-feed decode needs no
-    UDF); one shuffle for the final rollup."""
+    legacy-feed ingestion face: render each order into a 52-char
+    fixed-layout line (right-padded code, zero-padded key and cents —
+    numeric fields 20 wide, PAST int64's 19 digits, because ``lpad``
+    silently keeps a prefix on overflow and would corrupt keys on
+    both engines at once), then parse it back with pure substring
+    arithmetic and aggregate — proving the offsets, padding, and
+    numeric reconversion are lossless at any int64 value. Everything
+    is JVM ``substring``/``lpad``/``rpad`` inside whole-stage codegen
+    (the classic mainframe-feed decode needs no UDF); one shuffle for
+    the final rollup."""
     o = load_table(spark, sf_dir, "orders")
     line = F.concat(
         F.rpad(
@@ -272,20 +278,20 @@ def format_fixedwidth_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
             " ",
         ),
-        F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 20, "0"),
         F.lpad(
             F.floor(F.col("o_totalprice") * 100 + 0.5)
             .cast("bigint")
             .cast("string"),
-            12,
+            20,
             "0",
         ),
     )
     rendered = o.select(line.alias("line"))
     parsed = rendered.select(
         F.trim(F.substring("line", 1, 12)).alias("code"),
-        F.substring("line", 13, 10).cast("bigint").alias("okey"),
-        F.substring("line", 23, 12).cast("bigint").alias("cents"),
+        F.substring("line", 13, 20).cast("bigint").alias("okey"),
+        F.substring("line", 33, 20).cast("bigint").alias("cents"),
     )
     return parsed.groupBy("code").agg(
         F.count(F.lit(1)).alias("n"),

@@ -184,9 +184,16 @@ def ttl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "keep_days",
+            # lit(now) must stay NTZ: a bare datetime literal is
+            # interpreted through the DRIVER's local timezone while the
+            # NTZ column goes through the session tz — on a non-UTC
+            # host the expiry boundary would shift by the UTC offset
+            # and diverge from the oracle (r6 review, reproduced under
+            # TZ=America/New_York)
             F.when(
                 F.col("ts")
-                < F.lit(now) - F.col("keep_days") * F.expr("INTERVAL 1 DAY"),
+                < F.lit(now).cast("timestamp_ntz")
+                - F.col("keep_days") * F.expr("INTERVAL 1 DAY"),
                 1,
             )
             .otherwise(0)
