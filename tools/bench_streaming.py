@@ -81,6 +81,7 @@ def main() -> None:
     results["kinesis_aws_parallel_read_msgs_per_s"] = _bench_kinesis_parallel(
         spark, base
     )
+    results["kinesis_aws_simple_read_msgs_per_s"] = _bench_kinesis_simple(base)
 
     results["reference_ceiling_msgs_per_s_per_shard"] = 1000  # Kinesis write limit
     msgs.unpersist()
@@ -93,6 +94,48 @@ def main() -> None:
 #: one availableNow micro-batch drains everything
 KINESIS_BENCH_SHARDS = 8
 KINESIS_BENCH_PER_SHARD = 5000
+
+
+def _bench_kinesis_simple(base: str) -> int:
+    """Time the DRIVER-side poll loop (readerMode=simple) over an
+    IN-MEMORY stub seeded with the same stream: read() drains all
+    shards sequentially in one process — the per-record
+    GetRecords→wire-row cost with zero Spark machinery AND zero stub
+    file-reload overhead (the file-backed stub re-parses its whole
+    state per call, which would swamp the number), isolating
+    transport-loop cost from the parallel row's micro-batch tax."""
+    import json as _json
+
+    from watermill_kinesis_spark.sources.kinesis_aws import (
+        KinesisAwsStreamReader,
+    )
+    from watermill_kinesis_spark.sources.kinesis_stub import (
+        FileStubKinesisClient,
+        StubKinesisClient,
+    )
+
+    stub_dir = os.path.join(base, "stub")  # seeded by the parallel bench
+    seeded = FileStubKinesisClient(stub_dir)
+    mem = StubKinesisClient()
+    mem._shards = seeded._shards
+    mem._seq = seeded._seq
+    r = KinesisAwsStreamReader(
+        {"streamname": "bench", "clientfactory": "x:y", "maxrecords": "1000"}
+    )
+    r._client_obj = mem
+    t0 = time.perf_counter()
+    total = 0
+    off = r.initialOffset()
+    while True:
+        rows, off = r.read(off)
+        rows = list(rows)
+        if not rows:
+            break
+        total += len(rows)
+    dt = time.perf_counter() - t0
+    n = KINESIS_BENCH_SHARDS * KINESIS_BENCH_PER_SHARD
+    assert total == n, f"simple read lost rows: {total}/{n}"
+    return round(n / dt)
 
 
 def _bench_kinesis_parallel(spark, base: str) -> int:
