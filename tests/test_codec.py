@@ -153,3 +153,48 @@ def test_binary_envelope_roundtrip_and_layout(spark):
     assert raw == expected
     # partition key rides beside the blob, as in the JSON codec
     assert {r.partition_key for r in wire.collect()} == {"k1", "k2", None}
+
+
+def test_kpl_pack_flushes_on_byte_budget():
+    """r6 review: without a byte-based flush, 100 large records
+    aggregate past the service's 1 MiB per-record cap — a poison
+    batch. Every packed container must stay under the budget and
+    nothing may be lost or reordered within a key."""
+    from watermill_kinesis_spark.streaming.kpl import (
+        KPL_MAX_CONTAINER_BYTES,
+        deaggregate,
+        pack_entries,
+    )
+    from watermill_kinesis_spark.streaming.sink import PutRecordsEntry
+
+    big = b"x" * 20_000
+    entries = [PutRecordsEntry(big + str(i).encode(), "k") for i in range(100)]
+    packed = pack_entries(entries)
+    assert len(packed) > 1  # the old count-only packer made ONE 2MB blob
+    out = []
+    for p in packed:
+        assert len(p.data) <= KPL_MAX_CONTAINER_BYTES + 20_000
+        out.extend(payload for _, payload in deaggregate(p.data))
+    assert out == [e.data for e in entries]  # lossless, order kept per key
+
+
+def test_kpl_record_missing_required_field_raises():
+    """r6 review: a checksum-valid container whose Record omits a
+    required field must go down the corrupt path, not emit a bogus
+    empty row under key index 0."""
+    import hashlib
+
+    import pytest
+
+    from watermill_kinesis_spark.streaming.kpl import (
+        KPL_MAGIC,
+        _write_len_delimited,
+        deaggregate,
+    )
+
+    # container: key table entry + one record holding ONLY field 1
+    rec = b"\x08\x00"  # field 1 varint 0, no field-3 data
+    body = _write_len_delimited(1, b"k") + _write_len_delimited(3, rec)
+    blob = KPL_MAGIC + body + hashlib.md5(body).digest()
+    with pytest.raises(ValueError, match="required"):
+        deaggregate(blob)

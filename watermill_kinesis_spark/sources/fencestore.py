@@ -18,18 +18,34 @@ normalized here), ``hdfs://`` (via libhdfs where installed), and
 ``gs://``. Pointing ``positionDir`` at shared storage therefore works
 with exactly the URI the user already passes for checkpoints.
 
-Atomicity: on local filesystems, writes go to a ``.tmp-<pid>`` sibling
-and are renamed into place (atomic, so readers never observe a torn
-fence). Object stores publish whole objects atomically, so the write
-is direct there — a reader sees the old fence or the new one, never a
-prefix. Readers additionally tolerate unparsable fences (half-written
-under crash) by skipping them until the next trigger.
+Atomicity: on local filesystems, writes go to a ``.tmp-<pid>-<uuid>``
+sibling and are renamed into place (atomic, so readers never observe
+a torn fence; the uuid component keeps duplicate task attempts on a
+SHARED filesystem — NFS/EFS with colliding worker pids — from
+interleaving into one tmp file). Object stores publish whole objects
+atomically, so the write is direct there — a reader sees the old
+fence or the new one, never a prefix. Readers additionally tolerate
+unparsable fences (half-written under crash) by skipping them until
+the next trigger.
+
+Error discipline (r6 review): ABSENCE and TORN CONTENT map to
+None/[]/no-op — those are the states the protocol retries through.
+Real I/O failures (auth denial, network, permission) PROPAGATE from
+``read_json`` and ``delete`` — a retried task that silently ignored
+its replay fence would re-read past the fenced window, and a commit
+whose pruning silently no-ops would grow the fence dir unboundedly.
+``list_names`` alone still degrades to [] on listing errors (the
+planner runs every trigger and the reader's fail-fast guard fires
+after three fence-less batches) but it REMEMBERS the error in
+``last_list_error`` so that guard's message can surface the true
+cause instead of blaming configuration.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid as uuidlib
 
 __all__ = ["FenceStore"]
 
@@ -53,6 +69,10 @@ class FenceStore:
     def __init__(self, base: str):
         self.base = _normalize(base)
         self._resolved = None  # (fs, root), memoized per process
+        self._dir_ensured = False
+        #: the last listing failure, surfaced by the reader's
+        #: fences-never-visible fail-fast guard
+        self.last_list_error: Exception | None = None
 
     # -- filesystem plumbing ------------------------------------------
 
@@ -62,6 +82,8 @@ class FenceStore:
     def __setstate__(self, state):
         self.base = state["base"]
         self._resolved = None
+        self._dir_ensured = False
+        self.last_list_error = None
 
     def _resolve(self):
         # memoized: FileSystem.from_uri builds a fresh client (S3 etc.)
@@ -86,7 +108,11 @@ class FenceStore:
 
     def list_names(self) -> list[str]:
         """Basenames of all files directly under the store (no
-        recursion); empty when the directory doesn't exist yet."""
+        recursion); empty when the directory doesn't exist yet. A
+        listing FAILURE also returns [] (the planner must keep
+        running; the reader fail-fasts after three fence-less
+        batches) but is recorded in ``last_list_error`` so that
+        fail-fast can report the real cause."""
         from pyarrow import fs as pafs
 
         fs, root = self._resolve()
@@ -94,30 +120,51 @@ class FenceStore:
             infos = fs.get_file_info(
                 pafs.FileSelector(root, recursive=False, allow_not_found=True)
             )
-        except Exception:  # transient listing failure: retry next trigger
+        except Exception as e:  # remembered, surfaced by the guard
+            self.last_list_error = e
             return []
+        self.last_list_error = None
         return [
             i.base_name for i in infos if i.type == pafs.FileType.File
         ]
 
     def read_json(self, name: str) -> dict | None:
-        """Parsed fence, or None when absent/torn (caller retries at
-        the next trigger — same contract as the old POSIX reader)."""
+        """Parsed fence; None ONLY when the fence is absent or torn
+        (half-written JSON under crash) — the states the replay
+        protocol is designed to retry through. Any other I/O failure
+        propagates: a retried task that treated an auth/network error
+        as 'no fence' would silently re-poll past the window its
+        first attempt already fenced (r6 review)."""
         fs, root = self._resolve()
         try:
             with fs.open_input_stream(f"{root}/{name}") as f:
-                return json.loads(f.read().decode("utf-8"))
-        except Exception:
+                raw = f.read()
+        except FileNotFoundError:
             return None
+        except OSError as e:
+            # pyarrow maps missing object-store keys to OSError with a
+            # recognizable message; real transport errors re-raise
+            if "No such file" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+        try:
+            return json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            return None  # torn fence: skip until next trigger
 
     def write_json(self, name: str, obj: dict) -> None:
         fs, root = self._resolve()
         payload = json.dumps(obj).encode("utf-8")
-        fs.create_dir(root, recursive=True)
+        if not self._dir_ensured:
+            # once per process, not per fence write: on object stores
+            # every create_dir is a round trip on the hot path
+            fs.create_dir(root, recursive=True)
+            self._dir_ensured = True
         final = f"{root}/{name}"
         if self._is_local(fs):
-            # tmp + rename: POSIX-atomic, no torn reads
-            tmp = f"{final}.tmp-{os.getpid()}"
+            # tmp + rename: POSIX-atomic, no torn reads. pid+uuid so
+            # duplicate attempts on a shared FS never share a tmp path
+            tmp = f"{final}.tmp-{os.getpid()}-{uuidlib.uuid4().hex[:8]}"
             with fs.open_output_stream(tmp) as f:
                 f.write(payload)
             fs.move(tmp, final)
@@ -127,15 +174,26 @@ class FenceStore:
                 f.write(payload)
 
     def delete(self, name: str) -> None:
+        """Idempotent for ALREADY-GONE files only; an access-denied or
+        transport failure propagates — silently un-pruned fences grow
+        the dir (and every trigger's listing) without bound."""
         fs, root = self._resolve()
         try:
             fs.delete_file(f"{root}/{name}")
-        except Exception:
+        except FileNotFoundError:
             pass  # already gone / concurrent prune: idempotent
+        except OSError as e:
+            if "No such file" in str(e) or "Path does not exist" in str(e):
+                return
+            raise
 
     def delete_all(self) -> None:
         fs, root = self._resolve()
         try:
             fs.delete_dir(root)
-        except Exception:
+        except FileNotFoundError:
             pass
+        except OSError as e:
+            if "No such file" in str(e) or "Path does not exist" in str(e):
+                return
+            raise

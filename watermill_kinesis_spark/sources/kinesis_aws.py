@@ -615,6 +615,14 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
             # positionDir on a multi-node cluster). Without this check
             # the query silently re-reads the same <=MAX_POLLS window
             # forever and never advances past it.
+            listing_err = getattr(self._store, "last_list_error", None)
+            cause = (
+                f" The fence store's last listing attempt FAILED with: "
+                f"{type(listing_err).__name__}: {listing_err} — fix that "
+                "error (credentials/permissions/network) first."
+                if listing_err is not None
+                else ""
+            )
             raise RuntimeError(
                 "kinesis_aws parallel reader: executors' position fences "
                 f"are not visible to the driver under {self._fence_dir!r} "
@@ -622,7 +630,7 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
                 "advance (each trigger would re-read the same window). "
                 "Set .option('positionDir', <URI>) to storage shared by "
                 "driver and executors (NFS/EFS mount, s3a://, hdfs://), "
-                "exactly like checkpointLocation."
+                "exactly like checkpointLocation." + cause
             )
         # reshard pickup, parent-gated: a child shard enters only after
         # its parent drained to SHARD_END (KCL TERMINATE ordering, so a

@@ -115,8 +115,8 @@ def deaggregate(data: bytes) -> list[tuple[str, bytes]]:
 
 
 def _parse_record(chunk: bytes) -> tuple[int, bytes]:
-    key_idx = 0
-    payload = b""
+    key_idx = None
+    payload = None
     i = 0
     while i < len(chunk):
         tag, i = _read_varint(chunk, i)
@@ -134,6 +134,12 @@ def _parse_record(chunk: bytes) -> tuple[int, bytes]:
                 payload = val_b
         else:
             raise ValueError(f"unexpected wire type {wire_type} in record")
+    # both fields are REQUIRED by the KPL spec: defaulting a missing
+    # one to (0, b"") would emit a bogus empty row under the wrong
+    # partition key instead of routing the container down the corrupt-
+    # record path (r6 review)
+    if key_idx is None or payload is None:
+        raise ValueError("KPL record missing required field")
     return key_idx, payload
 
 
@@ -167,31 +173,49 @@ def aggregate(records: list[tuple[str, bytes]]) -> bytes:
     return KPL_MAGIC + body_b + hashlib.md5(body_b).digest()
 
 
+#: byte budget per KPL container: the service rejects PutRecords
+#: entries over 1 MiB (data + key), so flush well under it — the real
+#: KPL's own ceiling; the margin covers protobuf framing, the key
+#: table, magic and md5
+KPL_MAX_CONTAINER_BYTES = 900_000
+
+
 def pack_entries(entries, max_per_container: int = 100):
     """Producer-side KPL packing: group wire entries by partition key
     (sub-records of one container share the container's partition key,
     so per-key FIFO routing survives aggregation) and pack up to
-    ``max_per_container`` per KPL blob. Returns ``PutRecordsEntry``-
-    shaped objects with *bytes* data — pass to ``put_chunked`` with the
-    ``KinesisPublisher`` transport, which sends bytes as-is. This is
-    how a producer beats the 1,000 records/s/shard service limit: N
-    user records cost one service record. Consumers (the engine's
-    ``kinesis_aws`` source, or any KCL app) unpack transparently."""
+    ``max_per_container`` records AND at most ``KPL_MAX_CONTAINER_BYTES``
+    of payload per KPL blob — without the byte flush, 100 large
+    records would aggregate past the service's 1 MiB per-record limit
+    and the whole PutRecords call would ValidationException-fail
+    forever (a poison batch Spark would retry endlessly; r6 review).
+    Returns ``PutRecordsEntry``-shaped objects with *bytes* data —
+    pass to ``put_chunked`` with the ``KinesisPublisher`` transport,
+    which sends bytes as-is. This is how a producer beats the 1,000
+    records/s/shard service limit: N user records cost one service
+    record. Consumers (the engine's ``kinesis_aws`` source, or any
+    KCL app) unpack transparently."""
     from watermill_kinesis_spark.streaming.sink import PutRecordsEntry
 
     by_key: dict[str, list] = {}
-    order: list[str] = []
     for e in entries:
         key = e.partition_key or "0"
-        if key not in by_key:
-            by_key[key] = []
-            order.append(key)
         data = e.data if isinstance(e.data, bytes) else e.data.encode("utf-8")
-        by_key[key].append((key, data))
+        by_key.setdefault(key, []).append((key, data))
     packed = []
-    for key in order:
-        recs = by_key[key]
-        for i in range(0, len(recs), max_per_container):
-            blob = aggregate(recs[i : i + max_per_container])
-            packed.append(PutRecordsEntry(blob, key))
+    for key, recs in by_key.items():
+        group: list = []
+        group_bytes = 0
+        for rec in recs:
+            rec_cost = len(rec[1]) + 16  # payload + framing margin
+            if group and (
+                len(group) >= max_per_container
+                or group_bytes + rec_cost > KPL_MAX_CONTAINER_BYTES
+            ):
+                packed.append(PutRecordsEntry(aggregate(group), key))
+                group, group_bytes = [], 0
+            group.append(rec)
+            group_bytes += rec_cost
+        if group:
+            packed.append(PutRecordsEntry(aggregate(group), key))
     return packed
