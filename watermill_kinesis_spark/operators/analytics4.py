@@ -1546,3 +1546,72 @@ def revenue_waterfall_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
         "CAST((rev1 - rev0) - volume_eff - price_eff - new_parts_rev"
         " + lost_parts_rev AS BIGINT) AS residual_cents",
     )
+
+
+@query(
+    "sequence_gap_audit",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               LAG(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY event_id) AS prev_id
+        FROM events),
+    gaps AS (
+        SELECT user_id,
+               CASE WHEN prev_id IS NOT NULL AND event_id - prev_id > 1
+                    THEN 1 ELSE 0 END AS has_gap,
+               CASE WHEN prev_id IS NOT NULL
+                    THEN event_id - prev_id - 1 ELSE 0 END AS missing
+        FROM seq)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(has_gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(missing) AS BIGINT) AS n_missing_ids,
+           CAST(MAX(missing) AS BIGINT) AS max_gap
+    FROM gaps GROUP BY user_id
+    HAVING SUM(has_gap) > 0
+    """,
+    tags=("evaluation", "streaming", "data-quality"),
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-number gap detection per key — the data-loss audit a
+    consumer runs over a monotonically-numbered feed (Kinesis
+    sequence numbers, CDC LSNs, outbox ids): LAG over the ordered ids
+    finds every hole, reporting gap count, total missing ids, and the
+    widest hole per key; only keys WITH gaps surface (the alert
+    surface, not a full census). One per-key window + one aggregate —
+    partitioned, linear, and the exact complement of the uuid-dedup
+    exactly-once check (dedup catches doubles; this catches holes)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    gaps = seq.select(
+        "user_id",
+        F.when(
+            F.col("prev_id").isNotNull()
+            & (F.col("event_id") - F.col("prev_id") > 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("has_gap"),
+        F.when(
+            F.col("prev_id").isNotNull(),
+            F.col("event_id") - F.col("prev_id") - 1,
+        )
+        .otherwise(0)
+        .alias("missing"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("has_gap").cast("bigint").alias("n_gaps"),
+            F.sum("missing").cast("bigint").alias("n_missing_ids"),
+            F.max("missing").cast("bigint").alias("max_gap"),
+        )
+        .where(F.col("n_gaps") > 0)
+    )

@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "format_fixedwidth_parse",
     "ttl_retention_sweep",
     "join_null_safe_eq",
+    "sequence_gap_audit",
     "embedding_matryoshka_audit",
     "stupid_backoff_score",
     "template_skeleton_dedup",
