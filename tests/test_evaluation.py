@@ -35,6 +35,13 @@ def test_auc_matches_bruteforce_mann_whitney(spark, sf_dir):
 
 
 def test_ks_matches_bruteforce(spark, sf_dir):
+    """KS over the operator's contractual quantization grid: the
+    brute force applies the SAME in-plan binning (floor(v·KS_SCALE)
+    clamped to [0, KS_BINS)) before computing max|cum1·n2 − cum2·n1|."""
+    import math
+
+    from watermill_kinesis_spark.operators.evaluation import KS_BINS, KS_SCALE
+
     out = {
         (r.t1, r.t2): r
         for r in queries()["ks_drift_matrix"](spark, sf_dir).collect()
@@ -44,7 +51,8 @@ def test_ks_matches_bruteforce(spark, sf_dir):
     ).collect()
     samples: dict[str, list] = {}
     for r in rows:
-        samples.setdefault(r.event_type, []).append(r.value)
+        b = min(KS_BINS - 1, max(0, math.floor(r.value * KS_SCALE)))
+        samples.setdefault(r.event_type, []).append(b)
     types = sorted(samples)
     assert set(out) == {
         (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
@@ -61,6 +69,33 @@ def test_ks_matches_bruteforce(spark, sf_dir):
         )
         assert (r.n1, r.n2, r.d_scaled) == (n1, n2, d)
         assert r.ks_permille == d * 1000 // (n1 * n2)
+
+
+def test_ks_cell_axis_bounded_by_grid(spark, sf_dir):
+    """The What's-wrong-#2 fix pinned: the cumulative window's input
+    is bounded by the quantization grid — per-pair cell count can
+    never exceed KS_BINS regardless of score cardinality, because the
+    binning happens IN-PLAN before cell formation."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.operators.evaluation import KS_BINS, KS_SCALE
+    from watermill_kinesis_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, sf_dir, "events")
+    v_bin = F.least(
+        F.lit(KS_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") * KS_SCALE).cast("bigint")),
+    )
+    n_cells = (
+        ev.select("event_type", v_bin.alias("v"))
+        .groupBy("event_type", "v")
+        .count()
+        .groupBy("event_type")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert n_cells <= KS_BINS
 
 
 def test_gini_matches_bruteforce(spark, sf_dir):

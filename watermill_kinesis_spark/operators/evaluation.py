@@ -16,14 +16,20 @@ only Python's flooring ``//`` differs, which the brute-force tests
 account for. Wide intermediates go through decimal(38,0) on Spark and
 HUGEINT in the oracle, both exact to 10^38.
 
-100 TB posture: rank metrics (AUC, Gini, calibration) run their
-windows PARTITIONED by the report group, so the sort distributes
-across groups; KS aggregates to per-(pair, value) cells before any
-window, bounding window input by distinct-value cardinality (quantize
-continuous scores upstream when that cardinality is unbounded); chi2 /
-linreg reduce the corpus to a handful of exact sums in one map-side-
-combinable aggregate. The only ``collect()`` is the event-type enum
-for pair formation — a bounded model artifact (an enum, not data).
+100 TB posture: rank metrics over ENUM report groups (AUC,
+calibration, gains, Spearman, runs test) never partition a window by
+the enum over raw rows — a 5-value group axis means ~5 tasks each
+sorting N/5 rows. They rank through :mod:`distscan`'s distributed
+decomposition instead (range-partitioned slices → local windows →
+broadcast offsets; bit-identical to the single-window plan, so the
+oracle SQL keeps its window form). Windows partitioned by a
+DATA-scaled key (source, user) or running over PRE-AGGREGATED
+bounded rows stay as windows. KS quantizes scores to a fixed bounded
+grid IN-PLAN and aggregates to per-(pair, bin) cells before its
+cumulative window; chi2 / linreg reduce the corpus to a handful of
+exact sums in one map-side-combinable aggregate. ``collect()`` sites
+are bounded model artifacts only: the event-type enum for pair
+formation, and distscan's n_slices × |groups| offset rows.
 
 Reference parity note: the reference engine (a Go Kinesis Pub/Sub
 connector) has no analytics surface; this family belongs to the
@@ -35,6 +41,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from watermill_kinesis_spark.operators.distscan import (
+    grouped_scan,
+    group_sizes_df,
+    ntile_closed_form,
+)
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -83,32 +94,40 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann–Whitney identity AUC = (Σ_pos r̄ − n₊(n₊+1)/2)/(n₊·n₋) with
     ties at half credit; doubling average ranks (2r̄ = 2·rank + ties −
     1) keeps every term integral, so the permille is exact integer
-    division on both engines. The rank window is PARTITIONED by group
-    — the sort distributes across groups, and the doubled rank-sum
-    rides a decimal(38,0)/HUGEINT aggregate so n up to 10^19 per
-    group cannot overflow. The scalable shape of sklearn's
-    ``roc_auc_score`` for grouped-report evaluation."""
+    division on both engines. Ranks come from the DISTRIBUTED
+    :func:`grouped_scan` (range-partitioned slices + local windows +
+    broadcast offsets — NEVER a window partitioned by the 5-value
+    priority enum over raw rows, which would sort N/5 rows in one
+    task at 100 TB): RANK() == min global row_number over each
+    (group, score) tie cell, so per-cell (min rn, count, Σpos) rebuild
+    every term of the rank-sum exactly; the doubled rank-sum rides a
+    decimal(38,0)/HUGEINT aggregate so n up to 10^19 per group cannot
+    overflow. The scalable shape of sklearn's ``roc_auc_score`` for
+    grouped-report evaluation."""
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("score"),
+        F.col("o_orderkey").alias("okey"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
     )
-    w_rank = W.partitionBy("grp").orderBy("score")
-    w_tie = W.partitionBy("grp", "score")
-    ranked = scored.select(
-        "grp",
-        "pos",
-        F.rank().over(w_rank).alias("r"),
-        F.count(F.lit(1)).over(w_tie).alias("c"),
+    ranked, _ = grouped_scan(
+        scored, ["grp"], [F.col("score"), F.col("okey")]
     )
-    agg = ranked.groupBy("grp").agg(
-        F.sum("pos").cast("decimal(38,0)").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("pos")).cast("decimal(38,0)").alias("n_neg"),
+    # RANK() over (grp ORDER BY score) == min row_number in the tie
+    # cell; the per-row term (2·rank + ties − 1) is constant within a
+    # cell, so summing npos·(2r+c−1) over cells equals the row sum
+    cells = ranked.groupBy("grp", "score").agg(
+        F.min("rn").alias("r"),
+        F.count(F.lit(1)).alias("c"),
+        F.sum("pos").alias("npos"),
+    )
+    agg = cells.groupBy("grp").agg(
+        F.sum("npos").cast("decimal(38,0)").alias("n_pos"),
+        F.sum(F.col("c") - F.col("npos")).cast("decimal(38,0)").alias("n_neg"),
         F.sum(
-            F.when(F.col("pos") == 1, F.lit(2) * F.col("r") + F.col("c") - 1)
-            .otherwise(0)
-            .cast("decimal(25,0)")
+            F.col("npos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("r") + F.col("c") - 1)
         )
         .cast("decimal(38,0)")
         .alias("s2"),
@@ -135,11 +154,23 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KS quantization grid: scores land in KS_BINS fixed cells of width
+#: 1/KS_SCALE, clamped at the top — the IN-PLAN bound on the cumulative
+#: window's input cardinality (cells per pair ≤ KS_BINS at ANY corpus
+#: size, continuous scores included)
+KS_BINS = 4096
+KS_SCALE = 4
+
+
 @query(
     "ks_drift_matrix",
-    oracle="""
+    oracle=f"""
     WITH vals AS (
-        SELECT event_type AS t, value AS v, COUNT(*) AS c
+        SELECT event_type AS t,
+               LEAST({KS_BINS - 1},
+                     GREATEST(0, CAST(FLOOR(value * {KS_SCALE}) AS BIGINT)))
+                   AS v,
+               COUNT(*) AS c
         FROM events GROUP BY 1, 2),
     types AS (SELECT DISTINCT event_type AS t FROM events),
     pairs AS (
@@ -170,20 +201,30 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance between the
-    ``value`` distributions of every pair of event types — the
-    distribution-drift screen a data pipeline runs between corpus
+    quantized ``value`` distributions of every pair of event types —
+    the distribution-drift screen a data pipeline runs between corpus
     snapshots or train/serve populations. Integer-exact: with counts
-    c₁,c₂ cumulated over the merged value axis, D = max|F₁−F₂| =
+    c₁,c₂ cumulated over the merged bin axis, D = max|F₁−F₂| =
     max|cum1·n₂ − cum2·n₁| / (n₁·n₂), so d_scaled and the permille
-    are pure integer arithmetic. Scale shape: one corpus-wide
-    aggregate down to (type, value) cells, pair expansion via two
-    broadcast equi-joins against the 10-row pair enum (never a
-    non-equi join), and the cumulative window runs per PAIR over
-    value-cardinality-bounded cells — for continuous scores at 100 TB,
-    quantize upstream to bound that cardinality."""
+    are pure integer arithmetic. Scale shape: scores are quantized
+    IN-PLAN to the fixed KS_BINS-cell grid (floor(value·KS_SCALE),
+    clamped — mirrored exactly in the oracle, so the quantization is
+    part of the operator's contract, not a docstring plea), then one
+    corpus-wide aggregate down to ≤ |types|·KS_BINS cells, pair
+    expansion via two broadcast equi-joins against the 10-row pair
+    enum (never a non-equi join), and the cumulative window runs per
+    PAIR over the grid-bounded cells — ≤ KS_BINS rows per pair at ANY
+    corpus size, continuous scores included (KS on the quantized
+    distribution lower-bounds true KS within one cell's CDF mass)."""
     ev = load_table(spark, sf_dir, "events")
+    v_bin = F.least(
+        F.lit(KS_BINS - 1),
+        F.greatest(
+            F.lit(0), F.floor(F.col("value") * KS_SCALE).cast("bigint")
+        ),
+    )
     vals = ev.groupBy(
-        F.col("event_type").alias("t"), F.col("value").alias("v")
+        F.col("event_type").alias("t"), v_bin.alias("v")
     ).agg(F.count(F.lit(1)).alias("c"))
     # the event-type enum is bounded (it is a code, not data): collect
     # to build the pair list driver-side, then broadcast
@@ -383,14 +424,29 @@ def calibration_bins_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets of ``o_totalprice`` (NTILE over a deterministic
     (score, key) order — identical bucketing on both engines) with the
     exact positive rate per bucket in permille. The reliability-diagram
-    input for any score column; windows are partitioned by the report
-    group so the sort distributes."""
+    input for any score column. The NTILE is computed WITHOUT an
+    enum-partitioned window: global per-group row numbers come from
+    the distributed :func:`grouped_scan`, group sizes ride a
+    broadcast |groups|-row relation, and :func:`ntile_closed_form`
+    reproduces NTILE's tile widths (first n%b tiles one row wider)
+    in exact integer arithmetic — bit-identical to the oracle's
+    window NTILE, but every task handles a range slice, not a whole
+    priority class."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     scored = o.select(
         F.col("o_orderpriority").alias("grp"),
-        F.ntile(CALIB_BINS).over(w).alias("bin"),
+        F.col("o_totalprice").alias("score"),
+        F.col("o_orderkey").alias("okey"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    ranked, totals = grouped_scan(
+        scored, ["grp"], [F.col("score"), F.col("okey")]
+    )
+    sizes = group_sizes_df(spark, totals, ranked.select("grp").schema)
+    scored = ranked.join(F.broadcast(sizes), "grp").select(
+        "grp",
+        ntile_closed_form(F.col("rn"), F.col("n"), CALIB_BINS).alias("bin"),
+        "pos",
     )
     return (
         scored.groupBy("grp", F.col("bin").cast("bigint").alias("bin"))
@@ -774,18 +830,32 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     targeting ((cum_pos/cum_n)/(tot_pos/tot_n), cleared to one integer
     quotient) — the complement of ``calibration_bins_exact`` (per-bin
     rate there, cumulative capture here) and the last face of the
-    model-targeting report besides AUC. Same scale shape: per-group
-    NTILE windows, tiny cumulative windows over 10 bins per group,
-    decimal(38,0)/HUGEINT wide terms, NULL-guarded denominators
-    identical on both engines."""
+    model-targeting report besides AUC. Same scale shape as
+    calibration: the decile assignment is the distributed
+    :func:`grouped_scan` (descending score order) + closed-form NTILE
+    — no enum-partitioned window over raw rows. The cumulative
+    windows that remain run over the PRE-AGGREGATED per-bin table
+    (10 rows per group at any corpus size — bounded input, where a
+    group-partitioned window is the right plan). decimal(38,0)/
+    HUGEINT wide terms, NULL-guarded denominators identical on both
+    engines."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), "o_orderkey"
-    )
-    scored = o.select(
+    base = o.select(
         F.col("o_orderpriority").alias("grp"),
-        F.ntile(CALIB_BINS).over(w).alias("decile"),
+        F.col("o_totalprice").alias("score"),
+        F.col("o_orderkey").alias("okey"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    ranked, totals = grouped_scan(
+        base, ["grp"], [F.col("score").desc(), F.col("okey")]
+    )
+    sizes = group_sizes_df(spark, totals, ranked.select("grp").schema)
+    scored = ranked.join(F.broadcast(sizes), "grp").select(
+        "grp",
+        ntile_closed_form(F.col("rn"), F.col("n"), CALIB_BINS).alias(
+            "decile"
+        ),
+        "pos",
     )
     per_bin = scored.groupBy("grp", "decile").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -844,20 +914,35 @@ def spearman_rank_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (outlier-robust, the drift-vs-feature screen that works on any
     monotone scale): ρ = 1 − 6Σd²/(n(n²−1)) with d the rank
     difference, cleared to one integer quotient in permille. Ranks
-    come from two per-group windows (tie-broken by key so both
-    engines produce identical rankings); Σd² rides decimal(38,0)/
-    HUGEINT — exact past 10⁹ rows per group. Note the deliberate
-    tie-break-by-key convention (not average ranks): identical on
-    both engines and stable, the property the oracle actually
-    needs."""
+    come from TWO distributed :func:`grouped_scan` passes (one per
+    axis; the unique ``o_orderkey`` tiebreak makes RANK() equal the
+    scan's row_number, so the oracle's window RANK matches
+    bit-for-bit) joined back on the order key — never a window
+    partitioned by the 5-value priority enum over raw rows. Σd² rides
+    decimal(38,0)/HUGEINT — exact past 10⁹ rows per group. Note the
+    deliberate tie-break-by-key convention (not average ranks):
+    identical on both engines and stable, the property the oracle
+    actually needs."""
     o = load_table(spark, sf_dir, "orders")
-    wx = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wy = W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
-    ranked = o.select(
+    base = o.select(
         F.col("o_orderpriority").alias("grp"),
-        F.rank().over(wx).alias("rx"),
-        F.rank().over(wy).alias("ry"),
+        F.col("o_orderkey").alias("okey"),
+        "o_totalprice",
+        "o_orderdate",
     )
+    rx_df, _ = grouped_scan(
+        base.select("grp", "okey", "o_totalprice"),
+        ["grp"],
+        [F.col("o_totalprice"), F.col("okey")],
+    )
+    ry_df, _ = grouped_scan(
+        base.select("grp", "okey", "o_orderdate"),
+        ["grp"],
+        [F.col("o_orderdate"), F.col("okey")],
+    )
+    ranked = rx_df.select(
+        "grp", "okey", F.col("rn").alias("rx")
+    ).join(ry_df.select("okey", F.col("rn").alias("ry")), "okey")
     d = (F.col("rx") - F.col("ry")).cast("decimal(19,0)")
     s = ranked.groupBy("grp").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -957,40 +1042,89 @@ def runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 + 2n₁n₂/(n₁+n₂), reported exactly in milli units beside the
     observed count (the z-statistic needs a square root, so the
     comparison is left to the caller — the counts are the exact
-    part). Per-type windows (partitioned) over a single pass; the
-    median comes from each group's exact order statistics."""
+    part). Scale shape: the per-type median comes from the
+    DISTRIBUTED selection (:func:`grouped_scan` global ranks → the
+    two middle order statistics → their mean, matching DuckDB's
+    interpolated ``median`` — never Spark's buffering ``median``
+    aggregate, which holds a whole group's values in one task), and
+    the boundary count decomposes over range slices: each slice
+    counts its internal sign changes with a (slice, type)-partitioned
+    lag window, seam boundaries between consecutive slices come from
+    the bounded per-(slice, type) first/last collect (n_slices ×
+    |types| rows). No window partitioned by the 5-value type enum
+    over raw rows anywhere; final arithmetic runs on |types| rows of
+    exact Python integers."""
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("median(value)").alias("m")
+    vs, vtot = grouped_scan(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [F.col("value"), F.col("event_id")],
     )
-    seq = (
-        ev.join(med, "event_type")
-        .select(
-            "event_type",
-            F.when(F.col("value") > F.col("m"), 1).otherwise(0).alias("above"),
-            F.col("ts"),
-            F.col("event_id"),
-        )
+    mid = [
+        (g[0], (t["n"] + 1) // 2, t["n"] // 2 + 1) for g, t in vtot.items()
+    ]
+    mdf = spark.createDataFrame(mid, "event_type string, lo long, hi long")
+    med = (
+        vs.join(F.broadcast(mdf), "event_type")
+        .where((F.col("rn") == F.col("lo")) | (F.col("rn") == F.col("hi")))
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
     )
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    runs = seq.select(
+    seq = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.when(F.col("value") > F.col("m"), 1).otherwise(0).alias("above"),
+        "ts",
+        "event_id",
+    )
+    parted = (
+        seq.repartitionByRange(32, "event_type", "ts", "event_id")
+        .sortWithinPartitions("event_type", "ts", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin ONE materialization of sampled ranges
+    )
+    w = W.partitionBy("pid", "event_type").orderBy("ts", "event_id")
+    loc = parted.select(
+        "pid",
         "event_type",
         "above",
-        F.when(
-            F.col("above") != F.lag("above").over(w), 1
-        ).otherwise(0).alias("boundary"),
+        F.lag("above").over(w).alias("prev"),
+        F.row_number().over(w).alias("lrk"),
     )
-    s = runs.groupBy("event_type").agg(
-        (F.sum("boundary") + 1).cast("decimal(38,0)").alias("n_runs"),
-        F.sum("above").cast("decimal(38,0)").alias("n1"),
-        F.sum(F.lit(1) - F.col("above")).cast("decimal(38,0)").alias("n2"),
+    stats = (
+        loc.groupBy("pid", "event_type")
+        .agg(
+            # NULL prev (slice-first row) compares to null ⇒ otherwise(0)
+            F.sum(
+                F.when(F.col("above") != F.col("prev"), 1).otherwise(0)
+            ).alias("bounds"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("above").alias("n1"),
+            F.min_by("above", "lrk").alias("first_above"),
+            F.max_by("above", "lrk").alias("last_above"),
+        )
+        .collect()
     )
-    return s.selectExpr(
-        "event_type",
-        "CAST(n_runs AS BIGINT) AS n_runs",
-        "CAST(n1 AS BIGINT) AS n1",
-        "CAST(n2 AS BIGINT) AS n2",
-        "CAST(CASE WHEN n1 + n2 > 0"
-        " THEN 1000 + (2000 * n1 * n2) div (n1 + n2) END AS BIGINT)"
-        " AS expected_runs_milli",
+    per: dict[str, dict] = {}
+    for row in sorted(stats, key=lambda r: r["pid"]):
+        s = per.setdefault(
+            row["event_type"], {"bounds": 0, "cnt": 0, "n1": 0, "last": None}
+        )
+        s["bounds"] += row["bounds"]
+        if s["last"] is not None and row["first_above"] != s["last"]:
+            s["bounds"] += 1  # seam between consecutive slices
+        s["cnt"] += row["cnt"]
+        s["n1"] += row["n1"]
+        s["last"] = row["last_above"]
+    rows = []
+    for et in sorted(per):
+        s = per[et]
+        n1, n2 = s["n1"], s["cnt"] - s["n1"]
+        # positive operands: Python // == SQL div here
+        rows.append(
+            (et, s["bounds"] + 1, n1, n2, 1000 + (2000 * n1 * n2) // (n1 + n2))
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_runs bigint, n1 bigint, n2 bigint,"
+        " expected_runs_milli bigint",
     )

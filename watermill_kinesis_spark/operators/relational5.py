@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import dsum, sql_dsum
+from watermill_kinesis_spark.operators.distscan import (
+    grouped_scan,
+    group_sizes_df,
+)
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -505,44 +509,56 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per event type — the level-shift
     monitor a pipeline runs on a metric stream: the cumulative sum of
     mean-deviations peaks where the level changed. Kept EXACT by
-    clearing the rational mean: cusumₖ = Σᵢ≤ₖ (n·xᵢ − S) (x in
-    half-up centi-units) is pure integer arithmetic, and the
-    change-point is the (deterministically tie-broken) position of
-    max |cusum|. Windows partition by series; the scaled partial sums
-    ride decimal(38,0)/HUGEINT — n·x terms pass int64 around 10⁹ rows
-    per series."""
+    clearing the rational mean: cusumₖ = Σᵢ≤ₖ (n·xᵢ − S) = n·(Σᵢ≤ₖ xᵢ)
+    − k·S (x in half-up centi-units) is pure integer arithmetic, and
+    the change-point is the (deterministically tie-broken) position
+    of max |cusum|. Scale shape: position k and the running Σxᵢ both
+    come from ONE distributed :func:`grouped_scan` pass (range
+    slices + local windows + broadcast offsets — no window
+    partitioned by the 5-value type enum over raw rows), per-type
+    (n, S) ride the scan's free totals as a broadcast |types|-row
+    relation, and the arg-max is a per-type max aggregate joined back
+    (min pos on ties — same order as the oracle's rank). Wide terms
+    ride decimal(38,0)/HUGEINT — n·x terms pass int64 around 10⁹
+    rows per series."""
     ev = load_table(spark, sf_dir, "events")
     seq = ev.select(
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("decimal(19,0)").alias("xc"),
         "ts",
         "event_id",
-    ).withColumn(
-        "pos",
-        F.row_number().over(
-            W.partitionBy("event_type").orderBy("ts", "event_id")
-        ),
     )
-    tot = seq.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("xc").cast("decimal(38,0)").alias("s"),
+    scan, totals = grouped_scan(
+        seq,
+        ["event_type"],
+        [F.col("ts"), F.col("event_id")],
+        sum_cols=["xc"],
     )
-    cus = (
-        seq.join(tot, "event_type")
-        .withColumn(
-            "c",
-            F.sum(
-                (F.col("n") * F.col("xc") - F.col("s")).cast("decimal(38,0)")
-            ).over(W.partitionBy("event_type").orderBy("pos")),
+    sizes = group_sizes_df(
+        spark, totals, scan.select("event_type").schema, extra=["xc"]
+    )
+    cus = scan.join(F.broadcast(sizes), "event_type").select(
+        "event_type",
+        F.col("rn").alias("pos"),
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("cum_xc")
+            - F.col("rn").cast("decimal(38,0)") * F.col("tot_xc")
         )
-        .select("event_type", "pos", F.abs(F.col("c")).alias("a"), "n")
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.col("n"),
     )
-    best = cus.withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("event_type").orderBy(F.col("a").desc(), "pos")
-        ),
-    ).where(F.col("rn") == 1)
+    amax = cus.groupBy("event_type").agg(F.max("a").alias("amax"))
+    best = (
+        cus.join(F.broadcast(amax), "event_type")
+        .where(F.col("a") == F.col("amax"))
+        .groupBy("event_type")
+        .agg(
+            F.min("pos").alias("pos"),
+            F.first("amax").alias("a"),
+            F.first("n").alias("n"),
+        )
+    )
     return best.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_events"),
