@@ -362,6 +362,135 @@ def test_no_red_flags_in_r4_added_plans(spark, sf_dir):
         assert not _bad_nested_loop(plan), f"{name}: bad nested loop"
 
 
+def test_enum_window_guard_catches_prefix_shape(spark, sf_dir):
+    """Round-7 guard (VERDICT r6 What's-wrong #3): rebuild the exact
+    PRE-fix shapes of the six re-planned operators — a rank / NTILE /
+    cumulative window partitioned by a fixed 5-value enum over raw
+    rows — and assert `_bad_enum_window` trips on every one (the r6
+    audit columns let all six through with '0 red flags'). Then the
+    benign case: the same enum partition over PRE-AGGREGATED input
+    (bounded rows per group) must NOT trip."""
+    import sys
+
+    from pyspark.sql import Window as W
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import _bad_enum_window
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    prefix_shapes = {
+        # auc_roc_exact r6: rank over 5 priority partitions of raw rows
+        "auc_rank": o.select(
+            "o_orderpriority",
+            F.rank()
+            .over(W.partitionBy("o_orderpriority").orderBy("o_totalprice"))
+            .alias("r"),
+        ),
+        # calibration/gains r6: NTILE over the same raw partitions
+        "ntile": o.select(
+            "o_orderpriority",
+            F.ntile(10)
+            .over(
+                W.partitionBy("o_orderpriority").orderBy(
+                    "o_totalprice", "o_orderkey"
+                )
+            )
+            .alias("b"),
+        ),
+        # spearman r6: two rank windows over raw rows
+        "spearman": o.select(
+            F.rank()
+            .over(
+                W.partitionBy("o_orderpriority").orderBy(
+                    "o_totalprice", "o_orderkey"
+                )
+            )
+            .alias("rx"),
+            F.rank()
+            .over(
+                W.partitionBy("o_orderpriority").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            .alias("ry"),
+        ),
+        # runs_test r6: lag over 5 event_type partitions of raw rows
+        "runs_lag": ev.select(
+            "event_type",
+            F.lag("value")
+            .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+            .alias("prev"),
+        ),
+        # cusum r6: cumulative sum over event_type partitions, raw rows
+        "cusum": ev.select(
+            "event_type",
+            F.sum("value")
+            .over(
+                W.partitionBy("event_type")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .alias("c"),
+        ),
+    }
+    for name, df in prefix_shapes.items():
+        assert _bad_enum_window(plan(df)), f"{name}: pre-fix shape not caught"
+
+    # benign: enum-partitioned window whose input is pre-aggregated —
+    # cumulative_gains' remaining windows run over 10 rows per group
+    per_bin = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    bounded = per_bin.select(
+        "event_type",
+        F.sum("n")
+        .over(W.partitionBy("event_type").orderBy("n"))
+        .alias("cum"),
+    )
+    assert not _bad_enum_window(plan(bounded))
+    # and a window partitioned by a DATA-scaled key stays clean
+    by_user = ev.select(
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts"))
+        .alias("rn")
+    )
+    assert not _bad_enum_window(plan(by_user))
+
+
+def test_replanned_operators_pass_enum_window_guard(spark, sf_dir):
+    """The six re-planned operators (plus the binned KS) must stay
+    clean under the new guard: their local windows partition by
+    (slice, group) — never by the enum alone over raw rows."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import _bad_enum_window
+
+    from watermill_kinesis_spark.registry import all_specs
+
+    specs = all_specs()
+    for name in (
+        "auc_roc_exact",
+        "calibration_bins_exact",
+        "cumulative_gains_deciles",
+        "spearman_rank_corr_exact",
+        "runs_test_shuffle_audit",
+        "cusum_changepoint",
+        "ks_drift_matrix",
+    ):
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not _bad_enum_window(plan), f"{name}: enum window survived"
+
+
 def test_r6_additions_stay_red_flag_free(spark, sf_dir):
     """Round-6 plan guards: the evaluation family's rank windows are
     group-partitioned (no data-scale single-partition exchange), the

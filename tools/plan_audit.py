@@ -3,8 +3,9 @@
 For each audited query this extracts the plan properties that decide
 100 TB behavior — exchange count, broadcast usage, parquet pushdown,
 whole-stage-codegen coverage, and the dangerous shapes (global sorts,
-single-partition exchanges, nested-loop joins) — so plan regressions
-are reviewable in diffs, not just caught by tests/test_plans.py.
+single-partition exchanges, nested-loop joins, windows partitioned by
+a low-cardinality enum over raw rows) — so plan regressions are
+reviewable in diffs, not just caught by tests/test_plans.py.
 
     PYTHONPATH=/root/repo python tools/plan_audit.py [sf_dir]
 """
@@ -41,6 +42,58 @@ def _bad_single_partition(plan: str) -> bool:
     return False
 
 
+#: Columns known to be small fixed enums of the data model (type codes,
+#: priority/status classes and their registered aliases). A window
+#: PARTITIONED solely by these collapses parallelism to |enum| tasks.
+ENUM_PARTITION_COLS = {
+    "event_type",
+    "o_orderpriority",
+    "o_orderstatus",
+    "l_returnflag",
+    "l_linestatus",
+    "grp",  # evaluation-family alias of o_orderpriority
+    "t1",
+    "t2",  # ks_drift_matrix pair axis (event_type × event_type)
+    "bin",
+    "decile",  # fixed 10-tile report axes
+}
+
+
+def _bad_enum_window(plan: str) -> bool:
+    """Round-7 guard (VERDICT r6 What's-wrong #3): a Window whose
+    partition keys are ALL known low-cardinality enum columns runs each
+    group's sort/scan in ONE task — a parallelism collapse at scale —
+    UNLESS its input is pre-aggregated (an Aggregate below the window
+    means the window's input is group/cell-bounded, e.g. a cumulative
+    sum over 10 deciles per group, where the single-task scan touches a
+    bounded row count at any corpus size). This is the defect class the
+    r6 single-partition/nested-loop columns could not see: such plans
+    show '1 shuffle, pushdown ok' and still die at 100 TB."""
+    for m in re.finditer(r"Window \[", plan):
+        line_end = plan.find("\n", m.start())
+        if line_end == -1:
+            line_end = len(plan)
+        line = plan[m.start() : line_end]
+        groups = re.findall(r"\[([^\]]*)\]", line)
+        if len(groups) < 3:
+            continue  # global window — _bad_single_partition's beat
+        part_cols = {c for c in re.findall(r"(\w+)#\d+", groups[-2])}
+        if not part_cols or not part_cols <= ENUM_PARTITION_COLS:
+            continue
+        below = plan[line_end : line_end + 900]
+        if "HashAggregate" in below or "SortAggregate" in below or (
+            "ObjectHashAggregate" in below
+        ):
+            continue  # pre-aggregated input: bounded rows per group
+        if "WindowGroupLimit" in below:
+            # a rank-filter pushed below the shuffle: only k rows per
+            # group per input partition reach the window — the window
+            # input is k·n_partitions rows per group, not N/|enum|
+            continue
+        return True
+    return False
+
+
 def _bad_nested_loop(plan: str) -> bool:
     """BroadcastNestedLoopJoin is benign only with a 1-row broadcast
     build side: a scalar cross join, or a non-equi comparison against a
@@ -71,6 +124,7 @@ def audit_plan(plan: str) -> dict:
         "scalar_agg": "Exchange SinglePartition" in plan,
         "single_part": _bad_single_partition(plan),
         "bnlj": _bad_nested_loop(plan),
+        "enum_window": _bad_enum_window(plan),
         "arrow": "ArrowEvalPython" in plan or "MapInPandas" in plan,
     }
 
@@ -91,8 +145,8 @@ def main() -> int:
         "must stay empty — tests/test_plans.py enforces the critical ones.",
         "",
         "| query | shuffles | broadcasts | BHJ | SMJ | pushdown | codegen |"
-        " TakeOrdered | WindowGroupLimit | Arrow | scalar-agg | BadSinglePart! | BadNestedLoop! |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        " TakeOrdered | WindowGroupLimit | Arrow | scalar-agg | BadSinglePart! | BadNestedLoop! | BadEnumWindow! |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     flags: list[str] = []
     errors: list[str] = []
@@ -114,12 +168,14 @@ def main() -> int:
             f"{a['bcast_joins']} | {a['smj']} | {y(a['pushed'])} | "
             f"{y(a['codegen'])} | {y(a['take_ordered'])} | {y(a['wgl'])} | "
             f"{y(a['arrow'])} | {y(a['scalar_agg'])} | {y(a['single_part'])} | "
-            f"{y(a['bnlj'])} |"
+            f"{y(a['bnlj'])} | {y(a['enum_window'])} |"
         )
         if a["single_part"]:
             flags.append(f"{name}: single-partition exchange")
         if a["bnlj"]:
             flags.append(f"{name}: broadcast nested loop join")
+        if a["enum_window"]:
+            flags.append(f"{name}: enum-partitioned window over raw rows")
     lines.append("")
     if errors:
         lines.append("## PLAN BUILD ERRORS")
@@ -131,7 +187,8 @@ def main() -> int:
     else:
         lines.append(
             "No red flags: no single-partition exchanges, no nested-loop "
-            "joins in any audited plan."
+            "joins, no enum-partitioned windows over raw rows in any "
+            "audited plan."
         )
     lines.append("")
     with open("PLANS.md", "w") as f:

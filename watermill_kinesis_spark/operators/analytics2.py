@@ -14,6 +14,7 @@ partition orderings.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
 
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
@@ -103,20 +104,67 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled series — a plain AVG over-weights bursts. Exactness: value
     is 2-dp, so DECIMAL(12,2)·bigint products and their sums are exact;
     the single final division is double-on-exact. Ordering ties broken
-    by event_id so the lead() pairing is reproducible. One window
-    shuffle on the group key, then a map-side combine."""
+    by event_id so the lead() pairing is reproducible. Scale shape
+    (re-planned r7 — the old single window partitioned by the 5-value
+    type enum over raw rows serialized each group into one task): the
+    LEAD decomposes over range slices — each slice computes its
+    internal next-ts with a (slice, type)-partitioned window, and the
+    slice-LAST row of each type patches its Δt from the FIRST ts of
+    the next slice holding that type, delivered by a broadcast of the
+    bounded per-(slice, type) firsts collect (n_slices × |types|
+    rows). Then one map-side-combinable aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = ev.select(
+    parted = (
+        ev.select("event_type", "value", "ts", "event_id")
+        .repartitionByRange(32, "event_type", "ts", "event_id")
+        .sortWithinPartitions("event_type", "ts", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin ONE materialization of sampled ranges
+    )
+    seq = parted.select(
+        "pid",
         "event_type",
         "value",
+        "ts",
         F.expr(
             "timestampdiff(MICROSECOND, ts, lead(ts) OVER "
-            "(PARTITION BY event_type ORDER BY ts, event_id))"
+            "(PARTITION BY pid, event_type ORDER BY ts, event_id))"
+        ).alias("dt_us"),
+    )
+    firsts = parted.groupBy("pid", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    ).collect()
+    # for each (slice, type): the first ts of the NEXT slice holding
+    # that type — the seam each slice-last row leads into
+    by_type: dict[str, list] = {}
+    for row in firsts:
+        by_type.setdefault(row["event_type"], []).append(
+            (row["pid"], row["first_ts"])
+        )
+    seam_rows = []
+    for et, lst in by_type.items():
+        lst.sort()
+        for (pid, _), (_, nxt_ts) in zip(lst, lst[1:]):
+            seam_rows.append((pid, et, nxt_ts))
+    ts_type = parted.schema["ts"].dataType
+    seam_schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("next_ts", ts_type),
+        ]
+    )
+    seams = spark.createDataFrame(seam_rows, seam_schema)
+    patched = seq.join(F.broadcast(seams), ["pid", "event_type"], "left").select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.col("dt_us"),
+            F.expr("timestampdiff(MICROSECOND, ts, next_ts)"),
         ).alias("dt_us"),
     )
     return (
-        seq.where(F.col("dt_us").isNotNull())
+        patched.where(F.col("dt_us").isNotNull())
         .groupBy("event_type")
         .agg(
             (

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import lcents
+from watermill_kinesis_spark.operators.distscan import grouped_scan
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -195,27 +196,34 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique users per event type. Spark windows don't admit DISTINCT
     aggregates, and the collect_set workaround holds every seen key in
     each row's frame state (O(n·k) memory). The engine rewrites it as
-    first-occurrence marking (row_number over the (type,user) ordering)
-    plus a running SUM of 0/1 markers — two linear window passes, exact
-    integers, constant per-row state. The oracle runs the identical
-    rewrite, so the hash also certifies the rewrite's semantics."""
+    first-occurrence marking (row_number over the (type,user) ordering
+    — a DATA-scaled partition key, a fine window) plus a running SUM
+    of the 0/1 markers computed by the DISTRIBUTED
+    :func:`grouped_scan` prefix sum (re-planned r7: the old running
+    window partitioned by the 5-value type enum over raw rows
+    serialized each type's scan into one task; the scan's range
+    slices + broadcast offsets give the identical cumulative sum with
+    slice-level parallelism). The oracle runs the per-group-window
+    form of the same rewrite, so the hash also certifies the
+    decomposition."""
     ev = load_table(spark, sf_dir, "events")
     w_first = W.partitionBy("event_type", "user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    w_run = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     first_seen = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
-    return (
-        ev.select("event_id", "event_type", "ts", first_seen.alias("first_seen"))
-        .select(
-            "event_id",
-            "event_type",
-            F.sum("first_seen").over(w_run).alias("distinct_users_so_far"),
-        )
+    marked = ev.select(
+        "event_id", "event_type", "ts", first_seen.alias("first_seen")
+    )
+    scan, _ = grouped_scan(
+        marked,
+        ["event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        sum_cols=["first_seen"],
+    )
+    return scan.select(
+        "event_id",
+        "event_type",
+        F.col("cum_first_seen").cast("bigint").alias("distinct_users_so_far"),
     )
 
 

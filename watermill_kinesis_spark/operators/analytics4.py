@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import lcents
+from watermill_kinesis_spark.operators.distscan import grouped_scan
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -835,28 +836,34 @@ def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion per group: exact median and exact MAD
     (median absolute deviation) — the outlier-resistant alternative to
     stddev that data-quality monitors want when a corpus has heavy
-    tails. Two grouped exact order statistics: per-group
-    ``row_number`` rank selection (partitioned windows — parallel per
-    group, never a global sort), deviations join back against the
-    broadcast per-group medians, then the same selection again. Both
-    engines pick rank floor((n−1)/2)+1 (DuckDB's quantile_disc index),
-    and medians/MADs are pass-through doubles — bit-exact compare."""
+    tails. Two grouped exact order statistics, each via the
+    DISTRIBUTED selection (re-planned r7: the old per-group
+    ``row_number`` windows partitioned by the 5-value type enum over
+    raw rows serialized each group's sort into one task at scale;
+    :func:`grouped_scan`'s range slices + broadcast offsets give the
+    identical global rank with slice-level parallelism). Deviations
+    join back against the broadcast per-group medians, then the same
+    selection again. Both engines pick rank floor((n−1)/2)+1
+    (DuckDB's quantile_disc index) — the selected VALUE is invariant
+    to tie order, so the monotonic-id tiebreak only has to be a total
+    order, not a canonical one — and medians/MADs are pass-through
+    doubles: bit-exact compare."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
 
     def disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = W.partitionBy("event_type").orderBy(F.col(col), "tb")
         sized = df.withColumn("tb", F.monotonically_increasing_id())
-        ranked = sized.select(
-            "event_type",
-            F.col(col),
-            F.row_number().over(w).alias("rk"),
-            F.count(F.lit(1))
-            .over(W.partitionBy("event_type"))
-            .alias("n"),
+        scan, tot = grouped_scan(
+            sized, ["event_type"], [F.col(col), F.col("tb")]
         )
-        return ranked.where(
-            F.col("rk") == F.floor((F.col("n") - 1) / 2).cast("long") + 1
-        ).select("event_type", F.col(col).alias(out))
+        picks = spark.createDataFrame(
+            [(g[0], (t["n"] - 1) // 2 + 1) for g, t in tot.items()],
+            "event_type string, pick long",
+        )
+        return (
+            scan.join(F.broadcast(picks), "event_type")
+            .where(F.col("rn") == F.col("pick"))
+            .select("event_type", F.col(col).alias(out))
+        )
 
     med = disc_median(ev, "value", "median_value")
     dev = ev.join(F.broadcast(med), "event_type").select(
