@@ -178,6 +178,24 @@ def test_kpl_pack_flushes_on_byte_budget():
     assert out == [e.data for e in entries]  # lossless, order kept per key
 
 
+def test_kpl_unsplittable_oversized_record_rejected():
+    """r6 ADVICE: the byte budget only flushed BETWEEN records, so a
+    single payload over the budget still shipped as one oversized
+    container — the exact forever-failing PutRecords poison entry the
+    budget prevents. Pack must refuse it loudly."""
+    import pytest
+
+    from watermill_kinesis_spark.streaming.kpl import (
+        KPL_MAX_CONTAINER_BYTES,
+        pack_entries,
+    )
+    from watermill_kinesis_spark.streaming.sink import PutRecordsEntry
+
+    giant = PutRecordsEntry(b"x" * (KPL_MAX_CONTAINER_BYTES + 1), "k")
+    with pytest.raises(ValueError, match="budget"):
+        pack_entries([PutRecordsEntry(b"ok", "k"), giant])
+
+
 def test_kpl_record_missing_required_field_raises():
     """r6 review: a checksum-valid container whose Record omits a
     required field must go down the corrupt path, not emit a bogus

@@ -617,6 +617,45 @@ def test_fencestore_normalizes_hadoop_scheme_aliases():
     assert FenceStore("file:///plain/dir").base == "file:///plain/dir"
 
 
+def test_fencestore_not_found_classification():
+    """r6 ADVICE: absence was classified by two exact substrings of
+    OSError text; a backend whose missing-key message differs (GCS
+    'Not Found', errno-only local errors) turned a benign absent fence
+    into a task-failing exception. The helper must accept errno ENOENT
+    and the message variants case-insensitively — and must NOT swallow
+    real transport errors."""
+    import errno as _errno
+
+    from watermill_kinesis_spark.sources.fencestore import _is_not_found
+
+    assert _is_not_found(OSError("No such file or directory"))
+    assert _is_not_found(OSError("Path does not exist 'x/y'"))
+    assert _is_not_found(OSError("gcs: Not Found"))
+    assert _is_not_found(OSError("object NOT FOUND"))
+    e = OSError("backend-specific wording")
+    e.errno = _errno.ENOENT
+    assert _is_not_found(e)
+    assert not _is_not_found(OSError("Permission denied"))
+    assert not _is_not_found(OSError("connection reset by peer"))
+
+
+def test_stub_state_copy_does_not_alias(tmp_path):
+    """r6 ADVICE: the bench seeded an in-memory stub by aliasing the
+    file-backed stub's private lists — a mutation through either
+    client corrupted the other. copy_state_from must deep-copy."""
+    from watermill_kinesis_spark.sources.kinesis_stub import StubKinesisClient
+
+    a = StubKinesisClient()
+    a.put("shardId-000000000000", b"one", partition_key="k")
+    b = StubKinesisClient()
+    b.copy_state_from(a)
+    b.put("shardId-000000000000", b"two", partition_key="k")
+    b.split_shard("shardId-000000000000", "s1", "s2")
+    assert len(a._shards["shardId-000000000000"]) == 1  # a untouched
+    assert "shardId-000000000000" not in a._closed
+    assert b._seq == 2 and a._seq == 1
+
+
 def test_driver_failfast_when_fences_never_visible(tmp_path, monkeypatch):
     """Multi-node misconfiguration shape: executors fence to disks the
     driver cannot see (driver-local default positionDir on a real

@@ -117,8 +117,7 @@ def _bench_kinesis_simple(base: str) -> int:
     stub_dir = os.path.join(base, "stub")  # seeded by the parallel bench
     seeded = FileStubKinesisClient(stub_dir)
     mem = StubKinesisClient()
-    mem._shards = seeded._shards
-    mem._seq = seeded._seq
+    mem.copy_state_from(seeded)
     r = KinesisAwsStreamReader(
         {"streamname": "bench", "clientfactory": "x:y", "maxrecords": "1000"}
     )

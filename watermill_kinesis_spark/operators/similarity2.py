@@ -396,9 +396,16 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([r.emb for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # zero-norm guard (r6 ADVICE): NaN sorts ABOVE every finite double
+    # in Spark's descending order, so an unguarded 0/0 would silently
+    # promote garbage neighbors. DuckDB's list_cosine_similarity
+    # defines the zero-vector case as −1.0 — mirror that exactly.
+    qn_full = np.linalg.norm(Q, axis=1)
+    Qn = Q / np.maximum(qn_full, 1e-300)[:, None]
     Qt = Q[:, :MRL_DIM]
-    Qtn = Qt / np.linalg.norm(Qt, axis=1, keepdims=True)
+    qn_trunc = np.linalg.norm(Qt, axis=1)
+    Qtn = Qt / np.maximum(qn_trunc, 1e-300)[:, None]
+    q_zero = {"full": qn_full == 0.0, "trunc": qn_trunc == 0.0}
 
     def kernel(batches):
         for pdf in batches:
@@ -411,8 +418,11 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("full", (M, Qn)),
                 ("trunc", (M[:, :MRL_DIM], Qtn)),
             ):
-                Mn = Mv / np.linalg.norm(Mv, axis=1, keepdims=True)
+                nrm = np.linalg.norm(Mv, axis=1)
+                Mn = Mv / np.maximum(nrm, 1e-300)[:, None]
                 S = Mn @ Qv.T
+                S[nrm == 0.0, :] = -1.0  # DuckDB zero-vector convention
+                S[:, q_zero[variant]] = -1.0
                 S[ids[:, None] == qids[None, :]] = -np.inf
                 k = min(TOP_K, len(ids))
                 top = np.argpartition(-S, k - 1, axis=0)[:k]

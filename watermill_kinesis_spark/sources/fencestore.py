@@ -43,9 +43,28 @@ cause instead of blaming configuration.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import uuid as uuidlib
+
+
+def _is_not_found(e: OSError) -> bool:
+    """Absent-key classification for pyarrow filesystem errors, which
+    surface missing paths as OSError with backend-specific text
+    ('No such file' locally, 'Path does not exist' on S3FileSystem,
+    'Not Found' on GCS). errno ENOENT is authoritative when the
+    backend sets it; the message patterns are the fallback. Anything
+    unmatched is a REAL transport/auth failure and must propagate
+    (r6 fence-store error discipline)."""
+    if getattr(e, "errno", None) == errno.ENOENT:
+        return True
+    msg = str(e).lower()
+    return (
+        "no such file" in msg
+        or "path does not exist" in msg
+        or "not found" in msg
+    )
 
 __all__ = ["FenceStore"]
 
@@ -144,7 +163,7 @@ class FenceStore:
         except OSError as e:
             # pyarrow maps missing object-store keys to OSError with a
             # recognizable message; real transport errors re-raise
-            if "No such file" in str(e) or "Path does not exist" in str(e):
+            if _is_not_found(e):
                 return None
             raise
         try:
@@ -183,7 +202,7 @@ class FenceStore:
         except FileNotFoundError:
             pass  # already gone / concurrent prune: idempotent
         except OSError as e:
-            if "No such file" in str(e) or "Path does not exist" in str(e):
+            if _is_not_found(e):
                 return
             raise
 
@@ -194,6 +213,6 @@ class FenceStore:
         except FileNotFoundError:
             pass
         except OSError as e:
-            if "No such file" in str(e) or "Path does not exist" in str(e):
+            if _is_not_found(e):
                 return
             raise

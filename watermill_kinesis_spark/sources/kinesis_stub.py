@@ -38,6 +38,21 @@ class StubKinesisClient:
 
     # -- producer/test controls --------------------------------------
 
+    def copy_state_from(self, other: "StubKinesisClient") -> None:
+        """Copy another stub's stream state (records, lineage, closed
+        set, sequence counter) WITHOUT aliasing its mutable internals —
+        the public seam for benches/tests that seed one client from
+        another (an alias would let either client corrupt the other on
+        mutation, and reaching into privates breaks if the layout
+        changes; r6 ADVICE)."""
+        self._shards = {
+            s: [dict(r) for r in recs] for s, recs in other._shards.items()
+        }
+        self._closed = set(other._closed)
+        self._parents = dict(other._parents)
+        self._adj_parents = dict(other._adj_parents)
+        self._seq = other._seq
+
     def put(self, shard_id: str, data: bytes | str, partition_key: str = "k"):
         import time
         from datetime import datetime, timezone

@@ -208,6 +208,18 @@ def pack_entries(entries, max_per_container: int = 100):
         group_bytes = 0
         for rec in recs:
             rec_cost = len(rec[1]) + 16  # payload + framing margin
+            if rec_cost > KPL_MAX_CONTAINER_BYTES:
+                # an unsplittable single record over the budget would
+                # otherwise ship as one oversized container — exactly
+                # the forever-failing PutRecords poison entry the byte
+                # budget exists to prevent (r6 ADVICE). Fail loudly at
+                # pack time; the caller owns splitting or rejecting.
+                raise ValueError(
+                    f"record of {len(rec[1])} bytes exceeds the "
+                    f"{KPL_MAX_CONTAINER_BYTES}-byte KPL container "
+                    "budget and cannot be aggregated; split the payload "
+                    "or publish it unaggregated"
+                )
             if group and (
                 len(group) >= max_per_container
                 or group_bytes + rec_cost > KPL_MAX_CONTAINER_BYTES
