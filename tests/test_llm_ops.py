@@ -69,6 +69,49 @@ def test_dedup_exact_keeps_lowest_id(spark, sf_dir):
     assert out.count() == n_distinct <= n_docs
 
 
+def test_ann_recall_audit_twins_verdict_green(spark, sf_dir):
+    """r7: the oracle-backed twins of the rows-only ANN entries must
+    report recall_ok=1 (the value the oracle pins) and an exact-top1
+    anchor that matches the brute-force baseline."""
+    from watermill_kinesis_spark.operators.similarity import (
+        ann_ivf_recall_audit,
+        ann_lsh_recall_audit,
+    )
+
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity_topk(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    for fn in (ann_lsh_recall_audit, ann_ivf_recall_audit):
+        row = fn(spark, sf_dir).collect()[0]
+        assert row.recall_ok == 1, f"{fn.__name__}: recall below floor"
+        assert row.n_queries == len(top1)
+        assert row.exact_top1_sum == sum(top1.values())
+
+
+def test_hll_merge_audit_matches_direct_daily_estimate(spark, sf_dir):
+    """r7: the merge twin's verdict must be 1 on every day, and the
+    hourly→daily union path must agree with sketching each day
+    directly (the mergeability property itself)."""
+    from watermill_kinesis_spark.operators.analytics import (
+        hll_merge_accuracy_audit,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table as _lt
+
+    rows = hll_merge_accuracy_audit(spark, sf_dir).collect()
+    assert rows and all(r.merge_within_bound == 1 for r in rows)
+    ev = _lt(spark, sf_dir, "events")
+    direct = {
+        r.day: r.est
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    merged_days = {r.day for r in rows}
+    assert merged_days == set(direct)
+
+
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     """Banded sign-LSH top-k vs brute force: demand ≥40% overlap in the
     top-k sets (8 bands × 6 bits is tuned for ~0.5-cos neighbors; exact

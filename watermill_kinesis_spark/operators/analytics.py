@@ -531,6 +531,47 @@ def sketch_distinct_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hll_merge_accuracy_audit",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+           1 AS merge_within_bound
+    FROM events GROUP BY 1
+    """,
+    tags=("sketch", "agg", "audit"),
+)
+def hll_merge_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed twin of the rows-only ``sketch_distinct_mergeable``
+    (r6 VERDICT task 7): the TWO-LEVEL sketch path — hourly HLL
+    sketches unioned to daily — runs beside the exact per-day COUNT
+    DISTINCT, and the row carries the verdict that the MERGED estimate
+    stays within ±5% (or ±1 for tiny days). This is the property the
+    rows-only entry could only assert in pytest: hll_union_agg over
+    partial sketches loses nothing vs sketching the day directly,
+    the decomposition that makes distinct counts re-aggregable at
+    100 TB. Estimates stay engine-side; the envelope crosses the
+    compare."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = hourly.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_distinct_exact")
+    )
+    slack = F.greatest(F.lit(1.0), F.col("n_distinct_exact") * F.lit(0.05))
+    return exact.join(merged, "day").select(
+        "day",
+        "n_distinct_exact",
+        F.when(F.abs(F.col("est") - F.col("n_distinct_exact")) <= slack, 1)
+        .otherwise(0)
+        .alias("merge_within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # market-basket co-occurrence with lift
 

@@ -306,6 +306,107 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ANN recall floors, in permille of exact-top-k hits, with margin
+#: below the observed recalls (LSH ≈ 0.4+, IVF ≈ 0.3+ on this data —
+#: tests/test_llm_ops.py) so a real recall collapse trips the oracle
+#: compare while band/centroid jitter does not
+ANN_LSH_RECALL_FLOOR = 300
+ANN_IVF_RECALL_FLOOR = 200
+
+
+def _ann_recall_audit(
+    spark: SparkSession, sf_dir: str, ann: DataFrame, floor_permille: int
+) -> DataFrame:
+    """Shared audit body: join the ANN's (query, neighbor) pairs
+    against the exact brute-force top-k, emit ONE row with the
+    engine-stable facts — query count, k, the exact top-1 identity
+    anchor — and the recall VERDICT (total hits ≥ floor). The
+    engine-specific hit count itself never crosses the compare (ANN
+    candidate sets may wiggle with float partial-sum order); its
+    correctness envelope does — the ``hll_accuracy_audit`` pattern."""
+    exact = similarity_topk(spark, sf_dir).persist()
+    hits = exact.join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    base = exact.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("rank") == 1, F.col("neighbor_id")))
+        .cast("bigint")
+        .alias("exact_top1_sum"),
+    )
+    return base.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        "exact_top1_sum",
+        F.when(
+            F.col("n_hits") * 1000
+            >= F.lit(floor_permille) * F.col("n_queries") * TOP_K,
+            1,
+        )
+        .otherwise(0)
+        .alias("recall_ok"),
+    )
+
+
+_ANN_AUDIT_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id),
+    topk AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= {TOP_K})
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN rank = 1 THEN neighbor_id END) AS BIGINT)
+               AS exact_top1_sum,
+           1 AS recall_ok
+    FROM topk
+    """
+
+
+@query(
+    "ann_lsh_recall_audit",
+    oracle=_ANN_AUDIT_ORACLE,
+    tags=("similarity", "lsh", "audit", "llm-pipeline"),
+)
+def ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed twin of the rows-only ``similarity_ann_lsh``
+    (r6 VERDICT task 7, the ``approx_distinct``/``hll_accuracy_audit``
+    conversion pattern): the banded LSH runs BESIDE the exact
+    brute-force top-k, the oracle independently recomputes the exact
+    baseline (query count + top-1 identity anchor) and pins the
+    recall verdict to 1 — so an LSH recall collapse below
+    ANN_LSH_RECALL_FLOOR becomes a driver-red value mismatch, not a
+    silent quality drift only tests can see."""
+    return _ann_recall_audit(
+        spark, sf_dir, similarity_ann_lsh(spark, sf_dir), ANN_LSH_RECALL_FLOOR
+    )
+
+
+@query(
+    "ann_ivf_recall_audit",
+    oracle=_ANN_AUDIT_ORACLE,
+    tags=("similarity", "ivf", "audit", "llm-pipeline"),
+)
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed twin of the rows-only ``similarity_ann_ivf``:
+    IVF (nprobe=2) beside the exact top-k, exact baseline + recall
+    verdict pinned by the oracle — see ``ann_lsh_recall_audit``. The
+    IVF floor is lower (fewer probed cells than LSH bands) but still
+    far above a broken candidate generator's recall."""
+    return _ann_recall_audit(
+        spark, sf_dir, similarity_ann_ivf(spark, sf_dir), ANN_IVF_RECALL_FLOOR
+    )
+
+
 @query(
     "similarity_label_centroids",
     oracle=f"""

@@ -81,175 +81,97 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 6): the driver's budget-capped gate samples a
-    # PREFIX of this order (exactly 50 entries in r5). Front: the 11
-    # oracle-backed r5 additions that are judge-green but were never
-    # driver-sampled (they sat at positions 51+ in r5's order) — a green
-    # prefix here closes cumulative driver-green at 235/235 — plus
-    # `compression_ratio_filter` (rows-only, also never sampled) and
-    # `approx_distinct`, which gains an oracle this round (retiring the
-    # registry's only sampled-never-green row, r1's no_oracle probe).
-    # Round-6 additions follow, then everything driver-green in r1–r5.
-    "multimodal_wav_decode",
-    "multimodal_mp4_probe",
-    "multimodal_exif_orientation",
-    "reservoir_sample_per_source",
-    "packing_next_fit",
-    "dedup_exact_substring",
-    "bitmap_distinct_agg",
-    "sql_lateral_join",
-    "seasonal_naive_error",
-    "graph_jaccard_neighbors",
-    "multi_touch_attribution_linear",
-    "compression_ratio_filter",
-    "approx_distinct",
-    # ---- round-6 additions (locally oracle-verified at sf0.01 in
-    # vanilla + driver-canon mode) ----
-    "auc_roc_exact",
-    "ks_drift_matrix",
-    "gini_corpus_inequality",
-    "chi2_statistic_exact",
-    "calibration_bins_exact",
-    "kfold_assign_balance",
-    "content_addressed_ids",
-    "linreg_closed_form",
-    "multimodal_gif_animation_probe",
-    "multimodal_png_text_probe",
-    "hybrid_rank_fusion_rrf",
-    "confusion_matrix_exact",
-    "cohens_kappa_exact",
-    "quantile_normalization",
-    "cumulative_gains_deciles",
-    "spearman_rank_corr_exact",
-    "hhi_concentration",
-    "runs_test_shuffle_audit",
-    "distinct_on_latest",
-    "cusum_changepoint",
-    "arrival_inversions",
-    "revenue_waterfall_decomposition",
-    "multimodal_id3_tag_probe",
-    "format_fixedwidth_parse",
-    "ttl_retention_sweep",
-    "join_null_safe_eq",
-    "sequence_gap_audit",
-    "embedding_matryoshka_audit",
-    "stupid_backoff_score",
-    "template_skeleton_dedup",
-    "stream_left_outer_join",
-    "statestore_reader_audit",
-    # ---- r1–r5 driver-green entries follow ----
-    "embedding_normalize",
-    "aws_transport_roundtrip",
-    "text_normalize",
-    "train_test_split_mod",
-    "sample_weighted",
-    "rtbf_cascade_delete",
-    "kanonymity_audit",
-    "multimodal_audio_energy",
-    "sql_text_interface",
-    "sql_text_subqueries",
-    "multimodal_pixel_stats",
-    "pareto_frontier",
-    "udf_map_in_arrow",
-    "sql_pipe_interface",
-    "domain_blocklist_filter",
-    "minhash_signature_merge",
-    "approx_quantile_audit",
-    "ohlc_resample",
-    "hll_accuracy_audit",
-    "count_min_accuracy_audit",
-    "format_json_corrupt_modes",
-    "weblog_parse_agg",
-    "mad_robust_stats",
-    "benford_first_digit",
-    "cross_source_duplication",
-    "pandas_api_interface",
-    "dataset_card_report",
-    "boilerplate_ngrams",
-    "session_window_dynamic_gap",
-    "quantile_bucket_stats",
-    "dup_cluster_size_histogram",
-    "sliding_distinct_users",
-    "peak_concurrency",
-    "lsh_recall_audit",
-    "seed_label_closure",
-    "training_shard_manifest",
-    "rfm_features",
-    "ab_test_report",
-    "vocab_growth_curve",
-    "udf_apply_in_arrow",
-    "udf_scalar_arrow_optimized",
-    "watermark_droprate_table",
-    "split_leakage_audit",
-    # ---- round-5 additions (locally oracle-verified at sf0.01 in
-    # vanilla + driver-canon mode): placed directly after the
-    # never-green block so the driver's ~50-entry prefix samples them
-    "multimodal_pixel_decode_formats",
-    "winnowing_fingerprints",
-    "chunk_cdc_rolling",
-    "ngram_novelty_score",
-    "length_trim_percentile",
-    "vocab_coverage_topk",
-    "shard_balance_audit",
-    "window_range_frame",
-    "stream_sliding_window",
-    "stream_session_window",
-    "changelog_compact",
-    "merge_upsert_state",
-    "interval_consolidate",
-    "funnel_analysis",
-    "retention_cohort",
-    "time_weighted_avg",
-    "scd2_intervals",
-    "event_transition_matrix",
-    "table_diff_reconcile",
-    "forward_fill_locf",
-    "period_over_period",
-    "rollup_incremental",
-    "format_json_roundtrip",
-    "format_csv_roundtrip",
-    "format_parquet_roundtrip",
-    "format_orc_roundtrip",
-    "zorder_layout",
-    "binaryfile_ingest",
-    "dedup_paragraph",
-    "dedup_levenshtein",
-    "dedup_prefix_containment",
-    "dedup_containment_ngram",
-    "dedup_exact_hashkey",
-    "hard_negative_mining",
-    "graph_degree_histogram",
-    "inverted_index",
-    "token_count_regex",
-    "lang_filter",
-    "text_quality_score",
-    "repetition_ratio",
-    "vocab_induction",
-    "unigram_freq_score",
-    "ngram_lm_counts",
-    "tfidf_top_terms",
-    "bm25_components",
-    "collocation_pmi",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "corpus_shuffle_hash",
-    "domain_mix_weights",
-    "domain_mix_temperature",
-    "token_budget_allocation",
-    "pack_concat_offsets",
-    "chunk_documents",
-    "pii_redact",
-    "quality_filter_pipeline",
-    "bpe_train_merges",
-    "bpe_apply_segment",
-    "semdedup_centroid_prune",
-    "stream_update_mode_counts",
-    "stream_complete_mode_topk",
+    # ---- Rotation (round 7): STALENESS ordering. The driver's
+    # budget-capped gate samples a ~50-entry PREFIX of this list, so the
+    # prefix is now a REGRESSION WINDOW: first the round-7 additions
+    # (never driver-sampled — the three oracle-backed audit twins), then
+    # every oracle-backed entry ordered by the round it last went
+    # driver-green (r1-green entries first: ~200 of the 266 were last
+    # driver-verified in r1-r2). Entries keep their previous relative
+    # order within the same last-green round. Rows-only entries follow
+    # at the back in their prior order — sampling one records only a
+    # rows-only line (no value-regression signal), so they no longer
+    # consume regression-window slots; their invariants are pytest-
+    # enforced. Recompute each round from CORRECTNESS_r*.json.
+    "ann_lsh_recall_audit",
+    "ann_ivf_recall_audit",
+    "hll_merge_accuracy_audit",
+    "cube_agg",
+    "join_left",
+    "window_running",
+    "topk_per_group",
+    "set_union",
+    "set_intersect",
+    "case_when_bucketing",
+    "scan_parquet",
+    "scalar_subquery_above_avg",
+    "having_filter",
+    "q12_shipmode_case",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "q22_global_filter",
+    "cross_join_small",
+    "distinct_rows",
+    "join_skew_salted",
+    "scalar_array_map",
+    "explode_unnest",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
     "envelope_encode",
     "envelope_decode",
     "corrupt_skip",
     "envelope_binary_roundtrip",
     "custom_source_roundtrip",
+    "partition_key_group",
+    "project_filter",
+    "q1_pricing_summary",
+    "agg_hash",
+    "agg_distinct",
+    "rollup_agg",
+    "pivot_agg",
+    "percentile_agg",
+    "stats_moments",
+    "join_inner",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "range_join_events",
+    "join_asof_events",
+    "q2_min_value_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "window_rank",
+    "window_analytics",
+    "sort_limit_topk",
+    "set_except",
+    "scalar_string_date_math",
+    "json_extract_props",
+    "stream_tumbling_window",
+    "timeseries_gapfill",
+    "anomaly_zscore",
+    "udf_scalar_pandas",
+    "udtf_token_ngrams",
+    "partitioned_write_prune",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_label_centroids",
+    "text_stats",
+    "lang_id_stopword",
+    "doc_fingerprint",
+    "multimodal_binary_stats",
+    "multimodal_meta_rollup",
+    "sample_stratified_mod",
+    "embedding_avg_pool",
     "multimodal_image_decode",
     "graph_triangle_count",
     "interval_overlap_join",
@@ -299,81 +221,159 @@ _PRIORITY: tuple[str, ...] = (
     "xml_shred",
     "collation_group",
     "sessionize_batch",
-    "partition_key_group",
-    "project_filter",
-    "q1_pricing_summary",
-    "agg_hash",
-    "agg_distinct",
-    "rollup_agg",
-    "pivot_agg",
-    "percentile_agg",
-    "stats_moments",
-    "join_inner",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "range_join_events",
-    "join_asof_events",
-    "q2_min_value_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "window_rank",
-    "window_analytics",
-    "sort_limit_topk",
-    "set_except",
-    "scalar_string_date_math",
-    "json_extract_props",
-    "stream_tumbling_window",
-    "timeseries_gapfill",
-    "anomaly_zscore",
-    "udf_scalar_pandas",
-    "udtf_token_ngrams",
-    "partitioned_write_prune",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_label_centroids",
-    "text_stats",
-    "lang_id_stopword",
-    "doc_fingerprint",
-    "multimodal_binary_stats",
-    "multimodal_meta_rollup",
-    "sample_stratified_mod",
-    "embedding_avg_pool",
+    "window_range_frame",
+    "stream_sliding_window",
+    "stream_session_window",
+    "changelog_compact",
+    "merge_upsert_state",
+    "interval_consolidate",
+    "funnel_analysis",
+    "retention_cohort",
+    "time_weighted_avg",
+    "scd2_intervals",
+    "event_transition_matrix",
+    "table_diff_reconcile",
+    "forward_fill_locf",
+    "period_over_period",
+    "rollup_incremental",
+    "format_json_roundtrip",
+    "format_csv_roundtrip",
+    "format_parquet_roundtrip",
+    "format_orc_roundtrip",
+    "zorder_layout",
+    "binaryfile_ingest",
+    "dedup_paragraph",
+    "dedup_levenshtein",
+    "dedup_prefix_containment",
+    "dedup_containment_ngram",
+    "dedup_exact_hashkey",
+    "hard_negative_mining",
+    "graph_degree_histogram",
+    "inverted_index",
+    "token_count_regex",
+    "lang_filter",
+    "text_quality_score",
+    "repetition_ratio",
+    "vocab_induction",
+    "unigram_freq_score",
+    "ngram_lm_counts",
+    "tfidf_top_terms",
+    "bm25_components",
+    "collocation_pmi",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "corpus_shuffle_hash",
+    "domain_mix_weights",
+    "domain_mix_temperature",
+    "token_budget_allocation",
+    "pack_concat_offsets",
+    "chunk_documents",
+    "pii_redact",
+    "quality_filter_pipeline",
+    "rtbf_cascade_delete",
+    "kanonymity_audit",
+    "multimodal_audio_energy",
+    "sql_text_interface",
+    "sql_text_subqueries",
+    "multimodal_pixel_stats",
+    "pareto_frontier",
+    "udf_map_in_arrow",
+    "sql_pipe_interface",
+    "domain_blocklist_filter",
+    "minhash_signature_merge",
+    "approx_quantile_audit",
+    "ohlc_resample",
+    "hll_accuracy_audit",
+    "count_min_accuracy_audit",
+    "format_json_corrupt_modes",
+    "weblog_parse_agg",
+    "mad_robust_stats",
+    "benford_first_digit",
+    "cross_source_duplication",
+    "pandas_api_interface",
+    "dataset_card_report",
+    "boilerplate_ngrams",
+    "session_window_dynamic_gap",
+    "quantile_bucket_stats",
+    "dup_cluster_size_histogram",
+    "sliding_distinct_users",
+    "peak_concurrency",
+    "lsh_recall_audit",
+    "seed_label_closure",
+    "training_shard_manifest",
+    "rfm_features",
+    "ab_test_report",
+    "vocab_growth_curve",
+    "udf_apply_in_arrow",
+    "udf_scalar_arrow_optimized",
+    "watermark_droprate_table",
+    "split_leakage_audit",
+    "multimodal_pixel_decode_formats",
+    "winnowing_fingerprints",
+    "chunk_cdc_rolling",
+    "ngram_novelty_score",
+    "length_trim_percentile",
+    "vocab_coverage_topk",
+    "shard_balance_audit",
+    "multimodal_wav_decode",
+    "multimodal_mp4_probe",
+    "multimodal_exif_orientation",
+    "reservoir_sample_per_source",
+    "packing_next_fit",
+    "dedup_exact_substring",
+    "bitmap_distinct_agg",
+    "sql_lateral_join",
+    "seasonal_naive_error",
+    "graph_jaccard_neighbors",
+    "multi_touch_attribution_linear",
+    "approx_distinct",
+    "auc_roc_exact",
+    "ks_drift_matrix",
+    "gini_corpus_inequality",
+    "chi2_statistic_exact",
+    "calibration_bins_exact",
+    "kfold_assign_balance",
+    "content_addressed_ids",
+    "linreg_closed_form",
+    "multimodal_gif_animation_probe",
+    "multimodal_png_text_probe",
+    "hybrid_rank_fusion_rrf",
+    "confusion_matrix_exact",
+    "cohens_kappa_exact",
+    "quantile_normalization",
+    "cumulative_gains_deciles",
+    "spearman_rank_corr_exact",
+    "hhi_concentration",
+    "runs_test_shuffle_audit",
+    "distinct_on_latest",
+    "cusum_changepoint",
+    "arrival_inversions",
+    "revenue_waterfall_decomposition",
+    "multimodal_id3_tag_probe",
+    "format_fixedwidth_parse",
+    "ttl_retention_sweep",
+    "join_null_safe_eq",
+    "sequence_gap_audit",
+    "embedding_matryoshka_audit",
+    "stupid_backoff_score",
+    "template_skeleton_dedup",
+    "embedding_normalize",
+    "aws_transport_roundtrip",
+    "text_normalize",
+    "train_test_split_mod",
+    "sample_weighted",
+    "compression_ratio_filter",
+    "stream_left_outer_join",
+    "statestore_reader_audit",
+    "bpe_train_merges",
+    "bpe_apply_segment",
+    "semdedup_centroid_prune",
+    "stream_update_mode_counts",
+    "stream_complete_mode_topk",
     "pagerank_bipartite",
     "similarity_ann_pq",
     "hll_sketch_native",
     "custom_source_stream",
-    "cube_agg",
-    "join_left",
-    "window_running",
-    "topk_per_group",
-    "set_union",
-    "set_intersect",
-    "case_when_bucketing",
-    "scan_parquet",
-    "scalar_subquery_above_avg",
-    "having_filter",
-    "q12_shipmode_case",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_disjunctive_pushdown",
-    "q22_global_filter",
-    "cross_join_small",
-    "distinct_rows",
-    "join_skew_salted",
-    "scalar_array_map",
-    "explode_unnest",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
     "udf_custom_codec",
     "dedup_fuzzy_minhash",
     "dedup_simhash",
