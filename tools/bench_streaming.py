@@ -82,6 +82,15 @@ def main() -> None:
         spark, base
     )
     results["kinesis_aws_simple_read_msgs_per_s"] = _bench_kinesis_simple(base)
+    results.update(
+        _bench_kinesis_sustained(spark, base, "sustained", 8, 20_000, 1000)
+    )
+    # the service-limit budget: GetRecords allows Limit=10000, so the
+    # per-trigger budget is MAX_POLLS×10000 = 50k/shard — the knob a
+    # production deployment actually turns to amortize the trigger tax
+    results.update(
+        _bench_kinesis_sustained(spark, base, "maxbudget", 4, 150_000, 10_000)
+    )
 
     results["reference_ceiling_msgs_per_s_per_shard"] = 1000  # Kinesis write limit
     msgs.unpersist()
@@ -207,6 +216,107 @@ def _bench_kinesis_parallel(spark, base: str) -> int:
     dt = time.perf_counter() - t0
     assert out["n"] == n, f"parallel read lost rows: {out['n']}/{n}"
     return round(n / dt)
+
+
+#: a sustained run must produce at least this many non-empty batches
+#: for the steady-state slope to mean anything
+SUSTAINED_BATCHES_MIN = 3
+
+
+def _bench_kinesis_sustained(
+    spark, base: str, label: str, n_shards: int, per_shard: int, maxrecords: int
+) -> dict:
+    """r6 VERDICT task 5: the single availableNow measurement charged
+    ~7 s of fixed start-up tax to one 40k-record batch (~5.4k msgs/s
+    vs the ~500k msgs/s raw poll loop). Here the SAME source runs a
+    continuous processingTime=0 query over 4× the data: batch 0 pays
+    the start-up tax, batches 1..n measure the amortized per-trigger
+    rate. Reported: steady-state msgs/s (excluding batch 0), the batch-0
+    tax in seconds, and the batch count."""
+    import base64
+    import threading
+    from datetime import datetime, timezone
+
+    from watermill_kinesis_spark import codec as _codec
+    from watermill_kinesis_spark.sources import kinesis_aws
+    from watermill_kinesis_spark.sources.kinesis_stub import FileStubKinesisClient
+
+    sdir = os.path.join(base, f"stub_{label}")
+    client = FileStubKinesisClient(sdir)
+    ts = datetime.fromtimestamp(1_700_000_000, tz=timezone.utc)
+    seq = 0
+    for s in range(n_shards):
+        shard = f"shardId-{s:012d}"
+        recs = []
+        for i in range(per_shard):
+            seq += 1
+            env = json.dumps(
+                {
+                    "watermill_message_uuid": f"u{s}-{i}",
+                    "data": base64.b64encode(b"p").decode(),
+                    "headers": {"partitionKey": f"k{s}"},
+                }
+            )
+            recs.append(
+                {
+                    "Data": env.encode(),
+                    "PartitionKey": f"k{s}",
+                    "SequenceNumber": str(seq),
+                    "ApproximateArrivalTimestamp": ts,
+                }
+            )
+        client._shards[shard] = recs
+    client._seq = seq
+    client._save()
+    n = n_shards * per_shard
+
+    kinesis_aws.register(spark)
+    lock = threading.Lock()
+    batches: list[tuple[float, int]] = []  # (end_time, rows)
+    done = threading.Event()
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.count()
+        with lock:
+            batches.append((time.perf_counter(), rows))
+            if sum(r for _, r in batches) >= n:
+                done.set()
+
+    q = (
+        spark.readStream.format("kinesis_aws")
+        .option("streamName", "bench")
+        .option(
+            "clientfactory",
+            "watermill_kinesis_spark.sources.kinesis_stub:file_stub_client",
+        )
+        .option("stubdir", sdir)
+        .option("maxrecords", str(maxrecords))
+        .option("positionDir", os.path.join(base, f"pos_{label}"))
+        .load()
+    )
+    msgs = _codec.unmarshal(q, drop_corrupt=True)
+    t0 = time.perf_counter()
+    run = (
+        msgs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, f"kckpt_{label}"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    done.wait(timeout=600)
+    run.stop()
+    with lock:
+        got = [(t, r) for t, r in batches if r > 0]
+    total = sum(r for _, r in got)
+    assert total == n, f"sustained read lost rows: {total}/{n}"
+    assert len(got) >= SUSTAINED_BATCHES_MIN, f"only {len(got)} batches"
+    batch0_end, batch0_rows = got[0]
+    steady_rows = total - batch0_rows
+    steady_dt = got[-1][0] - batch0_end
+    return {
+        f"kinesis_aws_{label}_msgs_per_s": round(steady_rows / steady_dt),
+        f"kinesis_aws_{label}_batch0_sec": round(batch0_end - t0, 2),
+        f"kinesis_aws_{label}_n_batches": len(got),
+    }
 
 
 if __name__ == "__main__":

@@ -433,14 +433,12 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def has_tws_runtime() -> bool:
     """``transformWithStateInPandas`` needs the protobuf-based state
     server protocol: the API exists in pyspark, but the streaming
-    python runner crashes without ``google.protobuf`` (absent from
-    this container, pip installs disallowed). Gate the registry entry
-    so an environment that has protobuf gets the operator and one that
-    doesn't gets an honest absence instead of a red query."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        return False
+    python runner crashes without ``google.protobuf``. The gate now
+    goes through :mod:`..streaming.pbcompat`, which also discovers
+    the Google Cloud SDK's vendored pure-python runtime when no pip
+    package exists (this sandbox's case — r6 VERDICT task 6 closed
+    the perpetual skip this way). An environment with NO runtime at
+    all still gets an honest absence instead of a red query."""
     from watermill_kinesis_spark.streaming.stateful import HAS_TWS
 
     return HAS_TWS
@@ -456,7 +454,18 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted ValueState. Rows-only: custom state is not
     SQL-expressible; continuation invariants asserted in
     tests/test_streaming.py."""
+    from watermill_kinesis_spark.streaming.pbcompat import (
+        ensure_protobuf_on_workers,
+    )
     from watermill_kinesis_spark.streaming.stateful import key_accounting_tws
+
+    # ship the protobuf runtime to the session's python workers when
+    # only a vendored copy exists (see pbcompat) — the state-schema
+    # validation worker imports the stubs before any engine code runs
+    if not ensure_protobuf_on_workers(spark):
+        raise RuntimeError(
+            "transformWithState requires a google.protobuf runtime"
+        )
 
     run_id = uuidlib.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix=f"wk_tws_{run_id}_")

@@ -217,14 +217,28 @@ class FileStubKinesisClient(StubKinesisClient):
         super().__init__()
         self._dir = state_dir
         self._path = os.path.join(state_dir, "state.json")
+        self._stamp: tuple[int, int] | None = None
         self._load()
 
     def _load(self) -> None:
+        # mtime+size guard: every API call reloads so concurrent
+        # writers stay visible, but re-PARSING an unchanged multi-MB
+        # state file per get_records would swamp any throughput
+        # measurement that goes through this stub — a stat() is the
+        # reload when nothing changed
+        try:
+            st = os.stat(self._path)
+            stamp = (st.st_mtime_ns, st.st_size)
+            if stamp == self._stamp:
+                return
+        except OSError:
+            return
         try:
             with open(self._path) as f:
                 raw = json.load(f)
         except (OSError, ValueError):
             return
+        self._stamp = stamp
         self._seq = raw["seq"]
         self._closed = set(raw["closed"])
         self._parents = dict(raw.get("parents", {}))
@@ -314,10 +328,25 @@ class FileStubKinesisClient(StubKinesisClient):
         return super().get_records(*a, **kw)
 
 
+_client_cache: dict[str, FileStubKinesisClient] = {}
+
+
 def file_stub_client(options) -> FileStubKinesisClient:
     """clientfactory target for parallel-reader tests:
-    ``option('stubdir', <dir>)`` points at the shared state dir."""
-    return FileStubKinesisClient(options.get("stubdir"))
+    ``option('stubdir', <dir>)`` points at the shared state dir.
+    Cached per state dir within a process — real boto3 clients are
+    long-lived too, and Spark reuses python worker processes across
+    tasks, so a fresh multi-MB state parse per task would charge stub
+    bookkeeping to every throughput measurement. Staleness is handled
+    inside the client: every API call re-stats the state file and
+    reparses only when it changed."""
+    sdir = options.get("stubdir")
+    c = _client_cache.get(sdir)
+    if c is None:
+        c = _client_cache[sdir] = FileStubKinesisClient(sdir)
+    else:
+        c._load()
+    return c
 
 
     # -- producer API (boto3-shaped) ---------------------------------

@@ -171,13 +171,20 @@ def key_accounting_ttl(messages: DataFrame, ttl_ms: int) -> DataFrame:
 # accounting semantics as key_accounting so the two faces are directly
 # comparable (and covered by the same invariants).
 
+# module-level on purpose: a Spark worker unpickling KeyTotalsProcessor
+# imports THIS module first, so the protobuf path/validator fix is in
+# place before pyspark's state-server client imports its stubs
+from watermill_kinesis_spark.streaming.pbcompat import ensure_protobuf
+
+_HAS_PB = ensure_protobuf()
+
 try:  # pragma: no cover - version gate
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    HAS_TWS = True
+    HAS_TWS = _HAS_PB  # the API face AND a working protobuf runtime
 except ImportError:  # pragma: no cover
     StatefulProcessor = object  # type: ignore[assignment,misc]
     HAS_TWS = False
