@@ -630,13 +630,16 @@ def test_fencestore_not_found_classification():
 
     assert _is_not_found(OSError("No such file or directory"))
     assert _is_not_found(OSError("Path does not exist 'x/y'"))
-    assert _is_not_found(OSError("gcs: Not Found"))
-    assert _is_not_found(OSError("object NOT FOUND"))
+    assert _is_not_found(OSError("gcs: No such object: b/o"))
+    assert _is_not_found(OSError("File does not exist: key"))
     e = OSError("backend-specific wording")
     e.errno = _errno.ENOENT
     assert _is_not_found(e)
     assert not _is_not_found(OSError("Permission denied"))
     assert not _is_not_found(OSError("connection reset by peer"))
+    # OBJECT-scoped on purpose: bucket-level/auth-proxy 404 text is a
+    # store misconfiguration, not an absent fence (r7 review)
+    assert not _is_not_found(OSError("bucket Not Found"))
 
 
 def test_stub_state_copy_does_not_alias(tmp_path):

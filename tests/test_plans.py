@@ -437,6 +437,13 @@ def test_enum_window_guard_catches_prefix_shape(spark, sf_dir):
             )
             .alias("c"),
         ),
+        # UNORDERED enum window (mad_robust_stats' old n-per-group):
+        # prints only TWO bracket groups (empty order spec elided) —
+        # the r7 review found the first guard version skipped these
+        "count_unordered": ev.select(
+            "event_type",
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        ),
     }
     for name, df in prefix_shapes.items():
         assert _bad_enum_window(plan(df)), f"{name}: pre-fix shape not caught"

@@ -79,16 +79,29 @@ def test_inventory_docs_match_live_registry():
 
     with open(os.path.join(root, "README.md")) as f:
         readme = f.read()
-    m = re.search(r"inventory is (\d+) registered queries \((\d+) value-checked", readme)
+    m = re.search(
+        r"inventory is (\d+) registered queries \((\d+) value-checked",
+        readme,
+    )
     assert m, "README.md inventory line missing"
     assert tuple(map(int, m.groups())) == (n, n_oracle), (
         f"README.md says {m.groups()}, live registry is ({n}, {n_oracle})"
     )
+    # the rows-only count on the same sentence drifted silently in r7
+    # (review finding): pin it too
+    m = re.search(r"sf0\.1, (\d+) rows-only", readme)
+    assert m and int(m.group(1)) == n_rows, (
+        f"README.md rows-only says {m and m.group(1)}, live is {n_rows}"
+    )
 
     with open(os.path.join(root, "SURVEY.md")) as f:
         survey = f.read()
-    m = re.search(r"(\d+) registered queries, (\d+) oracle-checked", survey)
+    m = re.search(
+        r"(\d+) registered queries, (\d+) oracle-checked.*?(\d+) rows-only",
+        survey,
+    )
     assert m, "SURVEY.md §2-D inventory line missing"
-    assert tuple(map(int, m.groups())) == (n, n_oracle), (
-        f"SURVEY.md says {m.groups()}, live registry is ({n}, {n_oracle})"
+    assert tuple(map(int, m.groups())) == (n, n_oracle, n_rows), (
+        f"SURVEY.md says {m.groups()}, live registry is "
+        f"({n}, {n_oracle}, {n_rows})"
     )

@@ -75,9 +75,17 @@ def _bad_enum_window(plan: str) -> bool:
             line_end = len(plan)
         line = plan[m.start() : line_end]
         groups = re.findall(r"\[([^\]]*)\]", line)
-        if len(groups) < 3:
-            continue  # global window — _bad_single_partition's beat
-        part_cols = {c for c in re.findall(r"(\w+)#\d+", groups[-2])}
+        if len(groups) < 2:
+            continue
+        # the node prints [exprs], [partSpec], [orderSpec] — but an
+        # EMPTY order spec is elided entirely (an unordered
+        # count-over-partition window prints only two groups), so the
+        # partition spec is the last group unless that group is an
+        # order spec (ASC/DESC markers)
+        part_spec = groups[-2] if len(groups) >= 3 else groups[-1]
+        if " ASC" in part_spec or " DESC" in part_spec:
+            continue  # order-only (global) window — single-partition's beat
+        part_cols = {c for c in re.findall(r"(\w+)#\d+", part_spec)}
         if not part_cols or not part_cols <= ENUM_PARTITION_COLS:
             continue
         below = plan[line_end : line_end + 900]

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql import types as T
 
+from watermill_kinesis_spark.operators.distscan import range_slices
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -114,24 +115,22 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-(slice, type) firsts collect (n_slices × |types|
     rows). Then one map-side-combinable aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    parted = (
-        ev.select("event_type", "value", "ts", "event_id")
-        .repartitionByRange(32, "event_type", "ts", "event_id")
-        .sortWithinPartitions("event_type", "ts", "event_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # pin ONE materialization of sampled ranges
+    parted = range_slices(
+        ev.select("event_type", "value", "ts", "event_id"),
+        ["event_type"],
+        [F.col("ts"), F.col("event_id")],
     )
     seq = parted.select(
-        "pid",
+        "__pid",
         "event_type",
         "value",
         "ts",
         F.expr(
             "timestampdiff(MICROSECOND, ts, lead(ts) OVER "
-            "(PARTITION BY pid, event_type ORDER BY ts, event_id))"
+            "(PARTITION BY __pid, event_type ORDER BY ts, event_id))"
         ).alias("dt_us"),
     )
-    firsts = parted.groupBy("pid", "event_type").agg(
+    firsts = parted.groupBy("__pid", "event_type").agg(
         F.min("ts").alias("first_ts")
     ).collect()
     # for each (slice, type): the first ts of the NEXT slice holding
@@ -139,7 +138,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_type: dict[str, list] = {}
     for row in firsts:
         by_type.setdefault(row["event_type"], []).append(
-            (row["pid"], row["first_ts"])
+            (row["__pid"], row["first_ts"])
         )
     seam_rows = []
     for et, lst in by_type.items():
@@ -149,13 +148,13 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = parted.schema["ts"].dataType
     seam_schema = T.StructType(
         [
-            T.StructField("pid", T.IntegerType()),
+            T.StructField("__pid", T.IntegerType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("next_ts", ts_type),
         ]
     )
     seams = spark.createDataFrame(seam_rows, seam_schema)
-    patched = seq.join(F.broadcast(seams), ["pid", "event_type"], "left").select(
+    patched = seq.join(F.broadcast(seams), ["__pid", "event_type"], "left").select(
         "event_type",
         "value",
         F.coalesce(

@@ -750,6 +750,17 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LSH recall budget in ppm of exact J≥0.85 pairs. The 16×8 banding's
+#: per-pair miss probability is (1−(1−(1−J^8))^16)… ≈ 0.6% at exactly
+#: J=0.85 and <0.02% at J≥0.9, so misses are EXPECTED once the pair
+#: count is large (measured 97 ppm on a 236k-pair sf1-equivalent
+#: corpus, r7 SCALE.md) — a zero-miss verdict is statistically unsound
+#: at scale while 1000 ppm (0.1%) still sits 100× below any broken-
+#: banding regime. floor(budget·n/1e6) is 0 for n < 1000, so the gate
+#: stays exactly zero-miss at driver-sweep scales.
+LSH_MISS_BUDGET_PPM = 1000
+
+
 @query(
     "lsh_recall_audit",
     oracle=f"""
@@ -779,20 +790,23 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH deployment gate, in the same verdict-row pattern as the
-    sketch audits: the banded MinHash path (16×8 — ≥97% catch
-    probability at J≈0.85 by the S-curve) runs next to the exact
-    shared-shingle ground truth at J≥0.85, and the row carries the
-    exact high-similarity pair count (oracle-pinned) plus the VERDICT
-    that LSH caught every one of them. A Spark upgrade that perturbs
-    the hashing, or a banding misconfiguration, turns the row red at
-    the gate — previously this invariant lived only in tests."""
+    sketch audits: the banded MinHash path (16×8) runs next to the
+    exact shared-shingle ground truth at J≥0.85, and the row carries
+    the exact high-similarity pair count (oracle-pinned) plus the
+    VERDICT that LSH missed at most the banding S-curve's budget
+    (``LSH_MISS_BUDGET_PPM``; exactly zero for small pair counts — see
+    the constant's note for why zero-miss cannot survive large
+    corpora). A Spark upgrade that perturbs the hashing, or a banding
+    misconfiguration, turns the row red at the gate — previously this
+    invariant lived only in tests."""
     exact = dedup_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.85)
     lsh = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
     missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
     n_exact = exact.count()
     n_missed = missed.count()
+    budget = (n_exact * LSH_MISS_BUDGET_PPM) // 1_000_000
     return spark.createDataFrame(
-        [(n_exact, 1 if n_missed == 0 else 0)],
+        [(n_exact, 1 if n_missed <= budget else 0)],
         "n_exact_pairs bigint, lsh_recall_ok int",
     )
 

@@ -43,6 +43,30 @@ from pyspark.sql.types import (
 N_SLICES = 32
 
 
+def range_slices(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_exprs: Sequence[Column],
+    nparts: int = N_SLICES,
+) -> DataFrame:
+    """The pattern's shared scaffold: range-partition on
+    (group, order-key), sort within each slice, tag rows with their
+    slice id, and ``localCheckpoint`` to pin ONE materialization of
+    the sampled range boundaries (the sampler is otherwise free to
+    re-draw between the offsets collect and the joined scan). Used by
+    :func:`grouped_scan` and by operators whose per-slice kernel is
+    not a plain rank/prefix-sum (seam-patched LEAD, boundary counts).
+    The checkpointed blocks are freed by Spark's ContextCleaner once
+    the result DataFrame is dereferenced."""
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        df.repartitionByRange(nparts, *gcols, *order_exprs)
+        .sortWithinPartitions(*gcols, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+
 def grouped_scan(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -67,13 +91,7 @@ def grouped_scan(
     of the sampled range boundaries so the offsets and the joined scan
     see the same partitioning.
     """
-    gcols = [F.col(c) for c in group_cols]
-    parted = (
-        df.repartitionByRange(nparts, *gcols, *order_exprs)
-        .sortWithinPartitions(*gcols, *order_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin ONE materialization of sampled ranges
-    )
+    parted = range_slices(df, group_cols, order_exprs, nparts)
     w_rn = W.partitionBy("__pid", *group_cols).orderBy(*order_exprs)
     # explicit ROWS frame: with a unique total order RANGE == ROWS, but
     # ROWS states the running-sum intent without relying on that
@@ -93,6 +111,15 @@ def grouped_scan(
     off_rows: list[tuple] = []
     for row in sorted(stats, key=lambda r: r["__pid"]):
         g = tuple(row[c] for c in group_cols)
+        if any(v is None for v in g):
+            # the broadcast-offsets join below is null-UNSAFE: a NULL
+            # group key would silently drop its rows from the scan
+            # (the window form this replaces kept them) — fail loudly
+            # instead (r7 review)
+            raise ValueError(
+                f"grouped_scan requires non-null group keys; got {g!r} "
+                f"for columns {list(group_cols)}"
+            )
         cur = acc.setdefault(g, [0] + [Decimal(0)] * len(sum_cols))
         off_rows.append((row["__pid"], *g, cur[0], *cur[1:]))
         cur[0] += row["__cnt"]

@@ -45,6 +45,7 @@ from watermill_kinesis_spark.operators.distscan import (
     grouped_scan,
     group_sizes_df,
     ntile_closed_form,
+    range_slices,
 )
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
@@ -1076,22 +1077,19 @@ def runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    parted = (
-        seq.repartitionByRange(32, "event_type", "ts", "event_id")
-        .sortWithinPartitions("event_type", "ts", "event_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # pin ONE materialization of sampled ranges
+    parted = range_slices(
+        seq, ["event_type"], [F.col("ts"), F.col("event_id")]
     )
-    w = W.partitionBy("pid", "event_type").orderBy("ts", "event_id")
+    w = W.partitionBy("__pid", "event_type").orderBy("ts", "event_id")
     loc = parted.select(
-        "pid",
+        "__pid",
         "event_type",
         "above",
         F.lag("above").over(w).alias("prev"),
         F.row_number().over(w).alias("lrk"),
     )
     stats = (
-        loc.groupBy("pid", "event_type")
+        loc.groupBy("__pid", "event_type")
         .agg(
             # NULL prev (slice-first row) compares to null ⇒ otherwise(0)
             F.sum(
@@ -1105,7 +1103,7 @@ def runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     per: dict[str, dict] = {}
-    for row in sorted(stats, key=lambda r: r["pid"]):
+    for row in sorted(stats, key=lambda r: r["__pid"]):
         s = per.setdefault(
             row["event_type"], {"bounds": 0, "cnt": 0, "n1": 0, "last": None}
         )

@@ -325,26 +325,27 @@ def _ann_recall_audit(
     candidate sets may wiggle with float partial-sum order); its
     correctness envelope does — the ``hll_accuracy_audit`` pattern."""
     exact = similarity_topk(spark, sf_dir).persist()
-    hits = exact.join(
-        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    ).agg(F.count(F.lit(1)).alias("n_hits"))
-    base = exact.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.sum(F.when(F.col("rank") == 1, F.col("neighbor_id")))
-        .cast("bigint")
-        .alias("exact_top1_sum"),
-    )
-    return base.crossJoin(F.broadcast(hits)).select(
-        "n_queries",
-        F.lit(TOP_K).cast("bigint").alias("k"),
-        "exact_top1_sum",
-        F.when(
-            F.col("n_hits") * 1000
-            >= F.lit(floor_permille) * F.col("n_queries") * TOP_K,
-            1,
-        )
-        .otherwise(0)
-        .alias("recall_ok"),
+    try:
+        # eager, like lsh_recall_audit: the three scalars are computed
+        # NOW so the cached brute-force result can be released before
+        # returning (a lazy plan would pin it for the session — r7
+        # review)
+        n_hits = exact.join(
+            ann.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).count()
+        base = exact.agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("rank") == 1, F.col("neighbor_id")))
+            .cast("bigint")
+            .alias("exact_top1_sum"),
+        ).collect()[0]
+    finally:
+        exact.unpersist()
+    ok = 1 if n_hits * 1000 >= floor_permille * base.n_queries * TOP_K else 0
+    return spark.createDataFrame(
+        [(base.n_queries, TOP_K, base.exact_top1_sum, ok)],
+        "n_queries bigint, k bigint, exact_top1_sum bigint, recall_ok int",
     )
 
 

@@ -50,20 +50,26 @@ import uuid as uuidlib
 
 
 def _is_not_found(e: OSError) -> bool:
-    """Absent-key classification for pyarrow filesystem errors, which
+    """Absent-KEY classification for pyarrow filesystem errors, which
     surface missing paths as OSError with backend-specific text
     ('No such file' locally, 'Path does not exist' on S3FileSystem,
-    'Not Found' on GCS). errno ENOENT is authoritative when the
-    backend sets it; the message patterns are the fallback. Anything
-    unmatched is a REAL transport/auth failure and must propagate
-    (r6 fence-store error discipline)."""
+    'No such object' on GCS). errno ENOENT is authoritative when the
+    backend sets it; the message patterns are the fallback and stay
+    OBJECT-scoped on purpose — a bare 'not found' would also match
+    bucket-level 404s and auth-proxy errors, reclassifying a
+    misconfigured store as 'all fences absent' (silent replay from
+    TRIM_HORIZON instead of the fail-fast). Anything unmatched is a
+    REAL transport/auth failure and must propagate (r6 fence-store
+    error discipline); an always-absent store is still caught by the
+    reader's three-fence-less-batches fail-fast."""
     if getattr(e, "errno", None) == errno.ENOENT:
         return True
     msg = str(e).lower()
     return (
         "no such file" in msg
         or "path does not exist" in msg
-        or "not found" in msg
+        or "no such object" in msg
+        or "file does not exist" in msg
     )
 
 __all__ = ["FenceStore"]

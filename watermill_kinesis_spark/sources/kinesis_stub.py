@@ -262,6 +262,7 @@ class FileStubKinesisClient(StubKinesisClient):
 
     def _save(self) -> None:
         os.makedirs(self._dir, exist_ok=True)
+        self._stamp = None  # set from the written file below
         raw = {
             "seq": self._seq,
             "closed": sorted(self._closed),
@@ -288,6 +289,15 @@ class FileStubKinesisClient(StubKinesisClient):
         with open(tmp, "w") as f:
             json.dump(raw, f)
         os.replace(tmp, self._path)
+        # in-memory state IS the just-written file: stamping it keeps
+        # the next _load() a pure stat — without this, a writing
+        # client re-parses its own write on every subsequent call
+        # (O(N²) across N puts — r7 review)
+        try:
+            st = os.stat(self._path)
+            self._stamp = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            pass
 
     # mutations persist; reads re-load (another process may have put)
     def put(self, *a, **kw):
