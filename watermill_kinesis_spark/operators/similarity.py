@@ -408,6 +408,32 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PQ floor: test-observed recall ≥ 0.6 (tests/test_similarity_pq.py);
+#: 400‰ leaves margin for codebook float-order jitter while staying far
+#: above a broken quantizer's recall
+ANN_PQ_RECALL_FLOOR = 400
+
+
+@query(
+    "ann_pq_recall_audit",
+    oracle=_ANN_AUDIT_ORACLE,
+    tags=("similarity", "pq", "audit", "llm-pipeline"),
+)
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed twin of the rows-only ``similarity_ann_pq`` —
+    the third ANN face gains the same driver-checkable gate as LSH and
+    IVF (see ``ann_lsh_recall_audit``): product-quantized ADC search
+    beside the exact top-k, exact baseline + recall verdict pinned by
+    the oracle."""
+    from watermill_kinesis_spark.operators.similarity2 import (
+        similarity_ann_pq,
+    )
+
+    return _ann_recall_audit(
+        spark, sf_dir, similarity_ann_pq(spark, sf_dir), ANN_PQ_RECALL_FLOOR
+    )
+
+
 @query(
     "similarity_label_centroids",
     oracle=f"""

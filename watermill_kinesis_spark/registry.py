@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     # enforced. Recompute each round from CORRECTNESS_r*.json.
     "ann_lsh_recall_audit",
     "ann_ivf_recall_audit",
+    "ann_pq_recall_audit",
     "hll_merge_accuracy_audit",
     "cube_agg",
     "join_left",
