@@ -1126,3 +1126,109 @@ def runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_runs bigint, n1 bigint, n2 bigint,"
         " expected_runs_milli bigint",
     )
+
+
+@query(
+    "kendall_tau_exact",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name AS nation,
+               date_trunc('month', o.o_orderdate) AS month,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    p AS (
+        SELECT a.nation,
+               (a.x - b.x) * (a.y - b.y) AS prod,
+               CAST(a.x = b.x AS INTEGER) AS tx,
+               CAST(a.y = b.y AS INTEGER) AS ty
+        FROM m a JOIN m b ON a.nation = b.nation AND a.month < b.month)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+           CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+           CAST(SUM(CASE WHEN tx = 1 AND ty = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_x,
+           CAST(SUM(CASE WHEN tx = 0 AND ty = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_y,
+           CAST(SUM(tx * ty) AS BIGINT) AS ties_both,
+           CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tau_b_numer
+    FROM p
+    GROUP BY nation
+    """,
+    tags=("evaluation", "statistics", "rank-correlation"),
+)
+def kendall_tau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall rank correlation components (tau-b numerator plus
+    the full concordant / discordant / tie decomposition) between two
+    monthly series per nation: order volume (x) and active customers
+    (y) — the nonparametric twin of ``spearman_rank_corr_exact``.
+
+    Everything that reaches the hash is an integer pair count, so both
+    engines agree bit-for-bit; tau-b's denominator needs a square root
+    and stays caller-side (the numerator C−D and the tie counts fully
+    determine it).
+
+    100 TB posture: the raw corpus is first reduced to one row per
+    (nation, month) by a map-side-combinable aggregate — the pair
+    expansion then runs on that PRE-AGGREGATED series, so the
+    quadratic term is bounded by months² per nation (a time-horizon
+    constant, independent of row volume), exactly the
+    pre-aggregation-before-window discipline in the module header."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.countDistinct("o_custkey").cast("bigint").alias("y"),
+        )
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation"))
+        & (F.col("a.month") < F.col("b.month")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).alias(
+            "prod"
+        ),
+        (F.col("a.x") == F.col("b.x")).cast("int").alias("tx"),
+        (F.col("a.y") == F.col("b.y")).cast("int").alias("ty"),
+    )
+    conc = F.sum(F.when(F.col("prod") > 0, 1).otherwise(0))
+    disc = F.sum(F.when(F.col("prod") < 0, 1).otherwise(0))
+    return pairs.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        conc.cast("bigint").alias("concordant"),
+        disc.cast("bigint").alias("discordant"),
+        F.sum(F.when((F.col("tx") == 1) & (F.col("ty") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_x"),
+        F.sum(F.when((F.col("tx") == 0) & (F.col("ty") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_y"),
+        F.sum(F.col("tx") * F.col("ty")).cast("bigint").alias("ties_both"),
+        (conc - disc).cast("bigint").alias("tau_b_numer"),
+    )

@@ -464,3 +464,96 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((n_ov * 1000) div {TOP_K} AS BIGINT) AS overlap_permille",
         )
     )
+
+
+#: int8 symmetric quantization: codes in [-127, 127], per-vector scale
+INT8_QMAX = 127
+
+
+@query(
+    "embedding_int8_quant_audit",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+    s AS (
+        SELECT vec_id, label, e,
+               list_max(list_transform(e, x -> abs(x))) AS scale
+        FROM v),
+    c AS (
+        SELECT vec_id, label,
+               CASE WHEN scale = 0
+                    THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(e, x -> CAST(
+                        CASE WHEN x >= 0
+                             THEN floor(x * {INT8_QMAX}.0 / scale + 0.5)
+                             ELSE -floor(-x * {INT8_QMAX}.0 / scale + 0.5)
+                        END AS BIGINT))
+               END AS q
+        FROM s)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(list_sum(q)) AS BIGINT) AS sum_codes,
+           CAST(SUM(list_sum(list_transform(q, k -> k * k))) AS BIGINT)
+               AS sum_sq_codes,
+           CAST(SUM(len(list_filter(q, k -> abs(k) = {INT8_QMAX})))
+                AS BIGINT) AS n_saturated_codes
+    FROM c
+    GROUP BY label
+    """,
+    tags=("similarity", "embeddings", "quantization", "llm-pipeline"),
+)
+def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the compression
+    every large-scale vector index applies before ANN serving (4×
+    memory/bandwidth vs float32): ``code = round(x · 127 / max|x|)``.
+    Per label the audit pins the EXACT integer code statistics (sum,
+    sum of squares, saturated-code count) on both engines, so any
+    divergence in the quantizer — wrong scale, asymmetric clamp,
+    banker's rounding — flips the hash.
+
+    Rounding is spelled ``floor(x + 0.5)`` mirrored across zero (the
+    same half-away-from-zero primitive as ``functions.exact.lcents``)
+    because numpy's ``round`` is half-to-EVEN — the one rounding mode
+    the two engines would disagree on. All arithmetic is IEEE double
+    with an identical expression tree, then integer sums: associative,
+    partition-order-free, bit-stable.
+
+    100 TB posture: one codegen'd projection per vector (no Python,
+    no shuffle before the 10-key label aggregate); the map-side
+    partial aggregate reduces each task to |labels| rows."""
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scale = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    qmax = F.lit(float(INT8_QMAX))
+
+    def code(x):
+        scaled = x * qmax / F.col("scale")
+        return (
+            F.when(x >= 0, F.floor(scaled + F.lit(0.5)))
+            .otherwise(-F.floor(-scaled + F.lit(0.5)))
+            .cast("bigint")
+        )
+
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("e"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(F.transform(F.col("e"), code))
+    zero = F.lit(0).cast("bigint")
+    c = e.withColumn("scale", scale).select(
+        "label",
+        F.aggregate(q, zero, lambda a, k: a + k).alias("row_sum"),
+        F.aggregate(q, zero, lambda a, k: a + k * k).alias("row_sq"),
+        F.size(F.filter(q, lambda k: F.abs(k) == INT8_QMAX))
+        .cast("bigint")
+        .alias("row_sat"),
+    )
+    return c.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("row_sum").cast("bigint").alias("sum_codes"),
+        F.sum("row_sq").cast("bigint").alias("sum_sq_codes"),
+        F.sum("row_sat").cast("bigint").alias("n_saturated_codes"),
+    )

@@ -178,3 +178,30 @@ def sql_pipe_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical — verified here by value-parity against the oracle's
     classic GROUP BY/HAVING form, exact-integer aggregates."""
     return run_sql(spark, sf_dir, _SQL_PIPE)
+
+
+#: one dialect-extension text, two engines: GROUP BY ALL infers the
+#: grouping keys from the non-aggregate select items; ORDER BY ALL
+#: orders by every select item left-to-right — both Spark 4 and DuckDB
+#: implement the same inference rule, checked here by value parity.
+_SQL_GROUP_BY_ALL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate < DATE '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_SQL_GROUP_BY_ALL, tags=("sql", "spark4"))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` + `ORDER BY ALL` (Spark 4 / DuckDB shared dialect
+    extension): grouping keys are inferred from the non-aggregate
+    select items, so adding a dimension to the SELECT can never
+    silently desync from the GROUP BY — the exact same SQL text runs
+    on both engines. Plans identically to the explicit spelling
+    (pushed-down date filter, partial aggregation), since inference
+    happens at analysis time, before Catalyst ever sees the plan."""
+    return run_sql(spark, sf_dir, _SQL_GROUP_BY_ALL)

@@ -720,3 +720,105 @@ def template_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("n_sharing") >= 2).cast("int").alias("is_template_dup"),
     )
+
+
+#: Gopher document-quality thresholds (Rae et al. 2021, appendix A1.1;
+#: public MassiveText rules). The three line-structure rules (bullet /
+#: ellipsis / duplicate lines) are N/A on this corpus — the synthetic
+#: documents carry no newlines — and are intentionally omitted rather
+#: than vacuously passed.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN = 3, 10
+GOPHER_MAX_SYMBOL_RATIO_PCT = 10  # symbol-to-word ratio ≤ 0.1
+GOPHER_MIN_ALPHA_WORD_PCT = 80  # ≥80% words contain a letter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords present
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               length(replace(text, ' ', '')) AS n_chars_nospace,
+               (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                 AS n_symbols,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-zA-Z]')))
+                 AS n_alpha_words,
+               len(list_intersect(list_distinct(string_split(text, ' ')),
+                                  {list(GOPHER_STOPWORDS)}))
+                 AS n_stopwords_present
+        FROM documents)
+    SELECT doc_id, n_words, n_chars_nospace,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AS INTEGER) AS r_word_count,
+           CAST(n_chars_nospace BETWEEN {GOPHER_MIN_WORD_LEN} * n_words
+                AND {GOPHER_MAX_WORD_LEN} * n_words AS INTEGER) AS r_word_len,
+           CAST(100 * n_symbols <= {GOPHER_MAX_SYMBOL_RATIO_PCT} * n_words
+                AS INTEGER) AS r_symbol_ratio,
+           CAST(100 * n_alpha_words >= {GOPHER_MIN_ALPHA_WORD_PCT} * n_words
+                AS INTEGER) AS r_alpha_words,
+           CAST(n_stopwords_present >= {GOPHER_MIN_STOPWORDS} AS INTEGER)
+                AS r_stopwords,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND n_chars_nospace BETWEEN {GOPHER_MIN_WORD_LEN} * n_words
+                    AND {GOPHER_MAX_WORD_LEN} * n_words
+                AND 100 * n_symbols <= {GOPHER_MAX_SYMBOL_RATIO_PCT} * n_words
+                AND 100 * n_alpha_words >= {GOPHER_MIN_ALPHA_WORD_PCT} * n_words
+                AND n_stopwords_present >= {GOPHER_MIN_STOPWORDS}
+                AS INTEGER) AS gopher_pass
+    FROM t
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText document-quality rule set
+    (word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, stopword presence) as one composite
+    per-document verdict — the canonical pre-training quality gate
+    that sits beside ``text_quality_score``'s scoring variant.
+
+    Every rule is evaluated as an INTEGER comparison (e.g. mean word
+    length in [3, 10] becomes ``3·n_words ≤ chars ≤ 10·n_words``) so
+    the oracle hash carries no division at all. One codegen'd
+    projection pass per document, zero shuffle, and the scan reads
+    only (doc_id, text) — at 100 TB this is embarrassingly parallel
+    map work, the cheapest possible plan shape."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_words = F.size(toks)
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_symbols = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ) + (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+        / F.lit(3)
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    r_wc = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_wl = n_chars.between(
+        F.lit(GOPHER_MIN_WORD_LEN) * n_words, F.lit(GOPHER_MAX_WORD_LEN) * n_words
+    )
+    r_sym = (F.lit(100) * n_symbols) <= (
+        F.lit(GOPHER_MAX_SYMBOL_RATIO_PCT) * n_words
+    )
+    r_alpha = (F.lit(100) * n_alpha) >= (
+        F.lit(GOPHER_MIN_ALPHA_WORD_PCT) * n_words
+    )
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_nospace"),
+        r_wc.cast("int").alias("r_word_count"),
+        r_wl.cast("int").alias("r_word_len"),
+        r_sym.cast("int").alias("r_symbol_ratio"),
+        r_alpha.cast("int").alias("r_alpha_words"),
+        r_stop.cast("int").alias("r_stopwords"),
+        (r_wc & r_wl & r_sym & r_alpha & r_stop).cast("int").alias("gopher_pass"),
+    )

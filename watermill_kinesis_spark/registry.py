@@ -93,6 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal), so they no longer
     # consume regression-window slots; their invariants are pytest-
     # enforced. Recompute each round from CORRECTNESS_r*.json.
+    "gopher_quality_rules",
+    "kendall_tau_exact",
+    "sql_group_by_all",
+    "embedding_int8_quant_audit",
     "ann_lsh_recall_audit",
     "ann_ivf_recall_audit",
     "ann_pq_recall_audit",
