@@ -1,0 +1,186 @@
+"""Invariant + brute-force pins for the round-7 operator wave:
+Gopher quality rules, Kendall tau components, retrieval metrics
+(P@k / R@k / MRR), int8 quantization audit, bloom fpp audit, and the
+GROUP BY ALL dialect face. The driver's oracle compare is the
+value-exact gate; these tests pin the SEMANTICS against independent
+pure-Python recomputation so a same-wrong-both-sides oracle bug
+cannot hide."""
+
+from itertools import combinations
+
+import numpy as np
+
+from watermill_kinesis_spark.operators.evaluation import kendall_tau_exact
+from watermill_kinesis_spark.operators.pipeline4 import bloom_fpp_audit
+from watermill_kinesis_spark.operators.retrieval import (
+    RR_SCALE,
+    mrr_at_k_exact,
+    precision_recall_at_k,
+)
+from watermill_kinesis_spark.operators.similarity import N_QUERIES, TOP_K
+from watermill_kinesis_spark.operators.similarity2 import (
+    INT8_QMAX,
+    embedding_int8_quant_audit,
+)
+from watermill_kinesis_spark.operators.sqltext import run_sql
+from watermill_kinesis_spark.operators.text import (
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+    gopher_quality_rules,
+)
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def test_gopher_rules_match_brute_force(spark, sf_dir):
+    rows = {r.doc_id: r for r in gopher_quality_rules(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for d in docs.collect():
+        words = d.text.split(" ")
+        r = rows[d.doc_id]
+        assert r.n_words == len(words)
+        chars = sum(len(w) for w in words)
+        assert r.n_chars_nospace == chars
+        assert r.r_word_count == int(GOPHER_MIN_WORDS <= len(words) <= 100_000)
+        assert r.r_word_len == int(
+            3 * len(words) <= chars <= 10 * len(words)
+        )
+        assert r.r_alpha_words == int(
+            100 * sum(1 for w in words if any(c.isalpha() for c in w))
+            >= 80 * len(words)
+        )
+        n_stop = len(set(words) & set(GOPHER_STOPWORDS))
+        assert r.r_stopwords == int(n_stop >= GOPHER_MIN_STOPWORDS)
+        assert r.gopher_pass == int(
+            r.r_word_count
+            and r.r_word_len
+            and r.r_symbol_ratio
+            and r.r_alpha_words
+            and r.r_stopwords
+        )
+    # non-degenerate: the 50-word floor must split this corpus (doc
+    # lengths span 10..99 words at every SF; the stopword rule may
+    # legitimately zero a whole SF whose vocab lacks the stop list)
+    assert {r.r_word_count for r in rows.values()} == {0, 1}
+
+
+def test_kendall_components_match_brute_force(spark, sf_dir):
+    out = {r.nation: r for r in kendall_tau_exact(spark, sf_dir).collect()}
+    # rebuild the monthly series independently via SQL text
+    m = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS mo,
+               COUNT(*) AS x, COUNT(DISTINCT o.o_custkey) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """,
+    ).collect()
+    series: dict[str, list[tuple]] = {}
+    for r in m:
+        series.setdefault(r.nation, []).append((r.mo, r.x, r.y))
+    for nation, pts in series.items():
+        pts.sort()
+        conc = disc = tx = ty = tb = 0
+        for (_, x1, y1), (_, x2, y2) in combinations(pts, 2):
+            p = (x2 - x1) * (y2 - y1)
+            if x1 == x2 and y1 == y2:
+                tb += 1
+            elif x1 == x2:
+                tx += 1
+            elif y1 == y2:
+                ty += 1
+            elif p > 0:
+                conc += 1
+            else:
+                disc += 1
+        r = out[nation]
+        n_pairs = len(pts) * (len(pts) - 1) // 2
+        assert (
+            r.n_pairs,
+            r.concordant,
+            r.discordant,
+            r.ties_x,
+            r.ties_y,
+            r.ties_both,
+        ) == (n_pairs, conc, disc, tx, ty, tb)
+        assert r.tau_b_numer == conc - disc
+        # decomposition is a partition of all pairs
+        assert conc + disc + tx + ty + tb == n_pairs
+
+
+def test_retrieval_metrics_consistent(spark, sf_dir):
+    pr = {r.query_id: r for r in precision_recall_at_k(spark, sf_dir).collect()}
+    mrr = {r.query_id: r for r in mrr_at_k_exact(spark, sf_dir).collect()}
+    assert set(pr) == set(mrr) and len(pr) == N_QUERIES
+    for qid, r in pr.items():
+        assert 0 <= r.n_relevant_topk <= TOP_K == r.k
+        assert r.precision_permille == 1000 * r.n_relevant_topk // TOP_K
+        assert r.recall_permille == 1000 * r.n_relevant_topk // max(
+            r.n_relevant_corpus, 1
+        )
+        m = mrr[qid]
+        fr = m.first_relevant_rank
+        assert 0 <= fr <= TOP_K
+        # a relevant hit exists in the top-k iff a first rank exists
+        assert (fr > 0) == (r.n_relevant_topk > 0)
+        rr = getattr(m, f"rr_scaled_{RR_SCALE}")
+        assert rr == (RR_SCALE // fr if fr else 0)
+
+
+def test_int8_quant_matches_numpy(spark, sf_dir):
+    out = {r.label: r for r in embedding_int8_quant_audit(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    agg: dict[int, list[int]] = {}
+    for row in e.collect():
+        x = np.asarray(row.embedding, dtype=np.float64)
+        scale = np.abs(x).max()
+        if scale == 0:
+            q = np.zeros_like(x, dtype=np.int64)
+        else:
+            s = x * float(INT8_QMAX) / scale
+            # half-away-from-zero, NOT numpy's half-to-even round()
+            q = np.where(
+                x >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5)
+            ).astype(np.int64)
+        a = agg.setdefault(row.label, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += int(q.sum())
+        a[2] += int((q * q).sum())
+        a[3] += int((np.abs(q) == INT8_QMAX).sum())
+    for label, (n, sm, sq, sat) in agg.items():
+        r = out[label]
+        assert (r.n_vectors, r.sum_codes, r.sum_sq_codes, r.n_saturated_codes) == (
+            n,
+            sm,
+            sq,
+            sat,
+        )
+        # codes are bounded by construction
+        assert sat >= n  # at least the max-|x| element saturates per vector
+
+
+def test_bloom_fpp_audit_verdicts(spark, sf_dir):
+    r = bloom_fpp_audit(spark, sf_dir).collect()[0]
+    assert r.n_members == r.n_probes > 0
+    assert r.all_members_contained == 1  # no false negatives, ever
+    assert r.fpp_within_budget == 1
+
+
+def test_group_by_all_equals_explicit(spark, sf_dir):
+    implicit = run_sql(
+        spark,
+        sf_dir,
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+        "GROUP BY ALL ORDER BY ALL",
+    ).collect()
+    explicit = run_sql(
+        spark,
+        sf_dir,
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus, n",
+    ).collect()
+    assert implicit == explicit

@@ -358,3 +358,105 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.octet_length("content") - 1).alias("total_bytes"),
         )
     )
+
+
+#: measured false-positive budget for the bloom audit, in permille of
+#: probes. Theoretical fpp at this geometry (4 probes, 2^16 bits,
+#: ~150 member keys) is ~7e-9 — 100‰ leaves five orders of margin
+#: while still failing instantly on a broken hash/pack/probe path.
+BLOOM_FPP_BUDGET_PERMILLE = 100
+
+
+def _pack_bloom(keys: DataFrame, key_col: str) -> F.Column:
+    """Distributed bloom build: salted-xxhash64 bit positions →
+    BIT_OR-packed longs → an 8 KB array<bigint> literal (the bounded
+    driver artifact pattern shared with ``decontaminate_bloom``)."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_hashes(F.col(key_col)))).alias("h")
+    )
+    words = (
+        pos.select(
+            (F.col("h") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    packed = [0] * BLOOM_WORDS
+    for r in words:
+        packed[r["w"]] = r["word"]
+    return F.lit(packed)
+
+
+def _bloom_hit(bloom: F.Column, probed: DataFrame, key_col: str) -> DataFrame:
+    """Append boolean ``hit``: all BLOOM_K salted bit positions set."""
+    hit = F.lit(True)
+    for i, h in enumerate(_bloom_hashes(F.col(key_col))):
+        probed = probed.withColumn(f"h{i}", h).withColumn(
+            f"w{i}", F.element_at(bloom, (F.col(f"h{i}") / 64).cast("int") + 1)
+        )
+        hit = hit & F.expr(
+            f"(shiftright(w{i}, CAST(h{i} % 64 AS INT)) & CAST(1 AS BIGINT))"
+            " = CAST(1 AS BIGINT)"
+        )
+    return probed.withColumn("hit", hit)
+
+
+@query(
+    "bloom_fpp_audit",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_probes,
+           1 AS all_members_contained,
+           1 AS fpp_within_budget
+    FROM events
+    """,
+    tags=("sketch", "bloom", "statistics", "audit"),
+)
+def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter guarantee audit, the ``hll_accuracy_audit`` pattern
+    applied to ``decontaminate_bloom``'s sketch: build the bloom over
+    every distinct member key (distributed BIT_OR reduce to 8 KB),
+    then pin BOTH sides of the bloom contract — (a) zero false
+    negatives: every member key probes back as contained; (b) bounded
+    false positives: a same-size DISJOINT key set (salt-prefixed, so
+    no probe is a member) measures the empirical fp rate, which must
+    sit under BLOOM_FPP_BUDGET_PERMILLE. The oracle pins the exact
+    member/probe counts and both verdicts; the raw fp count stays
+    engine-internal (it is a property of the hash geometry, not of
+    the data). Probing is whole-stage-codegen bit arithmetic — at
+    100 TB both probe passes are embarrassingly parallel map work.
+    Geometry honesty: BLOOM_BITS must be sized to the expected member
+    cardinality (~10 bits/key for ~1% fpp); an undersized filter
+    saturates and THIS audit is the gate that reports it — the budget
+    verdict flipping to 0 is the designed failure mode, not a flake."""
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select(
+        F.col("user_id").cast("string").alias("key")
+    ).distinct()
+    bloom = _pack_bloom(members, "key")
+    tp = _bloom_hit(bloom, members, "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_contained"),
+    )
+    probes = members.select(F.concat(F.lit("fpprobe:"), F.col("key")).alias("key"))
+    fp = _bloom_hit(bloom, probes, "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_fp"),
+    )
+    return tp.crossJoin(F.broadcast(fp)).select(
+        "n_members",
+        "n_probes",
+        (F.col("n_contained") == F.col("n_members"))
+        .cast("int")
+        .alias("all_members_contained"),
+        (
+            F.lit(1000) * F.col("n_fp")
+            <= F.lit(BLOOM_FPP_BUDGET_PERMILLE) * F.col("n_probes")
+        )
+        .cast("int")
+        .alias("fpp_within_budget"),
+    )

@@ -1,0 +1,200 @@
+"""Retrieval-quality metrics over the embedding corpus — the
+evaluation loop that sits on top of the similarity family: given the
+exact cosine top-k (``similarity_topk``, the family's oracle-green
+baseline), score it against ground-truth labels with the standard
+ranking metrics (precision@k, recall@k, reciprocal rank).
+
+A label match (``embeddings.label``) is the relevance judgment — the
+usual proxy when explicit query relevance sets don't exist at corpus
+scale. Everything that reaches the oracle hash is integer: counts,
+ranks, permille quotients via truncating integer division (Spark
+``div`` / DuckDB ``//``), and reciprocal ranks in exact lcm(1..k)
+scaling — no float crosses the compare.
+
+100 TB posture: the ranked top-k is |queries|·k rows (independent of
+corpus size); metric computation broadcasts it against the label
+table, so the only corpus-scale work is the scan inside
+``similarity_topk`` itself, which is already batch-local-top-k shaped
+(rows moved O(k·batches)). The label-count side is one
+map-side-combinable aggregate to |labels| rows.
+
+Reference parity note: the reference (a Go Kinesis Pub/Sub connector)
+has no retrieval surface; this family belongs to the driver-mandated
+LLM-pipeline layer (SURVEY.md §2-C "beyond-reference operators").
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    similarity_topk,
+)
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+#: lcm(1..TOP_K): scales every reciprocal rank 1/r (r ≤ TOP_K) to an
+#: exact integer, so MRR numerators never touch floats
+RR_SCALE = math.lcm(*range(1, TOP_K + 1))
+
+#: the exact-top-k CTE shared with similarity_topk's oracle, extended
+#: with the query's and neighbor's labels
+_RANKED_ORACLE_CTE = f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+               e.label AS n_label,
+               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+                   AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, q_label, neighbor_id, n_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+"""
+
+
+def _ranked_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, q_label, neighbor_id, n_label, rank): the exact
+    top-k with both sides' relevance labels attached. The ranked set
+    is |queries|·k rows — broadcast it; the label lookup then runs as
+    a broadcast-hash join on the (big-at-scale) embeddings table with
+    zero shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ranked = similarity_topk(spark, sf_dir)
+    q_labels = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    return (
+        e.join(
+            F.broadcast(ranked), e.vec_id == ranked.neighbor_id
+        )
+        .select("query_id", "neighbor_id", F.col("label").alias("n_label"), "rank")
+        .join(F.broadcast(q_labels), "query_id")
+    )
+
+
+@query(
+    "precision_recall_at_k",
+    oracle=_RANKED_ORACLE_CTE
+    + f""",
+    rel AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_relevant_topk
+        FROM ranked WHERE rank <= {TOP_K} GROUP BY query_id),
+    corpus AS (
+        SELECT q.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_relevant_corpus
+        FROM q JOIN embeddings e
+          ON e.label = q.q_label AND e.vec_id <> q.query_id
+        GROUP BY q.query_id)
+    SELECT r.query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           r.n_relevant_topk,
+           c.n_relevant_corpus,
+           1000 * r.n_relevant_topk // {TOP_K} AS precision_permille,
+           1000 * r.n_relevant_topk
+               // greatest(c.n_relevant_corpus, 1) AS recall_permille
+    FROM rel r JOIN corpus c ON r.query_id = c.query_id
+    """,
+    tags=("retrieval", "evaluation", "similarity", "llm-pipeline"),
+)
+def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k and recall@k of the exact cosine top-k against
+    label-match relevance — the standard retrieval scorecard (and the
+    quality ceiling every ANN face is audited against: ANN recall ≤
+    exact retrieval's label precision). Permille quotients use
+    truncating integer division on both engines; the recall
+    denominator (same-label corpus size excluding self) comes from one
+    broadcast-joined aggregate."""
+    r = _ranked_with_labels(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_labels = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    corpus = (
+        e.join(
+            F.broadcast(q_labels),
+            (e.label == q_labels.q_label) & (e.vec_id != q_labels.query_id),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant_corpus"))
+    )
+    rel = (
+        r.where(F.col("rank") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_relevant_topk")
+        )
+    )
+    return rel.join(corpus, "query_id").select(
+        "query_id",
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        "n_relevant_topk",
+        "n_relevant_corpus",
+        F.expr(f"1000 * n_relevant_topk div {TOP_K}L").alias(
+            "precision_permille"
+        ),
+        F.expr(
+            "1000 * n_relevant_topk div greatest(n_relevant_corpus, 1L)"
+        ).alias("recall_permille"),
+    )
+
+
+@query(
+    "mrr_at_k_exact",
+    oracle=_RANKED_ORACLE_CTE
+    + f"""
+    SELECT query_id,
+           CAST(coalesce(MIN(CASE WHEN n_label = q_label THEN rank END), 0)
+                AS BIGINT) AS first_relevant_rank,
+           CAST(coalesce({RR_SCALE}
+                    // MIN(CASE WHEN n_label = q_label THEN rank END), 0)
+                AS BIGINT) AS rr_scaled_{RR_SCALE}
+    FROM ranked WHERE rank <= {TOP_K}
+    GROUP BY query_id
+    """,
+    tags=("retrieval", "evaluation", "similarity", "llm-pipeline"),
+)
+def mrr_at_k_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first relevant neighbor within the exact
+    top-k, per query — summing ``rr_scaled`` / (queries · RR_SCALE)
+    gives MRR@k. Reciprocal ranks are scaled by lcm(1..k) so every
+    1/r is an exact integer: the whole metric is integer arithmetic,
+    immune to float-accumulation order on either engine. Queries with
+    no relevant neighbor in the top-k pin rank 0 / contribution 0
+    explicitly rather than dropping the row."""
+    r = _ranked_with_labels(spark, sf_dir)
+    first = (
+        r.where(F.col("rank") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("n_label") == F.col("q_label"), F.col("rank"))
+            ).alias("fr")
+        )
+    )
+    return first.select(
+        "query_id",
+        F.coalesce(F.col("fr"), F.lit(0)).cast("bigint").alias(
+            "first_relevant_rank"
+        ),
+        F.coalesce(
+            F.expr(f"{RR_SCALE} div fr"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias(f"rr_scaled_{RR_SCALE}"),
+    )

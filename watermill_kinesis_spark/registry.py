@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.streaming_batch",
     "watermill_kinesis_spark.operators.tokenizer",
     "watermill_kinesis_spark.operators.evaluation",
+    "watermill_kinesis_spark.operators.retrieval",
 )
 
 
@@ -84,7 +85,8 @@ _PRIORITY: tuple[str, ...] = (
     # ---- Rotation (round 7): STALENESS ordering. The driver's
     # budget-capped gate samples a ~50-entry PREFIX of this list, so the
     # prefix is now a REGRESSION WINDOW: first the round-7 additions
-    # (never driver-sampled — the three oracle-backed audit twins), then
+    # (never driver-sampled — the audit twins, retrieval metrics, and
+    # quality/statistics faces below), then
     # every oracle-backed entry ordered by the round it last went
     # driver-green (r1-green entries first: ~200 of the 266 were last
     # driver-verified in r1-r2). Entries keep their previous relative
@@ -93,6 +95,9 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal), so they no longer
     # consume regression-window slots; their invariants are pytest-
     # enforced. Recompute each round from CORRECTNESS_r*.json.
+    "bloom_fpp_audit",
+    "precision_recall_at_k",
+    "mrr_at_k_exact",
     "gopher_quality_rules",
     "kendall_tau_exact",
     "sql_group_by_all",
