@@ -184,3 +184,40 @@ def test_group_by_all_equals_explicit(spark, sf_dir):
         "ORDER BY l_returnflag, l_linestatus, n",
     ).collect()
     assert implicit == explicit
+
+
+def test_maxsim_matches_brute_force(spark, sf_dir):
+    from watermill_kinesis_spark.operators.similarity2 import (
+        MV_SUBDIM,
+        MV_TOKENS,
+        multivector_maxsim_topk,
+    )
+
+    out = multivector_maxsim_topk(spark, sf_dir).collect()
+    e = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def subvecs(v):
+        s = v.reshape(MV_TOKENS, MV_SUBDIM)
+        n = np.linalg.norm(s, axis=1)
+        return s / np.maximum(n, 1e-300)[:, None], n == 0
+
+    def maxsim(q, d):
+        Qs, qz = subvecs(q)
+        Ds, dz = subvecs(d)
+        S = Qs @ Ds.T
+        S[qz, :] = -1.0
+        S[:, dz] = -1.0
+        return S.max(axis=1).sum()
+
+    for qid in range(N_QUERIES):
+        scores = sorted(
+            ((maxsim(e[qid], e[d]), -d) for d in e if d != qid), reverse=True
+        )
+        expected = [-d for _, d in scores[:TOP_K]]
+        got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == qid]
+        assert got == expected, f"query {qid}: {got} != {expected}"

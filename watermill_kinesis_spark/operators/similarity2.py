@@ -557,3 +557,125 @@ def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_sq").cast("bigint").alias("sum_sq_codes"),
         F.sum("row_sat").cast("bigint").alias("n_saturated_codes"),
     )
+
+
+#: multi-vector decomposition: each 64-dim embedding is read as
+#: MV_TOKENS sub-vectors of MV_SUBDIM dims — the deterministic
+#: stand-in for a per-token vector column (array<array<float>>); the
+#: scoring plumbing is identical either way
+MV_TOKENS = 4
+MV_SUBDIM = 16
+
+
+def _mv_slices_sql(col: str) -> list[str]:
+    """DuckDB 1-based sub-vector slices of a DOUBLE[] column."""
+    return [
+        f"{col}[{i * MV_SUBDIM + 1}:{(i + 1) * MV_SUBDIM}]"
+        for i in range(MV_TOKENS)
+    ]
+
+
+@query(
+    "multivector_maxsim_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {" + ".join(
+                   "greatest("
+                   + ", ".join(
+                       f"list_cosine_similarity({qs}, CAST(e.embedding AS DOUBLE[])[{j * MV_SUBDIM + 1}:{(j + 1) * MV_SUBDIM}])"
+                       for j in range(MV_TOKENS)
+                   )
+                   + ")"
+                   for qs in _mv_slices_sql("q.qe")
+               )} AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "retrieval", "colbert", "llm-pipeline"),
+)
+def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    2020): query and document are BAGS of vectors, and the score is
+    MaxSim — for each query sub-vector take the best-matching document
+    sub-vector's cosine, then sum over query sub-vectors. Here the
+    64-dim embedding is deterministically read as 4×16-dim sub-vectors
+    (the storage stand-in for a real per-token vector column; the
+    plan shape is identical).
+
+    Same engine shape as ``similarity_topk``: the query bag broadcasts
+    in the kernel closure, each Arrow batch computes the full
+    (batch × queries × q_tokens × d_tokens) interaction with one
+    einsum, reduces max-then-sum locally, and emits only its
+    batch-local top-k — rows moved stay O(k · batches) no matter the
+    corpus size. Ranks only cross the oracle hash (float-tie
+    discipline); zero-norm sub-vectors score −1.0, DuckDB's
+    ``list_cosine_similarity`` convention."""
+    import numpy as np
+    import pandas as pd
+
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.emb for r in qrows], dtype=np.float64).reshape(
+        len(qrows), MV_TOKENS, MV_SUBDIM
+    )
+    qn = np.linalg.norm(Q, axis=2)
+    Qn = Q / np.maximum(qn, 1e-300)[:, :, None]
+    q_zero = qn == 0.0  # (nq, MV_TOKENS)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.stack(pdf["emb"].to_numpy()).reshape(
+                len(pdf), MV_TOKENS, MV_SUBDIM
+            )
+            mn = np.linalg.norm(M, axis=2)
+            Mn = M / np.maximum(mn, 1e-300)[:, :, None]
+            # (batch, d_tok, nq, q_tok) pairwise sub-vector cosines
+            S = np.einsum("bds,qts->bdqt", Mn, Qn)
+            S[mn == 0.0, :, :] = -1.0  # zero doc sub-vector
+            S = np.where(q_zero[None, None, :, :], -1.0, S)
+            # MaxSim: max over document tokens, sum over query tokens
+            score = S.max(axis=1).sum(axis=2)  # (batch, nq)
+            score[ids[:, None] == qids[None, :]] = -np.inf
+            k = min(TOP_K, len(ids))
+            top = np.argpartition(-score, k - 1, axis=0)[:k]
+            out_s = np.take_along_axis(score, top, axis=0).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids[None, :], k, axis=0).ravel()[
+                        keep
+                    ],
+                    "neighbor_id": ids[top].ravel()[keep],
+                    "score": out_s[keep],
+                }
+            )
+
+    scored = e.mapInPandas(
+        kernel, "query_id long, neighbor_id long, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
