@@ -221,3 +221,42 @@ def test_maxsim_matches_brute_force(spark, sf_dir):
         expected = [-d for _, d in scores[:TOP_K]]
         got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == qid]
         assert got == expected, f"query {qid}: {got} != {expected}"
+
+
+def test_kcenter_matches_brute_force(spark, sf_dir):
+    from watermill_kinesis_spark.operators.clustering import (
+        KCENTER_K,
+        kcenter_diversity_audit,
+        kcenter_greedy_fit,
+    )
+
+    ids, C, radius = kcenter_greedy_fit(spark, sf_dir)
+    pts = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    # reference greedy: same start, same farthest/tie-break rule
+    order = sorted(pts)
+    sel = [order[0]]
+    for _ in range(1, KCENTER_K):
+        best_id, best_d = None, -1.0
+        for vid in order:
+            d = min(np.linalg.norm(pts[vid] - pts[c]) for c in sel)
+            if d > best_d + 1e-12:
+                best_id, best_d = vid, d
+        sel.append(best_id)
+    assert ids == sel
+    # coverage radius: every point within radius of some center
+    max_min = max(
+        min(np.linalg.norm(p - pts[c]) for c in sel) for p in pts.values()
+    )
+    assert abs(max_min - radius) < 1e-9
+    r = kcenter_diversity_audit(spark, sf_dir).collect()[0]
+    assert (
+        r.k_selected,
+        r.all_centers_distinct,
+        r.separation_ge_radius,
+    ) == (KCENTER_K, 1, 1)
+    assert r.n_points == len(pts)

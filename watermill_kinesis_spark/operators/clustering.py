@@ -326,3 +326,112 @@ def semdedup_keep_ids(assigned_pdf, tau: float = SEMDEDUP_TAU):
             continue
         kept_rows.append(i)
     return pdf["vec_id"].iloc[kept_rows].tolist()
+
+
+#: diverse-subset (coreset) selection size for the k-center audit
+KCENTER_K = 8
+
+
+def kcenter_greedy_fit(spark: SparkSession, sf_dir: str, k: int = KCENTER_K):
+    """Greedy farthest-point (Gonzalez) k-center selection — the
+    classic diverse-subset / coreset picker for labeling budgets and
+    active learning. Deterministic: starts from the minimum vec_id and
+    breaks distance ties toward the smaller id.
+
+    Distributed shape: k bounded passes, each one Arrow-vectorized
+    scan computing every point's min distance to the CURRENT center
+    matrix (broadcast in the kernel closure — never joined: a
+    per-iteration join would accumulate k corpus shuffles and an
+    unbounded plan lineage), reduced by TakeOrderedAndProject to one
+    (farthest point) row — no sort, no shuffle, and driver state is
+    the k × dim center matrix (KBs). Total work k passes × k·dim
+    flops/row, the textbook distributed Gonzalez. Returns
+    (center_ids, centers ndarray, coverage_radius)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb_cached(spark, sf_dir)
+
+    def mind_df(C_list):
+        C = np.asarray(C_list, dtype=np.float64)  # (c, dim)
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["emb"].to_numpy())  # (b, dim)
+                d = np.sqrt(
+                    np.maximum(
+                        (M * M).sum(1)[:, None]
+                        - 2.0 * (M @ C.T)
+                        + (C * C).sum(1)[None, :],
+                        0.0,
+                    )
+                ).min(axis=1)
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "mind": d})
+
+        return e.mapInPandas(kernel, "vec_id long, mind double")
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    center_ids = [first.vec_id]
+    centers = [list(first.emb)]
+    for _ in range(1, k):
+        far = (
+            mind_df(centers)
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        row = e.where(F.col("vec_id") == far.vec_id).collect()[0]
+        center_ids.append(row.vec_id)
+        centers.append(list(row.emb))
+    radius = mind_df(centers).agg(F.max("mind").alias("r")).collect()[0].r
+    return center_ids, np.asarray(centers, dtype=np.float64), float(radius)
+
+
+@query(
+    "kcenter_diversity_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST({KCENTER_K} AS BIGINT) AS k_selected,
+           1 AS all_centers_distinct,
+           1 AS separation_ge_radius
+    FROM embeddings
+    """,
+    tags=("clustering", "sampling", "coreset", "audit", "llm-pipeline"),
+)
+def kcenter_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit face of ``kcenter_greedy_fit`` in the sketch-audit style
+    (``hll_accuracy_audit``): run the greedy selection, then pin the
+    Gonzalez guarantee the selection must satisfy — the minimum
+    pairwise separation among selected centers is ≥ the final
+    coverage radius (every center was, when chosen, the FARTHEST
+    point from all previous ones, so separation can only exceed the
+    radius; a broken update rule or distance kernel breaks this
+    instantly). The oracle pins the exact corpus count, k, and both
+    verdicts; distances stay engine-internal. The k selected ids are
+    exposed via ``kcenter_greedy_fit`` for callers (labeling budgets,
+    eval-set seeding)."""
+    import numpy as np
+
+    ids, C, radius = kcenter_greedy_fit(spark, sf_dir)
+    pair = np.linalg.norm(C[:, None, :] - C[None, :, :], axis=2)
+    np.fill_diagonal(pair, np.inf)
+    separation = float(pair.min())
+    n = _emb(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                len(ids),
+                int(len(set(ids)) == len(ids)),
+                # 1e-9 relative slack: the kernel computes distances
+                # via the expanded-BLAS form, the driver via norm(a-b);
+                # the invariant is mathematically >= with margin, the
+                # slack only absorbs last-ulp formula disagreement
+                int(separation >= radius * (1.0 - 1e-9)),
+            )
+        ],
+        "n_points bigint, k_selected bigint, all_centers_distinct int,"
+        " separation_ge_radius int",
+    )
