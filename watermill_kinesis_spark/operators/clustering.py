@@ -368,9 +368,15 @@ def kcenter_greedy_fit(spark: SparkSession, sf_dir: str, k: int = KCENTER_K):
                         0.0,
                     )
                 ).min(axis=1)
-                yield pd.DataFrame({"vec_id": pdf["vec_id"], "mind": d})
+                # emb rides along so the farthest row carries its own
+                # vector — no second corpus scan to re-fetch it
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "mind": d, "emb": pdf["emb"]}
+                )
 
-        return e.mapInPandas(kernel, "vec_id long, mind double")
+        return e.mapInPandas(
+            kernel, "vec_id long, mind double, emb array<double>"
+        )
 
     first = e.orderBy("vec_id").limit(1).collect()[0]
     center_ids = [first.vec_id]
@@ -382,9 +388,8 @@ def kcenter_greedy_fit(spark: SparkSession, sf_dir: str, k: int = KCENTER_K):
             .limit(1)
             .collect()[0]
         )
-        row = e.where(F.col("vec_id") == far.vec_id).collect()[0]
-        center_ids.append(row.vec_id)
-        centers.append(list(row.emb))
+        center_ids.append(far.vec_id)
+        centers.append(list(far.emb))
     radius = mind_df(centers).agg(F.max("mind").alias("r")).collect()[0].r
     return center_ids, np.asarray(centers, dtype=np.float64), float(radius)
 

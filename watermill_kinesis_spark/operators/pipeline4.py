@@ -47,13 +47,56 @@ def _grams(df: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _bloom_hashes(gram: F.Column) -> list[F.Column]:
+def _bloom_hashes(gram: F.Column, bits: int = BLOOM_BITS) -> list[F.Column]:
     """BLOOM_K independent bit positions per key: xxhash64 with distinct
-    salts, folded into [0, BLOOM_BITS). All JVM expressions."""
+    salts, folded into [0, bits). All JVM expressions."""
     return [
-        F.pmod(F.xxhash64(F.concat(gram, F.lit(f"#bloom{i}"))), F.lit(BLOOM_BITS))
+        F.pmod(F.xxhash64(F.concat(gram, F.lit(f"#bloom{i}"))), F.lit(bits))
         for i in range(BLOOM_K)
     ]
+
+
+def _pack_bloom(
+    keys: DataFrame, key_col: str, bits: int = BLOOM_BITS
+) -> F.Column:
+    """Distributed bloom build: salted-xxhash64 bit positions →
+    BIT_OR-packed longs → an array<bigint> literal (bits/8 bytes —
+    the bounded driver artifact pattern; callers size ``bits`` to the
+    expected key cardinality)."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_hashes(F.col(key_col), bits))).alias("h")
+    )
+    words = (
+        pos.select(
+            (F.col("h") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    packed = [0] * (bits // 64)
+    for r in words:
+        packed[r["w"]] = r["word"]
+    return F.lit(packed)
+
+
+def _bloom_hit(
+    bloom: F.Column, probed: DataFrame, key_col: str, bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Append boolean ``hit``: all BLOOM_K salted bit positions set."""
+    hit = F.lit(True)
+    for i, h in enumerate(_bloom_hashes(F.col(key_col), bits)):
+        probed = probed.withColumn(f"h{i}", h).withColumn(
+            f"w{i}", F.element_at(bloom, (F.col(f"h{i}") / 64).cast("int") + 1)
+        )
+        hit = hit & F.expr(
+            f"(shiftright(w{i}, CAST(h{i} % 64 AS INT)) & CAST(1 AS BIGINT))"
+            " = CAST(1 AS BIGINT)"
+        )
+    return probed.withColumn("hit", hit)
 
 
 @query(
@@ -97,35 +140,13 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         _grams(d.where(F.col("doc_id") < 50), BLOOM_N).select("gram").distinct()
     )
     # build: positions → (word, bit) → BIT_OR per word → 1024 longs
-    pos = eval_grams.select(
-        F.explode(F.array(*_bloom_hashes(F.col("gram")))).alias("h")
-    )
-    words = (
-        pos.select(
-            (F.col("h") / 64).cast("int").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("bit"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("bit").alias("word"))
-        .collect()
-    )
-    packed = [0] * BLOOM_WORDS
-    for r in words:
-        packed[r["w"]] = r["word"]
-    bloom = F.lit(packed)  # array<bigint> literal, ~8 KB in the plan
-
+    bloom = _pack_bloom(eval_grams, "gram")  # ~8 KB literal in the plan
     train_grams = _grams(d.where(F.col("doc_id") >= 50), BLOOM_N)
-    probed = train_grams
-    hit = F.lit(True)
-    for i, h in enumerate(_bloom_hashes(F.col("gram"))):
-        probed = probed.withColumn(f"h{i}", h).withColumn(
-            f"w{i}", F.element_at(bloom, (F.col(f"h{i}") / 64).cast("int") + 1)
-        )
-        hit = hit & F.expr(
-            f"(shiftright(w{i}, CAST(h{i} % 64 AS INT)) & CAST(1 AS BIGINT))"
-            " = CAST(1 AS BIGINT)"
-        )
-    candidates = probed.where(hit).select("doc_id", "gram")
+    candidates = (
+        _bloom_hit(bloom, train_grams, "gram")
+        .where("hit")
+        .select("doc_id", "gram")
+    )
     return (
         candidates.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
@@ -361,48 +382,14 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: measured false-positive budget for the bloom audit, in permille of
-#: probes. Theoretical fpp at this geometry (4 probes, 2^16 bits,
-#: ~150 member keys) is ~7e-9 — 100‰ leaves five orders of margin
-#: while still failing instantly on a broken hash/pack/probe path.
+#: probes, paired with a geometry DERIVED from member cardinality
+#: (BLOOM_AUDIT_BITS_PER_KEY bits/key, k=4): fill stays ≈ 1−e^(−1/4)
+#: ≈ 0.22 at ANY member count, so theoretical fpp ≈ 2.4e-3 — the 100‰
+#: budget is scale-invariant (the fixed-geometry spelling would
+#: mechanically trip the verdict once members outgrow the bit array;
+#: cf. the LSH miss-budget lesson in SCALE.md).
 BLOOM_FPP_BUDGET_PERMILLE = 100
-
-
-def _pack_bloom(keys: DataFrame, key_col: str) -> F.Column:
-    """Distributed bloom build: salted-xxhash64 bit positions →
-    BIT_OR-packed longs → an 8 KB array<bigint> literal (the bounded
-    driver artifact pattern shared with ``decontaminate_bloom``)."""
-    pos = keys.select(
-        F.explode(F.array(*_bloom_hashes(F.col(key_col)))).alias("h")
-    )
-    words = (
-        pos.select(
-            (F.col("h") / 64).cast("int").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias(
-                "bit"
-            ),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("bit").alias("word"))
-        .collect()
-    )
-    packed = [0] * BLOOM_WORDS
-    for r in words:
-        packed[r["w"]] = r["word"]
-    return F.lit(packed)
-
-
-def _bloom_hit(bloom: F.Column, probed: DataFrame, key_col: str) -> DataFrame:
-    """Append boolean ``hit``: all BLOOM_K salted bit positions set."""
-    hit = F.lit(True)
-    for i, h in enumerate(_bloom_hashes(F.col(key_col))):
-        probed = probed.withColumn(f"h{i}", h).withColumn(
-            f"w{i}", F.element_at(bloom, (F.col(f"h{i}") / 64).cast("int") + 1)
-        )
-        hit = hit & F.expr(
-            f"(shiftright(w{i}, CAST(h{i} % 64 AS INT)) & CAST(1 AS BIGINT))"
-            " = CAST(1 AS BIGINT)"
-        )
-    return probed.withColumn("hit", hit)
+BLOOM_AUDIT_BITS_PER_KEY = 16
 
 
 @query(
@@ -429,21 +416,29 @@ def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-internal (it is a property of the hash geometry, not of
     the data). Probing is whole-stage-codegen bit arithmetic — at
     100 TB both probe passes are embarrassingly parallel map work.
-    Geometry honesty: BLOOM_BITS must be sized to the expected member
-    cardinality (~10 bits/key for ~1% fpp); an undersized filter
-    saturates and THIS audit is the gate that reports it — the budget
-    verdict flipping to 0 is the designed failure mode, not a flake."""
+    Geometry: the bit width is derived from the measured member
+    cardinality (16 bits/key, power-of-two, 2^16 floor), so the
+    theoretical fpp — and therefore the 100‰ budget's soundness — is
+    the same at sf0.001 and at the sf1-equivalent sweep; a genuinely
+    broken hash/pack/probe path still flips the verdict instantly."""
     ev = load_table(spark, sf_dir, "events")
     members = ev.select(
         F.col("user_id").cast("string").alias("key")
     ).distinct()
-    bloom = _pack_bloom(members, "key")
-    tp = _bloom_hit(bloom, members, "key").agg(
+    # geometry scales with membership: next power of two ≥ 16 bits/key
+    # (floor 2^16). The literal is n_members·2 bytes — KBs up to ~1e6
+    # keys; beyond literal comfort a sharded bloom replaces this path.
+    n_est = members.count()
+    bits = max(
+        BLOOM_BITS, 1 << (n_est * BLOOM_AUDIT_BITS_PER_KEY - 1).bit_length()
+    )
+    bloom = _pack_bloom(members, "key", bits)
+    tp = _bloom_hit(bloom, members, "key", bits).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_contained"),
     )
     probes = members.select(F.concat(F.lit("fpprobe:"), F.col("key")).alias("key"))
-    fp = _bloom_hit(bloom, probes, "key").agg(
+    fp = _bloom_hit(bloom, probes, "key", bits).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_probes"),
         F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_fp"),
     )

@@ -100,11 +100,12 @@ def _ranked_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.query_id,
            CAST({TOP_K} AS BIGINT) AS k,
            r.n_relevant_topk,
-           c.n_relevant_corpus,
+           coalesce(c.n_relevant_corpus, 0) AS n_relevant_corpus,
            1000 * r.n_relevant_topk // {TOP_K} AS precision_permille,
            1000 * r.n_relevant_topk
-               // greatest(c.n_relevant_corpus, 1) AS recall_permille
-    FROM rel r JOIN corpus c ON r.query_id = c.query_id
+               // greatest(coalesce(c.n_relevant_corpus, 0), 1)
+               AS recall_permille
+    FROM rel r LEFT JOIN corpus c ON r.query_id = c.query_id
     """,
     tags=("retrieval", "evaluation", "similarity", "llm-pipeline"),
 )
@@ -140,17 +141,27 @@ def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_relevant_topk")
         )
     )
-    return rel.join(corpus, "query_id").select(
-        "query_id",
-        F.lit(TOP_K).cast("bigint").alias("k"),
-        "n_relevant_topk",
-        "n_relevant_corpus",
-        F.expr(f"1000 * n_relevant_topk div {TOP_K}L").alias(
-            "precision_permille"
-        ),
-        F.expr(
-            "1000 * n_relevant_topk div greatest(n_relevant_corpus, 1L)"
-        ).alias("recall_permille"),
+    # LEFT join + coalesce 0: a query whose label is unique in the
+    # corpus has an EMPTY relevant set, not a missing row (the oracle
+    # mirrors this exactly)
+    return (
+        rel.join(corpus, "query_id", "left")
+        .withColumn(
+            "n_relevant_corpus",
+            F.coalesce(F.col("n_relevant_corpus"), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "query_id",
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            "n_relevant_topk",
+            "n_relevant_corpus",
+            F.expr(f"1000 * n_relevant_topk div {TOP_K}L").alias(
+                "precision_permille"
+            ),
+            F.expr(
+                "1000 * n_relevant_topk div greatest(n_relevant_corpus, 1L)"
+            ).alias("recall_permille"),
+        )
     )
 
 
