@@ -62,6 +62,14 @@ HEADLINE = [
     "ks_drift_matrix",
     "content_addressed_ids",
     "multimodal_gif_animation_probe",
+    # r7-added heavies: the widest round-7 scans — the Gopher rule
+    # pass (full-doc regex/array work), ColBERT MaxSim (einsum
+    # scoring), the iterative k-center selection, and the
+    # build+double-probe bloom audit
+    "gopher_quality_rules",
+    "multivector_maxsim_topk",
+    "kcenter_diversity_audit",
+    "bloom_fpp_audit",
 ]
 
 #: index where the r4-added heavies start in HEADLINE
@@ -70,6 +78,8 @@ _R4_START = HEADLINE.index("bpe_train_merges")
 _R5_START = HEADLINE.index("winnowing_fingerprints")
 #: index where the r6-added heavies start
 _R6_START = HEADLINE.index("auc_roc_exact")
+#: index where the r7-added heavies start
+_R7_START = HEADLINE.index("gopher_quality_rules")
 
 #: Calibration anchor (r5 VERDICT "what's wrong #3"): the machine is
 #: co-tenant, so round-over-round per-query numbers drift with load the
@@ -154,10 +164,12 @@ def main() -> int:
     r4_total = round(sum(timings.get(n, 0.0) for n in r4_heavies), 3)
     r5_heavies = HEADLINE[_R5_START:_R6_START]
     r5_total = round(sum(timings.get(n, 0.0) for n in r5_heavies), 3)
-    r6_heavies = HEADLINE[_R6_START:]
+    r6_heavies = HEADLINE[_R6_START:_R7_START]
     r6_total = round(sum(timings.get(n, 0.0) for n in r6_heavies), 3)
+    r7_heavies = HEADLINE[_R7_START:]
+    r7_total = round(sum(timings.get(n, 0.0) for n in r7_heavies), 3)
     heavy_total = round(
-        total - core_total - r4_total - r5_total - r6_total, 3
+        total - core_total - r4_total - r5_total - r6_total - r7_total, 3
     )
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -177,6 +189,7 @@ def main() -> int:
                     "heavies_added_r4": r4_total,
                     "heavies_added_r5": r5_total,
                     "heavies_added_r6": r6_total,
+                    "heavies_added_r7": r7_total,
                 },
                 "calibration": {
                     "sec": calib,
