@@ -82,3 +82,39 @@ def test_binaryfile_ingest_matches_direct_aggregate(spark, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_bloom_pack_probe_contract_property(spark):
+    """Property: for ANY key set, every inserted key probes back as
+    contained (no false negatives — the bloom contract's hard side),
+    at every geometry the audit can derive."""
+    from hypothesis import given, settings, strategies as st
+
+    from watermill_kinesis_spark.operators.pipeline4 import (
+        BLOOM_BITS,
+        _bloom_hit,
+        _pack_bloom,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        keys=st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        ),
+        bits_shift=st.integers(min_value=0, max_value=2),
+    )
+    def check(keys, bits_shift):
+        bits = BLOOM_BITS << bits_shift
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        bloom = _pack_bloom(df, "key", bits)
+        hits = _bloom_hit(bloom, df, "key", bits).select("hit").collect()
+        assert all(r.hit for r in hits), "false negative: bloom contract broken"
+
+    check()

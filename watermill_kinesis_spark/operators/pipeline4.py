@@ -391,6 +391,10 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_FPP_BUDGET_PERMILLE = 100
 BLOOM_AUDIT_BITS_PER_KEY = 16
 
+#: the one live cached member set of bloom_fpp_audit (see the
+#: clustering-module cache-slot convention)
+_cached_members: DataFrame | None = None
+
 
 @query(
     "bloom_fpp_audit",
@@ -422,9 +426,19 @@ def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same at sf0.001 and at the sf1-equivalent sweep; a genuinely
     broken hash/pack/probe path still flips the verdict instantly."""
     ev = load_table(spark, sf_dir, "events")
-    members = ev.select(
-        F.col("user_id").cast("string").alias("key")
-    ).distinct()
+    # cache the distinct member set: it feeds the count, the build,
+    # and the probe union — one shuffle instead of three. One live
+    # slot, clustering.py's pattern: repeated runs (bench loops)
+    # replace rather than accumulate cache entries.
+    global _cached_members
+    if _cached_members is not None:
+        _cached_members.unpersist(False)
+    members = (
+        ev.select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .persist()
+    )
+    _cached_members = members
     # geometry scales with membership: next power of two ≥ 16 bits/key
     # (floor 2^16). The literal is n_members·2 bytes — KBs up to ~1e6
     # keys; beyond literal comfort a sharded bloom replaces this path.
@@ -433,16 +447,23 @@ def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         BLOOM_BITS, 1 << (n_est * BLOOM_AUDIT_BITS_PER_KEY - 1).bit_length()
     )
     bloom = _pack_bloom(members, "key", bits)
-    tp = _bloom_hit(bloom, members, "key", bits).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_contained"),
+    # one fused probe pass: members flagged is_member=1, the disjoint
+    # salt-prefixed set is_member=0
+    probes = members.select("key", F.lit(1).alias("is_member")).unionAll(
+        members.select(
+            F.concat(F.lit("fpprobe:"), F.col("key")).alias("key"),
+            F.lit(0).alias("is_member"),
+        )
     )
-    probes = members.select(F.concat(F.lit("fpprobe:"), F.col("key")).alias("key"))
-    fp = _bloom_hit(bloom, probes, "key", bits).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
-        F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_fp"),
+    m = F.col("is_member") == 1
+    hitc = F.col("hit").cast("int")
+    agg = _bloom_hit(bloom, probes, "key", bits).agg(
+        F.sum(m.cast("int")).cast("bigint").alias("n_members"),
+        F.sum((~m).cast("int")).cast("bigint").alias("n_probes"),
+        F.sum(F.when(m, hitc).otherwise(0)).cast("bigint").alias("n_contained"),
+        F.sum(F.when(~m, hitc).otherwise(0)).cast("bigint").alias("n_fp"),
     )
-    return tp.crossJoin(F.broadcast(fp)).select(
+    return agg.select(
         "n_members",
         "n_probes",
         (F.col("n_contained") == F.col("n_members"))
