@@ -49,7 +49,10 @@ def _emb_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     if _cached_emb is not None:
-        _cached_emb.unpersist(False)
+        try:
+            _cached_emb.unpersist(False)
+        except Exception:
+            pass  # previous session stopped; nothing left to release
     e = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     _cached_emb = e
     return e
@@ -352,7 +355,7 @@ def kcenter_greedy_fit(spark: SparkSession, sf_dir: str, k: int = KCENTER_K):
 
     e = _emb_cached(spark, sf_dir)
 
-    def mind_df(C_list):
+    def mind_df(C_list, with_emb=True):
         C = np.asarray(C_list, dtype=np.float64)  # (c, dim)
 
         def kernel(batches):
@@ -368,15 +371,17 @@ def kcenter_greedy_fit(spark: SparkSession, sf_dir: str, k: int = KCENTER_K):
                         0.0,
                     )
                 ).min(axis=1)
-                # emb rides along so the farthest row carries its own
-                # vector — no second corpus scan to re-fetch it
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"], "mind": d, "emb": pdf["emb"]}
-                )
+                out = {"vec_id": pdf["vec_id"], "mind": d}
+                if with_emb:
+                    # emb rides along so the farthest row carries its
+                    # own vector — no second corpus scan to re-fetch it
+                    out["emb"] = pdf["emb"]
+                yield pd.DataFrame(out)
 
-        return e.mapInPandas(
-            kernel, "vec_id long, mind double, emb array<double>"
-        )
+        schema = "vec_id long, mind double"
+        if with_emb:
+            schema += ", emb array<double>"
+        return e.mapInPandas(kernel, schema)
 
     first = e.orderBy("vec_id").limit(1).collect()[0]
     center_ids = [first.vec_id]
@@ -390,7 +395,14 @@ def kcenter_greedy_fit(spark: SparkSession, sf_dir: str, k: int = KCENTER_K):
         )
         center_ids.append(far.vec_id)
         centers.append(list(far.emb))
-    radius = mind_df(centers).agg(F.max("mind").alias("r")).collect()[0].r
+    # the radius pass consumes only max(mind) — skip the full-corpus
+    # emb column transfer the selection passes need
+    radius = (
+        mind_df(centers, with_emb=False)
+        .agg(F.max("mind").alias("r"))
+        .collect()[0]
+        .r
+    )
     return center_ids, np.asarray(centers, dtype=np.float64), float(radius)
 
 

@@ -29,7 +29,6 @@ BLOOM_N = 8
 #: expected eval-gram cardinality (~4k) the false-positive rate is
 #: ~0.2%; FPs cost one extra exact-join probe, FNs cannot happen.
 BLOOM_BITS = 1 << 16
-BLOOM_WORDS = BLOOM_BITS // 64
 BLOOM_K = 4
 
 
@@ -62,7 +61,9 @@ def _pack_bloom(
     """Distributed bloom build: salted-xxhash64 bit positions →
     BIT_OR-packed longs → an array<bigint> literal (bits/8 bytes —
     the bounded driver artifact pattern; callers size ``bits`` to the
-    expected key cardinality)."""
+    expected key cardinality, as a multiple of 64 — the word
+    packing indexes bit // 64)."""
+    assert bits % 64 == 0 and bits > 0, "bloom bits must be a positive multiple of 64"
     pos = keys.select(
         F.explode(F.array(*_bloom_hashes(F.col(key_col), bits))).alias("h")
     )
@@ -126,7 +127,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the eval-gram set outgrows a comfortable broadcast hash table.
     The engine builds the Bloom filter itself, in pure Spark SQL: eval
     8-grams hash to 4 (BLOOM_K) bit positions (salted xxhash64), a
-    BIT_OR aggregate packs them into 1024 (BLOOM_WORDS) longs (a distributed
+    BIT_OR aggregate packs them into 1024 longs (a distributed
     reduce to an 8 KB sketch), and the probe is word-index + shift
     expressions over that array literal — whole-stage codegen, no UDF,
     no per-executor hash table. Training grams that pass the bloom
@@ -410,7 +411,8 @@ _cached_members: DataFrame | None = None
 def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter guarantee audit, the ``hll_accuracy_audit`` pattern
     applied to ``decontaminate_bloom``'s sketch: build the bloom over
-    every distinct member key (distributed BIT_OR reduce to 8 KB),
+    every distinct member key (a distributed BIT_OR reduce to a
+    bit array sized 16 bits/key),
     then pin BOTH sides of the bloom contract — (a) zero false
     negatives: every member key probes back as contained; (b) bounded
     false positives: a same-size DISJOINT key set (salt-prefixed, so
@@ -432,9 +434,13 @@ def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replace rather than accumulate cache entries.
     global _cached_members
     if _cached_members is not None:
-        _cached_members.unpersist(False)
+        try:
+            _cached_members.unpersist(False)
+        except Exception:
+            pass  # previous session stopped; nothing left to release
     members = (
-        ev.select(F.col("user_id").cast("string").alias("key"))
+        ev.where(F.col("user_id").isNotNull())  # a NULL key has no hash
+        .select(F.col("user_id").cast("string").alias("key"))
         .distinct()
         .persist()
     )
