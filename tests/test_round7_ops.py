@@ -260,3 +260,16 @@ def test_kcenter_matches_brute_force(spark, sf_dir):
         r.separation_ge_radius,
     ) == (KCENTER_K, 1, 1)
     assert r.n_points == len(pts)
+
+
+def test_kmeans_assignment_audit_verdicts(spark, sf_dir):
+    from watermill_kinesis_spark.operators.clustering import (
+        KMEANS_K,
+        kmeans_assignment_audit,
+    )
+
+    r = kmeans_assignment_audit(spark, sf_dir).collect()[0]
+    assert r.k == KMEANS_K
+    assert r.n_points > 0
+    assert r.assignment_optimal == 1
+    assert r.partition_complete == 1

@@ -452,3 +452,76 @@ def kcenter_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points bigint, k_selected bigint, all_centers_distinct int,"
         " separation_ge_radius int",
     )
+
+
+@query(
+    "kmeans_assignment_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST({KMEANS_K} AS BIGINT) AS k,
+           1 AS assignment_optimal,
+           1 AS partition_complete
+    FROM embeddings
+    """,
+    tags=("clustering", "audit", "llm-pipeline"),
+)
+def kmeans_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only
+    ``cluster_kmeans_embeddings`` (the ``hll_accuracy_audit`` /
+    ``kcenter_diversity_audit`` pattern): after the Lloyd fit, one
+    distributed pass verifies the defining property of a k-means
+    assignment — EVERY point's assigned centroid is its true argmin
+    over all k centroids (checked in the same Arrow kernel arithmetic,
+    distance to assigned ≤ distance to every other centroid) — and
+    that the assignment partitions the corpus (every point assigned
+    exactly once, cluster ids in [0, k)). The oracle pins the exact
+    corpus count, k, and both verdicts; distances and the centroids
+    themselves stay engine-internal. One extra broadcast-model scan on
+    top of the fit — the audit adds no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    C, assigned = kmeans_fit(spark, sf_dir)
+    Cb = np.asarray(C, dtype=np.float64)
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["emb"].to_numpy())
+            a = pdf["cluster"].to_numpy(dtype=np.int64)
+            d2 = (
+                (M * M).sum(1)[:, None]
+                - 2.0 * (M @ Cb.T)
+                + (Cb * Cb).sum(1)[None, :]
+            )
+            # optimal iff assigned distance equals the row minimum
+            # (same float arithmetic as the assign kernel, so exact)
+            ok = d2[np.arange(len(a)), a] <= d2.min(axis=1) + 1e-12
+            in_range = (a >= 0) & (a < Cb.shape[0])
+            yield pd.DataFrame(
+                {
+                    "n": [len(a)],
+                    "n_opt": [int(ok.sum())],
+                    "n_in_range": [int(in_range.sum())],
+                }
+            )
+
+    agg = (
+        assigned.mapInPandas(verify, "n long, n_opt long, n_in_range long")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_points"),
+            F.sum("n_opt").cast("bigint").alias("n_opt"),
+            F.sum("n_in_range").cast("bigint").alias("n_in_range"),
+        )
+    )
+    return agg.select(
+        "n_points",
+        F.lit(KMEANS_K).cast("bigint").alias("k"),
+        (F.col("n_opt") == F.col("n_points")).cast("int").alias(
+            "assignment_optimal"
+        ),
+        (F.col("n_in_range") == F.col("n_points")).cast("int").alias(
+            "partition_complete"
+        ),
+    )

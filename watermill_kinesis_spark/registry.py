@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal), so they no longer
     # consume regression-window slots; their invariants are pytest-
     # enforced. Recompute each round from CORRECTNESS_r*.json.
+    "kmeans_assignment_audit",
     "kcenter_diversity_audit",
     "multivector_maxsim_topk",
     "bloom_fpp_audit",
