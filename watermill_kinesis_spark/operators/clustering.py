@@ -193,20 +193,13 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_pca_project", tags=("clustering", "llm-pipeline"))
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection to the top components: the mean vector and dim²
-    covariance accumulate in ONE distributed pass (per-batch outer
-    products, map-side summed), the eigendecomposition runs on the
-    driver (64×64 — microseconds), and the projection is a second
-    scan. The whitening/visualization/IVF-coarse-quantizer primitive;
-    Rows-only: eigenvectors are sign/rotation-ambiguous across
-    library versions, so tests pin the rotation-invariant properties
-    (variance ordering, orthonormality, reconstruction) instead;
-    at 100 TB both passes stream, and nothing larger than dim² ever
-    leaves an executor. Sign convention: each component's
-    largest-magnitude coordinate is made positive (eigenvector sign is
-    otherwise arbitrary)."""
+def pca_fit(spark: SparkSession, sf_dir: str):
+    """One-distributed-pass PCA moment fit shared by the projection
+    entry and its audit twin: per-batch outer products, map-side
+    summed, dim² driver eigendecomposition. Returns
+    ``(e, mu, comps, vals)`` — the embedding DataFrame, the mean
+    vector, the sign-fixed top-k components (k × dim) and their
+    eigenvalues (descending)."""
     import numpy as np
     import pandas as pd
 
@@ -241,6 +234,28 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = np.argmax(np.abs(comps[i]))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
+    top_vals = vals[::-1][:PCA_COMPONENTS].copy()
+    return e, mu, comps, top_vals
+
+
+@query("embedding_pca_project", tags=("clustering", "llm-pipeline"))
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to the top components: the mean vector and dim²
+    covariance accumulate in ONE distributed pass (per-batch outer
+    products, map-side summed), the eigendecomposition runs on the
+    driver (64×64 — microseconds), and the projection is a second
+    scan. The whitening/visualization/IVF-coarse-quantizer primitive;
+    Rows-only: eigenvectors are sign/rotation-ambiguous across
+    library versions, so tests pin the rotation-invariant properties
+    (variance ordering, orthonormality, reconstruction) instead;
+    at 100 TB both passes stream, and nothing larger than dim² ever
+    leaves an executor. Sign convention: each component's
+    largest-magnitude coordinate is made positive (eigenvector sign is
+    otherwise arbitrary)."""
+    import numpy as np
+    import pandas as pd
+
+    e, mu, comps, _ = pca_fit(spark, sf_dir)
 
     def project_kernel(batches):
         for pdf in batches:
@@ -524,4 +539,182 @@ def kmeans_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_in_range") == F.col("n_points")).cast("int").alias(
             "partition_complete"
         ),
+    )
+
+
+@query(
+    "pca_projection_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST({PCA_COMPONENTS} AS INT) AS k,
+           1 AS orthonormal,
+           1 AS variance_descending,
+           1 AS means_centered,
+           1 AS variance_matches_eigen
+    FROM embeddings
+    """,
+    tags=("clustering", "audit", "llm-pipeline"),
+)
+def pca_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only
+    ``embedding_pca_project``: verifies the rotation-INVARIANT
+    properties the sign-ambiguous eigenvectors can't pin directly.
+    Driver-side (dim² model): the component Gram matrix is the
+    identity (orthonormal) and the captured eigenvalues descend.
+    Distributed (one extra scan, scalar aggregate): the projected
+    corpus has per-component mean ≈ 0 (projection of centered data)
+    and per-component VARIANCE equal to its eigenvalue — the defining
+    property of PCA (component variance IS the eigenvalue), checked
+    with the same moment arithmetic as the fit. The oracle pins the
+    exact corpus count, k, and all four verdicts; the components and
+    spectra stay engine-internal."""
+    import numpy as np
+    import pandas as pd
+
+    e, mu, comps, vals = pca_fit(spark, sf_dir)
+    gram = comps @ comps.T
+    orthonormal = bool(
+        np.abs(gram - np.eye(len(comps))).max() < 1e-9
+    )
+    descending = bool(
+        np.all(np.diff(vals) <= 1e-12) and np.all(vals >= -1e-12)
+    )
+
+    def project_moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            P = (np.stack(pdf["emb"].to_numpy()) - mu) @ comps.T
+            yield pd.DataFrame(
+                {
+                    "n": [len(P)],
+                    "s": [P.sum(axis=0).tolist()],
+                    "ss": [(P * P).sum(axis=0).tolist()],
+                }
+            )
+
+    k = len(comps)
+    agg = (
+        e.mapInPandas(
+            project_moments, "n long, s array<double>, ss array<double>"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
+                for i in range(k)
+            ],
+            *[
+                F.sum(F.element_at("ss", i + 1)).alias(f"ss{i}")
+                for i in range(k)
+            ],
+        )
+    )
+    # per-component mean and variance verdicts, all in one scalar row;
+    # tolerances are absolute-vs-scale (variance compares relative to
+    # max(1, eigenvalue) so tiny spectra don't inflate the bound)
+    mean_ok = F.lit(True)
+    var_ok = F.lit(True)
+    for i in range(k):
+        m = F.col(f"s{i}") / F.col("n_rows")
+        v = F.col(f"ss{i}") / F.col("n_rows") - m * m
+        mean_ok = mean_ok & (F.abs(m) < 1e-9)
+        scale = max(1.0, float(vals[i]))
+        var_ok = var_ok & (F.abs(v - F.lit(float(vals[i]))) < 1e-8 * scale)
+    return agg.select(
+        "n_rows",
+        F.lit(PCA_COMPONENTS).cast("int").alias("k"),
+        F.lit(orthonormal).cast("int").alias("orthonormal"),
+        F.lit(descending).cast("int").alias("variance_descending"),
+        mean_ok.cast("int").alias("means_centered"),
+        var_ok.cast("int").alias("variance_matches_eigen"),
+    )
+
+
+@query(
+    "semdedup_invariant_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           1 AS partition_exact,
+           1 AS kept_pairwise_below_tau,
+           1 AS dropped_have_kept_neighbor
+    FROM embeddings
+    """,
+    tags=("dedup", "clustering", "audit", "llm-pipeline"),
+)
+def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only
+    ``semdedup_centroid_prune``: re-proves the greedy leader scan's
+    defining guarantees per cluster with an INDEPENDENT full
+    similarity matrix (the scan itself only ever computes kept-so-far
+    rows): (a) survivors are pairwise BELOW τ — the prune really
+    removed every within-cluster near-duplicate pair — and (b) every
+    dropped vector has an earlier-kept neighbor at ≥ τ — nothing was
+    dropped without a surviving witness. A third verdict pins that
+    keep/drop exactly partitions the corpus. The oracle pins the
+    corpus count and all three verdicts; similarity values stay
+    engine-internal. Same parallel shape as the prune (per-cluster
+    O(m²) inside a task, clusters in parallel), one scalar aggregate
+    on top. Verdict comparisons carry a 1e-12 slack so BLAS
+    shape-dependent rounding (matrix-matrix here vs matrix-vector in
+    the scan) cannot flip a boundary case."""
+    import numpy as np
+    import pandas as pd
+
+    _, assigned = kmeans_fit(spark, sf_dir)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.stack(pdf["emb"].to_numpy())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        kept_rows: list[int] = []
+        for i in range(len(pdf)):
+            if kept_rows and float((Mn[kept_rows] @ Mn[i]).max()) >= SEMDEDUP_TAU:
+                continue
+            kept_rows.append(i)
+        kept = np.zeros(len(pdf), dtype=bool)
+        kept[kept_rows] = True
+        S = Mn @ Mn.T  # full matrix — the independent re-derivation
+        K = np.asarray(kept_rows)
+        if len(K) > 1:
+            SK = S[np.ix_(K, K)]
+            np.fill_diagonal(SK, -1.0)
+            kept_ok = bool(SK.max() < SEMDEDUP_TAU + 1e-12)
+        else:
+            kept_ok = True
+        dropped_ok = True
+        for i in np.flatnonzero(~kept):
+            earlier = K[K < i]
+            if len(earlier) == 0 or S[i, earlier].max() < SEMDEDUP_TAU - 1e-12:
+                dropped_ok = False
+                break
+        return pd.DataFrame(
+            {
+                "n": [len(pdf)],
+                "n_kept": [int(kept.sum())],
+                "n_dropped": [int((~kept).sum())],
+                "kept_ok": [int(kept_ok)],
+                "dropped_ok": [int(dropped_ok)],
+            }
+        )
+
+    per_cluster = assigned.groupBy("cluster").applyInPandas(
+        verify,
+        "n long, n_kept long, n_dropped long, kept_ok int, dropped_ok int",
+    )
+    agg = per_cluster.agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.sum(F.col("n_kept") + F.col("n_dropped")).cast("bigint").alias(
+            "n_partitioned"
+        ),
+        F.min("kept_ok").alias("kept_min"),
+        F.min("dropped_ok").alias("dropped_min"),
+    )
+    return agg.select(
+        "n_vectors",
+        (F.col("n_partitioned") == F.col("n_vectors")).cast("int").alias(
+            "partition_exact"
+        ),
+        F.col("kept_min").alias("kept_pairwise_below_tau"),
+        F.col("dropped_min").alias("dropped_have_kept_neighbor"),
     )

@@ -390,3 +390,49 @@ def jaccard_neighbor_pairs(adj: DataFrame) -> DataFrame:
             .alias("jaccard_permille"),
         )
     )
+
+
+@query(
+    "pagerank_mass_audit",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT CAST((SELECT COUNT(DISTINCT c) FROM pairs)
+              + (SELECT COUNT(DISTINCT s) FROM pairs) AS BIGINT) AS n_nodes,
+           1 AS mass_conserved,
+           1 AS all_above_floor
+    """,
+    tags=("graph", "iterative", "audit"),
+)
+def pagerank_mass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only
+    ``pagerank_bipartite`` (the ``kmeans_assignment_audit`` pattern):
+    after the power iteration, one scalar aggregate verifies the two
+    defining invariants of damped PageRank on a dangling-free graph —
+    (a) MASS CONSERVATION: the rank vector still sums to exactly 1
+    (each step maps total mass S to (1−d) + d·S, a fixpoint at 1, so
+    any drift means dropped or duplicated nodes), and (b) the
+    (1−d)/n FLOOR: no node ever falls below the teleport mass.
+    The oracle independently recomputes the bipartite node count from
+    orders ⋈ lineitem — a rank vector that lost nodes (e.g. a join
+    that silently dropped in-degree-0 rows) fails the count, and one
+    that leaked mass fails verdict (a). Ranks themselves stay
+    engine-internal (float iteration order); the audit adds one
+    scalar aggregate on top of the iteration, no extra shuffle."""
+    ranks = pagerank(spark, sf_dir)
+    agg = ranks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("rank").alias("mass"),
+        F.min("rank").alias("min_rank"),
+    )
+    floor = (1.0 - PAGERANK_DAMPING) / F.col("n_nodes")
+    return agg.select(
+        "n_nodes",
+        (F.abs(F.col("mass") - F.lit(1.0)) < 1e-9).cast("int").alias(
+            "mass_conserved"
+        ),
+        (F.col("min_rank") >= floor - F.lit(1e-15)).cast("int").alias(
+            "all_above_floor"
+        ),
+    )

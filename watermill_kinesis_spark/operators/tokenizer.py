@@ -213,3 +213,74 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tokens"))
         .orderBy("n_pieces")
     )
+
+
+@query(
+    "bpe_roundtrip_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           1 AS all_roundtrip,
+           1 AS all_pieces_known
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+    """,
+    tags=("text", "tokenizer", "audit", "llm-pipeline"),
+)
+def bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only BPE pair
+    (``bpe_train_merges`` / ``bpe_apply_segment``): encodes EVERY
+    corpus word with the learned merge table and verifies, in the
+    same Arrow pass, the two defining encoder invariants — (a)
+    LOSSLESSNESS: the concatenated subword pieces reproduce the word
+    exactly (BPE only ever merges adjacent symbols, so any deviation
+    means a corrupted merge application), and (b) CLOSED VOCABULARY:
+    every emitted piece is either a single character or the product
+    of a learned merge (the encoder cannot invent tokens). The oracle
+    independently recomputes the exact corpus word count with the
+    same whitespace tokenization, pinning that the encoder saw every
+    word once; the merge table itself stays engine-internal (the
+    iterative argmax is pinned against a pure-Python trainer in
+    tests/test_tokenizer.py). One corpus scan + scalar aggregate."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _trained(spark, sf_dir)
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+    vocab_tokens = {left + right for _, left, right, _ in merges}
+    b_model = spark.sparkContext.broadcast((ranks, vocab_tokens))
+
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("word")
+    ).where(F.col("word") != "")
+
+    def verify(batches):
+        rk, vt = b_model.value
+        for pdf in batches:
+            n = len(pdf)
+            n_rt = 0
+            n_known = 0
+            for w in pdf["word"]:
+                pieces = bpe_segment_word(w, rk)
+                if "".join(pieces) == w:
+                    n_rt += 1
+                if all(len(p) == 1 or p in vt for p in pieces):
+                    n_known += 1
+            yield pd.DataFrame(
+                {"n": [n], "n_rt": [n_rt], "n_known": [n_known]}
+            )
+
+    agg = words.mapInPandas(
+        verify, "n long, n_rt long, n_known long"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum("n_rt").cast("bigint").alias("n_rt"),
+        F.sum("n_known").cast("bigint").alias("n_known"),
+    )
+    return agg.select(
+        "n_words",
+        (F.col("n_rt") == F.col("n_words")).cast("int").alias("all_roundtrip"),
+        (F.col("n_known") == F.col("n_words")).cast("int").alias(
+            "all_pieces_known"
+        ),
+    )

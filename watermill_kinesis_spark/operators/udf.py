@@ -369,3 +369,72 @@ def udf_scalar_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "codec_roundtrip_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(octet_length(encode(text)) * 2 + 8) AS BIGINT)
+               AS total_wire_chars,
+           1 AS all_roundtrip,
+           1 AS all_wire_len_exact
+    FROM documents
+    """,
+    tags=("udf", "codec", "audit"),
+)
+def codec_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only
+    ``udf_custom_codec``: runs the length-prefixed-hex codec over the
+    WHOLE corpus (no limit — the codec is one Arrow map pass) and
+    pins, as oracle-checked scalars, the wire-format arithmetic the
+    custom format defines: every payload round-trips bit-exactly
+    (decode ∘ encode = id), every wire string is exactly
+    8 + 2·octet_length(payload) chars (the 8-hex-digit length prefix
+    plus two hex chars per byte), and the TOTAL wire size — which the
+    oracle recomputes independently from the UTF-8 byte lengths,
+    catching any encoder that silently mis-handles multi-byte
+    characters. Zero shuffle: one scan, one scalar aggregate."""
+    @pandas_udf("string")
+    def encode_hex(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: f"{len(b):08x}{b.hex()}" if b is not None else None
+        )
+
+    @pandas_udf("binary")
+    def decode_hex(wire: pd.Series) -> pd.Series:
+        def dec(s):
+            if s is None:
+                return None
+            n = int(s[:8], 16)
+            out = bytes.fromhex(s[8:])
+            return out if len(out) == n else None
+
+        return wire.map(dec)
+
+    d = load_table(spark, sf_dir, "documents")
+    msgs = d.select(F.encode("text", "UTF-8").alias("payload"))
+    back = msgs.withColumn("wire", encode_hex("payload")).withColumn(
+        "decoded", decode_hex("wire")
+    )
+    agg = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+        F.sum(F.length("wire")).cast("bigint").alias("total_wire_chars"),
+        F.sum(
+            (F.col("decoded") == F.col("payload")).cast("long")
+        ).alias("n_rt"),
+        F.sum(
+            (
+                F.length("wire")
+                == F.octet_length("payload") * 2 + 8
+            ).cast("long")
+        ).alias("n_len_ok"),
+    )
+    return agg.select(
+        "n_msgs",
+        "total_wire_chars",
+        (F.col("n_rt") == F.col("n_msgs")).cast("int").alias("all_roundtrip"),
+        (F.col("n_len_ok") == F.col("n_msgs")).cast("int").alias(
+            "all_wire_len_exact"
+        ),
+    )

@@ -95,6 +95,11 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal), so they no longer
     # consume regression-window slots; their invariants are pytest-
     # enforced. Recompute each round from CORRECTNESS_r*.json.
+    "pagerank_mass_audit",
+    "pca_projection_audit",
+    "semdedup_invariant_audit",
+    "bpe_roundtrip_audit",
+    "codec_roundtrip_audit",
     "kmeans_assignment_audit",
     "kcenter_diversity_audit",
     "multivector_maxsim_topk",
