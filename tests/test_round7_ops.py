@@ -9,6 +9,7 @@ cannot hide."""
 from itertools import combinations
 
 import numpy as np
+from hypothesis import given, settings, strategies as st
 
 from watermill_kinesis_spark.operators.evaluation import kendall_tau_exact
 from watermill_kinesis_spark.operators.pipeline4 import bloom_fpp_audit
@@ -345,3 +346,97 @@ def test_bpe_segmenter_rejects_unknown_merge_product():
     vocab = {"ab"}
     assert all(len(p) == 1 or p in vocab for p in pieces)
     assert not all(len(p) == 1 or p in vocab for p in ["ab", "cd"])
+
+
+def test_simhash_recall_audit_verdicts(spark, sf_dir):
+    from watermill_kinesis_spark.operators.dedup import simhash_recall_audit
+
+    r = simhash_recall_audit(spark, sf_dir).collect()[0]
+    assert r.n_exact_dup_pairs > 0  # testdata has exact-dup token sets
+    assert r.fp_consistent == 1
+    assert r.zero_hamming_complete == 1
+
+
+def test_simhash_fp_identical_for_same_token_set(spark):
+    # the vote stage must be a pure function of the DISTINCT token set:
+    # reordered and repeated tokens may not perturb the fingerprint
+    from watermill_kinesis_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),
+            (3, "alpha beta gamma delta alpha beta"),
+            (4, "alpha beta gamma epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = D._docs
+    D._docs = lambda spark, sf_dir: df
+    try:
+        fps = {r.doc_id: r.fp for r in D._simhash_fps(spark, "unused").collect()}
+    finally:
+        D._docs = orig
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_isotonic_pav_audit_verdicts(spark, sf_dir):
+    from watermill_kinesis_spark.operators.evaluation import isotonic_pav_audit
+
+    r = isotonic_pav_audit(spark, sf_dir).collect()[0]
+    assert r.n_rows > 0
+    assert 0 < r.n_pos < r.n_rows  # both classes present
+    assert (
+        r.monotone_ok,
+        r.mass_conserved,
+        r.gcm_minorant_ok,
+        r.boundaries_exact,
+    ) == (1, 1, 1, 1)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 20), st.integers(0, 20)).map(
+            lambda t: (t[0], min(t[0], t[1]))
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pav_pool_is_the_isotonic_least_squares_fit(cells):
+    """pav_pool must equal the O(n²) prefix-GCM reference: the isotonic
+    LSQ fit's cumulative curve is the greatest convex minorant of the
+    cumulative sum diagram, built here by repeatedly taking the
+    minimum-slope prefix (exact Fraction arithmetic)."""
+    from fractions import Fraction
+
+    from watermill_kinesis_spark.operators.evaluation import pav_pool
+
+    blocks = pav_pool(cells)
+    # reference: greedy minimum-average prefix decomposition
+    ref = []
+    rest = list(cells)
+    while rest:
+        best_i, best = 0, None
+        cn = cp = 0
+        for i, (n, p) in enumerate(rest):
+            cn += n
+            cp += p
+            avg = Fraction(cp, cn)
+            if best is None or avg <= best:
+                best, best_i = avg, i
+        ref.append(
+            [
+                sum(n for n, _ in rest[: best_i + 1]),
+                sum(p for _, p in rest[: best_i + 1]),
+            ]
+        )
+        rest = rest[best_i + 1 :]
+    assert blocks == ref
+    # and the defining invariants hold
+    assert sum(b[0] for b in blocks) == sum(n for n, _ in cells)
+    assert sum(b[1] for b in blocks) == sum(p for _, p in cells)
+    for a, b in zip(blocks, blocks[1:]):
+        assert a[1] * b[0] < b[1] * a[0]

@@ -303,17 +303,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", tags=("dedup", "lsh", "llm-pipeline"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup: per-token xxhash64 votes ±1 on each of 64
-    bits; the sign vector is the fingerprint. Pairs are blocked on
-    16-bit chunks (any pair within Hamming distance 3 shares ≥1 of 4
-    chunks — pigeonhole), then verified by exact Hamming ≤ 3 via
-    ``bit_count(xor)``. Rows-only: DuckDB has no xxhash64, so the
-    fingerprints cannot be recomputed cross-engine; the blocking
-    guarantee and verify arithmetic are test-pinned instead.
-    Fingerprints are 1 long per doc: the shuffle is
-    16 bytes/row regardless of document size."""
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) SimHash(64) fingerprints — the vote stage shared by
+    ``dedup_simhash`` and its recall audit. Per-token xxhash64 votes ±1
+    on each of 64 bits; the sign vector is the fingerprint. One long
+    per doc: downstream shuffles are 16 bytes/row regardless of
+    document size."""
     d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
     tok_hash = F.transform(F.array_distinct("toks"), lambda t: F.xxhash64(t))
 
@@ -339,7 +334,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    fps = d.withColumn("th", tok_hash).select("doc_id", fp.alias("fp"))
+    return d.withColumn("th", tok_hash).select("doc_id", fp.alias("fp"))
+
+
+@query("dedup_simhash", tags=("dedup", "lsh", "llm-pipeline"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup over the ``_simhash_fps`` fingerprints.
+    Pairs are blocked on 16-bit chunks (any pair within Hamming
+    distance 3 shares ≥1 of 4 chunks — pigeonhole), then verified by
+    exact Hamming ≤ 3 via ``bit_count(xor)``. Rows-only: DuckDB has no
+    xxhash64, so the fingerprints cannot be recomputed cross-engine;
+    the blocking guarantee and verify arithmetic are test-pinned, and
+    ``simhash_recall_audit`` pins the exact-duplicate recall guarantee
+    against an oracle-recomputed dup-group census."""
+    fps = _simhash_fps(spark, sf_dir)
     chunks = fps.select(
         "doc_id",
         "fp",
@@ -886,4 +894,90 @@ def seed_label_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("doc_id") % 10 == 0).cast("int").alias("is_seed"),
         F.col("seed_label").alias("propagated_label"),
+    )
+
+
+@query(
+    "simhash_recall_audit",
+    oracle="""
+    WITH keyed AS (
+        SELECT array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))),
+                   ' ') AS k
+        FROM documents),
+    groups AS (SELECT COUNT(*) AS n FROM keyed GROUP BY k HAVING COUNT(*) >= 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT)
+               AS n_exact_dup_pairs,
+           1 AS fp_consistent,
+           1 AS zero_hamming_complete
+    FROM groups
+    """,
+    tags=("dedup", "lsh", "audit", "llm-pipeline"),
+)
+def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only ``dedup_simhash``
+    (the ``lsh_recall_audit`` pattern, made scale-sound by never
+    materializing the exact pairs): the oracle independently recounts
+    the exact-duplicate census — documents with the IDENTICAL distinct
+    token set, i.e. exactly the inputs SimHash's vote stage cannot tell
+    apart — and the engine pins two falsifiable guarantees on top of
+    it. (a) FP CONSISTENCY: every dup group carries exactly one
+    distinct fingerprint (a nondeterministic or partition-dependent
+    hash breaks this). (b) ZERO-HAMMING COMPLETENESS: the pair
+    operator's hamming=0 output count equals Σ C(n,2) over fingerprint
+    groups — the pigeonhole blocking plus dropDuplicates lost no
+    identical-fingerprint pair (and can't overcount past it). Both
+    sides are group-by aggregates over (key-hash, fp) rows — bytes per
+    row, no quadratic pair expansion anywhere but inside the audited
+    operator's own bounded output, which is only counted."""
+    key = F.array_join(
+        F.array_sort(F.array_distinct(F.split("text", " "))), " "
+    )
+    d = _docs(spark, sf_dir).select("doc_id", key.alias("k"))
+    fps = _simhash_fps(spark, sf_dir)
+    keyed = d.join(fps, "doc_id").select(F.xxhash64("k").alias("kh"), "fp")
+
+    grp = keyed.groupBy("kh").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fp").alias("n_fp"),
+    )
+    dup_stats = grp.where(F.col("n") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_exact_dup_pairs"),
+        F.coalesce(F.max((F.col("n_fp") > 1).cast("int")), F.lit(0)).alias(
+            "fp_split"
+        ),
+    )
+
+    zh_expected = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("zh_expected")
+        )
+    )
+    zh_actual = (
+        dedup_simhash(spark, sf_dir)
+        .where(F.col("hamming") == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("zh_actual"))
+    )
+
+    return (
+        dup_stats.crossJoin(F.broadcast(zh_expected))
+        .crossJoin(F.broadcast(zh_actual))
+        .select(
+            "n_dup_groups",
+            "n_exact_dup_pairs",
+            (F.col("fp_split") == 0).cast("int").alias("fp_consistent"),
+            (F.col("zh_actual") == F.col("zh_expected")).cast("int").alias(
+                "zero_hamming_complete"
+            ),
+        )
     )

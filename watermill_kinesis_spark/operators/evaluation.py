@@ -1232,3 +1232,140 @@ def kendall_tau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tx") * F.col("ty")).cast("bigint").alias("ties_both"),
         (conc - disc).cast("bigint").alias("tau_b_numer"),
     )
+
+
+#: isotonic (PAV) calibration: fixed score grid — cents // width, so the
+#: cell count is bounded (~1526 occupied at the TPC-H price range) at
+#: ANY corpus size; the PAV stack runs over ≤ PAV_BINS blocks on the
+#: driver while every corpus-sized pass stays a map-side-combinable
+#: aggregate
+PAV_BINS = 2048
+PAV_CENT_WIDTH = 32768
+
+
+def pav_pool(cells: list[tuple[int, int]]) -> list[list[int]]:
+    """Pool-adjacent-violators over ordered (rows, positives) cells,
+    all-integer: pool while the previous block mean >= the next (>= so
+    surviving block means are STRICTLY increasing); the mean p/n is
+    never materialized — the violation test is cross-multiplication."""
+    blocks: list[list[int]] = []
+    for cur_n, cur_p in cells:
+        while blocks and blocks[-1][1] * cur_n >= cur_p * blocks[-1][0]:
+            pn, pp = blocks.pop()
+            cur_n += pn
+            cur_p += pp
+        blocks.append([cur_n, cur_p])
+    return blocks
+
+
+@query(
+    "isotonic_pav_audit",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST({PAV_BINS - 1},
+                     CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          // {PAV_CENT_WIDTH} AS BIGINT)) AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins_occupied,
+           1 AS monotone_ok,
+           1 AS mass_conserved,
+           1 AS gcm_minorant_ok,
+           1 AS boundaries_exact
+    FROM binned
+    """,
+    tags=("evaluation", "statistics", "calibration", "audit"),
+)
+def isotonic_pav_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) calibration fit
+    with its optimality certificate as the verdict row. Scores
+    (``o_totalprice``) land on the fixed ``PAV_BINS`` cent grid
+    IN-PLAN — the KS quantization discipline, so the per-bin aggregate
+    is ONE map-side-combinable shuffle of ≤ PAV_BINS groups at any
+    corpus size — and PAV pools the ≤ PAV_BINS (n, positives) cells on
+    the driver with EXACT integer arithmetic (violation test by
+    cross-multiplication, never a float rate). The verdicts re-prove,
+    bin by bin, the theorem that makes PAV the unique isotonic
+    least-squares fit: block means strictly increase
+    (``monotone_ok``), pooled masses add back to the exact corpus
+    totals (``mass_conserved``), the fitted cumulative-positives curve
+    is a minorant of the empirical cumulative diagram
+    (``gcm_minorant_ok``) and touches it exactly at every block
+    boundary (``boundaries_exact``) — the greatest-convex-minorant
+    characterization, all checked as cross-multiplied integers. The
+    oracle independently recomputes the corpus row/positive/occupied-
+    bin census from the same grid expression and pins every verdict."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.lit(PAV_BINS - 1),
+            F.expr(
+                f"CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                f" div {PAV_CENT_WIDTH} AS BIGINT)"
+            ),
+        ).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    cells = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("p"),
+        )
+        .orderBy("bin")
+        .collect()  # bounded: ≤ PAV_BINS rows by construction
+    )
+    n_rows = sum(r.n for r in cells)
+    n_pos = sum(r.p for r in cells)
+    blocks = pav_pool([(r.n, r.p) for r in cells])
+
+    monotone = all(
+        blocks[i][1] * blocks[i + 1][0] < blocks[i + 1][1] * blocks[i][0]
+        for i in range(len(blocks) - 1)
+    )
+    mass = (
+        sum(b[0] for b in blocks) == n_rows
+        and sum(b[1] for b in blocks) == n_pos
+    )
+
+    # GCM walk: fitted cumulative positives must never exceed the
+    # empirical cumulative diagram, and must meet it at block ends
+    minorant = True
+    boundaries = True
+    actual_cum = 0
+    fitted_base = 0  # fitted cum positives at the current block start
+    bi, in_block = 0, 0
+    for r in cells:
+        actual_cum += r.p
+        in_block += r.n
+        bn, bp = blocks[bi]
+        # fitted_cum = fitted_base + bp * in_block / bn  (rational)
+        if fitted_base * bn + bp * in_block > actual_cum * bn:
+            minorant = False
+        if in_block == bn:
+            if fitted_base + bp != actual_cum:
+                boundaries = False
+            fitted_base += bp
+            bi += 1
+            in_block = 0
+    if bi != len(blocks) or in_block != 0:
+        boundaries = False
+
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                n_pos,
+                len(cells),
+                int(monotone),
+                int(mass),
+                int(minorant),
+                int(boundaries),
+            )
+        ],
+        "n_rows bigint, n_pos bigint, n_bins_occupied bigint, "
+        "monotone_ok int, mass_conserved int, gcm_minorant_ok int, "
+        "boundaries_exact int",
+    )
