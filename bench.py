@@ -68,6 +68,7 @@ HEADLINE = [
     # build+double-probe bloom audit
     "gopher_quality_rules",
     "multivector_maxsim_topk",
+    "simhash_recall_audit",
     "kcenter_diversity_audit",
     "bloom_fpp_audit",
 ]

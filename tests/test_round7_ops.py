@@ -313,7 +313,8 @@ def test_semdedup_invariant_audit_verdicts(spark, sf_dir):
         r.partition_exact,
         r.kept_pairwise_below_tau,
         r.dropped_have_kept_neighbor,
-    ) == (1, 1, 1)
+        r.operator_counts_match,
+    ) == (1, 1, 1, 1)
 
 
 def test_bpe_roundtrip_audit_verdicts(spark, sf_dir):

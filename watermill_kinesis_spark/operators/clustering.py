@@ -293,31 +293,21 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the greedy leader selection is sequential by nature;
     its invariants (kept vectors are pairwise < τ; every dropped
     vector has an earlier kept neighbor ≥ τ) are asserted exactly in
-    tests/test_clustering.py."""
-    import numpy as np
+    tests/test_clustering.py. The greedy scan itself is the single
+    canonical :func:`semdedup_keep_ids` (shared with the tests and the
+    audit twin — one copy, nothing to drift)."""
     import pandas as pd
 
     _, assigned = kmeans_fit(spark, sf_dir)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        M = np.stack(pdf["emb"].to_numpy())
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        kept_idx: list[int] = []
-        kept = np.zeros(len(pdf), dtype=bool)
-        for i in range(len(pdf)):
-            if kept_idx:
-                sims = Mn[kept_idx] @ Mn[i]
-                if float(sims.max()) >= SEMDEDUP_TAU:
-                    continue
-            kept[i] = True
-            kept_idx.append(i)
+        n_kept = len(semdedup_keep_ids(pdf))
         return pd.DataFrame(
             {
                 "cluster": pdf["cluster"].iloc[:1],
                 "n_vectors": [len(pdf)],
-                "n_kept": [int(kept.sum())],
-                "n_dropped": [int((~kept).sum())],
+                "n_kept": [n_kept],
+                "n_dropped": [len(pdf) - n_kept],
             }
         )
 
@@ -637,7 +627,8 @@ def pca_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
            1 AS partition_exact,
            1 AS kept_pairwise_below_tau,
-           1 AS dropped_have_kept_neighbor
+           1 AS dropped_have_kept_neighbor,
+           1 AS operator_counts_match
     FROM embeddings
     """,
     tags=("dedup", "clustering", "audit", "llm-pipeline"),
@@ -651,13 +642,18 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed every within-cluster near-duplicate pair — and (b) every
     dropped vector has an earlier-kept neighbor at ≥ τ — nothing was
     dropped without a surviving witness. A third verdict pins that
-    keep/drop exactly partitions the corpus. The oracle pins the
-    corpus count and all three verdicts; similarity values stay
-    engine-internal. Same parallel shape as the prune (per-cluster
-    O(m²) inside a task, clusters in parallel), one scalar aggregate
-    on top. Verdict comparisons carry a 1e-12 slack so BLAS
-    shape-dependent rounding (matrix-matrix here vs matrix-vector in
-    the scan) cannot flip a boundary case."""
+    keep/drop exactly partitions the corpus, and a fourth
+    (``operator_counts_match``) joins the audit's per-cluster census
+    against the counts ``semdedup_centroid_prune`` itself EMITS — the
+    twin executes the audited operator, so a regression in the prune
+    flips the verdict instead of passing unexamined (both sides of
+    that join are ≤ k rows). The oracle pins the corpus count and all
+    four verdicts; similarity values stay engine-internal. Same
+    parallel shape as the prune (per-cluster O(m²) inside a task,
+    clusters in parallel), one scalar aggregate on top. Verdict
+    comparisons carry a 1e-12 slack so BLAS shape-dependent rounding
+    (matrix-matrix here vs matrix-vector in the scan) cannot flip a
+    boundary case."""
     import numpy as np
     import pandas as pd
 
@@ -665,15 +661,11 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        kept_ids = set(semdedup_keep_ids(pdf))
+        kept = pdf["vec_id"].isin(kept_ids).to_numpy()
+        kept_rows = np.flatnonzero(kept)
         M = np.stack(pdf["emb"].to_numpy())
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        kept_rows: list[int] = []
-        for i in range(len(pdf)):
-            if kept_rows and float((Mn[kept_rows] @ Mn[i]).max()) >= SEMDEDUP_TAU:
-                continue
-            kept_rows.append(i)
-        kept = np.zeros(len(pdf), dtype=bool)
-        kept[kept_rows] = True
         S = Mn @ Mn.T  # full matrix — the independent re-derivation
         K = np.asarray(kept_rows)
         if len(K) > 1:
@@ -690,9 +682,10 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
         return pd.DataFrame(
             {
+                "cluster": pdf["cluster"].iloc[:1],
                 "n": [len(pdf)],
-                "n_kept": [int(kept.sum())],
-                "n_dropped": [int((~kept).sum())],
+                "n_kept": [len(kept_rows)],
+                "n_dropped": [int(len(pdf) - len(kept_rows))],
                 "kept_ok": [int(kept_ok)],
                 "dropped_ok": [int(dropped_ok)],
             }
@@ -700,15 +693,33 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_cluster = assigned.groupBy("cluster").applyInPandas(
         verify,
-        "n long, n_kept long, n_dropped long, kept_ok int, dropped_ok int",
+        "cluster int, n long, n_kept long, n_dropped long, "
+        "kept_ok int, dropped_ok int",
     )
-    agg = per_cluster.agg(
+    # the twin must actually touch the audited operator: join the
+    # audit's per-cluster census against semdedup_centroid_prune's OWN
+    # emitted counts (≤ k rows each side) — a regression in the prune
+    # now flips operator_counts_match instead of passing unexamined
+    op = semdedup_centroid_prune(spark, sf_dir).select(
+        "cluster",
+        F.col("n_vectors").alias("op_n"),
+        F.col("n_kept").alias("op_kept"),
+        F.col("n_dropped").alias("op_dropped"),
+    )
+    joined = per_cluster.join(op, "cluster", "full_outer")
+    mismatch = (
+        ~F.col("n").eqNullSafe(F.col("op_n"))
+        | ~F.col("n_kept").eqNullSafe(F.col("op_kept"))
+        | ~F.col("n_dropped").eqNullSafe(F.col("op_dropped"))
+    ).cast("int")
+    agg = joined.agg(
         F.sum("n").cast("bigint").alias("n_vectors"),
         F.sum(F.col("n_kept") + F.col("n_dropped")).cast("bigint").alias(
             "n_partitioned"
         ),
         F.min("kept_ok").alias("kept_min"),
         F.min("dropped_ok").alias("dropped_min"),
+        F.max(mismatch).alias("any_mismatch"),
     )
     return agg.select(
         "n_vectors",
@@ -717,4 +728,7 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("kept_min").alias("kept_pairwise_below_tau"),
         F.col("dropped_min").alias("dropped_have_kept_neighbor"),
+        (F.col("any_mismatch") == 0).cast("int").alias(
+            "operator_counts_match"
+        ),
     )

@@ -347,7 +347,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking guarantee and verify arithmetic are test-pinned, and
     ``simhash_recall_audit`` pins the exact-duplicate recall guarantee
     against an oracle-recomputed dup-group census."""
-    fps = _simhash_fps(spark, sf_dir)
+    return _simhash_pairs(_simhash_fps(spark, sf_dir))
+
+
+def _simhash_pairs(fps: DataFrame) -> DataFrame:
+    """Chunk-blocked Hamming≤3 pair stage over (doc_id, fp) rows — the
+    execution body of ``dedup_simhash``, parameterized on the
+    fingerprint relation so the recall audit can drive the REAL pair
+    path from one persisted fingerprint pass."""
     chunks = fps.select(
         "doc_id",
         "fp",
@@ -904,10 +911,10 @@ def seed_label_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT array_to_string(
                    list_sort(list_distinct(string_split(text, ' '))),
                    ' ') AS k
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     groups AS (SELECT COUNT(*) AS n FROM keyed GROUP BY k HAVING COUNT(*) >= 2)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
-           CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT)
+           CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
                AS n_exact_dup_pairs,
            1 AS fp_consistent,
            1 AS zero_hamming_complete
@@ -924,47 +931,55 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     apart — and the engine pins two falsifiable guarantees on top of
     it. (a) FP CONSISTENCY: every dup group carries exactly one
     distinct fingerprint (a nondeterministic or partition-dependent
-    hash breaks this). (b) ZERO-HAMMING COMPLETENESS: the pair
-    operator's hamming=0 output count equals Σ C(n,2) over fingerprint
+    hash breaks this). (b) ZERO-HAMMING COMPLETENESS: the REAL pair
+    stage's hamming=0 output count equals Σ C(n,2) over fingerprint
     groups — the pigeonhole blocking plus dropDuplicates lost no
     identical-fingerprint pair (and can't overcount past it). Both
-    sides are group-by aggregates over (key-hash, fp) rows — bytes per
-    row, no quadratic pair expansion anywhere but inside the audited
-    operator's own bounded output, which is only counted."""
+    sides are group-by aggregates over (key, fp) rows — bytes per row,
+    no quadratic pair expansion anywhere but inside the audited
+    operator's own bounded output, which is only counted. Census
+    grouping is on sha2-256 of the token-set key (collision-free at
+    any corpus size — a 64-bit hash would flip verdicts by birthday
+    collision around 10^9 distinct keys); NULL-text rows are excluded
+    on BOTH engines (they carry no token set; the pair path's
+    null-keyed join can never emit them). The fingerprint pass is
+    persisted and shared by the census, the expected-pair census, and
+    the audited pair stage — one vote pass, not three."""
     key = F.array_join(
         F.array_sort(F.array_distinct(F.split("text", " "))), " "
     )
-    d = _docs(spark, sf_dir).select("doc_id", key.alias("k"))
-    fps = _simhash_fps(spark, sf_dir)
-    keyed = d.join(fps, "doc_id").select(F.xxhash64("k").alias("kh"), "fp")
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.sha2(key, 256).alias("kh"))
+    )
+    fps = _simhash_fps(spark, sf_dir).persist()
+    keyed = d.join(fps, "doc_id").select("kh", "fp")
 
+    pair_sum = lambda n: F.coalesce(  # Σ C(n,2), exact integer
+        F.sum(F.expr(f"{n} * ({n} - 1) div 2")).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
     grp = keyed.groupBy("kh").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("fp").alias("n_fp"),
     )
     dup_stats = grp.where(F.col("n") >= 2).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
-        F.coalesce(
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ).alias("n_exact_dup_pairs"),
+        pair_sum("n").alias("n_exact_dup_pairs"),
         F.coalesce(F.max((F.col("n_fp") > 1).cast("int")), F.lit(0)).alias(
             "fp_split"
         ),
     )
 
     zh_expected = (
-        fps.groupBy("fp")
+        fps.where(F.col("fp").isNotNull())
+        .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(
-            F.coalesce(
-                F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint"),
-                F.lit(0).cast("bigint"),
-            ).alias("zh_expected")
-        )
+        .agg(pair_sum("n").alias("zh_expected"))
     )
     zh_actual = (
-        dedup_simhash(spark, sf_dir)
+        _simhash_pairs(fps)
         .where(F.col("hamming") == 0)
         .agg(F.count(F.lit(1)).cast("bigint").alias("zh_actual"))
     )

@@ -419,7 +419,14 @@ def pagerank_mass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that silently dropped in-degree-0 rows) fails the count, and one
     that leaked mass fails verdict (a). Ranks themselves stay
     engine-internal (float iteration order); the audit adds one
-    scalar aggregate on top of the iteration, no extra shuffle."""
+    scalar aggregate on top of the iteration, no extra shuffle. The
+    mass tolerance is DERIVED from the node count (1e-9 + n·2.5e-15 ≈
+    a generous multiple of n·ε accumulated over the iterations'
+    per-node roundings) — a fixed absolute bound would mechanically
+    trip on a CORRECT rank vector once n grows past ~10⁷, the
+    scale-sound-verdict rule; a real mass leak (a dropped or
+    double-counted edge partition) moves mass by O(1/n_parts), orders
+    of magnitude above the bound at any n."""
     ranks = pagerank(spark, sf_dir)
     agg = ranks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
@@ -427,9 +434,10 @@ def pagerank_mass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rank").alias("min_rank"),
     )
     floor = (1.0 - PAGERANK_DAMPING) / F.col("n_nodes")
+    mass_tol = F.lit(1e-9) + F.col("n_nodes") * F.lit(2.5e-15)
     return agg.select(
         "n_nodes",
-        (F.abs(F.col("mass") - F.lit(1.0)) < 1e-9).cast("int").alias(
+        (F.abs(F.col("mass") - F.lit(1.0)) < mass_tol).cast("int").alias(
             "mass_conserved"
         ),
         (F.col("min_rank") >= floor - F.lit(1e-15)).cast("int").alias(

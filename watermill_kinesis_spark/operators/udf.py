@@ -66,14 +66,11 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_custom_codec", tags=("udf", "codec"))
-def udf_custom_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's pluggable-marshaller hook, Spark-first: a custom
-    codec (length-prefixed hex instead of JSON+base64) swapped in as a
-    pair of Pandas UDFs, round-tripped, and verified inline — rows
-    where decode(encode(payload)) ≠ payload would surface as
-    ``roundtrip_ok = false``. Rows-only check (the custom wire format
-    is by definition not the oracle's JSON envelope)."""
+def hex_codec_udfs():
+    """The length-prefixed-hex codec as a (encode, decode) Pandas UDF
+    pair — ONE definition shared by ``udf_custom_codec`` and its
+    whole-corpus audit twin, so a wire-format change cannot leave the
+    audit round-tripping a stale copy."""
 
     @pandas_udf("string")
     def encode_hex(payload: pd.Series) -> pd.Series:
@@ -90,6 +87,18 @@ def udf_custom_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return wire.map(dec)
 
+    return encode_hex, decode_hex
+
+
+@query("udf_custom_codec", tags=("udf", "codec"))
+def udf_custom_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pluggable-marshaller hook, Spark-first: a custom
+    codec (length-prefixed hex instead of JSON+base64) swapped in as a
+    pair of Pandas UDFs, round-tripped, and verified inline — rows
+    where decode(encode(payload)) ≠ payload would surface as
+    ``roundtrip_ok = false``. Rows-only check (the custom wire format
+    is by definition not the oracle's JSON envelope)."""
+    encode_hex, decode_hex = hex_codec_udfs()
     d = load_table(spark, sf_dir, "documents").limit(200)
     msgs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     coded = msgs.withColumn("wire", encode_hex("payload"))
@@ -375,8 +384,8 @@ def udf_scalar_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codec_roundtrip_audit",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_msgs,
-           CAST(SUM(octet_length(encode(text)) * 2 + 8) AS BIGINT)
-               AS total_wire_chars,
+           CAST(COALESCE(SUM(octet_length(encode(text)) * 2 + 8), 0)
+                AS BIGINT) AS total_wire_chars,
            1 AS all_roundtrip,
            1 AS all_wire_len_exact
     FROM documents
@@ -394,24 +403,13 @@ def codec_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two hex chars per byte), and the TOTAL wire size — which the
     oracle recomputes independently from the UTF-8 byte lengths,
     catching any encoder that silently mis-handles multi-byte
-    characters. Zero shuffle: one scan, one scalar aggregate."""
-    @pandas_udf("string")
-    def encode_hex(payload: pd.Series) -> pd.Series:
-        return payload.map(
-            lambda b: f"{len(b):08x}{b.hex()}" if b is not None else None
-        )
-
-    @pandas_udf("binary")
-    def decode_hex(wire: pd.Series) -> pd.Series:
-        def dec(s):
-            if s is None:
-                return None
-            n = int(s[:8], 16)
-            out = bytes.fromhex(s[8:])
-            return out if len(out) == n else None
-
-        return wire.map(dec)
-
+    characters. The codec pair is the SHARED :func:`hex_codec_udfs` —
+    the audit exercises the production codec, not a copy. Verdict
+    arithmetic is null-safe (eqNullSafe; a NULL payload's wire-length
+    claim is vacuously true), so a null text row cannot fail a verdict
+    the oracle pins to 1. Zero shuffle: one scan, one scalar
+    aggregate."""
+    encode_hex, decode_hex = hex_codec_udfs()
     d = load_table(spark, sf_dir, "documents")
     msgs = d.select(F.encode("text", "UTF-8").alias("payload"))
     back = msgs.withColumn("wire", encode_hex("payload")).withColumn(
@@ -419,14 +417,16 @@ def codec_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = back.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
-        F.sum(F.length("wire")).cast("bigint").alias("total_wire_chars"),
+        F.coalesce(
+            F.sum(F.length("wire")).cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("total_wire_chars"),
         F.sum(
-            (F.col("decoded") == F.col("payload")).cast("long")
+            F.col("decoded").eqNullSafe(F.col("payload")).cast("long")
         ).alias("n_rt"),
         F.sum(
-            (
-                F.length("wire")
-                == F.octet_length("payload") * 2 + 8
+            F.coalesce(
+                F.length("wire") == F.octet_length("payload") * 2 + 8,
+                F.col("payload").isNull(),
             ).cast("long")
         ).alias("n_len_ok"),
     )
