@@ -441,3 +441,41 @@ def test_pav_pool_is_the_isotonic_least_squares_fit(cells):
     assert sum(b[1] for b in blocks) == sum(p for _, p in cells)
     for a, b in zip(blocks, blocks[1:]):
         assert a[1] * b[0] < b[1] * a[0]
+
+
+def test_frame_sample_census_audit_verdicts(spark, sf_dir):
+    from watermill_kinesis_spark.operators.multimodal import (
+        frame_sample_census_audit,
+    )
+
+    r = frame_sample_census_audit(spark, sf_dir).collect()[0]
+    assert r.n_docs > 0
+    assert r.n_frames_sampled >= r.n_docs  # every non-empty doc samples frame 0
+    assert (
+        r.offsets_exact,
+        r.stride_exact,
+        r.per_doc_census_match,
+    ) == (1, 1, 1)
+
+
+def test_frame_census_closed_form_matches_enumeration():
+    # the audit's expectation arithmetic vs brute-force sampling for
+    # every payload size through several frame/stride boundary cases
+    from watermill_kinesis_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+    )
+
+    for b in range(1, FRAME_BYTES * 9 + 3):
+        nf = (b + FRAME_BYTES - 1) // FRAME_BYTES
+        ns = (nf + FRAME_STRIDE - 1) // FRAME_STRIDE
+        exp_bytes = FRAME_BYTES * ns - (
+            FRAME_BYTES * nf - b if (nf - 1) % FRAME_STRIDE == 0 else 0
+        )
+        exp_max_idx = FRAME_STRIDE * (ns - 1)
+        # brute force
+        idxs = list(range(0, nf, FRAME_STRIDE))
+        lens = [min(FRAME_BYTES, b - i * FRAME_BYTES) for i in idxs]
+        assert len(idxs) == ns, b
+        assert sum(lens) == exp_bytes, b
+        assert idxs[-1] == exp_max_idx, b

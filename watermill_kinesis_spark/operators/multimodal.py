@@ -731,3 +731,113 @@ def multimodal_pixel_decode_formats(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id long, fmt string, width int, height int, "
         "n_pixels long, sum_pixels long, max_pixel long",
     )
+
+
+@query(
+    "frame_sample_census_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS b
+        FROM documents
+        WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+    e AS (
+        SELECT doc_id, b,
+               (b + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS nf,
+               ((b + {FRAME_BYTES - 1}) // {FRAME_BYTES}
+                + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS ns
+        FROM d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ns) AS BIGINT) AS n_frames_sampled,
+           CAST(SUM({FRAME_BYTES} * ns
+                    - CASE WHEN (nf - 1) % {FRAME_STRIDE} = 0
+                           THEN {FRAME_BYTES} * nf - b ELSE 0 END)
+                AS BIGINT) AS total_sampled_bytes,
+           1 AS offsets_exact,
+           1 AS stride_exact,
+           1 AS per_doc_census_match
+    FROM e
+    """,
+    tags=("multimodal", "audit", "llm-pipeline"),
+)
+def frame_sample_census_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable audit twin of the rows-only
+    ``multimodal_frame_sample``: because the test table's payload is
+    ``encode(text, UTF-8)``, the ENTIRE frame census is integer-
+    derivable from ``octet_length(text)`` — frames per asset
+    ⌈b/FRAME_BYTES⌉, sampled frames ⌈nf/FRAME_STRIDE⌉, and the exact
+    sampled byte total (every sampled frame is FRAME_BYTES except the
+    asset's last frame when the stride lands on it). The audit runs
+    the REAL 1→N expansion, re-aggregates its output per asset, joins
+    it against the independently computed expectation, and pins:
+    offsets are exactly frame_idx·FRAME_BYTES, every sampled index is
+    on-stride, and every asset's (sampled count, sampled bytes, last
+    index) triple matches the closed form — a demuxer that dropped a
+    tail frame, double-emitted under Arrow batch splits, or mis-strode
+    flips a verdict. One extra shuffle (the per-asset re-aggregate);
+    the binary itself never re-shuffles."""
+    out = multimodal_frame_sample(spark, sf_dir)
+    actual = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ns_actual"),
+        F.sum("frame_bytes").alias("bytes_actual"),
+        F.max("frame_idx").alias("max_idx"),
+        F.sum(
+            (F.col("byte_offset") != F.col("frame_idx") * FRAME_BYTES)
+            .cast("long")
+        ).alias("bad_off"),
+        F.sum((F.col("frame_idx") % FRAME_STRIDE != 0).cast("long")).alias(
+            "bad_stride"
+        ),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    b = F.octet_length(F.encode("text", "UTF-8"))
+    nf = F.expr(
+        f"(octet_length(encode(text, 'UTF-8')) + {FRAME_BYTES - 1})"
+        f" div {FRAME_BYTES}"
+    )
+    ns = F.expr(
+        f"((octet_length(encode(text, 'UTF-8')) + {FRAME_BYTES - 1})"
+        f" div {FRAME_BYTES} + {FRAME_STRIDE - 1}) div {FRAME_STRIDE}"
+    )
+    expected = (
+        d.where(F.col("text").isNotNull() & (b > 0))
+        .select(
+            "doc_id",
+            b.alias("b"),
+            nf.alias("nf"),
+            ns.alias("ns"),
+        )
+        .select(
+            "doc_id",
+            "ns",
+            (
+                F.lit(FRAME_BYTES) * F.col("ns")
+                - F.when(
+                    (F.col("nf") - 1) % FRAME_STRIDE == 0,
+                    F.lit(FRAME_BYTES) * F.col("nf") - F.col("b"),
+                ).otherwise(0)
+            ).alias("exp_bytes"),
+            (FRAME_STRIDE * (F.col("ns") - 1)).alias("exp_max_idx"),
+        )
+    )
+    joined = expected.join(actual, "doc_id", "full_outer")
+    mismatch = (
+        ~F.col("ns_actual").eqNullSafe(F.col("ns"))
+        | ~F.col("bytes_actual").eqNullSafe(F.col("exp_bytes"))
+        | ~F.col("max_idx").eqNullSafe(F.col("exp_max_idx"))
+    ).cast("long")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ns_actual").cast("bigint").alias("n_frames_sampled"),
+        F.sum("bytes_actual").cast("bigint").alias("total_sampled_bytes"),
+        F.coalesce(F.sum("bad_off"), F.lit(0)).alias("bad_off"),
+        F.coalesce(F.sum("bad_stride"), F.lit(0)).alias("bad_stride"),
+        F.sum(mismatch).alias("n_mismatch"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_frames_sampled",
+        "total_sampled_bytes",
+        (F.col("bad_off") == 0).cast("int").alias("offsets_exact"),
+        (F.col("bad_stride") == 0).cast("int").alias("stride_exact"),
+        (F.col("n_mismatch") == 0).cast("int").alias("per_doc_census_match"),
+    )
