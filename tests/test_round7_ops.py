@@ -479,3 +479,14 @@ def test_frame_census_closed_form_matches_enumeration():
         assert len(idxs) == ns, b
         assert sum(lens) == exp_bytes, b
         assert idxs[-1] == exp_max_idx, b
+
+
+def test_feature_extract_census_audit_verdicts(spark, sf_dir):
+    from watermill_kinesis_spark.operators.multimodal import (
+        feature_extract_census_audit,
+    )
+
+    r = feature_extract_census_audit(spark, sf_dir).collect()[0]
+    assert r.n_assets > 0
+    assert r.total_payload_bytes > r.n_assets  # non-trivial payloads
+    assert (r.one_row_per_asset, r.sizes_exact, r.dims_positive) == (1, 1, 1)

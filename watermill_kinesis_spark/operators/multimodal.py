@@ -841,3 +841,66 @@ def frame_sample_census_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bad_stride") == 0).cast("int").alias("stride_exact"),
         (F.col("n_mismatch") == 0).cast("int").alias("per_doc_census_match"),
     )
+
+
+@query(
+    "feature_extract_census_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COALESCE(SUM(octet_length(encode(text))), 0) AS BIGINT)
+               AS total_payload_bytes,
+           1 AS one_row_per_asset,
+           1 AS sizes_exact,
+           1 AS dims_positive
+    FROM documents
+    """,
+    tags=("multimodal", "audit", "llm-pipeline"),
+)
+def feature_extract_census_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable census twin of the rows-only
+    ``multimodal_feature_extract`` (decoded width/height/mode stay
+    engine-internal — the header parsers are golden-container-pinned in
+    tests/test_imaging.py; what CAN cross engines is the asset
+    accounting): the audit runs the REAL Arrow extraction pass and
+    pins that it emitted EXACTLY one feature row per asset (nothing
+    dropped or double-emitted across Arrow batch splits — joined
+    per-asset against the source table, not just count-compared),
+    that every reported ``n_bytes`` equals the payload's true
+    ``octet_length`` (oracle-recomputed total), and that every decode
+    — real header or deterministic fake — produced positive
+    dimensions. One scan through the extractor plus a bytes-per-row
+    census join; the binary never re-shuffles."""
+    feats = multimodal_feature_extract(spark, sf_dir)
+    per_asset = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_bytes").alias("bytes_actual"),
+        F.min((F.col("width") > 0) & (F.col("height") > 0)).alias("dims_ok"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).alias("b"),
+    )
+    joined = d.join(per_asset, "doc_id", "full_outer")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.coalesce(F.sum("bytes_actual").cast("bigint"), F.lit(0)).alias(
+            "total_payload_bytes"
+        ),
+        F.max(
+            (~F.col("n_rows").eqNullSafe(F.lit(1))).cast("int")
+        ).alias("bad_cardinality"),
+        F.max(
+            (~F.col("bytes_actual").eqNullSafe(F.col("b").cast("long")))
+            .cast("int")
+        ).alias("bad_size"),
+        F.min(F.coalesce(F.col("dims_ok"), F.lit(False)).cast("int")).alias(
+            "dims_min"
+        ),
+    )
+    return agg.select(
+        "n_assets",
+        "total_payload_bytes",
+        (F.col("bad_cardinality") == 0).cast("int").alias("one_row_per_asset"),
+        (F.col("bad_size") == 0).cast("int").alias("sizes_exact"),
+        F.col("dims_min").alias("dims_positive"),
+    )
