@@ -490,3 +490,60 @@ def test_feature_extract_census_audit_verdicts(spark, sf_dir):
     assert r.n_assets > 0
     assert r.total_payload_bytes > r.n_assets  # non-trivial payloads
     assert (r.one_row_per_asset, r.sizes_exact, r.dims_positive) == (1, 1, 1)
+
+
+def test_winsorized_mean_matches_brute_force(spark, sf_dir):
+    from watermill_kinesis_spark.operators.analytics4 import (
+        winsorized_mean_exact,
+    )
+
+    out = {r.event_type: r for r in winsorized_mean_exact(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    groups: dict[str, list[float]] = {}
+    for row in ev.collect():
+        groups.setdefault(row.event_type, []).append(row.value)
+    assert set(out) == set(groups)
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        p05 = vals[max(1, (5 * n + 99) // 100) - 1]
+        p95 = vals[(95 * n + 99) // 100 - 1]
+        cents = [
+            int(np.floor(min(max(v, p05), p95) * 100 + 0.5))
+            if min(max(v, p05), p95) >= 0
+            else -int(np.floor(-min(max(v, p05), p95) * 100 + 0.5))
+            for v in vals
+        ]
+        r = out[et]
+        assert (r.n, r.p05, r.p95) == (n, p05, p95)
+        assert r.winsorized_sum_cents == sum(cents)
+        assert r.winsorized_mean_micro == sum(cents) * 10000 // n or (
+            # Spark div truncates toward zero; Python // floors — they
+            # differ only for negative sums
+            r.winsorized_mean_micro
+            == -((-sum(cents) * 10000) // n)
+        )
+        # clamping never moves the mean outside the bounds
+        assert p05 * 100 * n <= r.winsorized_sum_cents + n  # half-cent slack
+        assert r.winsorized_sum_cents <= p95 * 100 * n + n
+
+
+def test_quantile_disc_rank_convention():
+    # the integer ceiling-division rank must reproduce DuckDB's exact-
+    # decimal quantile_disc convention (float ceil(0.95*n) does NOT:
+    # 0.95*20 = 19.000000000000004 in binary)
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 2, 3, 7, 19, 20, 21, 99, 100, 101, 1234):
+        vals = list(range(1, n + 1))
+        got = con.execute(
+            "SELECT quantile_disc(x, 0.05), quantile_disc(x, 0.95) "
+            "FROM (SELECT unnest(?) AS x)",
+            [vals],
+        ).fetchone()
+        exp = (
+            vals[max(1, (5 * n + 99) // 100) - 1],
+            vals[(95 * n + 99) // 100 - 1],
+        )
+        assert got == exp, (n, got, exp)

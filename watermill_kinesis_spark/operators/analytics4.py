@@ -1622,3 +1622,97 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_gaps") > 0)
     )
+
+
+@query(
+    "winsorized_mean_exact",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_disc(value, 0.05) AS p05,
+               quantile_disc(value, 0.95) AS p95
+        FROM events GROUP BY event_type),
+    w AS (
+        SELECT e.event_type, b.p05, b.p95,
+               CAST(ROUND(LEAST(GREATEST(e.value, b.p05), b.p95) * 100)
+                    AS BIGINT) AS cents
+        FROM events e JOIN b USING (event_type))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ANY_VALUE(p05) AS DOUBLE) AS p05,
+           CAST(ANY_VALUE(p95) AS DOUBLE) AS p95,
+           CAST(SUM(cents) AS BIGINT) AS winsorized_sum_cents,
+           CAST(CAST(SUM(cents) AS HUGEINT) * 10000 // COUNT(*) AS BIGINT)
+               AS winsorized_mean_micro
+    FROM w GROUP BY event_type
+    """,
+    tags=("statistics", "analytics", "quality"),
+)
+def winsorized_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — the robust location estimate that
+    clamps (not drops) the tails at the exact p05/p95 order statistics
+    before averaging, completing the robust-statistics family beside
+    :func:`mad_robust_stats`. The percentile picks are EXACT
+    distributed selection, not approxQuantile: :func:`grouped_scan`'s
+    range slices + broadcast offsets give every row its global
+    per-group rank with slice-level parallelism (never a window over
+    the 5-value enum), and the pick rank replicates DuckDB's
+    ``quantile_disc`` convention — rank = ⌈q·n⌉ with q as an EXACT
+    decimal, i.e. ``(95·n + 99) // 100`` in pure integers (a float
+    ``0.95·n`` ceil disagrees whenever the product grazes an integer:
+    0.95·20 is 19 exactly in decimal but 19.000000000000004 in
+    binary). Clamping happens against the broadcast |groups|-row
+    bounds relation; the mean crosses the compare as exact integers
+    (cent sum, then micro-scaled HUGEINT/decimal(38,0) division —
+    overflow-safe at any corpus size). Two selection shuffles + one
+    map-side-combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sized = ev.withColumn("tb", F.monotonically_increasing_id())
+    scan, tot = grouped_scan(sized, ["event_type"], [F.col("value"), F.col("tb")])
+    picks = spark.createDataFrame(
+        [
+            (g[0], max(1, (5 * t["n"] + 99) // 100), (95 * t["n"] + 99) // 100)
+            for g, t in tot.items()
+        ],
+        "event_type string, pick05 long, pick95 long",
+    )
+    ranked = scan.join(F.broadcast(picks), "event_type")
+    bounds = (
+        ranked.where(
+            (F.col("rn") == F.col("pick05")) | (F.col("rn") == F.col("pick95"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("pick05"), F.col("value"))
+            ).alias("p05"),
+            F.min(
+                F.when(F.col("rn") == F.col("pick95"), F.col("value"))
+            ).alias("p95"),
+        )
+        # a group small enough that pick05 == pick95 yields one row
+        # serving both bounds; min(when) leaves neither null
+    )
+    cents = F.round(
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")) * 100
+    ).cast("bigint")
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", "p05", "p95", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.sum("cents").cast("bigint").alias("winsorized_sum_cents"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "p05",
+            "p95",
+            "winsorized_sum_cents",
+            "CAST(CAST(winsorized_sum_cents AS DECIMAL(38,0)) * 10000 div n"
+            " AS BIGINT) AS winsorized_mean_micro",
+        )
+    )
