@@ -516,13 +516,12 @@ def test_winsorized_mean_matches_brute_force(spark, sf_dir):
         ]
         r = out[et]
         assert (r.n, r.p05, r.p95) == (n, p05, p95)
-        assert r.winsorized_sum_cents == sum(cents)
-        assert r.winsorized_mean_micro == sum(cents) * 10000 // n or (
-            # Spark div truncates toward zero; Python // floors — they
-            # differ only for negative sums
-            r.winsorized_mean_micro
-            == -((-sum(cents) * 10000) // n)
-        )
+        s = sum(cents)
+        assert r.winsorized_sum_cents == s
+        # pin the TRUNCATE-toward-zero div semantics (Python // floors,
+        # which differs on negative sums)
+        expected_micro = s * 10000 // n if s >= 0 else -((-s * 10000) // n)
+        assert r.winsorized_mean_micro == expected_micro
         # clamping never moves the mean outside the bounds
         assert p05 * 100 * n <= r.winsorized_sum_cents + n  # half-cent slack
         assert r.winsorized_sum_cents <= p95 * 100 * n + n

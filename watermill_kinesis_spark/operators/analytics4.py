@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import lcents
-from watermill_kinesis_spark.operators.distscan import grouped_scan
+from watermill_kinesis_spark.operators.distscan import (
+    grouped_order_stats,
+    grouped_scan,
+)
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -851,18 +854,8 @@ def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
 
     def disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        sized = df.withColumn("tb", F.monotonically_increasing_id())
-        scan, tot = grouped_scan(
-            sized, ["event_type"], [F.col(col), F.col("tb")]
-        )
-        picks = spark.createDataFrame(
-            [(g[0], (t["n"] - 1) // 2 + 1) for g, t in tot.items()],
-            "event_type string, pick long",
-        )
-        return (
-            scan.join(F.broadcast(picks), "event_type")
-            .where(F.col("rn") == F.col("pick"))
-            .select("event_type", F.col(col).alias(out))
+        return grouped_order_stats(
+            spark, df, ["event_type"], col, {out: lambda n: (n - 1) // 2 + 1}
         )
 
     med = disc_median(ev, "value", "median_value")
@@ -1662,36 +1655,23 @@ def winsorized_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``0.95·n`` ceil disagrees whenever the product grazes an integer:
     0.95·20 is 19 exactly in decimal but 19.000000000000004 in
     binary). Clamping happens against the broadcast |groups|-row
-    bounds relation; the mean crosses the compare as exact integers
-    (cent sum, then micro-scaled HUGEINT/decimal(38,0) division —
-    overflow-safe at any corpus size). Two selection shuffles + one
-    map-side-combinable aggregate."""
+    bounds relation; the mean crosses the compare as exact integers:
+    the cent sum ACCUMULATES as decimal(38,0) on Spark (DuckDB's
+    SUM(BIGINT) is already HUGEINT) and the micro mean divides at that
+    width, so the arithmetic itself never wraps at any corpus size —
+    only the reported bigint sum column saturates its cast past 2⁶³,
+    loudly on both engines, never silently wrong. Two selection
+    shuffles + one map-side-combinable aggregate."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    sized = ev.withColumn("tb", F.monotonically_increasing_id())
-    scan, tot = grouped_scan(sized, ["event_type"], [F.col("value"), F.col("tb")])
-    picks = spark.createDataFrame(
-        [
-            (g[0], max(1, (5 * t["n"] + 99) // 100), (95 * t["n"] + 99) // 100)
-            for g, t in tot.items()
-        ],
-        "event_type string, pick05 long, pick95 long",
-    )
-    ranked = scan.join(F.broadcast(picks), "event_type")
-    bounds = (
-        ranked.where(
-            (F.col("rn") == F.col("pick05")) | (F.col("rn") == F.col("pick95"))
-        )
-        .groupBy("event_type")
-        .agg(
-            F.min(
-                F.when(F.col("rn") == F.col("pick05"), F.col("value"))
-            ).alias("p05"),
-            F.min(
-                F.when(F.col("rn") == F.col("pick95"), F.col("value"))
-            ).alias("p95"),
-        )
-        # a group small enough that pick05 == pick95 yields one row
-        # serving both bounds; min(when) leaves neither null
+    bounds = grouped_order_stats(
+        spark,
+        ev,
+        ["event_type"],
+        "value",
+        {
+            "p05": lambda n: max(1, (5 * n + 99) // 100),
+            "p95": lambda n: (95 * n + 99) // 100,
+        },
     )
     cents = F.round(
         F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")) * 100
@@ -1704,15 +1684,17 @@ def winsorized_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("p05").alias("p05"),
             F.min("p95").alias("p95"),
-            F.sum("cents").cast("bigint").alias("winsorized_sum_cents"),
+            # accumulate at decimal(38,0) width — the SUM itself never
+            # wraps; only the reported bigint cast below can saturate
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("__sum_dec"),
         )
         .selectExpr(
             "event_type",
             "n",
             "p05",
             "p95",
-            "winsorized_sum_cents",
-            "CAST(CAST(winsorized_sum_cents AS DECIMAL(38,0)) * 10000 div n"
-            " AS BIGINT) AS winsorized_mean_micro",
+            "CAST(__sum_dec AS BIGINT) AS winsorized_sum_cents",
+            "CAST(__sum_dec * 10000 div n AS BIGINT)"
+            " AS winsorized_mean_micro",
         )
     )

@@ -204,3 +204,59 @@ def ntile_closed_form(rn: Column, n: Column, buckets: int) -> Column:
         rn - big + q - F.lit(1), F.when(q > 0, q).otherwise(F.lit(1))
     )
     return F.when(rn <= big, wide).otherwise(narrow).cast("bigint")
+
+
+def grouped_order_stats(
+    spark,
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    picks: dict[str, "callable"],
+    nparts: int = N_SLICES,
+) -> DataFrame:
+    """Exact per-group order statistics via the distributed selection:
+    one output column per entry in ``picks`` (name → function mapping
+    the group's row count ``n`` to the 1-based rank to select under
+    ascending ``value_col`` order). The single audited home of the
+    rank-pick pattern — ``mad_robust_stats``'s medians and
+    ``winsorized_mean_exact``'s p05/p95 both route here, so the rank
+    convention lives in ONE place. Scale shape: one
+    :func:`grouped_scan` range shuffle (ties broken by a
+    monotonically-increasing id — any total order selects the same
+    VALUE at a rank), a bounded |groups|-row picks relation broadcast
+    back, and a ≤ |groups|·|picks| aggregate."""
+    sized = df.withColumn("__tb", F.monotonically_increasing_id())
+    scan, tot = grouped_scan(
+        sized, group_cols, [F.col(value_col), F.col("__tb")], nparts=nparts
+    )
+    gschema = df.select(*group_cols).schema
+    pick_fields = [
+        StructField(f"__pick_{name}", LongType()) for name in picks
+    ]
+    picks_df = spark.createDataFrame(
+        [
+            tuple(g) + tuple(int(fn(t["n"])) for fn in picks.values())
+            for g, t in tot.items()
+        ],
+        StructType(list(gschema.fields) + pick_fields),
+    )
+    ranked = scan.join(F.broadcast(picks_df), list(group_cols))
+    any_pick = None
+    for name in picks:
+        cond = F.col("rn") == F.col(f"__pick_{name}")
+        any_pick = cond if any_pick is None else (any_pick | cond)
+    return (
+        ranked.where(any_pick)
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("rn") == F.col(f"__pick_{name}"),
+                        F.col(value_col),
+                    )
+                ).alias(name)
+                for name in picks
+            ]
+        )
+    )

@@ -790,21 +790,12 @@ def frame_sample_census_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     b = F.octet_length(F.encode("text", "UTF-8"))
-    nf = F.expr(
-        f"(octet_length(encode(text, 'UTF-8')) + {FRAME_BYTES - 1})"
-        f" div {FRAME_BYTES}"
-    )
-    ns = F.expr(
-        f"((octet_length(encode(text, 'UTF-8')) + {FRAME_BYTES - 1})"
-        f" div {FRAME_BYTES} + {FRAME_STRIDE - 1}) div {FRAME_STRIDE}"
-    )
     expected = (
         d.where(F.col("text").isNotNull() & (b > 0))
-        .select(
-            "doc_id",
-            b.alias("b"),
-            nf.alias("nf"),
-            ns.alias("ns"),
+        .select("doc_id", b.alias("b"))
+        .withColumn("nf", F.expr(f"(b + {FRAME_BYTES - 1}) div {FRAME_BYTES}"))
+        .withColumn(
+            "ns", F.expr(f"(nf + {FRAME_STRIDE - 1}) div {FRAME_STRIDE}")
         )
         .select(
             "doc_id",
@@ -852,7 +843,7 @@ def frame_sample_census_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 AS one_row_per_asset,
            1 AS sizes_exact,
            1 AS dims_positive
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal", "audit", "llm-pipeline"),
 )
@@ -869,16 +860,27 @@ def feature_extract_census_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``octet_length`` (oracle-recomputed total), and that every decode
     — real header or deterministic fake — produced positive
     dimensions. One scan through the extractor plus a bytes-per-row
-    census join; the binary never re-shuffles."""
-    feats = multimodal_feature_extract(spark, sf_dir)
+    census join; the binary never re-shuffles. NULL-payload rows are
+    excluded on both engines before the kernel (the frame twin's
+    pattern — ``bytes(None)`` would crash the decoder inside the Arrow
+    worker instead of flipping a verdict); the kernel driven is
+    :func:`extract_image_features`, the same one the production
+    operator wraps."""
+    feats = extract_image_features(
+        assets(spark, sf_dir).where(F.col("payload").isNotNull())
+    )
     per_asset = feats.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_bytes").alias("bytes_actual"),
         F.min((F.col("width") > 0) & (F.col("height") > 0)).alias("dims_ok"),
     )
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.octet_length(F.encode("text", "UTF-8")).alias("b"),
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.octet_length(F.encode("text", "UTF-8")).alias("b"),
+        )
     )
     joined = d.join(per_asset, "doc_id", "full_outer")
     agg = joined.agg(
