@@ -546,3 +546,26 @@ def test_quantile_disc_rank_convention():
             vals[(95 * n + 99) // 100 - 1],
         )
         assert got == exp, (n, got, exp)
+
+
+def test_iqr_fences_match_brute_force(spark, sf_dir):
+    from watermill_kinesis_spark.operators.analytics4 import iqr_outlier_fences
+
+    out = {r.event_type: r for r in iqr_outlier_fences(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    groups: dict[str, list[float]] = {}
+    for row in ev.collect():
+        groups.setdefault(row.event_type, []).append(row.value)
+    assert set(out) == set(groups)
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[max(1, (25 * n + 99) // 100) - 1]
+        q3 = vals[(75 * n + 99) // 100 - 1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        r = out[et]
+        assert (r.n, r.q1, r.q3) == (n, q1, q3)
+        assert r.n_below_fence == sum(1 for v in vals if v < lo)
+        assert r.n_above_fence == sum(1 for v in vals if v > hi)
+        # fences are ordered and quartiles sit inside them
+        assert lo <= q1 <= q3 <= hi

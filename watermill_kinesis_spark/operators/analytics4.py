@@ -1698,3 +1698,67 @@ def winsorized_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS winsorized_mean_micro",
         )
     )
+
+
+@query(
+    "iqr_outlier_fences",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS q1,
+               quantile_disc(value, 0.75) AS q3
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ANY_VALUE(q.q1) AS DOUBLE) AS q1,
+           CAST(ANY_VALUE(q.q3) AS DOUBLE) AS q3,
+           CAST(COUNT(*) FILTER (
+               WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT)
+               AS n_below_fence,
+           CAST(COUNT(*) FILTER (
+               WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+               AS n_above_fence
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("statistics", "analytics", "quality"),
+)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot outlier census per group: exact q1/q3 order
+    statistics via the shared :func:`grouped_order_stats` distributed
+    selection (rank = ⌈q·n⌉ in pure integers — DuckDB's exact-decimal
+    ``quantile_disc`` convention, see ``winsorized_mean_exact``), then
+    one broadcast-join pass counting values beyond the classic
+    1.5·IQR fences — the standard data-quality outlier report beside
+    :func:`mad_robust_stats` (which fences on MAD instead). The fence
+    arithmetic runs the IDENTICAL IEEE expression on both engines over
+    the same pass-through doubles, so the counts cross the compare as
+    exact integers. One selection shuffle + one map-side-combinable
+    aggregate; the bounds relation is |groups| rows, broadcast."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = grouped_order_stats(
+        spark,
+        ev,
+        ["event_type"],
+        "value",
+        {
+            "q1": lambda n: max(1, (25 * n + 99) // 100),
+            "q3": lambda n: (75 * n + 99) // 100,
+        },
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum(
+                (F.col("value") < F.col("q1") - 1.5 * iqr).cast("long")
+            ).cast("bigint").alias("n_below_fence"),
+            F.sum(
+                (F.col("value") > F.col("q3") + 1.5 * iqr).cast("long")
+            ).cast("bigint").alias("n_above_fence"),
+        )
+    )
