@@ -569,3 +569,38 @@ def test_iqr_fences_match_brute_force(spark, sf_dir):
         assert r.n_above_fence == sum(1 for v in vals if v > hi)
         # fences are ordered and quartiles sit inside them
         assert lo <= q1 <= q3 <= hi
+
+
+def test_theil_sen_matches_brute_force(spark, sf_dir):
+    from watermill_kinesis_spark.operators.evaluation import (
+        theil_sen_slope_exact,
+    )
+
+    out = {r.nation: r for r in theil_sen_slope_exact(spark, sf_dir).collect()}
+    m = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mi,
+               COUNT(*) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """,
+    ).collect()
+    series: dict[str, list[tuple]] = {}
+    for r in m:
+        series.setdefault(r.nation, []).append((r.mi, r.y))
+    for nation, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (y2 - y1) / (m2 - m1)
+            for (m1, y1), (m2, y2) in combinations(pts, 2)
+        )
+        r = out[nation]
+        assert r.n_pairs == len(slopes)
+        # quantile_disc(0.5) = 1-based rank ceil(n/2)
+        assert r.theil_sen_slope == slopes[(50 * len(slopes) + 99) // 100 - 1]
+        # robustness sanity: the median slope sits within the slope range
+        assert slopes[0] <= r.theil_sen_slope <= slopes[-1]

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.operators.distscan import (
+    grouped_order_stats,
     grouped_scan,
     group_sizes_df,
     ntile_closed_form,
@@ -1368,4 +1369,93 @@ def isotonic_pav_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_pos bigint, n_bins_occupied bigint, "
         "monotone_ok int, mass_conserved int, gcm_minorant_ok int, "
         "boundaries_exact int",
+    )
+
+
+@query(
+    "theil_sen_slope_exact",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mi,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    p AS (
+        SELECT a.nation,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.mi - a.mi AS DOUBLE)
+                   AS slope
+        FROM m a JOIN m b ON a.nation = b.nation AND a.mi < b.mi)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_disc(slope, 0.5) AS DOUBLE) AS theil_sen_slope
+    FROM p GROUP BY nation
+    """,
+    tags=("evaluation", "statistics", "regression"),
+)
+def theil_sen_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator per nation — the robust (29%-breakdown)
+    trend slope of the monthly order-volume series, completing the
+    regression family: :func:`linreg_closed_form` is the least-squares
+    fit, this is its outlier-resistant twin, exactly as
+    ``mad_robust_stats`` shadows ``stats_moments``. The slope is the
+    MEDIAN of all pairwise slopes (y₂−y₁)/(m₂−m₁) — each slope an
+    identical IEEE division of exact integers on both engines, the
+    median an exact order statistic picked by the shared
+    :func:`grouped_order_stats` selection at DuckDB's
+    ``quantile_disc`` rank ⌈n/2⌉.
+
+    100 TB posture: the kendall discipline — the corpus reduces to one
+    row per (nation, month) via a map-side-combinable aggregate FIRST,
+    so the quadratic pair expansion runs over months² per nation, a
+    time-horizon constant independent of row volume."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("mi"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.nation") == F.col("b.nation"))
+            & (F.col("a.mi") < F.col("b.mi")),
+        )
+        .select(
+            F.col("a.nation").alias("nation"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.mi") - F.col("a.mi")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    med = grouped_order_stats(
+        spark,
+        pairs,
+        ["nation"],
+        "slope",
+        {"theil_sen_slope": lambda n: (50 * n + 99) // 100},
+    )
+    counts = pairs.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    return counts.join(F.broadcast(med), "nation").select(
+        "nation", "n_pairs", "theil_sen_slope"
     )
