@@ -506,7 +506,7 @@ def test_winsorized_mean_matches_brute_force(spark, sf_dir):
     for et, vals in groups.items():
         vals.sort()
         n = len(vals)
-        p05 = vals[max(1, (5 * n + 99) // 100) - 1]
+        p05 = vals[(5 * n + 99) // 100 - 1]
         p95 = vals[(95 * n + 99) // 100 - 1]
         cents = [
             int(np.floor(min(max(v, p05), p95) * 100 + 0.5))
@@ -542,7 +542,7 @@ def test_quantile_disc_rank_convention():
             [vals],
         ).fetchone()
         exp = (
-            vals[max(1, (5 * n + 99) // 100) - 1],
+            vals[((5 * n + 99) // 100) - 1],
             vals[(95 * n + 99) // 100 - 1],
         )
         assert got == exp, (n, got, exp)
@@ -560,7 +560,7 @@ def test_iqr_fences_match_brute_force(spark, sf_dir):
     for et, vals in groups.items():
         vals.sort()
         n = len(vals)
-        q1 = vals[max(1, (25 * n + 99) // 100) - 1]
+        q1 = vals[(25 * n + 99) // 100 - 1]
         q3 = vals[(75 * n + 99) // 100 - 1]
         lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
         r = out[et]

@@ -1669,7 +1669,8 @@ def winsorized_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         "value",
         {
-            "p05": lambda n: max(1, (5 * n + 99) // 100),
+            # ⌈q·n⌉ is already ≥ 1 for every n ≥ 1 — no floor guard
+            "p05": lambda n: (5 * n + 99) // 100,
             "p95": lambda n: (95 * n + 99) // 100,
         },
     )
@@ -1742,7 +1743,8 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         "value",
         {
-            "q1": lambda n: max(1, (25 * n + 99) // 100),
+            # ⌈q·n⌉ is already ≥ 1 for every n ≥ 1 — no floor guard
+            "q1": lambda n: (25 * n + 99) // 100,
             "q3": lambda n: (75 * n + 99) // 100,
         },
     )

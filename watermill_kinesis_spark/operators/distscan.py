@@ -213,6 +213,7 @@ def grouped_order_stats(
     value_col: str,
     picks: dict[str, "callable"],
     nparts: int = N_SLICES,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Exact per-group order statistics via the distributed selection:
     one output column per entry in ``picks`` (name → function mapping
@@ -224,7 +225,11 @@ def grouped_order_stats(
     :func:`grouped_scan` range shuffle (ties broken by a
     monotonically-increasing id — any total order selects the same
     VALUE at a rank), a bounded |groups|-row picks relation broadcast
-    back, and a ≤ |groups|·|picks| aggregate."""
+    back, and a ≤ |groups|·|picks| aggregate. Pass ``count_col`` to
+    also emit each group's row count under that name — the counts come
+    FREE from the same bounded offsets collect the selection already
+    paid for, so callers never re-run their input pipeline just to
+    count it."""
     sized = df.withColumn("__tb", F.monotonically_increasing_id())
     scan, tot = grouped_scan(
         sized, group_cols, [F.col(value_col), F.col("__tb")], nparts=nparts
@@ -233,12 +238,15 @@ def grouped_order_stats(
     pick_fields = [
         StructField(f"__pick_{name}", LongType()) for name in picks
     ]
+    count_fields = [StructField(count_col, LongType())] if count_col else []
     picks_df = spark.createDataFrame(
         [
-            tuple(g) + tuple(int(fn(t["n"])) for fn in picks.values())
+            tuple(g)
+            + tuple(int(fn(t["n"])) for fn in picks.values())
+            + ((int(t["n"]),) if count_col else ())
             for g, t in tot.items()
         ],
-        StructType(list(gschema.fields) + pick_fields),
+        StructType(list(gschema.fields) + pick_fields + count_fields),
     )
     ranked = scan.join(F.broadcast(picks_df), list(group_cols))
     any_pick = None
@@ -257,6 +265,11 @@ def grouped_order_stats(
                     )
                 ).alias(name)
                 for name in picks
-            ]
+            ],
+            *(
+                [F.min(count_col).cast("bigint").alias(count_col)]
+                if count_col
+                else []
+            ),
         )
     )

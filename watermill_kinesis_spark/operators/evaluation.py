@@ -1446,16 +1446,13 @@ def theil_sen_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
-    med = grouped_order_stats(
+    # n_pairs rides out of the selection's own offsets collect — the
+    # quadratic pair pipeline executes exactly once
+    return grouped_order_stats(
         spark,
         pairs,
         ["nation"],
         "slope",
         {"theil_sen_slope": lambda n: (50 * n + 99) // 100},
-    )
-    counts = pairs.groupBy("nation").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
-    )
-    return counts.join(F.broadcast(med), "nation").select(
-        "nation", "n_pairs", "theil_sen_slope"
-    )
+        count_col="n_pairs",
+    ).select("nation", "n_pairs", "theil_sen_slope")
