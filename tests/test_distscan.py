@@ -112,3 +112,43 @@ def test_grouped_scan_descending_order(spark):
     )
     got = {r.v: r.rn for r in scan.collect()}
     assert got == {v: 20 - v for v in range(20)}
+
+
+def test_grouped_order_stats_matches_sorted_picks(spark):
+    """Direct pin of the shared rank-pick selection: for adversarial
+    group shapes (singletons, heavy duplicates, negative values) every
+    requested rank must select exactly sorted(values)[rank-1], and the
+    free count_col must equal the group size."""
+    from watermill_kinesis_spark.operators.distscan import grouped_order_stats
+
+    cases = {
+        "single": [7.0],
+        "dups": [2.0, 2.0, 2.0, 2.0],
+        "mixed": [5.0, -1.0, 3.5, -1.0, 0.0, 9.25, 3.5],
+        "ordered": [float(i) for i in range(40)],
+        "reversed": [float(40 - i) for i in range(40)],
+    }
+    rows = [(g, v) for g, vals in cases.items() for v in vals]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    picks = {
+        "first": lambda n: 1,
+        "median": lambda n: (50 * n + 99) // 100,
+        "p95": lambda n: (95 * n + 99) // 100,
+        "last": lambda n: n,
+    }
+    out = {
+        r.grp: r
+        for r in grouped_order_stats(
+            spark, df, ["grp"], "value", picks, count_col="n"
+        ).collect()
+    }
+    assert set(out) == set(cases)
+    for g, vals in cases.items():
+        s = sorted(vals)
+        n = len(s)
+        r = out[g]
+        assert r.n == n
+        assert r.first == s[0]
+        assert r.median == s[(50 * n + 99) // 100 - 1]
+        assert r.p95 == s[(95 * n + 99) // 100 - 1]
+        assert r.last == s[-1]
