@@ -604,3 +604,34 @@ def test_theil_sen_matches_brute_force(spark, sf_dir):
         assert r.theil_sen_slope == slopes[(50 * len(slopes) + 99) // 100 - 1]
         # robustness sanity: the median slope sits within the slope range
         assert slopes[0] <= r.theil_sen_slope <= slopes[-1]
+
+
+def test_mann_kendall_matches_brute_force(spark, sf_dir):
+    from watermill_kinesis_spark.operators.evaluation import (
+        mann_kendall_trend,
+        monthly_order_series,
+    )
+
+    out = {r.nation: r for r in mann_kendall_trend(spark, sf_dir).collect()}
+    series: dict[str, list[tuple]] = {}
+    for r in monthly_order_series(spark, sf_dir).collect():
+        series.setdefault(r.nation, []).append((r.mi, r.y))
+    assert set(out) == set(series)
+    for nation, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        n = len(ys)
+        s = sum(
+            (y2 > y1) - (y2 < y1)
+            for (_, y1), (_, y2) in combinations(pts, 2)
+        )
+        ties: dict[int, int] = {}
+        for y in ys:
+            ties[y] = ties.get(y, 0) + 1
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        r = out[nation]
+        assert (r.n_months, r.s_statistic, r.var_s_x18) == (n, s, var18)
+        # |S| can never exceed the pair count, and Var*18 >= 0
+        assert abs(s) <= n * (n - 1) // 2 and var18 >= 0

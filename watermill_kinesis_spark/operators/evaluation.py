@@ -1372,6 +1372,34 @@ def isotonic_pav_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_order_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, mi, y): order volume per nation-month with an integer
+    month index — the pre-aggregated bounded series shared by the
+    trend pair (``theil_sen_slope_exact`` magnitude,
+    ``mann_kendall_trend`` significance). One map-side-combinable
+    aggregate reduces the corpus before any quadratic work."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("mi"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+
+
 @query(
     "theil_sen_slope_exact",
     oracle="""
@@ -1411,26 +1439,7 @@ def theil_sen_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per (nation, month) via a map-side-combinable aggregate FIRST,
     so the quadratic pair expansion runs over months² per nation, a
     time-horizon constant independent of row volume."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate"
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    m = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            (
-                F.year("o_orderdate") * 12 + F.month("o_orderdate")
-            ).alias("mi"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    )
+    m = monthly_order_series(spark, sf_dir)
     a, b = m.alias("a"), m.alias("b")
     pairs = (
         a.join(
@@ -1456,3 +1465,93 @@ def theil_sen_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"theil_sen_slope": lambda n: (50 * n + 99) // 100},
         count_col="n_pairs",
     ).select("nation", "n_pairs", "theil_sen_slope")
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mi,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    p AS (
+        SELECT a.nation,
+               CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM m a JOIN m b ON a.nation = b.nation AND a.mi < b.mi),
+    s AS (SELECT nation, CAST(SUM(sgn) AS BIGINT) AS s_statistic
+          FROM p GROUP BY nation),
+    ties AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS t
+        FROM m GROUP BY nation, y),
+    v AS (
+        SELECT nation,
+               CAST(SUM(t) AS BIGINT) AS n_months,
+               CAST(SUM(t) * (SUM(t) - 1) * (2 * SUM(t) + 5)
+                    - SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS var_s_x18
+        FROM ties GROUP BY nation)
+    SELECT s.nation, v.n_months, s.s_statistic, v.var_s_x18
+    FROM s JOIN v USING (nation)
+    """,
+    tags=("evaluation", "statistics", "regression"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per nation over the shared
+    :func:`monthly_order_series` — the SIGNIFICANCE half of the
+    nonparametric trend pair whose magnitude half is
+    ``theil_sen_slope_exact`` (the classic hydrology/climatology
+    pairing; both are rank methods immune to outliers and
+    monotone transforms). Everything that reaches the hash is exact
+    integer arithmetic: S = Σ_{i<j} sign(y_j − y_i) over the
+    time-ordered series, and the tie-corrected variance scaled ×18 to
+    stay integral — Var(S)·18 = n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)
+    over the y-tie groups. The z-statistic needs a square root and
+    stays caller-side, exactly like ``kendall_tau_exact``'s tau-b
+    denominator (S and Var·18 fully determine it). Same 100 TB
+    posture as the whole trend family: pre-aggregate to one
+    (nation, month) row FIRST, so the pair expansion is months² per
+    nation — a time-horizon constant."""
+    m = monthly_order_series(spark, sf_dir)
+    a, b = m.alias("a"), m.alias("b")
+    sgn = (
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.nation") == F.col("b.nation"))
+            & (F.col("a.mi") < F.col("b.mi")),
+        )
+        .groupBy(F.col("a.nation").alias("nation"))
+        .agg(F.sum(sgn).cast("bigint").alias("s_statistic"))
+    )
+    t = F.col("t")
+    v = (
+        m.groupBy("nation", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("nation")
+        .agg(
+            F.sum("t").cast("bigint").alias("n_months"),
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint").alias("tie_term"),
+        )
+        .select(
+            "nation",
+            "n_months",
+            (
+                F.col("n_months")
+                * (F.col("n_months") - 1)
+                * (2 * F.col("n_months") + 5)
+                - F.col("tie_term")
+            ).cast("bigint").alias("var_s_x18"),
+        )
+    )
+    return s.join(F.broadcast(v), "nation").select(
+        "nation", "n_months", "s_statistic", "var_s_x18"
+    )

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal), so they no longer
     # consume regression-window slots; their invariants are pytest-
     # enforced. Recompute each round from CORRECTNESS_r*.json.
+    "mann_kendall_trend",
     "theil_sen_slope_exact",
     "iqr_outlier_fences",
     "winsorized_mean_exact",
