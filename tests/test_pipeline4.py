@@ -93,7 +93,7 @@ def test_bloom_pack_probe_contract_property(spark):
     from watermill_kinesis_spark.operators.pipeline4 import (
         BLOOM_BITS,
         _bloom_hit,
-        _pack_bloom,
+        _bloom_words,
     )
 
     @settings(max_examples=5, deadline=None)
@@ -113,8 +113,53 @@ def test_bloom_pack_probe_contract_property(spark):
     def check(keys, bits_shift):
         bits = BLOOM_BITS << bits_shift
         df = spark.createDataFrame([(k,) for k in keys], "key string")
-        bloom = _pack_bloom(df, "key", bits)
-        hits = _bloom_hit(bloom, df, "key", bits).select("hit").collect()
+        words = _bloom_words(df, "key", bits)
+        hits = _bloom_hit(words, df, "key", bits).select("hit").collect()
         assert all(r.hit for r in hits), "false negative: bloom contract broken"
 
     check()
+
+
+def test_bloom_distributed_probe_matches_dense_literal(spark, monkeypatch):
+    """The over-budget probe strategy (left join against the
+    distributed words relation — VERDICT r7 #1's fix) must return
+    bit-identical hits to the dense-literal path: per-key equality
+    over members (all hit), a disjoint probe set (dense path decides),
+    and a NULL key (both paths probe the constant empty-hash
+    positions)."""
+    import watermill_kinesis_spark.operators.pipeline4 as p4
+
+    members = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "key string"
+    )
+    probes = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)]
+        + [(f"other-{i}",) for i in range(200)]
+        + [(None,)],
+        "key string",
+    )
+    bits = p4.BLOOM_BITS
+    words = p4._bloom_words(members, "key", bits)
+    dense = {
+        r["key"]: r["hit"]
+        for r in p4._bloom_hit(words, probes, "key", bits)
+        .select("key", "hit")
+        .collect()
+    }
+    monkeypatch.setattr(p4, "BLOOM_LITERAL_BUDGET_BYTES", 0)
+    dist = {
+        r["key"]: r["hit"]
+        for r in p4._bloom_hit(words, probes, "key", bits)
+        .select("key", "hit")
+        .collect()
+    }
+    assert dense == dist
+    assert all(dense[f"key-{i}"] for i in range(200))
+    # the distributed plan must not carry the packed bloom literal
+    plan = (
+        p4._bloom_hit(words, probes, "key", bits)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "element_at" not in plan

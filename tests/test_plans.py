@@ -542,3 +542,57 @@ def test_r6_additions_stay_red_flag_free(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in rrf_plan
+
+
+def test_big_literal_guard_catches_prefix_bloom_shape(spark, sf_dir):
+    """Round-8 guard (VERDICT r7 What's-wrong #1/#2): the pre-fix
+    bloom_fpp_audit collected its packed bloom into a plan literal
+    sized 16 bits per distinct member — rebuild that shape with an
+    over-budget array and assert `_bad_big_literal` trips; then assert
+    the post-fix paths stay clean: the current bloom_fpp_audit and
+    decontaminate_bloom plans (bounded literals), and the over-budget
+    distributed-probe plan (no literal at all)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import BIG_LITERAL_ELEMS, ITERATIVE, _bad_big_literal
+
+    import watermill_kinesis_spark.operators.pipeline4 as p4
+    from watermill_kinesis_spark.registry import all_specs
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    probe = spark.range(16).select(F.col("id").cast("string").alias("key"))
+    # pre-r8 shape: dense literal regardless of member cardinality
+    n_words = BIG_LITERAL_ELEMS * 2
+    bloom = F.lit([0] * n_words)
+    prefix = probe.withColumn(
+        "w0",
+        F.element_at(
+            bloom,
+            (F.pmod(F.xxhash64("key"), F.lit(n_words))).cast("int") + 1,
+        ),
+    )
+    assert _bad_big_literal(plan(prefix)), "pre-fix bloom shape must trip"
+
+    specs = all_specs()
+    for name in ("bloom_fpp_audit", "decontaminate_bloom"):
+        assert not _bad_big_literal(
+            plan(specs[name].fn(spark, sf_dir))
+        ), f"{name}: oversized plan literal"
+
+    # over-budget strategy: distributed probe, zero plan literal
+    members = spark.range(64).select(F.col("id").cast("string").alias("key"))
+    words = p4._bloom_words(members, "key", p4.BLOOM_BITS)
+    orig = p4.BLOOM_LITERAL_BUDGET_BYTES
+    p4.BLOOM_LITERAL_BUDGET_BYTES = 0
+    try:
+        dist_plan = plan(p4._bloom_hit(words, probe, "key", p4.BLOOM_BITS))
+    finally:
+        p4.BLOOM_LITERAL_BUDGET_BYTES = orig
+    assert not _bad_big_literal(dist_plan)
+    assert "element_at" not in dist_plan
+
+    # the iterative annotation covers exactly the power-method pair
+    assert set(ITERATIVE) == {"pagerank_mass_audit", "pagerank_bipartite"}
