@@ -420,3 +420,86 @@ def test_waterfall_identity_closes_exactly(spark, sf_dir):
         "l_partkey"
     ).distinct().count()
     assert abs(r.residual_cents) <= n_parts  # ≤1 truncated cent per part
+
+
+def test_auc_kernel_heavy_ties_and_degenerate_groups(spark, tmp_path):
+    """The round-8 per-slice kernel on an adversarial shape the real
+    table never shows: only three distinct scores (every tie cell is
+    massive, and with 32 range slices over ~6 distinct (grp, score)
+    keys most slices are empty while whole cells land in one slice),
+    plus an all-positive group that must be DROPPED, not divided by
+    zero. Brute-force Fraction pairwise AUC is the pin."""
+    import itertools
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = []
+    scores = [Decimal("1.00"), Decimal("2.00"), Decimal("3.00")]
+    statuses = ["F", "O", "F", "F", "O"]
+    i = 0
+    for grp in ("A", "B"):
+        for s, st in itertools.product(scores, statuses):
+            for _ in range((i % 7) + 1):  # uneven cell sizes
+                rows.append((grp, s, st if grp == "A" else statuses[i % 5]))
+            i += 1
+    rows += [("C", s, "F") for s in scores]  # degenerate: all positive
+    schema = StructType(
+        [
+            StructField("o_orderpriority", StringType()),
+            StructField("o_totalprice", DecimalType(12, 2)),
+            StructField("o_orderstatus", StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        r.grp: r
+        for r in queries()["auc_roc_exact"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"A", "B"}
+    by_grp: dict[str, list] = {}
+    for grp, s, st in rows:
+        by_grp.setdefault(grp, []).append((s, 1 if st == "F" else 0))
+    for grp in ("A", "B"):
+        pos = [s for s, p in by_grp[grp] if p]
+        neg = [s for s, p in by_grp[grp] if not p]
+        wins = sum(1 for a in pos for b in neg if a > b)
+        ties = sum(1 for a in pos for b in neg if a == b)
+        expect = Fraction(2 * wins + ties, 2 * len(pos) * len(neg))
+        got = out[grp]
+        assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+        assert got.auc_permille == int(expect * 1000)
+
+
+def test_auc_kernel_rejects_null_group(spark, tmp_path):
+    """Fail-loudly convention shared with grouped_scan: a NULL group
+    key raises instead of silently dropping its rows."""
+    from decimal import Decimal
+
+    import pytest
+    from pyspark.sql.types import (
+        DecimalType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("o_orderpriority", StringType()),
+            StructField("o_totalprice", DecimalType(12, 2)),
+            StructField("o_orderstatus", StringType()),
+        ]
+    )
+    spark.createDataFrame(
+        [("A", Decimal("1.00"), "F"), (None, Decimal("2.00"), "O")], schema
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    with pytest.raises(ValueError, match="non-null group keys"):
+        queries()["auc_roc_exact"](spark, str(tmp_path))

@@ -41,7 +41,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
 from watermill_kinesis_spark.operators.distscan import (
+    N_SLICES,
     grouped_order_stats,
     grouped_scan,
     group_sizes_df,
@@ -96,63 +99,108 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann–Whitney identity AUC = (Σ_pos r̄ − n₊(n₊+1)/2)/(n₊·n₋) with
     ties at half credit; doubling average ranks (2r̄ = 2·rank + ties −
     1) keeps every term integral, so the permille is exact integer
-    division on both engines. Ranks come from the DISTRIBUTED
-    :func:`grouped_scan` (range-partitioned slices + local windows +
-    broadcast offsets — NEVER a window partitioned by the 5-value
-    priority enum over raw rows, which would sort N/5 rows in one
-    task at 100 TB): RANK() == min global row_number over each
-    (group, score) tie cell, so per-cell (min rn, count, Σpos) rebuild
-    every term of the rank-sum exactly; the doubled rank-sum rides a
-    decimal(38,0)/HUGEINT aggregate so n up to 10^19 per group cannot
-    overflow. The scalable shape of sklearn's ``roc_auc_score`` for
-    grouped-report evaluation."""
+    division on both engines. Scale shape (round-8 fusion, VERDICT r7
+    #3): ONE range shuffle on (group, score) — ties stay whole inside
+    a slice because the range key carries no tiebreak — then a single
+    per-slice Arrow kernel folds each slice's ordered cells into
+    (Σc, Σnpos, local doubled-rank partial): the bounded
+    ``n_slices × |groups|`` model artifact of the distscan pattern,
+    collected once. The driver lifts local partials to global ones
+    with the running per-group row offsets (RANK() of a cell = rows
+    strictly below + 1, so the per-cell term npos·(2·cum_c − c + 1)
+    gains exactly 2·npos·C_off when a slice starts C_off rows into its
+    group) and finishes the permille in arbitrary-precision Python
+    integers — exact at any scale, and NEVER a window partitioned by
+    the 5-value priority enum over raw rows, which would sort N/5
+    rows in one task at 100 TB. One exchange, two stages, no
+    checkpoint, no per-row global ranks (the r7 grouped_scan form was
+    correct but paid three exchanges plus an offsets checkpoint —
+    2.19× the r6 window's time at sf0.1; this kernel returns the
+    constant factor while keeping per-task work bounded by the
+    slice). Kernel sums ride object-dtype (unbounded-int) numpy
+    accumulation, so no int64 overflow at any slice size. Skew note:
+    a single massive tie cell lands in one slice — acceptable for a
+    near-continuous score axis; a seam-patched split-tie variant is
+    the escape hatch if a discrete score axis ever routes here. The
+    scalable shape of sklearn's ``roc_auc_score`` for grouped-report
+    evaluation."""
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("score"),
-        F.col("o_orderkey").alias("okey"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
     )
-    ranked, _ = grouped_scan(
-        scored, ["grp"], [F.col("score"), F.col("okey")]
+    parted = (
+        scored.repartitionByRange(N_SLICES, F.col("grp"), F.col("score"))
+        .sortWithinPartitions("grp", "score")
+        .withColumn("pid", F.spark_partition_id())
     )
-    # RANK() over (grp ORDER BY score) == min row_number in the tie
-    # cell; the per-row term (2·rank + ties − 1) is constant within a
-    # cell, so summing npos·(2r+c−1) over cells equals the row sum
-    cells = ranked.groupBy("grp", "score").agg(
-        F.min("rn").alias("r"),
-        F.count(F.lit(1)).alias("c"),
-        F.sum("pos").alias("npos"),
-    )
-    agg = cells.groupBy("grp").agg(
-        F.sum("npos").cast("decimal(38,0)").alias("n_pos"),
-        F.sum(F.col("c") - F.col("npos")).cast("decimal(38,0)").alias("n_neg"),
-        F.sum(
-            F.col("npos").cast("decimal(38,0)")
-            * (F.lit(2) * F.col("r") + F.col("c") - 1)
+
+    def _slice_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        pid = int(pdf["pid"].iloc[0])
+        # dropna=False: a NULL key must surface (the driver fold
+        # fail-louds on it), never silently lose its rows
+        for g, gd in pdf.groupby("grp", sort=False, dropna=False):
+            cells = gd.groupby("score", sort=False, dropna=False).agg(
+                c=("pos", "size"), npos=("pos", "sum")
+            )
+            c = cells["c"].to_numpy(np.int64)
+            npos = cells["npos"].to_numpy(np.int64)
+            cum = np.cumsum(c.astype(object))  # unbounded-int prefix
+            s2 = int(np.sum(npos.astype(object) * (2 * cum - c + 1)))
+            out.append((pid, g, int(c.sum()), int(npos.sum()), str(s2)))
+        yield pd.DataFrame(
+            out, columns=["pid", "grp", "sum_c", "sum_npos", "s2_local"]
         )
-        .cast("decimal(38,0)")
-        .alias("s2"),
-    )
-    # exact integer quotient via SQL `div` (truncating, same as the
-    # oracle's `//`) — NOT fractional decimal division, whose 6-dp
-    # rounding could tip a near-integer quotient over the boundary
-    # degenerate groups (all-positive / all-negative) have no ranking
-    # to score: drop them on BOTH engines rather than divide by zero
-    # (Spark div would NULL, DuckDB // would error — a latent skew)
-    agg = agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
-    u2 = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
-    return agg.select(
-        "grp",
-        F.col("n_pos").cast("bigint").alias("n_pos"),
-        F.col("n_neg").cast("bigint").alias("n_neg"),
-        (u2 * 1000).alias("num"),
-        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).alias("den"),
-    ).selectExpr(
-        "grp",
-        "n_pos",
-        "n_neg",
-        "CAST(num div den AS BIGINT) AS auc_permille",
+
+    stats = parted.mapInPandas(
+        _slice_partials,
+        "pid int, grp string, sum_c long, sum_npos long, s2_local string",
+    ).collect()
+    # driver fold over the bounded artifact: ascending pid = ascending
+    # (grp, score) ranges, so a running per-group row offset lifts each
+    # slice's doubled-rank partial to the global value
+    acc: dict = {}
+    for row in sorted(stats, key=lambda r: r["pid"]):
+        g = row["grp"]
+        if g is None:
+            # mirror grouped_scan's fail-loudly rule: a NULL group key
+            # would need null-safe bookkeeping the window form kept
+            raise ValueError("auc_roc_exact requires non-null group keys")
+        cur = acc.setdefault(g, {"n": 0, "npos": 0, "s2": 0})
+        cur["s2"] += int(row["s2_local"]) + 2 * int(row["sum_npos"]) * cur["n"]
+        cur["n"] += int(row["sum_c"])
+        cur["npos"] += int(row["sum_npos"])
+    out = []
+    for g, t in sorted(acc.items()):
+        n_pos, n_neg = t["npos"], t["n"] - t["npos"]
+        if n_pos == 0 or n_neg == 0:
+            # degenerate groups (all-positive / all-negative) have no
+            # ranking to score: drop them on BOTH engines rather than
+            # divide by zero (the oracle filters identically)
+            continue
+        u2 = t["s2"] - n_pos * (n_pos + 1)
+        # exact truncating quotient: all terms are non-negative ints,
+        # so Python // matches SQL div and DuckDB // bit-for-bit
+        out.append((g, n_pos, n_neg, (u2 * 1000) // (2 * n_pos * n_neg)))
+    return spark.createDataFrame(
+        out,
+        StructType(
+            [
+                StructField("grp", StringType(), False),
+                StructField("n_pos", LongType(), False),
+                StructField("n_neg", LongType(), False),
+                StructField("auc_permille", LongType(), False),
+            ]
+        ),
     )
 
 
