@@ -35,13 +35,25 @@ def _fill(client, n=6):
         client.put(f"shardId-{i % 2:012d}", f"d{i}", partition_key=f"k{i % 2}")
 
 
+def _tuples(batches):
+    """Flatten the reader's Arrow-batch emission back to wire tuples —
+    the r8 parallel reader yields pyarrow.RecordBatch (the worker
+    passes them through verbatim), so tests unpack them the way the
+    JVM consumer would."""
+    rows = []
+    for b in batches:
+        cols = [c.to_pylist() for c in b.columns]
+        rows.extend(zip(*cols) if cols else [])
+    return rows
+
+
 def _run_batch(reader, start):
     """Drive one planning+execution cycle the way the engine does."""
     end = reader.latestOffset()
     parts = reader.partitions(start, end)
     rows = []
     for p in parts:
-        rows.extend(reader.read(p))
+        rows.extend(_tuples(reader.read(p)))
     return rows, end, parts
 
 
@@ -66,10 +78,10 @@ def test_fence_makes_task_retry_deterministic(tmp_path):
     start = r.initialOffset()
     end = r.latestOffset()
     parts = r.partitions(start, end)
-    first = {p.shard_id: [t[0] for t in r.read(p)] for p in parts}
+    first = {p.shard_id: [t[0] for t in _tuples(r.read(p))] for p in parts}
     # records arriving between attempt 1 and the retry must NOT appear
     client.put("shardId-000000000000", "late-arrival")
-    retry = {p.shard_id: [t[0] for t in r.read(p)] for p in parts}
+    retry = {p.shard_id: [t[0] for t in _tuples(r.read(p))] for p in parts}
     assert retry == first
     # fences exist on disk, one per (run, epoch, shard)
     fences = os.listdir(r._fence_dir)
@@ -110,7 +122,7 @@ def test_restart_replays_uncommitted_window_from_offset_log(tmp_path):
     client.put("shardId-000000000000", "post-restart")
     end2 = r2.latestOffset()
     parts = r2.partitions(off1, end2)  # start = restored offset log entry
-    rows = [t for p in parts for t in r2.read(p)]
+    rows = [t for p in parts for t in _tuples(r2.read(p))]
     assert [t[0] for t in rows] == ["post-restart"]
 
 
@@ -379,7 +391,7 @@ def test_reader_mode_switch_offsets_compatible(tmp_path):
     client.put("shardId-000000000000", "after-switch")
     end = rp.latestOffset()
     parts = rp.partitions(simple_off, end)  # no "epoch" key in start
-    got = [t[0] for p in parts for t in rp.read(p)]
+    got = [t[0] for p in parts for t in _tuples(rp.read(p))]
     assert got == ["after-switch"]
 
     # parallel's committed offset (epoch + positions) feeds simple
@@ -418,7 +430,7 @@ def test_vanished_shard_tombstones_other_errors_raise(tmp_path):
     orig = ka._make_client
     try:
         ka._make_client = lambda opts: _Gone(opts["stubdir"])
-        rows = list(r.read(parts[0]))
+        rows = _tuples(r.read(parts[0]))
         assert rows == []
         import json as jsonlib
         import os as oslib
@@ -429,7 +441,7 @@ def test_vanished_shard_tombstones_other_errors_raise(tmp_path):
 
         ka._make_client = lambda opts: _Broken(opts["stubdir"])
         with pytest.raises(RuntimeError, match="auth failure"):
-            list(r.read(parts[1]))
+            _tuples(r.read(parts[1]))
     finally:
         ka._make_client = orig
 

@@ -89,7 +89,7 @@ def main() -> None:
     # per-trigger budget is MAX_POLLS×10000 = 50k/shard — the knob a
     # production deployment actually turns to amortize the trigger tax
     results.update(
-        _bench_kinesis_sustained(spark, base, "maxbudget", 4, 150_000, 10_000)
+        _bench_kinesis_sustained(spark, base, "maxbudget", 4, 300_000, 10_000)
     )
 
     results["reference_ceiling_msgs_per_s_per_shard"] = 1000  # Kinesis write limit

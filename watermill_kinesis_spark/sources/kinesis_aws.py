@@ -194,6 +194,52 @@ def _admit_new_shards(
         pos[sid] = default_pos
 
 
+#: rows per emitted Arrow batch — bounds executor/JVM memory per
+#: transfer while amortizing the per-batch IPC cost; a fenced drain of
+#: millions of rows streams as many batches, never one giant one
+ARROW_BATCH_ROWS = 65536
+
+
+def _rows_to_arrow_batches(rows: list[tuple]):
+    """Pack decoded wire rows into ``pyarrow.RecordBatch``es (VERDICT
+    r7 task 5): Spark 4's Python data source yields Arrow batches from
+    ``read()`` directly, skipping the per-tuple, per-value bridge the
+    worker otherwise runs (``records_to_arrow_batches``'s row loop —
+    the measured ~10-11k rows/s/shard-task floor). Columns are built
+    with C-speed ``pa.array`` calls; the timestamp column replicates
+    the tuple path's ``LocalDataToArrowConversion`` semantics exactly
+    (``astimezone(utc)`` — naive values are local time), so rows are
+    bit-identical either way (pinned by the parallel-reader tests)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    names = [
+        "data",
+        "partition_key",
+        "sequence_number",
+        "shard_id",
+        "approximate_arrival_timestamp",
+    ]
+    for lo in range(0, len(rows), ARROW_BATCH_ROWS):
+        chunk = rows[lo : lo + ARROW_BATCH_ROWS]
+        cols = list(zip(*chunk))
+        ts = [
+            v.astimezone(_dt.timezone.utc) if v is not None else None
+            for v in cols[4]
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], pa.string()),
+                pa.array(cols[1], pa.string()),
+                pa.array(cols[2], pa.string()),
+                pa.array(cols[3], pa.string()),
+                pa.array(ts, pa.timestamp("us", tz="UTC")),
+            ],
+            names=names,
+        )
+
+
 def _record_rows(rec: dict, shard_id: str) -> list[tuple]:
     """One Kinesis record → one or many wire rows. KPL aggregate
     containers (magic-prefixed, md5-sealed) unpack transparently —
@@ -692,7 +738,8 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
 
     # -- executor side -------------------------------------------------
 
-    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+    def read(self, partition: _ShardPartition) -> Iterator:
+        """Yields ``pyarrow.RecordBatch``es (see _rows_to_arrow_batches)."""
         client = _make_client(partition.options)
         # FenceStore, not POSIX: read() runs in executor Python workers
         # (no JVM gateway), and positionDir may be a remote URI
@@ -750,7 +797,7 @@ class KinesisAwsParallelStreamReader(DataSourceStreamReader):
             store.write_json(
                 fence_name, {"shard": partition.shard_id, "pos": attained}
             )
-        return iter(rows)
+        return _rows_to_arrow_batches(rows)
 
     def commit(self, end: dict) -> None:
         """Prune fences whose positions are durably in the offset log
@@ -835,20 +882,26 @@ class KinesisAwsBatchReader(DataSourceReader):
             for s in shards
         ]
 
-    def read(self, partition: _BatchShardPartition) -> Iterator[tuple]:
+    def read(self, partition: _BatchShardPartition) -> Iterator:
+        """Yields ``pyarrow.RecordBatch``es (see _rows_to_arrow_batches)."""
         client = _make_client(partition.options)
         it = _get_iterator(
             client, partition.stream, partition.shard_id, partition.start_pos
         )
         max_records = int(partition.options.get("maxrecords", "1000"))
+        pending: list[tuple] = []
         while it:
             resp = _get_records_throttled(client, ShardIterator=it, Limit=max_records)
             recs = resp.get("Records", [])
             for rec in recs:
-                yield from _record_rows(rec, partition.shard_id)
+                pending.extend(_record_rows(rec, partition.shard_id))
+            if len(pending) >= ARROW_BATCH_ROWS:
+                yield from _rows_to_arrow_batches(pending)
+                pending = []
             it = resp.get("NextShardIterator")
             if not recs and not resp.get("MillisBehindLatest"):
                 break  # at the tip: the batch ends here
+        yield from _rows_to_arrow_batches(pending)
 
 
 class _AwsPutCommit(WriterCommitMessage):

@@ -206,6 +206,65 @@ def demo_client() -> StubKinesisClient:
     return c
 
 
+class _LazyShardRecords:
+    """Sequence view over the RAW on-disk record entries of one shard:
+    converts to service-shaped record dicts (``Data`` bytes, datetime
+    arrival ts) only for the window actually served. Eager whole-state
+    conversion was the dominant cost of the r7 sustained throughput
+    measurement — every executor worker paid a full parse+convert of
+    ALL shards' records before serving its one slice; lazily, a worker
+    pays json.load once and converts just the ranges it returns."""
+
+    __slots__ = ("_raw",)
+
+    def __init__(self, raw: list[dict]):
+        self._raw = raw
+
+    @staticmethod
+    def _conv(r: dict) -> dict:
+        return {
+            "Data": base64.b64decode(r["data"]),
+            "PartitionKey": r["key"],
+            "SequenceNumber": r["seq"],
+            "ApproximateArrivalTimestamp": (
+                datetime.fromtimestamp(r["ts"], tz=timezone.utc)
+                if r["ts"] is not None
+                else None
+            ),
+        }
+
+    @staticmethod
+    def to_raw(rec: dict) -> dict:
+        return {
+            "data": base64.b64encode(bytes(rec["Data"])).decode("ascii"),
+            "key": rec["PartitionKey"],
+            "seq": rec["SequenceNumber"],
+            "ts": (
+                rec["ApproximateArrivalTimestamp"].timestamp()
+                if rec["ApproximateArrivalTimestamp"] is not None
+                else None
+            ),
+        }
+
+    def __len__(self) -> int:
+        return len(self._raw)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self._conv(r) for r in self._raw[i]]
+        return self._conv(self._raw[i])
+
+    def __iter__(self):
+        return (self._conv(r) for r in self._raw)
+
+    def append(self, rec: dict) -> None:
+        self._raw.append(self.to_raw(rec))
+
+    @property
+    def raw(self) -> list[dict]:
+        return self._raw
+
+
 class FileStubKinesisClient(StubKinesisClient):
     """Disk-backed stub: shard state lives in ``<dir>/state.json``, so
     a factory-constructed client in an EXECUTOR python worker sees the
@@ -244,19 +303,7 @@ class FileStubKinesisClient(StubKinesisClient):
         self._parents = dict(raw.get("parents", {}))
         self._adj_parents = dict(raw.get("adj_parents", {}))
         self._shards = {
-            shard: [
-                {
-                    "Data": base64.b64decode(r["data"]),
-                    "PartitionKey": r["key"],
-                    "SequenceNumber": r["seq"],
-                    "ApproximateArrivalTimestamp": (
-                        datetime.fromtimestamp(r["ts"], tz=timezone.utc)
-                        if r["ts"] is not None
-                        else None
-                    ),
-                }
-                for r in recs
-            ]
+            shard: _LazyShardRecords(recs)
             for shard, recs in raw["shards"].items()
         }
 
@@ -267,19 +314,11 @@ class FileStubKinesisClient(StubKinesisClient):
             "seq": self._seq,
             "closed": sorted(self._closed),
             "shards": {
-                shard: [
-                    {
-                        "data": base64.b64encode(bytes(r["Data"])).decode("ascii"),
-                        "key": r["PartitionKey"],
-                        "seq": r["SequenceNumber"],
-                        "ts": (
-                            r["ApproximateArrivalTimestamp"].timestamp()
-                            if r["ApproximateArrivalTimestamp"] is not None
-                            else None
-                        ),
-                    }
-                    for r in recs
-                ]
+                shard: (
+                    recs.raw
+                    if isinstance(recs, _LazyShardRecords)
+                    else [_LazyShardRecords.to_raw(r) for r in recs]
+                )
                 for shard, recs in self._shards.items()
             },
             "parents": self._parents,
