@@ -70,7 +70,17 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_sketch_native", tags=("agg", "sketch", "streaming"))
+@query(
+    "hll_sketch_native",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           1 AS union_within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch", "streaming", "audit"),
+)
 def hll_sketch_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in DataSketches HLL: per-(event_type, day) user sketches
     merged to per-type totals with ``hll_union_agg`` — the native
@@ -80,32 +90,38 @@ def hll_sketch_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable across any partitioning/retention window, and the union
     is associative — a 100 TB pipeline stores sketches per partition
     and answers any-range distinct queries without rescanning raw data.
-    Estimates are deterministic for a given input set but not
-    SQL-reproducible in DuckDB ⇒ rows-only; accuracy vs exact distinct
-    is pinned in tests/test_modern.py."""
+
+    Oracle-backed audit form (r7 VERDICT task 6, the
+    ``hll_merge_accuracy_audit`` pattern): the estimate itself is not
+    SQL-reproducible in DuckDB, so the row carries the exact per-type
+    COUNT DISTINCT plus the verdict that the UNIONED estimate sits
+    within ±5% (or ±1 for tiny types) — the estimate stays
+    engine-side, the envelope crosses the compare, and a broken
+    sketch/union path flips the verdict instantly."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.col("user_id").cast("string").alias("uid"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.expr("hll_sketch_agg(uid)").alias("sketch"))
+    keyed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
-                "approx_users"
-            ),
-        )
-        .select(
-            "event_type",
-            "n_days",
-            F.col("approx_users").cast("bigint").alias("approx_users"),
-        )
+    daily = keyed.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(uid)").alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est"),
+    )
+    exact = keyed.groupBy("event_type").agg(
+        F.countDistinct("uid").cast("bigint").alias("n_users_exact")
+    )
+    slack = F.greatest(F.lit(1.0), F.col("n_users_exact") * F.lit(0.05))
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_users_exact",
+        F.when(F.abs(F.col("est") - F.col("n_users_exact")) <= slack, 1)
+        .otherwise(0)
+        .alias("union_within_bound"),
     )
 
 
