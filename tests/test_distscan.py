@@ -152,3 +152,24 @@ def test_grouped_order_stats_matches_sorted_picks(spark):
         assert r.median == s[(50 * n + 99) // 100 - 1]
         assert r.p95 == s[(95 * n + 99) // 100 - 1]
         assert r.last == s[-1]
+
+
+def test_grouped_order_stats_rejects_out_of_range_pick(spark):
+    """r7 ADVICE: a pick function returning a rank outside [1, n] used
+    to silently drop the whole group (rn == pick matched nothing);
+    it must now raise, mirroring the null-group-key guard."""
+    import pytest
+
+    from watermill_kinesis_spark.operators.distscan import grouped_order_stats
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)], "g string, v int"
+    )
+    with pytest.raises(ValueError, match=r"outside \[1, 5\]"):
+        grouped_order_stats(spark, df, ["g"], "v", {"bad": lambda n: n + 1})
+    with pytest.raises(ValueError, match="outside"):
+        grouped_order_stats(spark, df, ["g"], "v", {"bad": lambda n: 0})
+    ok = grouped_order_stats(
+        spark, df, ["g"], "v", {"lo": lambda n: 1, "hi": lambda n: n}
+    ).collect()[0]
+    assert (ok.lo, ok.hi) == (0, 4)

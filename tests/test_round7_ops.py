@@ -140,18 +140,21 @@ def test_int8_quant_matches_numpy(spark, sf_dir):
         scale = np.abs(x).max()
         if scale == 0:
             q = np.zeros_like(x, dtype=np.int64)
+            zero = 1
         else:
+            zero = 0
             s = x * float(INT8_QMAX) / scale
             # half-away-from-zero, NOT numpy's half-to-even round()
             q = np.where(
                 x >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5)
             ).astype(np.int64)
-        a = agg.setdefault(row.label, [0, 0, 0, 0])
+        a = agg.setdefault(row.label, [0, 0, 0, 0, 0])
         a[0] += 1
         a[1] += int(q.sum())
         a[2] += int((q * q).sum())
         a[3] += int((np.abs(q) == INT8_QMAX).sum())
-    for label, (n, sm, sq, sat) in agg.items():
+        a[4] += zero
+    for label, (n, sm, sq, sat, n_zero) in agg.items():
         r = out[label]
         assert (r.n_vectors, r.sum_codes, r.sum_sq_codes, r.n_saturated_codes) == (
             n,
@@ -159,8 +162,10 @@ def test_int8_quant_matches_numpy(spark, sf_dir):
             sq,
             sat,
         )
-        # codes are bounded by construction
-        assert sat >= n  # at least the max-|x| element saturates per vector
+        # codes are bounded by construction: the max-|x| element
+        # saturates per vector — EXCEPT all-zero vectors, which take
+        # the scale==0 branch and emit no saturated code (r7 ADVICE)
+        assert sat >= n - n_zero
 
 
 def test_bloom_fpp_audit_verdicts(spark, sf_dir):

@@ -239,13 +239,27 @@ def grouped_order_stats(
         StructField(f"__pick_{name}", LongType()) for name in picks
     ]
     count_fields = [StructField(count_col, LongType())] if count_col else []
+    pick_rows = []
+    for g, t in tot.items():
+        ranks = []
+        for name, fn in picks.items():
+            r = int(fn(t["n"]))
+            if not 1 <= r <= t["n"]:
+                # an out-of-range rank would match NO row and silently
+                # drop the whole group from the output — fail loudly
+                # instead, mirroring the null-group-key guard (r7
+                # ADVICE). All shipped pick functions are ceil(q·n)-
+                # style and stay in range; this guards future callers.
+                raise ValueError(
+                    f"grouped_order_stats pick {name!r} computed rank "
+                    f"{r} outside [1, {t['n']}] for group {g!r}"
+                )
+            ranks.append(r)
+        pick_rows.append(
+            tuple(g) + tuple(ranks) + ((int(t["n"]),) if count_col else ())
+        )
     picks_df = spark.createDataFrame(
-        [
-            tuple(g)
-            + tuple(int(fn(t["n"])) for fn in picks.values())
-            + ((int(t["n"]),) if count_col else ())
-            for g, t in tot.items()
-        ],
+        pick_rows,
         StructType(list(gschema.fields) + pick_fields + count_fields),
     )
     ranked = scan.join(F.broadcast(picks_df), list(group_cols))

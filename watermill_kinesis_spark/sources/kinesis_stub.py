@@ -379,6 +379,12 @@ class FileStubKinesisClient(StubKinesisClient):
 
 _client_cache: dict[str, FileStubKinesisClient] = {}
 
+#: LRU bound on cached stub clients: long pytest/bench sessions create
+#: many unique temp state dirs, and each cached client pins a fully
+#: parsed state in memory (r7 ADVICE). A handful covers every
+#: concurrent-stream scenario the suite runs.
+_CLIENT_CACHE_MAX = 4
+
 
 def file_stub_client(options) -> FileStubKinesisClient:
     """clientfactory target for parallel-reader tests:
@@ -388,13 +394,23 @@ def file_stub_client(options) -> FileStubKinesisClient:
     tasks, so a fresh multi-MB state parse per task would charge stub
     bookkeeping to every throughput measurement. Staleness is handled
     inside the client: every API call re-stats the state file and
-    reparses only when it changed."""
+    reparses only when it changed. The cache is LRU-bounded and drops
+    entries whose state dir no longer exists (reaped temp dirs)."""
     sdir = options.get("stubdir")
-    c = _client_cache.get(sdir)
+    for k in [
+        k
+        for k, v in _client_cache.items()
+        if k != sdir and not os.path.exists(v._path)
+    ]:
+        del _client_cache[k]
+    c = _client_cache.pop(sdir, None)
     if c is None:
-        c = _client_cache[sdir] = FileStubKinesisClient(sdir)
+        c = FileStubKinesisClient(sdir)
     else:
         c._load()
+    _client_cache[sdir] = c  # re-insert = most recently used
+    while len(_client_cache) > _CLIENT_CACHE_MAX:
+        del _client_cache[next(iter(_client_cache))]  # evict LRU
     return c
 
 
