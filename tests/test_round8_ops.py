@@ -115,3 +115,184 @@ def test_hll_sketch_native_audit_executes_sketch_path(spark, sf_dir):
     assert rows and all(r.union_within_bound == 1 for r in rows)
     assert any(r.n_days > 1 for r in rows)
     assert all(r.n_users_exact > 0 for r in rows)
+
+
+def test_bm25_matches_bruteforce(spark, sf_dir):
+    """Straight-line Python BM25 (same log-free rational idf, same
+    k1/b) over the collected corpus must reproduce the engine's
+    top-k ranking exactly."""
+    from watermill_kinesis_spark.operators.retrieval import (
+        BM25_K,
+        BM25_TERMS,
+        bm25_topk,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    got = [(r.doc_id, r.rank) for r in bm25_topk(spark, sf_dir).collect()]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n = len(toks)
+    sumdl = sum(len(t) for t in toks.values())
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in BM25_TERMS
+    }
+    scored = []
+    for doc_id, tk in toks.items():
+        dl = len(tk)
+        s = 0.0
+        for t in BM25_TERMS:
+            tf = sum(1 for x in tk if x == t)
+            idf = (float(n) - df[t] + 0.5) / (df[t] + 0.5)
+            s += idf * (
+                (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * (float(dl) * float(n) / float(sumdl))))
+            )
+        scored.append((-s, doc_id))
+    expect = [
+        (doc_id, i + 1)
+        for i, (_, doc_id) in enumerate(sorted(scored)[:BM25_K])
+    ]
+    assert got == expect
+
+
+def test_cusum_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from watermill_kinesis_spark.operators.analytics4 import (
+        cusum_changepoint_days,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    got = {
+        r.event_type: (r.n_days, r.max_abs_cusum_scaled, r.changepoint_day)
+        for r in cusum_changepoint_days(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .collect()
+    )
+    per_type: dict[str, Counter] = {}
+    for r in ev:
+        per_type.setdefault(r.event_type, Counter())[r.day] += 1
+    for t, days in per_type.items():
+        n_days = len(days)
+        total = sum(days.values())
+        cum = 0
+        best = None
+        for i, day in enumerate(sorted(days), start=1):
+            cum += days[day]
+            a = abs(n_days * cum - i * total)
+            if best is None or a > best[0]:
+                best = (a, day)
+        assert got[t] == (n_days, best[0], best[1])
+    assert set(got) == set(per_type)
+
+
+def test_approx_percentile_audit_interval_math(spark, sf_dir):
+    """Non-vacuity: recompute the sketch values and the exact rank
+    intervals in numpy and confirm the operator's verdicts equal the
+    interval-distance rule it documents."""
+    import numpy as np
+
+    from watermill_kinesis_spark.operators.frequency import (
+        APPROX_PCT_ACCURACY,
+        APPROX_PCT_PERCENTS,
+        approx_percentile_rank_audit,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    out = {
+        r.event_type: r
+        for r in approx_percentile_rank_audit(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pcts = ", ".join(str(p / 100) for p in APPROX_PCT_PERCENTS)
+    ap = {
+        r.event_type: r.ap
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile(value, array({pcts}), {APPROX_PCT_ACCURACY})"
+            ).alias("ap")
+        )
+        .collect()
+    }
+    vals: dict[str, list] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for t, xs in vals.items():
+        xs = np.sort(np.array(xs))
+        n = len(xs)
+        assert out[t].n_rows == n
+        slack = n // APPROX_PCT_ACCURACY + 1
+        for p, v in zip(APPROX_PCT_PERCENTS, ap[t]):
+            lo = int(np.searchsorted(xs, v, side="left")) + 1
+            hi = int(np.searchsorted(xs, v, side="right"))
+            target = (p * n + 99) // 100
+            d = 0 if lo <= target <= hi else min(abs(lo - target), abs(target - hi))
+            assert getattr(out[t], f"p{p}_within_guarantee") == int(d <= slack)
+            assert d <= slack  # the sketch actually meets its contract
+
+
+def test_grouping_sets_equals_unioned_group_bys(spark, sf_dir):
+    from watermill_kinesis_spark.operators.sqltext import run_sql
+
+    got = {
+        (r.l_returnflag, r.l_linestatus, r.g_flag, r.g_status): (
+            r.sum_qty,
+            r.n_rows,
+        )
+        for r in queries()["sql_grouping_sets"](spark, sf_dir).collect()
+    }
+    full = run_sql(
+        spark,
+        sf_dir,
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) s,"
+        " COUNT(*) c FROM lineitem GROUP BY 1, 2",
+    ).collect()
+    assert all(
+        got[(r.l_returnflag, r.l_linestatus, 0, 0)] == (r.s, r.c) for r in full
+    )
+    grand = run_sql(
+        spark,
+        sf_dir,
+        "SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) s, COUNT(*) c"
+        " FROM lineitem",
+    ).collect()[0]
+    assert got[(None, None, 1, 1)] == (grand.s, grand.c)
+    # 4 sets: |flag×status| + |flag| + |status| + 1
+    flags = {r.l_returnflag for r in full}
+    statuses = {r.l_linestatus for r in full}
+    assert len(got) == len(full) + len(flags) + len(statuses) + 1
+
+
+def test_l_diversity_matches_bruteforce(spark, sf_dir):
+    from watermill_kinesis_spark.operators.governance import (
+        KANON_BAL_BAND,
+        LDIV_L,
+        l_diversity_audit,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    r = l_diversity_audit(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    import math
+
+    groups: dict[tuple, list] = {}
+    for c in rows:
+        key = (c.c_nationkey, math.floor(float(c.c_acctbal) / KANON_BAL_BAND))
+        groups.setdefault(key, []).append(c.c_mktsegment)
+    viol = {k: v for k, v in groups.items() if len(set(v)) < LDIV_L}
+    assert r.n_groups == len(groups)
+    assert r.n_violating_groups == len(viol)
+    assert r.n_rows_at_risk == sum(len(v) for v in viol.values())
+    assert r.min_distinct_sensitive == min(len(set(v)) for v in groups.values())

@@ -1764,3 +1764,77 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_above_fence"),
         )
     )
+
+
+@query(
+    "cusum_changepoint_days",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS total
+        FROM cells GROUP BY 1),
+    scan AS (
+        SELECT c.event_type, c.day, t.n_days,
+               t.n_days * CAST(SUM(c.c) OVER w AS BIGINT)
+                   - CAST(ROW_NUMBER() OVER w AS BIGINT) * t.total AS s
+        FROM cells c JOIN tot t USING (event_type)
+        WINDOW w AS (PARTITION BY c.event_type ORDER BY c.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ranked AS (
+        SELECT event_type, n_days, day, ABS(s) AS a,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(s) DESC, day) AS rk
+        FROM scan)
+    SELECT event_type, n_days,
+           CAST(a AS BIGINT) AS max_abs_cusum_scaled,
+           day AS changepoint_day
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("statistics", "timeseries", "drift"),
+)
+def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over each event type's daily
+    volume (Page 1954, the classic drift alarm for ingest monitoring):
+    the cumulative deviation from the group mean peaks at the most
+    likely shift point. Kept integer-exact by scaling with the day
+    count — S'_t = n_days·Σ_{i≤t} x_i − t·ΣX = n_days·S_t — so the
+    argmax and the reported magnitude are bit-identical on both
+    engines (a float running mean would accumulate rounding). Emits
+    the scaled peak and its day (ties → earliest day). Scale shape:
+    events pre-aggregate map-side to (type, day) cells — ONE shuffle —
+    and every window below runs over the pre-aggregated, time-bounded
+    day axis (≤ |days| rows per type at ANY corpus size; the
+    enum-partition guard explicitly allows aggregate-fed windows), so
+    the single-task scan touches a calendar's worth of rows, not
+    N/|types|."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wall = W.partitionBy("event_type")
+    wcum = wall.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    scan = cells.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        (
+            F.count(F.lit(1)).over(wall) * F.sum("c").over(wcum)
+            - F.row_number().over(wall.orderBy("day"))
+            * F.sum("c").over(wall)
+        ).alias("s"),
+    )
+    best = scan.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.min(F.struct((-F.abs("s")).alias("neg_a"), F.col("day"))).alias(
+            "pick"
+        ),
+    )
+    return best.select(
+        "event_type",
+        "n_days",
+        (-F.col("pick.neg_a")).cast("bigint").alias("max_abs_cusum_scaled"),
+        F.col("pick.day").alias("changepoint_day"),
+    )

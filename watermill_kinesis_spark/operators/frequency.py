@@ -601,3 +601,73 @@ def count_min_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("cms_within_bound"),
     )
+
+
+#: GK summary accuracy for the audit: rank error ≤ n/accuracy
+APPROX_PCT_ACCURACY = 1000
+#: audited percentiles (integer percent, exact-integer target ranks)
+APPROX_PCT_PERCENTS = (50, 99)
+
+
+@query(
+    "approx_percentile_rank_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           1 AS p50_within_guarantee,
+           1 AS p99_within_guarantee
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+    tags=("sketch", "statistics", "audit"),
+)
+def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald–Khanna percentile-sketch audit (the
+    ``hll_merge_accuracy_audit`` pattern for Spark's built-in
+    ``approx_percentile``): the sketch's contract is a RANK guarantee —
+    the returned value's exact rank sits within n/accuracy of the
+    target rank — so the audit computes, per group, the exact rank
+    interval each returned value occupies ([#strictly-below + 1,
+    #at-or-below]) and pins the verdict that the interval is within
+    the budget of ⌈p·n⌉ (integer ceiling; +1 cushion absorbs the
+    target-rank convention). Approximate values stay engine-side; the
+    oracle pins exact group counts and both verdicts. This is the
+    distributed-percentile scale path: GK summaries are mergeable
+    partial aggregates (one shuffle of KB-sized sketches, never a
+    sort), the exact-rank confirm is two COUNT aggregates on a second
+    scan — cheap enough to run as a release gate beside the sketch."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    pcts = ", ".join(f"{p / 100}" for p in APPROX_PCT_PERCENTS)
+    approx = ev.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, array({pcts}), {APPROX_PCT_ACCURACY})"
+        ).alias("ap")
+    )
+    probed = ev.join(F.broadcast(approx), "event_type")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, p in enumerate(APPROX_PCT_PERCENTS):
+        v = F.element_at(F.col("ap"), i + 1)
+        aggs += [
+            F.count_if(F.col("value") < v).alias(f"lt_{p}"),
+            F.count_if(F.col("value") <= v).alias(f"le_{p}"),
+        ]
+    counted = probed.groupBy("event_type").agg(*aggs)
+    out_cols = [F.col("event_type"), F.col("n_rows")]
+    n = F.col("n_rows")
+    slack = F.expr(f"n_rows div {APPROX_PCT_ACCURACY}") + 1
+    for p in APPROX_PCT_PERCENTS:
+        target = F.expr(f"({p} * n_rows + 99) div 100")  # ceil(p%·n)
+        lo = F.col(f"lt_{p}") + 1  # lowest exact rank the value holds
+        hi = F.col(f"le_{p}")  # highest exact rank the value holds
+        d = (
+            F.when((lo <= target) & (target <= hi), F.lit(0))
+            .when(lo > target, lo - target)
+            .otherwise(target - hi)
+        )
+        out_cols.append(
+            (d <= slack).cast("int").alias(f"p{p}_within_guarantee")
+        )
+    return counted.select(*out_cols)

@@ -129,6 +129,60 @@ def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: distinct-sensitive-value floor for the l-diversity release gate
+LDIV_L = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH groups AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / {KANON_BAL_BAND}) AS BIGINT) AS bal_band,
+               COUNT(*) AS sz,
+               COUNT(DISTINCT c_mktsegment) AS n_sens
+        FROM customer GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT_IF(n_sens < {LDIV_L}) AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN sz ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(MIN(n_sens) AS BIGINT) AS min_distinct_sensitive
+    FROM groups
+    """,
+    tags=("governance", "agg", "llm-pipeline"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling
+    (Machanavajjhala et al. 2007): a QI group whose rows all share one
+    sensitive value leaks that value even when the group is large, so
+    the release gate also requires ≥ l DISTINCT sensitive values per
+    quasi-identifier combination (here QI = (nation, coarsened balance
+    band), sensitive = market segment). Same single-scan shape as
+    ``kanonymity_audit``: one map-side-combined aggregate to
+    |QI-combos| rows carrying (size, distinct-sensitive), one tiny
+    summary — the distinct count rides the same shuffle because the
+    sensitive attribute is part of the aggregate, not the key."""
+    c = load_table(spark, sf_dir, "customer")
+    groups = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / KANON_BAL_BAND)
+        .cast("bigint")
+        .alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("c_mktsegment").alias("n_sens"),
+    )
+    low = F.col("n_sens") < LDIV_L
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(low).alias("n_violating_groups"),
+        F.sum(F.when(low, F.col("sz")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n_sens").alias("min_distinct_sensitive"),
+    )
+
+
 #: per-type retention policies (days kept, relative to the corpus's
 #: own max event time — a fixed "now" would rot with the testdata)
 TTL_POLICY = {

@@ -209,3 +209,104 @@ def mrr_at_k_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias(f"rr_scaled_{RR_SCALE}"),
     )
+
+
+#: BM25 parameters (Robertson–Spärck Jones defaults) and the fixed
+#: query; constants are spelled in e-notation inside the SHARED
+#: expression text so BOTH engines parse them as DOUBLE (a bare `2.2`
+#: is DECIMAL(2,1) in both SQL dialects — decimal·bigint arithmetic
+#: would round differently from the double path)
+BM25_TERMS = ("hash", "merge", "stream")
+BM25_K = 10
+
+#: per-term score: log-free rational idf (monotone in the RSJ idf —
+#: the collocation_pmi policy) × the k1/b-damped tf, with avgdl folded
+#: in as dl·N/sumdl so the whole expression is ONE deterministic chain
+#: of double ops shared verbatim with the oracle
+_BM25_TERM = (
+    "((CAST(n AS DOUBLE) - df{i} + 0.5e0) / (df{i} + 0.5e0))"
+    " * ((tf{i} * 2.2e0) / (tf{i} + 1.2e0 * (0.25e0 + 0.75e0"
+    " * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE)))))"
+)
+_BM25_SCORE = " + ".join(
+    _BM25_TERM.format(i=i + 1) for i in range(len(BM25_TERMS))
+)
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len(toks) AS dl,
+               {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf{i + 1}" for i, t in enumerate(BM25_TERMS))}
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL)),
+    g AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+               {", ".join(f"COUNT_IF(tf{i + 1} > 0) AS df{i + 1}" for i in range(len(BM25_TERMS)))}
+        FROM base),
+    scored AS (
+        SELECT doc_id, {_BM25_SCORE} AS score
+        FROM base CROSS JOIN g)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_K}
+    """,
+    tags=("retrieval", "text", "ranking", "llm-pipeline"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed conjunctive query — the
+    standard sparse-retrieval scorer (Robertson–Spärck Jones; k1=1.2,
+    b=0.75) and the classic hybrid-search partner of the dense
+    similarity family (see ``hybrid_rank_fusion_rrf``). The idf is the
+    log-free rational (N−df+½)/(df+½) — strictly monotone in the usual
+    log idf, so rankings are unchanged — and the whole per-document
+    score is ONE double expression whose text is shared verbatim with
+    the oracle (same IEEE-754 op sequence ⇒ bit-identical doubles);
+    only (doc_id, rank) identities cross the compare, the family's
+    float discipline. Scale shape: per-document tf/dl come from
+    higher-order array functions in the projection (no explode, no
+    per-token shuffle); the corpus statistics (N, Σdl, df per term)
+    are ONE scalar aggregate broadcast back; ranking is
+    TakeOrderedAndProject (top-k short-circuit, never a global sort);
+    the k winners are ranked driver-side — a bounded-k collect, the
+    distscan model-artifact pattern — so no single-partition window
+    appears in the plan."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf{i + 1}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.count_if(F.col(f"tf{i + 1}") > 0).alias(f"df{i + 1}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(g)).selectExpr(
+        "doc_id", f"{_BM25_SCORE} AS score"
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
+    rows = top.select("doc_id").collect()
+    return spark.createDataFrame(
+        [(r.doc_id, i + 1) for i, r in enumerate(rows)],
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("rank", LongType(), False),
+            ]
+        ),
+    )

@@ -205,3 +205,34 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pushed-down date filter, partial aggregation), since inference
     happens at analysis time, before Catalyst ever sees the plan."""
     return run_sql(spark, sf_dir, _SQL_GROUP_BY_ALL)
+
+
+#: one GROUPING SETS text, two engines: four explicit sets (the full
+#: cross, each single axis, and the grand total) with GROUPING()
+#: disambiguating a genuine NULL key from a rolled-up axis.
+_SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())
+"""
+
+
+@query(
+    "sql_grouping_sets", oracle=_SQL_GROUPING_SETS, tags=("sql", "agg")
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit `GROUPING SETS` beyond the rollup_agg/cube_agg faces:
+    an arbitrary set list (full cross, each axis alone, grand total)
+    with `GROUPING()` flags — the ANSI way to distinguish a rolled-up
+    axis from a genuinely NULL key, and the shape reporting layers
+    feed to cube browsers. The exact same SQL text runs on Spark and
+    DuckDB. Scale shape: Spark expands grouping sets into a single
+    Expand + hash aggregate — one shuffle regardless of how many sets,
+    with partial aggregation below it (vs one job per set if a user
+    unioned four GROUP BYs)."""
+    return run_sql(spark, sf_dir, _SQL_GROUPING_SETS)
