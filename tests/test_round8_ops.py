@@ -296,3 +296,76 @@ def test_l_diversity_matches_bruteforce(spark, sf_dir):
     assert r.n_violating_groups == len(viol)
     assert r.n_rows_at_risk == sum(len(v) for v in viol.values())
     assert r.min_distinct_sensitive == min(len(set(v)) for v in groups.values())
+
+
+def test_knn_mutual_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from watermill_kinesis_spark.operators.similarity2 import (
+        KNN_MUTUAL_K,
+        knn_mutual_label_blocked,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    got = {
+        r.vec_id: r.n_mutual
+        for r in knn_mutual_label_blocked(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        )
+    sel: dict[int, set] = {}
+    for label, vs in by_label.items():
+        for vid, v in vs:
+            vn = np.linalg.norm(v)
+            scored = []
+            for wid, wv in vs:
+                if wid == vid:
+                    continue
+                wn = np.linalg.norm(wv)
+                c = -1.0 if vn == 0 or wn == 0 else float(v @ wv / (vn * wn))
+                scored.append((-c, wid))
+            sel[vid] = {w for _, w in sorted(scored)[:KNN_MUTUAL_K]}
+    expect = {
+        v: sum(1 for w in nbrs if v in sel.get(w, ()))
+        for v, nbrs in sel.items()
+    }
+    assert got == expect
+    assert any(v > 0 for v in got.values())  # graph has mutual edges
+    assert any(v < KNN_MUTUAL_K for v in got.values())  # and asymmetry
+
+
+def test_interval_islands_matches_bruteforce(spark, sf_dir):
+    from watermill_kinesis_spark.operators.relational5 import (
+        ISLAND_PAD_US,
+        interval_coalesce_islands,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.n_islands, r.covered_us)
+        for r in interval_coalesce_islands(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & (F.col("user_id") < 200))
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("s"))
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r.s)
+    for u, starts in per_user.items():
+        ivs = sorted((s, s + ISLAND_PAD_US) for s in starts)
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        covered = sum(e - s for s, e in islands)
+        assert got[u] == (len(starts), len(islands), covered)
+    assert set(got) == set(per_user)

@@ -615,3 +615,111 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_clicks") * F.col("n_purchases")).alias("n_pairs"),
         )
     )
+
+
+#: activity padding per event for interval coalescing (microseconds):
+#: each event claims [ts, ts + 5 min]
+ISLAND_PAD_US = 300_000_000
+
+
+@query(
+    "interval_coalesce_islands",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {ISLAND_PAD_US} AS e
+        FROM events WHERE user_id IS NOT NULL AND user_id < 200),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL THEN 1
+                    WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM base),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+    tags=("window", "event-time", "gaps-islands"),
+)
+def interval_coalesce_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each event claims a padded
+    activity interval [ts, ts+5min]; overlapping intervals per user
+    merge into islands and the row reports island count and total
+    covered time — the classic uptime/activity-coverage shape (and the
+    interval-union primitive behind media-span dedup). An island opens
+    where the start exceeds the running MAX of all previous ends (a
+    plain LAG is wrong when an early interval outlasts its successors
+    — the textbook gaps-and-islands pitfall); island ids are the
+    running sum of those flags. Everything is integer microseconds
+    (``unix_micros`` ↔ ``epoch_us``, the window_range_frame pairing)
+    so coverage sums are exact on both engines, with event_id breaking
+    equal-timestamp ties identically. Scale shape: both windows and
+    both aggregates cluster on the high-cardinality user axis — one
+    shuffle, per-user chains scan in O(n), no enum partition
+    anywhere."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & (F.col("user_id") < 200)
+    )
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + ISLAND_PAD_US).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = base.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    # the SAME (s, event_id) total order as the flag window: ordering
+    # the running sum by (s, e) instead would let equal-timestamp rows
+    # swap around an island boundary, engine-dependently
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(w_cum).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias(
+            "covered_us"
+        ),
+    )

@@ -674,3 +674,97 @@ def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+#: neighbors per vector for the mutual-kNN graph
+KNN_MUTUAL_K = 3
+
+
+@query(
+    "knn_mutual_label_blocked",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    topk AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst) AS rk
+        FROM pairs),
+    sel AS (SELECT src, dst FROM topk WHERE rk <= {KNN_MUTUAL_K})
+    SELECT s.src AS vec_id,
+           CAST(COUNT(m.dst) AS BIGINT) AS n_mutual
+    FROM sel s LEFT JOIN sel m ON s.src = m.dst AND s.dst = m.src
+    GROUP BY 1
+    """,
+    tags=("similarity", "embeddings", "graph", "llm-pipeline"),
+)
+def knn_mutual_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over label blocks — the symmetrized
+    nearest-neighbor graph that semantic-dedup and graph-based corpus
+    pruning build before clustering (a mutual edge — each endpoint in
+    the other's top-k — is the standard high-precision edge filter).
+    Blocking by label bounds pair generation to Σ|block|², the classic
+    blocked-similarity shape; at 100 TB the block key becomes the LSH
+    bucket (``similarity_ann_lsh``) or the IVF cell — this operator is
+    the exact-graph face over bounded blocks (an eval-set regime, so
+    the build side broadcasts; the |block|-key shuffle join that would
+    collapse parallelism never appears). Per-source ranking is a
+    window over the high-cardinality vec_id axis; the mutuality check
+    is a self-join of the k·n edge list on swapped endpoints. Only
+    (vec_id, mutual-degree) integers cross the compare — cosine scores
+    stay engine-internal, the similarity family's float discipline."""
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("blabel"),
+        F.col("emb").alias("bemb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb, bemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = lambda c: F.sqrt(
+        F.expr(f"aggregate({c}, 0D, (acc, v) -> acc + v * v)")
+    )
+    cos = F.when(
+        (nrm("emb") == 0.0) | (nrm("bemb") == 0.0), F.lit(-1.0)
+    ).otherwise(dot / (nrm("emb") * nrm("bemb")))
+    pairs = (
+        e.join(
+            F.broadcast(b),
+            (F.col("label") == F.col("blabel"))
+            & (F.col("vec_id") != F.col("dst")),
+        )
+        .select(F.col("vec_id").alias("src"), "dst", cos.alias("cos"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    sel = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_MUTUAL_K)
+        .select("src", "dst")
+    )
+    rev = sel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = sel.join(rev, ["src", "dst"], "left_semi")
+    return (
+        sel.select("src")
+        .distinct()
+        .join(
+            mutual.groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_mutual")
+            ),
+            "src",
+            "left",
+        )
+        .select(
+            F.col("src").alias("vec_id"),
+            F.coalesce("n_mutual", F.lit(0)).cast("bigint").alias("n_mutual"),
+        )
+    )
