@@ -71,6 +71,12 @@ HEADLINE = [
     "simhash_recall_audit",
     "kcenter_diversity_audit",
     "bloom_fpp_audit",
+    # r8-added heavies: the block-quadratic mutual-kNN graph, the
+    # corpus-stat BM25 ranking (higher-order array tf per doc), and
+    # the double-probe percentile-sketch audit
+    "knn_mutual_label_blocked",
+    "bm25_topk",
+    "approx_percentile_rank_audit",
 ]
 
 #: index where the r4-added heavies start in HEADLINE
@@ -81,6 +87,8 @@ _R5_START = HEADLINE.index("winnowing_fingerprints")
 _R6_START = HEADLINE.index("auc_roc_exact")
 #: index where the r7-added heavies start
 _R7_START = HEADLINE.index("gopher_quality_rules")
+#: index where the r8-added heavies start
+_R8_START = HEADLINE.index("knn_mutual_label_blocked")
 
 #: Calibration anchor (r5 VERDICT "what's wrong #3"): the machine is
 #: co-tenant, so round-over-round per-query numbers drift with load the
@@ -167,10 +175,19 @@ def main() -> int:
     r5_total = round(sum(timings.get(n, 0.0) for n in r5_heavies), 3)
     r6_heavies = HEADLINE[_R6_START:_R7_START]
     r6_total = round(sum(timings.get(n, 0.0) for n in r6_heavies), 3)
-    r7_heavies = HEADLINE[_R7_START:]
+    r7_heavies = HEADLINE[_R7_START:_R8_START]
     r7_total = round(sum(timings.get(n, 0.0) for n in r7_heavies), 3)
+    r8_heavies = HEADLINE[_R8_START:]
+    r8_total = round(sum(timings.get(n, 0.0) for n in r8_heavies), 3)
     heavy_total = round(
-        total - core_total - r4_total - r5_total - r6_total - r7_total, 3
+        total
+        - core_total
+        - r4_total
+        - r5_total
+        - r6_total
+        - r7_total
+        - r8_total,
+        3,
     )
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -191,6 +208,7 @@ def main() -> int:
                     "heavies_added_r5": r5_total,
                     "heavies_added_r6": r6_total,
                     "heavies_added_r7": r7_total,
+                    "heavies_added_r8": r8_total,
                 },
                 "calibration": {
                     "sec": calib,

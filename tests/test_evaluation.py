@@ -503,3 +503,22 @@ def test_auc_kernel_rejects_null_group(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     with pytest.raises(ValueError, match="non-null group keys"):
         queries()["auc_roc_exact"](spark, str(tmp_path))
+
+
+def test_auc_kernel_batch_carry_invariant(spark, sf_dir):
+    """The slice kernel folds Arrow batch by batch with a carry cell
+    (r8 review: pd.concat of a whole slice is O(N/n_slices) worker
+    memory). Shrinking maxRecordsPerBatch forces tie cells and groups
+    to straddle batch boundaries — results must be identical."""
+    from watermill_kinesis_spark.registry import queries
+
+    fn = queries()["auc_roc_exact"]
+    baseline = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        small = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert small == baseline

@@ -596,3 +596,65 @@ def test_big_literal_guard_catches_prefix_bloom_shape(spark, sf_dir):
 
     # the iterative annotation covers exactly the power-method pair
     assert set(ITERATIVE) == {"pagerank_mass_audit", "pagerank_bipartite"}
+
+
+def test_bloom_literal_budget_inside_big_literal_threshold(spark):
+    """The dense-literal budget and the plan-audit red-flag threshold
+    were introduced together and MUST agree: every bloom the budget
+    sanctions as a plan literal stays at or under the element ceiling
+    the audit flags (review finding: a 4 MiB budget with a 16384-long
+    flag would make mid-size blooms trip the repo's own gate)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import BIG_LITERAL_ELEMS
+
+    from watermill_kinesis_spark.operators.pipeline4 import (
+        BLOOM_LITERAL_BUDGET_BYTES,
+    )
+
+    assert BLOOM_LITERAL_BUDGET_BYTES // 8 <= BIG_LITERAL_ELEMS
+
+
+def test_driver_fold_internal_stages_stay_red_flag_free(spark, sf_dir):
+    """auc_roc_exact and bm25_topk fold bounded collects driver-side,
+    so PLANS.md's rows for them show only the post-fold local relation
+    (annotated ⊙). THIS test pins their real distributed stages: the
+    AUC slice-stats stage must be one range exchange feeding an Arrow
+    kernel; the BM25 stage must broadcast its scalar stats and rank
+    via TakeOrderedAndProject — and neither may carry any red-flag
+    shape (r8 review finding: eager collects otherwise blind the plan
+    audit to regressions in these operators)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import (
+        DRIVER_FOLD,
+        _bad_big_literal,
+        _bad_enum_window,
+        _bad_nested_loop,
+        _bad_single_partition,
+    )
+
+    from watermill_kinesis_spark.operators.evaluation import _auc_slice_stats
+    from watermill_kinesis_spark.operators.retrieval import _bm25_scored_topk
+
+    assert set(DRIVER_FOLD) == {"auc_roc_exact", "bm25_topk"}
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    auc = plan(_auc_slice_stats(spark, sf_dir))
+    assert "Exchange rangepartitioning" in auc
+    assert "MapInPandas" in auc
+    bm25 = plan(_bm25_scored_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in bm25
+    assert "BroadcastNestedLoopJoin" in bm25 or "BroadcastExchange" in bm25
+    for name, p in (("auc", auc), ("bm25", bm25)):
+        if name == "bm25":
+            # the scalar-agg broadcast IS a 1-row nested-loop build —
+            # the benign case _bad_nested_loop already whitelists
+            assert not _bad_nested_loop(p), f"{name}: bad nested loop"
+        assert not _bad_single_partition(p), f"{name}: bad single-partition"
+        assert not _bad_enum_window(p), f"{name}: enum window"
+        assert not _bad_big_literal(p), f"{name}: big literal"

@@ -125,6 +125,17 @@ ITERATIVE = {
     "pagerank_bipartite": "8-iteration power method; graph.py materializes each pass",
 }
 
+#: operators whose registered fn COLLECTS a bounded artifact and
+#: returns a driver-built relation: the audited row reflects only the
+#: post-fold LocalTableScan (0 shuffles is an artifact of the fold,
+#: not the execution), and auditing them EXECUTES the job. Their real
+#: distributed stages are factored into importable helpers whose plans
+#: tests/test_plans.py pins directly (r8 review finding).
+DRIVER_FOLD = {
+    "auc_roc_exact": "evaluation._auc_slice_stats",
+    "bm25_topk": "retrieval._bm25_scored_topk",
+}
+
 
 def _bad_big_literal(plan: str) -> bool:
     """A numeric array literal with more than BIG_LITERAL_ELEMS
@@ -190,7 +201,11 @@ def main() -> int:
         "unexecuted k-iteration lineage, but each runtime pass",
         "materializes its step (count() + unpersist), so execution is",
         "~counts/k co-partitioned exchanges per pass, not the printed",
-        "total.",
+        "total. Rows marked ⊙ are DRIVER-FOLD operators: the registered",
+        "fn collects a bounded artifact and returns a driver-built",
+        "relation, so the audited row is the post-fold LocalTableScan —",
+        "their real distributed stages are factored helpers whose plans",
+        "tests/test_plans.py pins directly.",
         "",
         "| query | shuffles | broadcasts | BHJ | SMJ | pushdown | codegen |"
         " TakeOrdered | WindowGroupLimit | Arrow | scalar-agg | BadSinglePart! | BadNestedLoop! | BadEnumWindow! | BigLiteral! |",
@@ -211,7 +226,7 @@ def main() -> int:
             continue
         a = audit_plan(plan)
         y = lambda b: "✓" if b else ""  # noqa: E731
-        it = "⟳" if name in ITERATIVE else ""
+        it = "⟳" if name in ITERATIVE else ("⊙" if name in DRIVER_FOLD else "")
         lines.append(
             f"| {name} | {a['shuffles']}{it} | {a['broadcasts']}{it} | "
             f"{a['bcast_joins']} | {a['smj']} | {y(a['pushed'])} | "

@@ -1797,9 +1797,13 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection over each event type's daily
-    volume (Page 1954, the classic drift alarm for ingest monitoring):
+    VOLUME (Page 1954, the classic drift alarm for ingest monitoring):
     the cumulative deviation from the group mean peaks at the most
-    likely shift point. Kept integer-exact by scaling with the day
+    likely shift point. Complements ``cusum_changepoint``
+    (relational5.py), which runs the same statistic over the raw
+    per-event VALUE series and therefore needs the distscan
+    decomposition; this operator's axis is the calendar day, so the
+    pre-aggregation bounds the windowed relation instead. Kept integer-exact by scaling with the day
     count — S'_t = n_days·Σ_{i≤t} x_i − t·ΣX = n_days·S_t — so the
     argmax and the reported magnitude are bit-identical on both
     engines (a float running mean would accumulate rounding). Emits

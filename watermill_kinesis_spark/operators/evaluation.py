@@ -62,6 +62,94 @@ KFOLD_MULT = 2654435761
 CALIB_BINS = 10
 
 
+def _auc_slice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-collect stage of :func:`auc_roc_exact`: ONE range shuffle on
+    (group, score) and a per-slice Arrow kernel that folds each
+    slice's ordered tie cells into (Σc, Σnpos, doubled-rank partial) —
+    the bounded ``n_slices × |groups|`` artifact the driver fold
+    consumes. Factored out so the DISTRIBUTED shape stays auditable:
+    the registered fn collects this relation, so PLANS.md's row for
+    auc_roc_exact sees only the post-fold local relation —
+    ``tests/test_plans.py`` pins this stage's plan (range exchange +
+    MapInPandas, no red flags) instead.
+
+    The kernel folds batch-by-batch with a carry cell across Arrow
+    batch boundaries (a tie cell or group may straddle batches), so
+    per-task memory is O(arrow-batch + |groups in slice|) — NOT
+    O(slice): the replaced pd.concat form materialized N/n_slices rows
+    per Python worker, a scale regression vs the spillable window sort
+    it replaced (r8 review finding). Sums ride unbounded Python ints."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    parted = (
+        scored.repartitionByRange(N_SLICES, F.col("grp"), F.col("score"))
+        .sortWithinPartitions("grp", "score")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def _slice_partials(batches):
+        import pandas as pd
+
+        pid = None
+        # grp -> [sum_c, sum_npos, s2] as unbounded Python ints
+        acc: dict = {}
+        # the most recent cell, withheld until the NEXT cell proves it
+        # complete — a (grp, score) cell may straddle arrow batches
+        carry = None
+
+        def fold(g, c, npos):
+            cur = acc.setdefault(g, [0, 0, 0])
+            # rank of the cell = rows already folded in its group + 1;
+            # per-cell doubled-rank term: npos·(2·cum_c − c + 1)
+            cur[2] += npos * (2 * (cur[0] + c) - c + 1)
+            cur[0] += c
+            cur[1] += npos
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            # dropna=False: a NULL key must surface (the driver fold
+            # fail-louds on it), never silently lose its rows
+            cells = (
+                pdf.groupby(["grp", "score"], sort=False, dropna=False)
+                .agg(c=("pos", "size"), npos=("pos", "sum"))
+                .reset_index()
+            )
+            for g, s, c, npos in zip(
+                cells["grp"], cells["score"], cells["c"], cells["npos"]
+            ):
+                c, npos = int(c), int(npos)
+                if carry is not None:
+                    if carry[0] == g and carry[1] == s:
+                        c += carry[2]
+                        npos += carry[3]
+                    else:
+                        fold(carry[0], carry[2], carry[3])
+                carry = (g, s, c, npos)
+        if carry is not None:
+            fold(carry[0], carry[2], carry[3])
+        if pid is None:
+            return
+        yield pd.DataFrame(
+            [
+                (pid, g, t[0], t[1], str(t[2]))
+                for g, t in acc.items()
+            ],
+            columns=["pid", "grp", "sum_c", "sum_npos", "s2_local"],
+        )
+
+    return parted.mapInPandas(
+        _slice_partials,
+        "pid int, grp string, sum_c long, sum_npos long, s2_local string",
+    )
+
+
 @query(
     "auc_roc_exact",
     oracle="""
@@ -102,8 +190,9 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     division on both engines. Scale shape (round-8 fusion, VERDICT r7
     #3): ONE range shuffle on (group, score) — ties stay whole inside
     a slice because the range key carries no tiebreak — then a single
-    per-slice Arrow kernel folds each slice's ordered cells into
-    (Σc, Σnpos, local doubled-rank partial): the bounded
+    per-slice Arrow kernel (:func:`_auc_slice_stats`, batch-streamed
+    with a boundary carry, O(arrow-batch) worker memory) folds each
+    slice into (Σc, Σnpos, local doubled-rank partial): the bounded
     ``n_slices × |groups|`` model artifact of the distscan pattern,
     collected once. The driver lifts local partials to global ones
     with the running per-group row offsets (RANK() of a cell = rows
@@ -117,54 +206,12 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct but paid three exchanges plus an offsets checkpoint —
     2.19× the r6 window's time at sf0.1; this kernel returns the
     constant factor while keeping per-task work bounded by the
-    slice). Kernel sums ride object-dtype (unbounded-int) numpy
-    accumulation, so no int64 overflow at any slice size. Skew note:
-    a single massive tie cell lands in one slice — acceptable for a
-    near-continuous score axis; a seam-patched split-tie variant is
-    the escape hatch if a discrete score axis ever routes here. The
-    scalable shape of sklearn's ``roc_auc_score`` for grouped-report
-    evaluation."""
-    o = load_table(spark, sf_dir, "orders")
-    scored = o.select(
-        F.col("o_orderpriority").alias("grp"),
-        F.col("o_totalprice").alias("score"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
-    )
-    parted = (
-        scored.repartitionByRange(N_SLICES, F.col("grp"), F.col("score"))
-        .sortWithinPartitions("grp", "score")
-        .withColumn("pid", F.spark_partition_id())
-    )
-
-    def _slice_partials(batches):
-        import numpy as np
-        import pandas as pd
-
-        pdfs = [b for b in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        out = []
-        pid = int(pdf["pid"].iloc[0])
-        # dropna=False: a NULL key must surface (the driver fold
-        # fail-louds on it), never silently lose its rows
-        for g, gd in pdf.groupby("grp", sort=False, dropna=False):
-            cells = gd.groupby("score", sort=False, dropna=False).agg(
-                c=("pos", "size"), npos=("pos", "sum")
-            )
-            c = cells["c"].to_numpy(np.int64)
-            npos = cells["npos"].to_numpy(np.int64)
-            cum = np.cumsum(c.astype(object))  # unbounded-int prefix
-            s2 = int(np.sum(npos.astype(object) * (2 * cum - c + 1)))
-            out.append((pid, g, int(c.sum()), int(npos.sum()), str(s2)))
-        yield pd.DataFrame(
-            out, columns=["pid", "grp", "sum_c", "sum_npos", "s2_local"]
-        )
-
-    stats = parted.mapInPandas(
-        _slice_partials,
-        "pid int, grp string, sum_c long, sum_npos long, s2_local string",
-    ).collect()
+    slice). Skew note: a single massive tie cell lands in one slice —
+    acceptable for a near-continuous score axis; a seam-patched
+    split-tie variant is the escape hatch if a discrete score axis
+    ever routes here. The scalable shape of sklearn's
+    ``roc_auc_score`` for grouped-report evaluation."""
+    stats = _auc_slice_stats(spark, sf_dir).collect()
     # driver fold over the bounded artifact: ascending pid = ascending
     # (grp, score) ranges, so a running per-group row offset lifts each
     # slice's doubled-rank partial to the global value

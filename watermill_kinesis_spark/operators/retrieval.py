@@ -233,6 +233,39 @@ _BM25_SCORE = " + ".join(
 )
 
 
+def _bm25_scored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-collect stage of :func:`bm25_topk`: per-document tf/dl in
+    the projection, ONE broadcast scalar-aggregate of corpus stats,
+    the shared-text double score, and a TakeOrderedAndProject top-k —
+    factored out so the distributed plan stays auditable after the
+    registered fn folds the k winners driver-side."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf{i + 1}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.count_if(F.col(f"tf{i + 1}") > 0).alias(f"df{i + 1}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(g)).selectExpr(
+        "doc_id", f"{_BM25_SCORE} AS score"
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
+
+
 @query(
     "bm25_topk",
     oracle=f"""
@@ -272,35 +305,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (top-k short-circuit, never a global sort);
     the k winners are ranked driver-side — a bounded-k collect, the
     distscan model-artifact pattern — so no single-partition window
-    appears in the plan."""
+    appears in the plan (the distributed stage's shape is pinned by
+    tests/test_plans.py against :func:`_bm25_scored_topk`, since this
+    fn's own returned relation is post-collect)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select("doc_id", F.split("text", " ").alias("toks"))
-    )
-    base = d.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        *[
-            F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf{i + 1}")
-            for i, t in enumerate(BM25_TERMS)
-        ],
-    )
-    g = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sumdl"),
-        *[
-            F.count_if(F.col(f"tf{i + 1}") > 0).alias(f"df{i + 1}")
-            for i in range(len(BM25_TERMS))
-        ],
-    )
-    scored = base.crossJoin(F.broadcast(g)).selectExpr(
-        "doc_id", f"{_BM25_SCORE} AS score"
-    )
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
-    rows = top.select("doc_id").collect()
+    rows = _bm25_scored_topk(spark, sf_dir).select("doc_id").collect()
     return spark.createDataFrame(
         [(r.doc_id, i + 1) for i, r in enumerate(rows)],
         StructType(

@@ -717,7 +717,20 @@ def knn_mutual_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the high-cardinality vec_id axis; the mutuality check
     is a self-join of the k·n edge list on swapped endpoints. Only
     (vec_id, mutual-degree) integers cross the compare — cosine scores
-    stay engine-internal, the similarity family's float discipline."""
+    stay engine-internal, the similarity family's float discipline.
+
+    Cross-engine float note (r8 review): the two engines compute the
+    cosine through different code (a sequential JVM fold here,
+    ``list_cosine_similarity`` in the oracle), so rank parity relies
+    on no two candidates' cosines being within the engines' few-ulp
+    computation discrepancy — the same envelope
+    ``embedding_matryoshka_audit`` and ``similarity_topk`` have run
+    green under since r2 (numpy vs DuckDB), with exact ties broken by
+    dst on both sides. Quantizing scores in-plan would WIDEN the risk,
+    not shrink it: a grid compare diverges when any cosine falls
+    within δ of a cell boundary (~δ/cell per value), which is far more
+    likely over diffuse scores than two cosines landing within δ of
+    each other. The brute-force pytest pin covers the numpy face."""
     from watermill_kinesis_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "embeddings").select(

@@ -82,69 +82,29 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 7): STALENESS ordering. The driver's
-    # budget-capped gate samples a ~50-entry PREFIX of this list, so the
-    # prefix is now a REGRESSION WINDOW: first the round-7 additions
-    # (never driver-sampled — the audit twins, retrieval metrics, and
-    # quality/statistics faces below), then
-    # every oracle-backed entry ordered by the round it last went
-    # driver-green (r1-green entries first: ~200 of the 266 were last
-    # driver-verified in r1-r2). Entries keep their previous relative
-    # order within the same last-green round. Rows-only entries follow
-    # at the back in their prior order — sampling one records only a
-    # rows-only line (no value-regression signal), so they no longer
-    # consume regression-window slots; their invariants are pytest-
-    # enforced. Recompute each round from CORRECTNESS_r*.json.
-    "mann_kendall_trend",
-    "theil_sen_slope_exact",
-    "iqr_outlier_fences",
-    "winsorized_mean_exact",
-    "feature_extract_census_audit",
-    "frame_sample_census_audit",
-    "simhash_recall_audit",
-    "isotonic_pav_audit",
-    "pagerank_mass_audit",
-    "pca_projection_audit",
-    "semdedup_invariant_audit",
-    "bpe_roundtrip_audit",
-    "codec_roundtrip_audit",
-    "kmeans_assignment_audit",
-    "kcenter_diversity_audit",
-    "multivector_maxsim_topk",
-    "bloom_fpp_audit",
-    "precision_recall_at_k",
-    "mrr_at_k_exact",
-    "gopher_quality_rules",
-    "kendall_tau_exact",
-    "sql_group_by_all",
-    "embedding_int8_quant_audit",
-    "ann_lsh_recall_audit",
-    "ann_ivf_recall_audit",
-    "ann_pq_recall_audit",
-    "hll_merge_accuracy_audit",
-    "cube_agg",
-    "join_left",
-    "window_running",
-    "topk_per_group",
-    "set_union",
-    "set_intersect",
-    "case_when_bucketing",
-    "scan_parquet",
-    "scalar_subquery_above_avg",
-    "having_filter",
-    "q12_shipmode_case",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_disjunctive_pushdown",
-    "q22_global_filter",
-    "cross_join_small",
-    "distinct_rows",
-    "join_skew_salted",
-    "scalar_array_map",
-    "explode_unnest",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q9_product_profit",
+    # ---- Rotation (round 8): STALENESS ordering, recomputed from
+    # CORRECTNESS_r01-r07 (VERDICT r7 task 4). The driver's
+    # budget-capped gate samples a ~50-entry PREFIX of this list, so
+    # the prefix is the REGRESSION WINDOW: first the 8 round-8
+    # additions (never driver-sampled — the new audits, BM25, CUSUM,
+    # GROUPING SETS, l-diversity, islands, mutual-kNN, and the
+    # hll_sketch_native twin conversion), then every oracle-backed
+    # entry ordered by the round it last went driver-green ascending
+    # (3 entries last green in r1, then the 50-strong r2 cohort —
+    # the r8 prefix re-verifies exactly the stalest set). Entries keep
+    # their previous relative order within the same last-green round.
+    # Rows-only entries follow at the back in their prior order —
+    # sampling one records only a rows-only line (no value-regression
+    # signal); their invariants are pytest-enforced. Recompute each
+    # round from CORRECTNESS_r*.json.
+    "hll_sketch_native",
+    "interval_coalesce_islands",
+    "knn_mutual_label_blocked",
+    "cusum_changepoint_days",
+    "sql_grouping_sets",
+    "l_diversity_audit",
+    "approx_percentile_rank_audit",
+    "bm25_topk",
     "q10_returned_items",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -388,6 +348,56 @@ _PRIORITY: tuple[str, ...] = (
     "text_normalize",
     "train_test_split_mod",
     "sample_weighted",
+    "mann_kendall_trend",
+    "theil_sen_slope_exact",
+    "iqr_outlier_fences",
+    "winsorized_mean_exact",
+    "feature_extract_census_audit",
+    "frame_sample_census_audit",
+    "simhash_recall_audit",
+    "isotonic_pav_audit",
+    "pagerank_mass_audit",
+    "pca_projection_audit",
+    "semdedup_invariant_audit",
+    "bpe_roundtrip_audit",
+    "codec_roundtrip_audit",
+    "kmeans_assignment_audit",
+    "kcenter_diversity_audit",
+    "multivector_maxsim_topk",
+    "bloom_fpp_audit",
+    "precision_recall_at_k",
+    "mrr_at_k_exact",
+    "gopher_quality_rules",
+    "kendall_tau_exact",
+    "sql_group_by_all",
+    "embedding_int8_quant_audit",
+    "ann_lsh_recall_audit",
+    "ann_ivf_recall_audit",
+    "ann_pq_recall_audit",
+    "hll_merge_accuracy_audit",
+    "cube_agg",
+    "join_left",
+    "window_running",
+    "topk_per_group",
+    "set_union",
+    "set_intersect",
+    "case_when_bucketing",
+    "scan_parquet",
+    "scalar_subquery_above_avg",
+    "having_filter",
+    "q12_shipmode_case",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "q22_global_filter",
+    "cross_join_small",
+    "distinct_rows",
+    "join_skew_salted",
+    "scalar_array_map",
+    "explode_unnest",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_profit",
     "compression_ratio_filter",
     "stream_left_outer_join",
     "statestore_reader_audit",
@@ -398,7 +408,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_complete_mode_topk",
     "pagerank_bipartite",
     "similarity_ann_pq",
-    "hll_sketch_native",
     "custom_source_stream",
     "udf_custom_codec",
     "dedup_fuzzy_minhash",
