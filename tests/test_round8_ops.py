@@ -369,3 +369,108 @@ def test_interval_islands_matches_bruteforce(spark, sf_dir):
         covered = sum(e - s for s, e in islands)
         assert got[u] == (len(starts), len(islands), covered)
     assert set(got) == set(per_user)
+
+
+def test_benford_counts_match_bruteforce(spark, sf_dir):
+    from watermill_kinesis_spark.operators.analytics3 import (
+        BENFORD_PERMILLE,
+        benford_first_digit_audit,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    got = {
+        r.digit: (r.n, r.observed_permille, r.benford_permille)
+        for r in benford_first_digit_audit(spark, sf_dir).collect()
+    }
+    prices = [
+        r.o_totalprice
+        for r in load_table(spark, sf_dir, "orders").collect()
+        if r.o_totalprice > 0
+    ]
+    counts = {d: 0 for d in range(1, 10)}
+    for p in prices:
+        counts[int(str(int(p * 100))[0])] += 1
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d] == (
+            counts[d],
+            counts[d] * 1000 // len(prices),
+            BENFORD_PERMILLE[d - 1],
+        )
+
+
+def test_funnel_matches_bruteforce(spark, sf_dir):
+    from watermill_kinesis_spark.operators.analytics4 import (
+        FUNNEL_WINDOW_US,
+        funnel_conversion_windows,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    r = funnel_conversion_windows(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .collect()
+    )
+    per_user: dict[int, dict[str, list]] = {}
+    for e in ev:
+        per_user.setdefault(e.user_id, {}).setdefault(e.event_type, []).append(
+            e.t
+        )
+    n_view = n_click = n_buy = 0
+    for u, tys in per_user.items():
+        if "view" not in tys:
+            continue
+        n_view += 1
+        vt = min(tys["view"])
+        clicks = [t for t in tys.get("click", []) if t >= vt]
+        if not clicks:
+            continue
+        ct = min(clicks)
+        if ct - vt <= FUNNEL_WINDOW_US:
+            n_click += 1
+        buys = [t for t in tys.get("purchase", []) if t >= ct]
+        if buys and min(buys) - vt <= FUNNEL_WINDOW_US:
+            n_buy += 1
+    assert (r.n_viewers, r.n_clicked, r.n_purchased) == (
+        n_view,
+        n_click,
+        n_buy,
+    )
+    assert r.conversion_permille == n_buy * 1000 // n_view
+    assert n_view > 0
+
+
+def test_chunker_covers_every_token_and_keeps_tails(spark, sf_dir):
+    from watermill_kinesis_spark.operators.pipeline6 import (
+        CHUNK_S,
+        CHUNK_W,
+        chunk_documents_stride,
+    )
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    chunks: dict[int, list] = {}
+    for r in chunk_documents_stride(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_tok, r.n_tok)
+        )
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    assert set(chunks) == set(docs)
+    for doc_id, toks in docs.items():
+        got = sorted(chunks[doc_id])
+        n = len(toks)
+        starts = list(range(1, max(n, 1) + 1, CHUNK_S))
+        assert [s for _, s, _ in got] == starts
+        assert [i for i, _, _ in got] == list(range(1, len(starts) + 1))
+        # every token covered; tail chunk kept with its true length
+        assert all(nt == min(CHUNK_W, n - s + 1) for _, s, nt in got)
+        assert got[-1][1] + got[-1][2] - 1 == n

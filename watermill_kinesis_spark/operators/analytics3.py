@@ -549,3 +549,68 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+#: Benford's law reference distribution, permille per leading digit
+#: 1..9 (log10(1+1/d), rounded to integer permille — a fixed constant
+#: table, so no engine evaluates a logarithm)
+BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    ref(digit, benford_permille) AS (
+        VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(BENFORD_PERMILLE))})
+    SELECT r.digit,
+           CAST(COALESCE(COUNT(d.digit), 0) AS BIGINT) AS n,
+           CAST(COALESCE(COUNT(d.digit), 0) * 1000
+                // (SELECT COUNT(*) FROM digits) AS BIGINT)
+               AS observed_permille,
+           CAST(r.benford_permille AS BIGINT) AS benford_permille
+    FROM ref r LEFT JOIN digits d USING (digit)
+    GROUP BY r.digit, r.benford_permille
+    """,
+    tags=("statistics", "data-quality", "audit"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit census over order totals — the
+    classic anomaly/fabrication screen for financial-ish magnitudes
+    (synthetic uniform data deviates loudly, which is itself the
+    point: the report shows HOW a feed's digit profile compares to the
+    reference). Log-free on both engines: the leading significant
+    digit comes from the exact cent integer's decimal string (a
+    ``floor(p/10^floor(log10 p))`` formulation silently misbins at
+    powers of ten, where IEEE log10(1000) = 2.999…96), and the
+    reference distribution is a fixed integer-permille constant table.
+    One map-side-combined 9-group aggregate plus a broadcast of the
+    9-row reference — a single scan at any scale."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.count(F.lit(1)).alias("tot"))
+    ref = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(BENFORD_PERMILLE)],
+        "digit bigint, benford_permille bigint",
+    )
+    return (
+        ref.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("COALESCE(n, 0) * 1000 div tot")
+            .cast("bigint")
+            .alias("observed_permille"),
+            "benford_permille",
+        )
+    )

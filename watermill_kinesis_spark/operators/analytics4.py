@@ -1842,3 +1842,96 @@ def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("pick.neg_a")).cast("bigint").alias("max_abs_cusum_scaled"),
         F.col("pick.day").alias("changepoint_day"),
     )
+
+
+#: funnel completion window: every later step must land within this
+#: many microseconds of the user's FIRST view
+FUNNEL_WINDOW_US = 7 * 86_400_000_000
+
+
+@query(
+    "funnel_conversion_windows",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS vt FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+    c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS ct
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.vt
+        GROUP BY 1),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.ct
+        GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(COUNT_IF(ct IS NOT NULL
+                         AND ct - vt <= {FUNNEL_WINDOW_US}) AS BIGINT)
+               AS n_clicked,
+           CAST(COUNT_IF(pt IS NOT NULL
+                         AND pt - vt <= {FUNNEL_WINDOW_US}) AS BIGINT)
+               AS n_purchased,
+           CAST(COUNT_IF(pt IS NOT NULL AND pt - vt <= {FUNNEL_WINDOW_US})
+                * 1000 // COUNT(*) AS BIGINT) AS conversion_permille
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    tags=("analytics", "funnel", "event-time"),
+)
+def funnel_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase) with a
+    7-day completion window — the product-analytics staple that naive
+    per-type MIN aggregates get WRONG: each step's timestamp is the
+    first occurrence AT OR AFTER the previous step (a click before the
+    first view must not count), so the funnel is a chain of
+    conditional MINs, each joined against the prior stage. Exact
+    integer microseconds (``unix_micros`` ↔ ``epoch_us``) keep the
+    window comparisons bit-identical. Scale shape: three
+    filtered-aggregate passes each clustered on user_id (map-side
+    combine, high-cardinality keys), two equi-joins on user_id, and a
+    final scalar fold — no windows, no skew axis; the stage-k relation
+    only shrinks (funnel monotonicity)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("vt"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", us.alias("t"))
+        .join(v, "user_id")
+        .where(F.col("t") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("ct"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(c, "user_id")
+        .where(F.col("t") >= F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("pt"))
+    )
+    w = F.lit(FUNNEL_WINDOW_US)
+    joined = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+        F.count_if(
+            F.col("ct").isNotNull() & (F.col("ct") - F.col("vt") <= w)
+        )
+        .cast("bigint")
+        .alias("n_clicked"),
+        F.count_if(
+            F.col("pt").isNotNull() & (F.col("pt") - F.col("vt") <= w)
+        )
+        .cast("bigint")
+        .alias("n_purchased"),
+        F.expr(
+            f"CAST(count_if(pt IS NOT NULL AND pt - vt <= {FUNNEL_WINDOW_US})"
+            " * 1000 div count(1) AS BIGINT)"
+        ).alias("conversion_permille"),
+    )

@@ -623,3 +623,66 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (every truly-sharing pair IS a candidate); keeps the plan honest
     # if parameters are ever edited out of sync
     return shared.join(cand, ["doc_a", "doc_b"])
+
+
+#: fixed-window chunking geometry: window tokens / stride tokens
+#: (overlap = CHUNK_W − CHUNK_S)
+CHUNK_W = 50
+CHUNK_S = 40
+
+
+@query(
+    "chunk_documents_stride",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+    chunks AS (
+        SELECT doc_id,
+               (i - 1) // {CHUNK_S} + 1 AS chunk_idx,
+               i AS start_tok,
+               len(list_slice(toks, i, i + {CHUNK_W - 1})) AS n_tok,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {CHUNK_W - 1}), ' ')) AS chunk_md5
+        FROM d, unnest(generate_series(1, GREATEST(len(toks), 1),
+                                       {CHUNK_S})) AS t(i))
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(n_tok AS BIGINT) AS n_tok, chunk_md5
+    FROM chunks
+    """,
+    tags=("pipeline", "text", "chunking", "llm-pipeline"),
+)
+def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window overlapping chunker — the RAG/embedding-prep
+    sibling of ``chunk_cdc_rolling`` (content-defined boundaries):
+    50-token windows every 40 tokens (10-token overlap), each chunk
+    addressed by (doc_id, chunk_idx, start_tok) and content-hashed for
+    downstream chunk-level dedup and embedding cache keys. Trailing
+    partial windows are KEPT (n_tok < 50) — dropping them loses
+    document tails from the index, the classic chunker bug. Purely
+    projective: ``sequence`` + ``slice`` + md5 in one codegen pass, no
+    shuffle at all — at 100 TB the chunker is embarrassingly parallel
+    map work whose output feeds the exact-dedup family (group by
+    chunk_md5)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_S)
+    )
+    chunk = F.slice("toks", F.col("start_tok"), CHUNK_W)
+    return (
+        d.select("doc_id", F.explode(starts).alias("start_tok"), "toks")
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start_tok - 1) div {CHUNK_S} + 1 AS BIGINT)").alias(
+                "chunk_idx"
+            ),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.size(chunk).cast("bigint").alias("n_tok"),
+            F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+        )
+    )
