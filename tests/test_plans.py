@@ -639,7 +639,11 @@ def test_driver_fold_internal_stages_stay_red_flag_free(spark, sf_dir):
     from watermill_kinesis_spark.operators.evaluation import _auc_slice_stats
     from watermill_kinesis_spark.operators.retrieval import _bm25_scored_topk
 
-    assert set(DRIVER_FOLD) == {"auc_roc_exact", "bm25_topk"}
+    assert set(DRIVER_FOLD) == {
+        "auc_roc_exact",
+        "bm25_topk",
+        "rank_biased_overlap_exact",
+    }
 
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()

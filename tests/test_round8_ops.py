@@ -474,3 +474,49 @@ def test_chunker_covers_every_token_and_keeps_tails(spark, sf_dir):
         # every token covered; tail chunk kept with its true length
         assert all(nt == min(CHUNK_W, n - s + 1) for _, s, nt in got)
         assert got[-1][1] + got[-1][2] - 1 == n
+
+
+def test_rbo_matches_fraction_reference(spark, sf_dir):
+    """Exact-rational RBO over the two rankings, computed independently
+    with Fraction — must equal the scaled-integer output exactly
+    (scale = 10^10 · 2520 · p/(1−p) folded: rbo_scaled/SCALE = Σ_d
+    p^d·A_d/d)."""
+    from watermill_kinesis_spark.operators.retrieval import (
+        RBO_DEPTH,
+        RBO_SUFFIX,
+        _bm25_scored_topk,
+        rank_biased_overlap_exact,
+    )
+
+    from fractions import Fraction
+
+    r = rank_biased_overlap_exact(spark, sf_dir).collect()[0]
+    # independent rankings via the factored bm25 stage + a tf ranking
+    bm25_ids = [x.doc_id for x in _bm25_scored_topk(spark, sf_dir).collect()]
+    from watermill_kinesis_spark.operators.retrieval import BM25_TERMS
+    from watermill_kinesis_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .collect()
+    )
+    tf_scored = sorted(
+        (
+            -sum(sum(1 for w in d.text.split(" ") if w == t) for t in BM25_TERMS),
+            d.doc_id,
+        )
+        for d in docs
+    )
+    tf_ids = [doc for _, doc in tf_scored[:RBO_DEPTH]]
+    p = Fraction(9, 10)
+    a = {}
+    overlap = 0
+    rbo = Fraction(0)
+    for d in range(1, RBO_DEPTH + 1):
+        s1, s2 = set(bm25_ids[:d]), set(tf_ids[:d])
+        rbo += p**d * Fraction(len(s1 & s2), d)
+    scale = Fraction(10**RBO_DEPTH * 2520)
+    assert Fraction(r.rbo_scaled) == rbo * scale
+    assert r.n_matched == len(set(bm25_ids) & set(tf_ids))
+    assert sum(RBO_SUFFIX) > 0

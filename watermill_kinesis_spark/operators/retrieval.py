@@ -320,3 +320,126 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+#: RBO@10 with persistence p = 9/10, as EXACT scaled integers: the
+#: per-depth weight w_d = 9^d · 10^(10−d) · (2520/d) clears both the
+#: p^d geometric factor and the 1/d average (2520 = lcm(1..10)), so a
+#: doc matched in both rankings with maxrank m contributes the exact
+#: suffix Σ_{d≥m} w_d — one integer lookup per matched doc. The scale
+#: constant is 10^10·2520; rbo = rbo_scaled·(1−p)/(p·scale) if anyone
+#: wants the float back.
+RBO_DEPTH = 10
+RBO_SUFFIX = (
+    53392439389752,
+    30712439389752,
+    20506439389752,
+    14382839389752,
+    10249409389752,
+    7273339789752,
+    5041287589752,
+    3319418749752,
+    1963447038252,
+    878669669052,
+)
+
+
+@query(
+    "rank_biased_overlap_exact",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len(toks) AS dl,
+               {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf{i + 1}" for i, t in enumerate(BM25_TERMS))}
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL)),
+    g AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+               {", ".join(f"COUNT_IF(tf{i + 1} > 0) AS df{i + 1}" for i in range(len(BM25_TERMS)))}
+        FROM base),
+    bm25 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ({_BM25_SCORE}) DESC, doc_id)
+                   AS r1
+        FROM base CROSS JOIN g),
+    tfr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY (tf1 + tf2 + tf3) DESC, doc_id) AS r2
+        FROM base),
+    matched AS (
+        SELECT GREATEST(b.r1, t.r2) AS m
+        FROM (SELECT * FROM bm25 WHERE r1 <= {RBO_DEPTH}) b
+        JOIN (SELECT * FROM tfr WHERE r2 <= {RBO_DEPTH}) t USING (doc_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(CASE m
+               {" ".join(f"WHEN {i + 1} THEN {s}" for i, s in enumerate(RBO_SUFFIX))}
+               END), 0) AS BIGINT) AS rbo_scaled
+    FROM matched
+    """,
+    tags=("retrieval", "ranking", "evaluation", "llm-pipeline"),
+)
+def rank_biased_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the BM25
+    ranking and a plain term-frequency ranking, at depth 10 with
+    persistence 0.9 — the top-weighted ranking-agreement metric used
+    to compare retrieval variants (dense vs sparse, quantized vs full)
+    where Kendall's τ over-weights the tail. Exact by construction:
+    RBO = (1−p)/p · Σ_d p^d·|A∩B|_d/d decomposes per MATCHED document
+    into a suffix of the depth weights starting at max(rank_A, rank_B),
+    so the whole statistic is one integer lookup per matched doc —
+    with p = 9/10 and lcm(1..10) scaling every term is integral
+    (``RBO_SUFFIX``), and both engines sum identical bigints instead
+    of drifting geometric floats. Scale shape: both rankings are
+    TakeOrdered top-10 short-circuits over the shared tf projection;
+    the RBO fold is a ≤10-row join — the corpus-scale work is one scan,
+    shared across the two rankings."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            *[
+                F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(
+                    f"tf{i + 1}"
+                )
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.count_if(F.col(f"tf{i + 1}") > 0).alias(f"df{i + 1}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    bm25 = (
+        base.crossJoin(F.broadcast(g))
+        .selectExpr("doc_id", f"{_BM25_SCORE} AS score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RBO_DEPTH)
+    )
+    tfr = (
+        base.selectExpr("doc_id", "tf1 + tf2 + tf3 AS score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RBO_DEPTH)
+    )
+    r1 = [r.doc_id for r in bm25.collect()]
+    r2 = [r.doc_id for r in tfr.collect()]
+    # bounded-k driver fold (both lists are ≤ RBO_DEPTH ids)
+    pos2 = {d: i + 1 for i, d in enumerate(r2)}
+    ms = [max(i + 1, pos2[d]) for i, d in enumerate(r1) if d in pos2]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(len(ms), sum(RBO_SUFFIX[m - 1] for m in ms))],
+        StructType(
+            [
+                StructField("n_matched", LongType(), False),
+                StructField("rbo_scaled", LongType(), False),
+            ]
+        ),
+    )
