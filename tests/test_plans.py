@@ -637,7 +637,10 @@ def test_driver_fold_internal_stages_stay_red_flag_free(spark, sf_dir):
     )
 
     from watermill_kinesis_spark.operators.evaluation import _auc_slice_stats
-    from watermill_kinesis_spark.operators.retrieval import _bm25_scored_topk
+    from watermill_kinesis_spark.operators.retrieval import (
+        _bm25_scored_topk,
+        _tf_scored_topk,
+    )
 
     assert set(DRIVER_FOLD) == {
         "auc_roc_exact",
@@ -654,7 +657,9 @@ def test_driver_fold_internal_stages_stay_red_flag_free(spark, sf_dir):
     bm25 = plan(_bm25_scored_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in bm25
     assert "BroadcastNestedLoopJoin" in bm25 or "BroadcastExchange" in bm25
-    for name, p in (("auc", auc), ("bm25", bm25)):
+    tfr = plan(_tf_scored_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in tfr
+    for name, p in (("auc", auc), ("bm25", bm25), ("tfr", tfr)):
         if name == "bm25":
             # the scalar-agg broadcast IS a 1-row nested-loop build —
             # the benign case _bad_nested_loop already whitelists

@@ -134,7 +134,7 @@ ITERATIVE = {
 DRIVER_FOLD = {
     "auc_roc_exact": "evaluation._auc_slice_stats",
     "bm25_topk": "retrieval._bm25_scored_topk",
-    "rank_biased_overlap_exact": "two bounded TakeOrdered top-10 collects",
+    "rank_biased_overlap_exact": "retrieval._bm25_scored_topk + retrieval._tf_scored_topk",
 }
 
 

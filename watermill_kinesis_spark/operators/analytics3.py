@@ -561,7 +561,7 @@ BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
     "benford_first_digit_audit",
     oracle=f"""
     WITH digits AS (
-        SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT)
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
         FROM orders WHERE o_totalprice > 0),
     ref(digit, benford_permille) AS (
@@ -586,25 +586,34 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit comes from the exact cent integer's decimal string (a
     ``floor(p/10^floor(log10 p))`` formulation silently misbins at
     powers of ten, where IEEE log10(1000) = 2.999…96), and the
-    reference distribution is a fixed integer-permille constant table.
-    One map-side-combined 9-group aggregate plus a broadcast of the
-    9-row reference — a single scan at any scale."""
+    reference distribution is a fixed integer-permille constant table
+    (FLOOR before the bigint cast on BOTH engines: Spark's double→
+    bigint cast truncates while DuckDB's rounds, so a bare cast would
+    split digits at d·10^k boundaries on data without exact cents —
+    r8 review). Cost, stated honestly: one map-side-combined 9-group
+    aggregate plus a scalar count — two passes over the SINGLE pruned
+    o_totalprice column (the scalar's SinglePartition exchange differs
+    from the group-by's hash exchange, so Spark does not reuse it);
+    no extra shuffle, both build sides broadcast as 9-row/1-row
+    relations, plan-audit clean."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     digits = o.select(
         F.expr(
-            "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT)"
+            "CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
             " AS STRING), 1, 1) AS BIGINT)"
         ).alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    total = digits.agg(F.count(F.lit(1)).alias("tot"))
+    # scalar total folded from the aggregated ≤9-row relation — a
+    # benign 1-row broadcast build side per the plan-audit rules
+    tot1 = counts.agg(F.sum("n").alias("tot"))
     ref = spark.createDataFrame(
         [(d + 1, p) for d, p in enumerate(BENFORD_PERMILLE)],
         "digit bigint, benford_permille bigint",
     )
     return (
         ref.join(F.broadcast(counts), "digit", "left")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(tot1))
         .select(
             "digit",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),

@@ -253,53 +253,3 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
-
-
-@query(
-    "collated_group_case_insensitive",
-    oracle="""
-    WITH mixed AS (
-        SELECT CASE WHEN event_id % 2 = 1
-                    THEN upper(substr(event_type, 1, 1))
-                         || substr(event_type, 2)
-                    ELSE event_type END AS c
-        FROM events)
-    SELECT min(c) AS min_variant,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_variants
-    FROM mixed GROUP BY lower(c)
-    """,
-    tags=("sql", "spark4", "text"),
-)
-def collated_group_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 string collations: grouping under ``UTF8_LCASE`` merges
-    case variants WITHOUT rewriting the data to a canonical case — the
-    collation travels with the type, so every comparison, join, and
-    aggregate downstream inherits the equivalence (vs the lower()-
-    everywhere idiom that loses the original spelling). The corpus is
-    all-lowercase, so the operator manufactures variants first (odd
-    event ids are initcapped) — each type then has exactly two
-    spellings that MUST merge; per merged group the row reports the
-    BINARY-min variant, total rows, and the variant count. The oracle
-    expresses the same equivalence with lower() grouping (exact for
-    this ASCII vocabulary; the collation form additionally handles the
-    Unicode case folds lower() gets wrong). Plans identically to any
-    hash aggregate — collation-aware hashing, one shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    mixed = ev.select(
-        F.when(
-            F.col("event_id") % 2 == 1, F.initcap("event_type")
-        )
-        .otherwise(F.col("event_type"))
-        .alias("c")
-    )
-    return (
-        mixed.select("c", F.expr("c COLLATE UTF8_LCASE").alias("k"))
-        .groupBy("k")
-        .agg(
-            F.min("c").alias("min_variant"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.countDistinct("c").cast("bigint").alias("n_variants"),
-        )
-        .drop("k")
-    )

@@ -344,6 +344,35 @@ RBO_SUFFIX = (
 )
 
 
+def _tf_scored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain term-frequency top-10 — RBO's comparison ranking, factored
+    like :func:`_bm25_scored_topk` so its TakeOrdered shape stays
+    plan-auditable (tests/test_plans.py pins it)."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            *[
+                F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(
+                    f"tf{i + 1}"
+                )
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+    )
+    score = sum(
+        (F.col(f"tf{i + 1}") for i in range(1, len(BM25_TERMS))),
+        F.col("tf1"),
+    )
+    return (
+        base.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RBO_DEPTH)
+    )
+
+
 @query(
     "rank_biased_overlap_exact",
     oracle=f"""
@@ -389,46 +418,15 @@ def rank_biased_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole statistic is one integer lookup per matched doc —
     with p = 9/10 and lcm(1..10) scaling every term is integral
     (``RBO_SUFFIX``), and both engines sum identical bigints instead
-    of drifting geometric floats. Scale shape: both rankings are
-    TakeOrdered top-10 short-circuits over the shared tf projection;
-    the RBO fold is a ≤10-row join — the corpus-scale work is one scan,
-    shared across the two rankings."""
-    base = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            *[
-                F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(
-                    f"tf{i + 1}"
-                )
-                for i, t in enumerate(BM25_TERMS)
-            ],
-        )
-    )
-    g = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sumdl"),
-        *[
-            F.count_if(F.col(f"tf{i + 1}") > 0).alias(f"df{i + 1}")
-            for i in range(len(BM25_TERMS))
-        ],
-    )
-    bm25 = (
-        base.crossJoin(F.broadcast(g))
-        .selectExpr("doc_id", f"{_BM25_SCORE} AS score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(RBO_DEPTH)
-    )
-    tfr = (
-        base.selectExpr("doc_id", "tf1 + tf2 + tf3 AS score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(RBO_DEPTH)
-    )
-    r1 = [r.doc_id for r in bm25.collect()]
-    r2 = [r.doc_id for r in tfr.collect()]
+    of drifting geometric floats. Cost, stated honestly: the two
+    rankings are separate TakeOrdered top-10 jobs — two pruned passes
+    over documents (the BM25 stage is the SHARED
+    :func:`_bm25_scored_topk` helper, so the scorer cannot drift from
+    ``bm25_topk``; the tf ranking is :func:`_tf_scored_topk`, plan-
+    pinned alongside it) — and the RBO fold itself is a bounded
+    ≤10-id driver computation."""
+    r1 = [r.doc_id for r in _bm25_scored_topk(spark, sf_dir).collect()]
+    r2 = [r.doc_id for r in _tf_scored_topk(spark, sf_dir).collect()]
     # bounded-k driver fold (both lists are ≤ RBO_DEPTH ids)
     pos2 = {d: i + 1 for i, d in enumerate(r2)}
     ms = [max(i + 1, pos2[d]) for i, d in enumerate(r1) if d in pos2]

@@ -709,22 +709,25 @@ def knn_mutual_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning build before clustering (a mutual edge — each endpoint in
     the other's top-k — is the standard high-precision edge filter).
     Blocking by label bounds pair generation to Σ|block|², the classic
-    blocked-similarity shape; at 100 TB the block key becomes the LSH
-    bucket (``similarity_ann_lsh``) or the IVF cell — this operator is
-    the exact-graph face over bounded blocks (an eval-set regime, so
-    the build side broadcasts; the |block|-key shuffle join that would
-    collapse parallelism never appears). Per-source ranking is a
-    window over the high-cardinality vec_id axis; the mutuality check
-    is a self-join of the k·n edge list on swapped endpoints. Scoring
-    runs as ONE numpy matmul per block inside ``applyInPandas`` (the
-    matryoshka-kernel pattern); per-source top-k falls out of a stable
-    argsort so ties break toward the smaller dst, matching the
-    oracle's (cos DESC, dst) rank exactly. Only
+    blocked-similarity shape. Scale contract, stated honestly: this is
+    the EXACT-graph face for bounded blocks (eval sets, recall-audit
+    ground truth) — ``groupBy(label).applyInPandas`` runs one task per
+    block, so parallelism is min(cores, |blocks|) and per-task memory
+    is O(chunk·|block|) (the kernel scores in 1024-row chunks, never a
+    full |block|² matrix). At 100 TB the block key becomes the LSH
+    bucket or IVF cell (``similarity_ann_*``) whose block count vastly
+    exceeds the cluster's cores — the production path; routing a
+    corpus-scale relation through THIS face with a handful of labels
+    would serialize on the block count by construction. The mutuality
+    check is a self-join of the k·n edge list on swapped endpoints;
+    per-source top-k falls out of a stable argsort so ties break
+    toward the smaller dst, matching the oracle's (cos DESC, dst)
+    rank exactly. Only
     (vec_id, mutual-degree) integers cross the compare — cosine scores
     stay engine-internal, the similarity family's float discipline.
 
     Cross-engine float note (r8 review): the two engines compute the
-    cosine through different code (a sequential JVM fold here,
+    cosine through different code (numpy/BLAS matmul here,
     ``list_cosine_similarity`` in the oracle), so rank parity relies
     on no two candidates' cosines being within the engines' few-ulp
     computation discrepancy — the same envelope
@@ -740,37 +743,47 @@ def knn_mutual_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from watermill_kinesis_spark.sources.tables import load_table
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    # NULL labels form no block: the oracle's equi-join drops them and
+    # a groupBy would otherwise invent a NULL-key block (r8 review)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
     )
 
     def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one label block per call (the block is the unit the operator
-        # bounds — same n² regime the oracle's self-join runs); an
-        # interpreted JVM zip_with/aggregate fold over Σ|block|² pairs
-        # was ~100× slower at the sf1-equivalent sweep
+        # one label block per call; scoring runs in row CHUNKS so task
+        # memory is O(chunk·|block|), never a full |block|² matrix
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
         M = np.stack(pdf["emb"].to_numpy())[order]
         nrm = np.linalg.norm(M, axis=1)
         Mn = M / np.maximum(nrm, 1e-300)[:, None]
-        S = Mn @ Mn.T
-        S[nrm == 0.0, :] = -1.0  # DuckDB zero-vector convention
-        S[:, nrm == 0.0] = -1.0
-        np.fill_diagonal(S, -np.inf)  # exclude self
+        zero = nrm == 0.0
         k = min(KNN_MUTUAL_K, len(ids) - 1)
         if k <= 0:
             return pd.DataFrame({"src": ids[:0], "dst": ids[:0]})
-        # top-k by (cos desc, dst asc): ids ascend along axis 1, so a
-        # STABLE descending-value sort breaks ties toward smaller dst
-        top = np.argsort(-S, axis=1, kind="stable")[:, :k]
-        keep = np.isfinite(np.take_along_axis(S, top, axis=1)).ravel()
+        srcs, dsts = [], []
+        chunk = 1024
+        for lo in range(0, len(ids), chunk):
+            S = Mn[lo : lo + chunk] @ Mn.T
+            S[zero[lo : lo + chunk], :] = -1.0
+            S[:, zero] = -1.0  # DuckDB zero-vector convention
+            rows = np.arange(lo, min(lo + chunk, len(ids)))
+            S[rows - lo, rows] = -np.inf  # exclude self
+            # top-k by (cos desc, dst asc): ids ascend along axis 1, so
+            # a STABLE descending sort breaks ties toward smaller dst
+            top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            keep = np.isfinite(np.take_along_axis(S, top, axis=1)).ravel()
+            srcs.append(np.repeat(ids[rows], k)[keep])
+            dsts.append(ids[top].ravel()[keep])
         return pd.DataFrame(
-            {
-                "src": np.repeat(ids, k)[keep],
-                "dst": ids[top].ravel()[keep],
-            }
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
         )
 
     sel = e.groupBy("label").applyInPandas(block_topk, "src long, dst long")

@@ -85,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     # ---- Rotation (round 8): STALENESS ordering, recomputed from
     # CORRECTNESS_r01-r07 (VERDICT r7 task 4). The driver's
     # budget-capped gate samples a ~50-entry PREFIX of this list, so
-    # the prefix is the REGRESSION WINDOW: first the 13 round-8
+    # the prefix is the REGRESSION WINDOW: first the 12 round-8
     # additions (never driver-sampled — the new audits, BM25, CUSUM,
     # GROUPING SETS, l-diversity, islands, mutual-kNN, and the
     # hll_sketch_native twin conversion), then every oracle-backed
@@ -98,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     # signal); their invariants are pytest-enforced. Recompute each
     # round from CORRECTNESS_r*.json.
     "rank_biased_overlap_exact",
-    "collated_group_case_insensitive",
     "benford_first_digit_audit",
     "funnel_conversion_windows",
     "chunk_documents_stride",
