@@ -6,7 +6,8 @@ Scale design (the whole point of these):
   exact-cosine variant, which is the *correctness baseline* for the LSH
   paths; candidate generation is always blocking/bucketing:
   shared-shingle join (`dedup_ngram_jaccard`), MinHash band buckets
-  (`dedup_fuzzy_minhash`), SimHash chunk buckets (`dedup_simhash`).
+  (`dedup_fuzzy_minhash`), SimHash block-combination keys
+  (`dedup_simhash`, Manku-style C(6,3) tables).
   Bucket joins shuffle only (key, doc_id) pairs — bytes per row, not
   documents.
 - Shingling/hashing is all JVM higher-order functions (transform/
@@ -351,36 +352,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs(fps: DataFrame) -> DataFrame:
-    """Chunk-blocked Hamming≤3 pair stage over (doc_id, fp) rows — the
+    """Blocked Hamming≤3 pair stage over (doc_id, fp) rows — the
     execution body of ``dedup_simhash``, parameterized on the
     fingerprint relation so the recall audit can drive the REAL pair
-    path from one persisted fingerprint pass."""
-    chunks = fps.select(
-        "doc_id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("fp", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
+    path from one persisted fingerprint pass.
+
+    Two scale rules learned at the sf1-equivalent sweep (both
+    violations OOM'd a 1 GiB vanilla session on 50k docs):
+
+    1. **Block on combination keys, not single chunks** (Manku/Jain/
+       Das Sarma, WWW'07): the fingerprint splits into 6 blocks and
+       each fp is keyed by all C(6,3)=20 combinations of 3 block
+       values (~32-bit keys). Pigeonhole keeps the guarantee exact —
+       ≤3 flips touch ≤3 blocks, so some untouched combination agrees
+       — while random 16-bit-chunk buckets (the r7 form) held ~4.7k
+       docs each and joined ~99M accidental pairs.
+    2. **Collapse identical fingerprints FIRST**: duplicate-dense
+       corpora have fp clusters of thousands of docs, and OR-amplified
+       LSH would re-emit each cluster's C(c,2) pairs once per matching
+       key (20×). Blocking runs over DISTINCT fps (one node per
+       cluster); doc pairs are expanded afterwards by two fp equi-joins
+       (inter-cluster) plus a per-fp self-join (intra-cluster,
+       hamming 0) — both output-bound, never multiplicity-bound."""
+    import itertools
+
+    bounds = [(0, 11), (11, 22), (22, 33), (33, 44), (44, 54), (54, 64)]
+
+    def block(c: int) -> F.Column:
+        lo, hi = bounds[c]
+        return F.shiftrightunsigned("fp", lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    keys = []
+    for combo_id, combo in enumerate(itertools.combinations(range(6), 3)):
+        k = F.lit(combo_id).cast("bigint")
+        for c in combo:
+            k = F.shiftleft(k, bounds[c][1] - bounds[c][0]).bitwiseOR(
+                block(c)
             )
-        ).alias("chunk_idx", "chunk"),
+        keys.append(k)
+    dfp = fps.select("fp").distinct()
+    chunks = dfp.select(
+        "fp", F.explode(F.array(*keys)).alias("bkey")
     )
-    a = chunks.select(
-        "chunk_idx", "chunk", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
-    )
-    b = chunks.select(
-        "chunk_idx", "chunk", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
-    )
+    a = chunks.select("bkey", F.col("fp").alias("fp_a"))
+    b = chunks.select("bkey", F.col("fp").alias("fp_b"))
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    fp_pairs = (
+        a.join(b, ["bkey"])
+        .where(F.col("fp_a") < F.col("fp_b"))
+        .select("fp_a", "fp_b", hamming.alias("hamming"))
+        .dropDuplicates(["fp_a", "fp_b"])
         .where(F.col("hamming") <= 3)
     )
+    inter = (
+        fp_pairs.join(
+            fps.select(F.col("doc_id").alias("da"), F.col("fp").alias("fp_a")),
+            "fp_a",
+        )
+        .join(
+            fps.select(F.col("doc_id").alias("db"), F.col("fp").alias("fp_b")),
+            "fp_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        fps.alias("x")
+        .join(fps.alias("y"), "fp")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
