@@ -140,18 +140,18 @@ def test_bloom_distributed_probe_matches_dense_literal(spark, monkeypatch):
     )
     bits = p4.BLOOM_BITS
     words = p4._bloom_words(members, "key", bits)
+    dense_df = p4._bloom_hit(words, probes, "key", bits)
+    # schema contract (r8 ADVICE): both strategies return exactly
+    # probed-columns + hit — no h{i}/w{i} scratch may leak
+    assert dense_df.columns == probes.columns + ["hit"]
     dense = {
-        r["key"]: r["hit"]
-        for r in p4._bloom_hit(words, probes, "key", bits)
-        .select("key", "hit")
-        .collect()
+        r["key"]: r["hit"] for r in dense_df.select("key", "hit").collect()
     }
     monkeypatch.setattr(p4, "BLOOM_LITERAL_BUDGET_BYTES", 0)
+    dist_df = p4._bloom_hit(words, probes, "key", bits)
+    assert dist_df.columns == probes.columns + ["hit"]
     dist = {
-        r["key"]: r["hit"]
-        for r in p4._bloom_hit(words, probes, "key", bits)
-        .select("key", "hit")
-        .collect()
+        r["key"]: r["hit"] for r in dist_df.select("key", "hit").collect()
     }
     assert dense == dist
     assert all(dense[f"key-{i}"] for i in range(200))

@@ -568,8 +568,9 @@ BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
         VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(BENFORD_PERMILLE))})
     SELECT r.digit,
            CAST(COALESCE(COUNT(d.digit), 0) AS BIGINT) AS n,
-           CAST(COALESCE(COUNT(d.digit), 0) * 1000
-                // (SELECT COUNT(*) FROM digits) AS BIGINT)
+           CAST(CASE WHEN (SELECT COUNT(*) FROM digits) = 0 THEN NULL
+                ELSE COALESCE(COUNT(d.digit), 0) * 1000
+                     // (SELECT COUNT(*) FROM digits) END AS BIGINT)
                AS observed_permille,
            CAST(r.benford_permille AS BIGINT) AS benford_permille
     FROM ref r LEFT JOIN digits d USING (digit)
@@ -617,6 +618,10 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            # degenerate guard (r8 ADVICE): on an empty corpus `tot`
+            # is NULL here (SUM over no rows) so `div` yields NULL;
+            # the oracle's CASE pins the same NULL where DuckDB's
+            # `// 0` would otherwise diverge loudly
             F.expr("COALESCE(n, 0) * 1000 div tot")
             .cast("bigint")
             .alias("observed_permille"),

@@ -1872,8 +1872,9 @@ FUNNEL_WINDOW_US = 7 * 86_400_000_000
            CAST(COUNT_IF(pt IS NOT NULL
                          AND pt - vt <= {FUNNEL_WINDOW_US}) AS BIGINT)
                AS n_purchased,
-           CAST(COUNT_IF(pt IS NOT NULL AND pt - vt <= {FUNNEL_WINDOW_US})
-                * 1000 // COUNT(*) AS BIGINT) AS conversion_permille
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE COUNT_IF(pt IS NOT NULL AND pt - vt <= {FUNNEL_WINDOW_US})
+                     * 1000 // COUNT(*) END AS BIGINT) AS conversion_permille
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     """,
     tags=("analytics", "funnel", "event-time"),
@@ -1930,8 +1931,11 @@ def funnel_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_purchased"),
+        # degenerate guard (r8 ADVICE): on zero viewers Spark's `div`
+        # yields NULL while DuckDB's `//` diverges — pin 0 on both
         F.expr(
-            f"CAST(count_if(pt IS NOT NULL AND pt - vt <= {FUNNEL_WINDOW_US})"
-            " * 1000 div count(1) AS BIGINT)"
+            "CAST(CASE WHEN count(1) = 0 THEN 0"
+            f" ELSE count_if(pt IS NOT NULL AND pt - vt <= {FUNNEL_WINDOW_US})"
+            " * 1000 div count(1) END AS BIGINT)"
         ).alias("conversion_permille"),
     )

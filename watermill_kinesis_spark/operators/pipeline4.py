@@ -127,17 +127,22 @@ def _bloom_hit(
         for r in words.collect():
             packed[r["w"]] = r["word"]
         bloom = F.lit(packed)
+        helper_cols = []
         hit = F.lit(True)
         for i, h in enumerate(_bloom_hashes(F.col(key_col), bits)):
             probed = probed.withColumn(f"h{i}", h).withColumn(
                 f"w{i}",
                 F.element_at(bloom, (F.col(f"h{i}") / 64).cast("int") + 1),
             )
+            helper_cols += [f"h{i}", f"w{i}"]
             hit = hit & F.expr(
                 f"(shiftright(w{i}, CAST(h{i} % 64 AS INT)) & CAST(1 AS BIGINT))"
                 " = CAST(1 AS BIGINT)"
             )
-        return probed.withColumn("hit", hit)
+        # drop the h{i}/w{i} scratch so BOTH strategies return exactly
+        # probed-columns + hit — a caller's schema must not change when
+        # the byte budget flips the physical path (r8 ADVICE)
+        return probed.withColumn("hit", hit).drop(*helper_cols)
     keys = probed.select(F.col(key_col).alias("__bk")).distinct()
     kpos = keys.select(
         "__bk",

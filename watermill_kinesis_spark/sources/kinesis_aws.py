@@ -209,7 +209,16 @@ def _rows_to_arrow_batches(rows: list[tuple]):
     with C-speed ``pa.array`` calls; the timestamp column replicates
     the tuple path's ``LocalDataToArrowConversion`` semantics exactly
     (``astimezone(utc)`` — naive values are local time), so rows are
-    bit-identical either way (pinned by the parallel-reader tests)."""
+    bit-identical either way (pinned by the parallel-reader tests).
+
+    Timezone contract (r8 ADVICE): arrival timestamps are assumed
+    TZ-AWARE, which both botocore and the stub guarantee
+    (``ApproximateArrivalTimestamp`` is always an aware UTC datetime).
+    A NAIVE value would be localized via the OS zone here
+    (``astimezone`` on a naive datetime) while the tuple path honors
+    ``spark.sql.session.timeZone`` — if a future record source can
+    emit naive arrivals, localize with the session timezone passed
+    through reader options instead of relying on the OS zone."""
     import datetime as _dt
 
     import pyarrow as pa

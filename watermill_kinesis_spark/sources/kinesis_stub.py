@@ -148,9 +148,8 @@ class StubKinesisClient:
             idx = next(
                 (
                     i
-                    for i, r in enumerate(recs)
-                    if r["ApproximateArrivalTimestamp"] is not None
-                    and r["ApproximateArrivalTimestamp"].timestamp() >= t
+                    for i, (ts, _seq) in enumerate(_iter_ts_seq(recs))
+                    if ts is not None and ts >= t
                 ),
                 len(recs),
             )
@@ -158,8 +157,8 @@ class StubKinesisClient:
             idx = next(
                 (
                     i
-                    for i, r in enumerate(recs)
-                    if r["SequenceNumber"] == StartingSequenceNumber
+                    for i, (_ts, seq) in enumerate(_iter_ts_seq(recs))
+                    if seq == StartingSequenceNumber
                 ),
                 len(recs),
             )
@@ -204,6 +203,26 @@ def demo_client() -> StubKinesisClient:
         c.put(f"shardId-{i % 2:012d}", env, partition_key=f"k{i % 2}")
     c.put("shardId-000000000000", b"{not json", partition_key="k0")
     return c
+
+
+def _iter_ts_seq(recs):
+    """Yield ``(arrival_epoch_or_None, sequence_number)`` per record
+    WITHOUT materializing service-shaped dicts: iterator-position
+    lookups (AT_TIMESTAMP / AT_SEQUENCE_NUMBER) only need these two
+    fields, and enumerating a :class:`_LazyShardRecords` view converts
+    (b64decode + datetime) every record up to the match — partially
+    re-introducing the eager-conversion cost the lazy view exists to
+    avoid (r8 ADVICE). Scans the raw entries directly instead; plain
+    in-memory record lists read the already-built fields."""
+    if isinstance(recs, _LazyShardRecords):
+        for r in recs.raw:
+            yield r["ts"], r["seq"]
+    else:
+        for r in recs:
+            ts = r["ApproximateArrivalTimestamp"]
+            yield (
+                ts.timestamp() if ts is not None else None
+            ), r["SequenceNumber"]
 
 
 class _LazyShardRecords:
