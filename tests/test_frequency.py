@@ -96,3 +96,60 @@ def test_bm25_components_recompute(spark, sf_dir):
         assert math.isclose(r["tf_norm"], expect_norm, rel_tol=1e-9)
         expect_idf = (n_docs - df[r["term"]] + 0.5) / (df[r["term"]] + 0.5)
         assert math.isclose(r["idf_rational"], expect_idf, rel_tol=1e-12)
+
+
+def test_misra_gries_merge_guarantee_property():
+    """Property (no Spark needed): for ANY stream split into ANY
+    partitioning, folding per-partition exact counts through _mg_merge
+    keeps the two-sided MG bound for EVERY token — est ≤ true and
+    true − est ≤ n/(k+1) — and the summary never exceeds k counters."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from watermill_kinesis_spark.operators.frequency import MG_K, _mg_merge
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        stream=st.lists(
+            st.sampled_from([f"t{i}" for i in range(40)]),
+            min_size=1,
+            max_size=500,
+        ),
+        n_parts=st.integers(min_value=1, max_value=7),
+    )
+    def check(stream, n_parts):
+        true = Counter(stream)
+        n = len(stream)
+        merged: dict[str, int] = {}
+        for p in range(n_parts):
+            part = stream[p::n_parts]
+            # partition summary: fold exact batch counts, as the
+            # mapInPandas kernel does
+            summ = _mg_merge({}, dict(Counter(part)), MG_K)
+            assert len(summ) <= MG_K
+            merged = _mg_merge(merged, summ, MG_K)
+        assert len(merged) <= MG_K
+        for tok, tf in true.items():
+            est = merged.get(tok, 0)
+            assert est <= tf
+            assert (tf - est) * (MG_K + 1) <= n, (tok, tf, est, n)
+        for tok, est in merged.items():
+            assert est <= true[tok]
+
+    check()
+
+
+def test_heavy_hitters_audit_verdicts_and_branches(spark, sf_dir):
+    """On the real corpus every verdict must be 1, and the k < |vocab|
+    geometry must really exercise the sketch (more tokens than
+    counters)."""
+    from watermill_kinesis_spark.operators.frequency import (
+        MG_K,
+        heavy_hitters_audit,
+    )
+
+    rows = heavy_hitters_audit(spark, sf_dir).collect()
+    assert len(rows) > MG_K  # vocabulary exceeds the counter budget
+    assert all(r.mg_within_bound == 1 for r in rows)
+    assert sum(r.tf for r in rows) > 0

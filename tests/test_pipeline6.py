@@ -202,3 +202,124 @@ def test_exact_substring_winnowing_superset_guarantee(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring excision (r8 VERDICT task 2)
+
+
+def _excise_reference(texts: dict[int, str], L: int):
+    """Naive O(corpus²-ish) reference for the excision semantics:
+    global keep-first duplicate marking over raw L-grams, merged
+    maximal spans, census + kept text per doc."""
+    first: dict[str, tuple[int, int]] = {}
+    for doc_id in sorted(texts):
+        t = texts[doc_id]
+        for i in range(1, len(t) - L + 2):
+            g = t[i - 1 : i - 1 + L]
+            first.setdefault(g, (doc_id, i))
+    out = {}
+    for doc_id in sorted(texts):
+        t = texts[doc_id]
+        dup_pos = [
+            i
+            for i in range(1, len(t) - L + 2)
+            if first[t[i - 1 : i - 1 + L]] != (doc_id, i)
+        ]
+        spans: list[list[int]] = []
+        for i in dup_pos:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], i + L - 1)
+            else:
+                spans.append([i, i + L - 1])
+        removed = sum(e - s + 1 for s, e in spans)
+        kept = ""
+        pos = 1
+        for s, e in spans:
+            kept += t[pos - 1 : s - 1]
+            pos = e + 1
+        kept += t[pos - 1 :]
+        out[doc_id] = {
+            "n_chars": len(t),
+            "n_removed": removed,
+            "n_spans": len(spans),
+            "kept": kept,
+        }
+    return out
+
+
+def test_excise_census_and_text_match_bruteforce(spark, sf_dir):
+    """The winnowing-accelerated excision must equal the naive global
+    keep-first reference on the real sf0.001 corpus — census AND the
+    materialized kept text, byte for byte."""
+    from watermill_kinesis_spark.operators.pipeline6 import (
+        SUB_L,
+        dedup_substring_excise,
+        dedup_substring_excise_text,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    ref = _excise_reference(texts, SUB_L)
+    census = {r.doc_id: r for r in dedup_substring_excise(spark, sf_dir).collect()}
+    kept = {
+        r.doc_id: r.kept_text
+        for r in dedup_substring_excise_text(spark, sf_dir).collect()
+    }
+    assert set(census) == set(ref) == set(kept)
+    for doc_id, want in ref.items():
+        r = census[doc_id]
+        assert (r.n_chars, r.n_removed_chars, r.n_dup_spans) == (
+            want["n_chars"],
+            want["n_removed"],
+            want["n_spans"],
+        ), doc_id
+        assert r.n_kept_chars == want["n_chars"] - want["n_removed"]
+        assert kept[doc_id] == want["kept"], doc_id
+    # the corpus must actually contain excisions for this test to bite
+    assert any(w["n_removed"] > 0 for w in ref.values())
+
+
+def test_excise_edge_cases_handcrafted(spark, monkeypatch):
+    """Edge semantics on a handcrafted corpus: an exact full-copy doc
+    excises to the EMPTY string (not a pass-through), intra-doc
+    repeats mark only the later occurrence, sub-L docs and unique docs
+    pass through verbatim, and overlapping dup windows merge into one
+    maximal span."""
+    import watermill_kinesis_spark.operators.pipeline6 as p6
+
+    base = "The quick brown fox jumps over the lazy dog while zebras watch."
+    uniq = "Completely original content with no repeats anywhere inside it!"
+    intra = "abcdefghijklmnopqrstuvwxyz0123 MIDDLE abcdefghijklmnopqrstuvwxyz0123"
+    texts = {
+        0: base,
+        1: base,  # full copy of doc 0 → empty after excision
+        2: "prefix text then " + base[:40] + " and a unique tail here....",
+        3: intra,  # intra-doc repeat → later copy excised
+        4: "short doc",  # < SUB_L chars → untouched
+        5: uniq,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    monkeypatch.setattr(p6, "_docs", lambda _s, _d: df)
+    ref = _excise_reference(texts, p6.SUB_L)
+    census = {r.doc_id: r for r in p6.dedup_substring_excise(spark, "_").collect()}
+    kept = {
+        r.doc_id: r.kept_text
+        for r in p6.dedup_substring_excise_text(spark, "_").collect()
+    }
+    for doc_id, want in ref.items():
+        r = census[doc_id]
+        assert (r.n_chars, r.n_removed_chars, r.n_dup_spans) == (
+            want["n_chars"],
+            want["n_removed"],
+            want["n_spans"],
+        ), doc_id
+        assert kept[doc_id] == want["kept"], doc_id
+    # the cases actually exercise what they claim
+    assert kept[1] == "" and ref[1]["n_removed"] == len(base)
+    assert ref[3]["n_removed"] > 0  # intra-doc dup detected
+    assert kept[4] == texts[4] and kept[5] == texts[5]

@@ -671,3 +671,120 @@ def approx_percentile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d <= slack).cast("int").alias(f"p{p}_within_guarantee")
         )
     return counted.select(*out_cols)
+
+
+#: Misra-Gries frequent-items audit: counter budget. Deliberately
+#: SMALLER than this corpus' 31-token vocabulary so the sketch really
+#: sketches — some tokens survive with a decremented counter, others
+#: are absent, and BOTH branches of the guarantee get exercised.
+MG_K = 16
+
+
+def _mg_merge(agg: dict, other: dict, k: int) -> dict:
+    """Pairwise Misra-Gries summary merge (Agarwal, Cormode, Huang,
+    Phillips, Wei, Yi 2012, "Mergeable Summaries", Thm 1): sum matching
+    counters, then subtract the (k+1)-th largest value and drop
+    non-positives. Sequential folding keeps the TOTAL error at
+    n/(k+1) — the same bound as a single-stream MG(k) — which is why
+    the driver folds partition summaries one at a time instead of
+    summing them all and cutting once (the all-at-once cut only
+    guarantees 2n/(k+1))."""
+    for tok, c in other.items():
+        agg[tok] = agg.get(tok, 0) + c
+    if len(agg) > k:
+        d = sorted(agg.values(), reverse=True)[k]
+        agg = {t: c - d for t, c in agg.items() if c - d > 0}
+    return agg
+
+
+@query(
+    "heavy_hitters_audit",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, 1 AS mg_within_bound
+    FROM toks GROUP BY token
+    """,
+    tags=("sketch", "frequency", "audit", "llm-pipeline"),
+)
+def heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items audit — the frequent-items face of
+    the mergeable-sketch family, beside the exact ``heavy_hitters``
+    (VERDICT r8 task 7, the ``approx_quantile_audit`` pattern): a
+    bounded-memory MG(k=16) summary is built DISTRIBUTED — each task
+    folds its partition's exact per-batch counts into ≤k counters
+    (per-batch ``value_counts`` is an error-free summary, so every
+    fold step is a mergeable-summaries merge, keeping the cumulative
+    bound tight) — then the ≤k-row partition summaries are folded
+    driver-side with the same pairwise rule (bounded ⊙: P·k rows; at
+    extreme partition counts the same rule tree-merges executor-side).
+
+    The audited guarantee is MG's two-sided deterministic contract for
+    EVERY token: ``est ≤ tf`` and ``tf − est ≤ n/(k+1)`` with
+    ``est = 0`` for absent tokens — checked via exact integer
+    cross-multiplication ``(tf − est)·(k+1) ≤ n``, no float division.
+    The oracle pins the exact term frequencies and the verdict to 1;
+    the engine-specific sketch estimates (which legitimately vary with
+    partitioning) never cross the compare. A broken decrement/merge
+    step overcounts or strands mass and turns rows red. On this
+    corpus the vocabulary (31) exceeds k (16), so runs genuinely
+    exercise both the absent-token and the decremented-counter branch
+    of the bound."""
+    import pandas as pd
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .select("token", F.spark_partition_id().alias("pid"))
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            vc = pdf["token"].value_counts()
+            counters = _mg_merge(
+                counters, {t: int(c) for t, c in vc.items()}, MG_K
+            )
+        if pid is None:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "token": list(counters),
+                "cnt": list(counters.values()),
+            }
+        )
+
+    summary_rows = toks.mapInPandas(
+        mg_partition, "pid int, token string, cnt long"
+    ).collect()
+    per_part: dict[int, dict[str, int]] = {}
+    for r in summary_rows:
+        per_part.setdefault(r.pid, {})[r.token] = r.cnt
+    merged: dict[str, int] = {}
+    for pid in sorted(per_part):
+        merged = _mg_merge(merged, per_part[pid], MG_K)
+    est_df = spark.createDataFrame(
+        sorted(merged.items()) or [("", 0)], "token string, est long"
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = exact.agg(F.sum("tf").alias("n_tot"))
+    est = F.coalesce(F.col("est"), F.lit(0))
+    return (
+        exact.join(F.broadcast(est_df), "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            (
+                (est <= F.col("tf"))
+                & ((F.col("tf") - est) * (MG_K + 1) <= F.col("n_tot"))
+            )
+            .cast("int")
+            .alias("mg_within_bound"),
+        )
+    )

@@ -686,3 +686,267 @@ def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring EXCISION — the Lee et al. 2022 pipeline's actual
+# output: the corpus with duplicate spans REMOVED, not just the pair
+# graph dedup_exact_substring detects (VERDICT r8 task 2)
+
+#: shared CTE prefix for the two excise oracles: all SUB_L-grams →
+#: keep-first duplicate marking → per-doc maximal removed spans
+_EXCISE_ORACLE_SPANS = f"""
+    WITH g AS (
+        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), {SUB_L})) AS h
+        FROM documents,
+             unnest(range(1, length(text) - {SUB_L} + 2)) AS t(i)
+        WHERE length(text) >= {SUB_L}),
+    dup AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, i) AS rk
+            FROM g) WHERE rk > 1),
+    sp AS (
+        SELECT doc_id, i,
+               LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+        FROM dup),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN pi IS NULL OR i > pi + {SUB_L}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM sp),
+    spans AS (
+        SELECT doc_id, island, MIN(i) AS s, MAX(i) + {SUB_L} - 1 AS e
+        FROM isl GROUP BY doc_id, island)
+"""
+
+
+def _excise_spans(spark: SparkSession, sf_dir: str):
+    """Shared body of the excision pair: per-doc maximal duplicate
+    spans under the keep-first rule. Returns ``(docs, spans)`` where
+    ``spans`` is (doc_id, island, s, e) — merged 1-based char
+    intervals to remove.
+
+    Semantics (engine-portable, fully deterministic): a SUB_L(=24)-char
+    window is a DUPLICATE iff the same window content occurs earlier in
+    corpus order — at a smaller (doc_id, position) pair — i.e. every
+    gram's first occurrence is kept and all later ones are marked
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": remove all but one occurrence of each duplicated
+    span; our canonical survivor is the corpus-order first). Marked
+    windows merge into maximal spans (overlapping OR adjacent).
+
+    Scale shape — winnowing-accelerated like ``dedup_exact_substring``:
+    the corpus-wide duplicate ranking only ever needs docs that CAN
+    contain a duplicated window, and the winnowing guarantee
+    (Schleimer et al. 2003: any shared substring of length ≥ k+w−1 =
+    SUB_L shares a selected fingerprint) plus the k-gram-multiplicity
+    check (an intra-doc duplicated L-window duplicates its first
+    k-gram at two positions) make the candidate gate a strict superset
+    of those docs. Non-candidate docs never enter the gram shuffle —
+    their grams are globally unique by construction, so gating loses
+    nothing (the oracle, which ranks ALL grams directly, re-proves
+    this corpus-wide every round). Remaining stages are doc-partitioned
+    windows over dup rows only (≤ doc-length rows per partition); the
+    one corpus-wide exchange is the gram hash ranking over candidate
+    docs, the same budget the pair detector already pays."""
+    d = _docs(spark, sf_dir)
+    kg = _char_gram_hashes(d, SUB_K)
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(SUB_W - 1), 0)
+    rn = W.partitionBy("doc_id").orderBy("i")
+    fps = (
+        kg.select(
+            "doc_id",
+            F.min("h").over(win).alias("fp"),
+            F.row_number().over(rn).alias("rn"),
+        )
+        .where(F.col("rn") >= SUB_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    # cross-doc candidates: docs sharing a selected fingerprint value
+    multi = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    cross_cand = (
+        fps.join(multi, "fp", "left_semi").select("doc_id").distinct()
+    )
+    # intra-doc candidates: some k-gram repeats within the doc (a
+    # duplicated L-window duplicates its leading k-gram) — grouped on
+    # (doc_id, h) AFTER the doc-partitioned winnowing exchange, so
+    # Catalyst reuses the doc_id hash partitioning (no extra shuffle)
+    intra_cand = (
+        kg.groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .where(F.col("np") >= 2)
+        .select("doc_id")
+        .distinct()
+    )
+    cand = cross_cand.union(intra_cand).distinct()
+    g = _char_gram_hashes(d.join(cand, "doc_id", "left_semi"), SUB_L)
+    rk = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "i"))
+    dup = (
+        g.select("doc_id", "i", rk.alias("rk"))
+        .where(F.col("rk") > 1)
+        .select("doc_id", "i")
+    )
+    lagw = W.partitionBy("doc_id").orderBy("i")
+    sp = dup.select("doc_id", "i", F.lag("i").over(lagw).alias("pi"))
+    new_island = F.when(
+        F.col("pi").isNull() | (F.col("i") > F.col("pi") + SUB_L), 1
+    ).otherwise(0)
+    isl = sp.select(
+        "doc_id",
+        "i",
+        F.sum(new_island)
+        .over(lagw.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + SUB_L - 1).alias("e")
+    )
+    return d, spans
+
+
+@query(
+    "dedup_substring_excise",
+    oracle=_EXCISE_ORACLE_SPANS
+    + """,
+    census AS (
+        SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed_chars,
+           CAST(length(d.text) - COALESCE(c.n_removed, 0) AS BIGINT)
+               AS n_kept_chars,
+           CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_dup_spans
+    FROM documents d LEFT JOIN census c USING (doc_id)
+    """,
+    tags=("pipeline", "dedup", "excision", "llm-pipeline"),
+)
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-byte census of exact-substring excision: per document, how
+    many chars survive removing every duplicate SUB_L-window (merged to
+    maximal spans, keep-first rule — see :func:`_excise_spans`). This
+    is the operator a training-data pipeline gates on ("how much of my
+    corpus is duplicated text?") and the driver-checkable face of the
+    corpus materialization in ``dedup_substring_excise_text``. The
+    oracle recomputes the census INDEPENDENTLY from all grams (no
+    fingerprint gating), so the winnowing candidate superset is
+    re-proved corpus-wide by the hash compare. Emits one row per doc
+    including untouched docs (n_removed_chars = 0)."""
+    d, spans = _excise_spans(spark, sf_dir)
+    census = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("nr"),
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+    )
+    n_chars = F.length("text").cast("bigint")
+    rem = F.coalesce(F.col("nr"), F.lit(0)).cast("bigint")
+    return (
+        d.select("doc_id", "text")
+        .join(census, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            rem.alias("n_removed_chars"),
+            (n_chars - rem).cast("bigint").alias("n_kept_chars"),
+            F.coalesce(F.col("ns"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_excise_text",
+    oracle=_EXCISE_ORACLE_SPANS
+    + """,
+    last AS (SELECT doc_id, MAX(e) AS le FROM spans GROUP BY doc_id),
+    segs AS (
+        SELECT doc_id,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 1,
+                        1) AS ks,
+               s - 1 AS ke
+        FROM spans
+        UNION ALL
+        SELECT l.doc_id, l.le + 1 AS ks, length(d.text) AS ke
+        FROM last l JOIN documents d USING (doc_id)),
+    kept AS (
+        SELECT s.doc_id,
+               string_agg(substr(d.text, CAST(s.ks AS INT),
+                                 CAST(s.ke - s.ks + 1 AS INT)),
+                          '' ORDER BY s.ks) AS kept_text
+        FROM segs s JOIN documents d USING (doc_id)
+        WHERE s.ke >= s.ks GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN l.doc_id IS NULL THEN d.text
+                ELSE COALESCE(k.kept_text, '') END AS kept_text
+    FROM documents d
+    LEFT JOIN last l USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    """,
+    tags=("pipeline", "dedup", "excision", "llm-pipeline"),
+)
+def dedup_substring_excise_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED deduplicated corpus — Lee et al. 2022's actual
+    pipeline output: each document's text with its duplicate spans cut
+    out (keep-first rule, maximal merged spans — :func:`_excise_spans`).
+    Kept segments are the complement intervals of the removed spans;
+    they are rebuilt with pure built-in functions — complement via a
+    LAG over the span starts plus one tail segment, then an ordered
+    ``array_sort(collect_list(struct))`` concat — no UDF, every stage
+    doc-partitioned (per-doc state bounded by doc length, never corpus
+    size). A doc whose every window is a later duplicate excises to
+    the empty string; untouched docs pass through verbatim. The oracle
+    reconstructs the same strings from the direct all-grams ranking
+    with ordered ``string_agg``, so the driver hash-compares the full
+    cleaned corpus byte-for-byte."""
+    d, spans = _excise_spans(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("s")
+    lead = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(w) + 1, F.lit(1)).alias("ks"),
+        (F.col("s") - 1).alias("ke"),
+    )
+    last = spans.groupBy("doc_id").agg(F.max("e").alias("le"))
+    tail = (
+        d.join(last, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("le") + 1).alias("ks"),
+            F.length("text").alias("ke"),
+        )
+    )
+    segs = lead.union(tail).where(F.col("ke") >= F.col("ks"))
+    pieces = segs.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "ks",
+        F.substr("text", F.col("ks"), F.col("ke") - F.col("ks") + 1).alias(
+            "piece"
+        ),
+    )
+    kept = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ks", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("kept_text")
+    )
+    return (
+        d.select("doc_id", "text")
+        .join(last.select("doc_id", "le"), "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("le").isNull(), F.col("text"))
+            .otherwise(F.coalesce("kept_text", F.lit("")))
+            .alias("kept_text"),
+        )
+    )
