@@ -804,3 +804,137 @@ def knn_mutual_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_mutual", F.lit(0)).cast("bigint").alias("n_mutual"),
         )
     )
+
+
+@query(
+    "ann_model_save_load_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           1 AS model_roundtrip_identical,
+           1 AS codes_identical,
+           1 AS cells_identical
+    FROM embeddings
+    """,
+    tags=("similarity", "pq", "ivf", "audit", "llm-pipeline"),
+)
+def ann_model_save_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN model persistence round-trip (VERDICT r8 task 5):
+    production pipelines train IVF/PQ ONCE and apply the frozen model
+    across the corpus (often in a different job, days later), so the
+    save→load path must be bit-exact — a model that drifts through
+    serialization silently rebuckets the index. The audit trains both
+    model kinds exactly as their operators do (PQ codebooks on the
+    deterministic sample, ``train_codebooks``; IVF coarse centroids as
+    per-label means), persists them to parquet (doubles survive
+    parquet bit-exactly), reloads them in a FRESH read plan, and pins:
+
+    - ``model_roundtrip_identical``: reloaded arrays are bitwise equal
+      (``np.array_equal``) to the in-session model;
+    - ``codes_identical`` / ``cells_identical``: ONE distributed Arrow
+      pass encodes every corpus vector under BOTH models (8 PQ
+      subspace argmins + the coarse-cell argmax) and counts
+      disagreements — zero is the only green.
+
+    The oracle pins the corpus census and all three verdicts to 1.
+    Scale shape: models are KB-sized driver artifacts (the
+    clustering.py "big data, small model" contract); the double-encode
+    is a single mapInPandas scan emitting 3 longs per Arrow batch, and
+    the parquet model files are the exact artifact a 1000-executor
+    apply job would broadcast-load."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir, distribute=True)
+    sample = e.orderBy("vec_id").limit(PQ_TRAIN_CAP)
+    X = np.array(
+        [r.emb for r in sample.select("emb").collect()], dtype=np.float64
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = train_codebooks(Xn)
+    cent_rows = (
+        e.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    labels = sorted({r.label for r in cent_rows})
+    lab_idx = {lab: j for j, lab in enumerate(labels)}
+    C = np.zeros((len(labels), EMB_DIM), dtype=np.float64)
+    for r in cent_rows:
+        C[lab_idx[r.label], r.i] = r.c
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    tmp = tempfile.mkdtemp(prefix="wk_ann_model_")
+    try:
+        spark.createDataFrame(
+            [
+                (s, j, [float(x) for x in books[s][j]])
+                for s in range(PQ_SUBSPACES)
+                for j in range(PQ_CODES)
+            ],
+            "subspace int, code int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{tmp}/pq_codebooks")
+        spark.createDataFrame(
+            [
+                (int(lab), [float(x) for x in Cn[lab_idx[lab]]])
+                for lab in labels
+            ],
+            "label int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{tmp}/ivf_centroids")
+
+        books2 = np.zeros_like(books)
+        for r in spark.read.parquet(f"{tmp}/pq_codebooks").collect():
+            books2[r.subspace][r.code] = r.centroid
+        Cn2 = np.zeros_like(Cn)
+        for r in spark.read.parquet(f"{tmp}/ivf_centroids").collect():
+            Cn2[lab_idx[r.label]] = r.centroid
+        model_ok = int(
+            np.array_equal(books, books2) and np.array_equal(Cn, Cn2)
+        )
+
+        def probe(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["emb"].to_numpy())
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                same_codes = np.ones(len(Mn), dtype=bool)
+                for s in range(PQ_SUBSPACES):
+                    sub = Mn[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                    d1 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    d2 = ((sub[:, None, :] - books2[s][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    same_codes &= d1.argmin(axis=1) == d2.argmin(axis=1)
+                cells1 = (Mn @ Cn.T).argmax(axis=1)
+                cells2 = (Mn @ Cn2.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "n": [len(Mn)],
+                        "bad_codes": [int((~same_codes).sum())],
+                        "bad_cells": [int((cells1 != cells2).sum())],
+                    }
+                )
+
+        agg = (
+            e.select("emb")
+            .mapInPandas(probe, "n long, bad_codes long, bad_cells long")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("bad_codes").alias("bc"),
+                F.sum("bad_cells").alias("bl"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(agg.n), model_ok, int(agg.bc == 0), int(agg.bl == 0))],
+        "n_vectors bigint, model_roundtrip_identical int, "
+        "codes_identical int, cells_identical int",
+    )

@@ -82,71 +82,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 8): STALENESS ordering, recomputed from
-    # CORRECTNESS_r01-r07 (VERDICT r7 task 4). The driver's
+    # ---- Rotation (round 9): STALENESS ordering, recomputed from
+    # CORRECTNESS_r01-r08 (VERDICT r8 task 1). The driver's
     # budget-capped gate samples a ~50-entry PREFIX of this list, so
-    # the prefix is the REGRESSION WINDOW: first the 12 round-8
-    # additions (never driver-sampled — the new audits, BM25, CUSUM,
-    # GROUPING SETS, l-diversity, islands, mutual-kNN, and the
-    # hll_sketch_native twin conversion), then every oracle-backed
+    # the prefix is the REGRESSION WINDOW: first the 4 round-9
+    # additions (never driver-sampled — the substring-excision census
+    # + materialized corpus, the Misra-Gries frequent-items audit, and
+    # the ANN model save/load round-trip), then every oracle-backed
     # entry ordered by the round it last went driver-green ascending
-    # (3 entries last green in r1, then the 50-strong r2 cohort —
-    # the r8 prefix re-verifies exactly the stalest set). Entries keep
-    # their previous relative order within the same last-green round.
-    # Rows-only entries follow at the back in their prior order —
-    # sampling one records only a rows-only line (no value-regression
-    # signal); their invariants are pytest-enforced. Recompute each
-    # round from CORRECTNESS_r*.json.
-    "rank_biased_overlap_exact",
-    "benford_first_digit_audit",
-    "funnel_conversion_windows",
-    "chunk_documents_stride",
-    "hll_sketch_native",
-    "interval_coalesce_islands",
-    "knn_mutual_label_blocked",
-    "cusum_changepoint_days",
-    "sql_grouping_sets",
-    "l_diversity_audit",
-    "approx_percentile_rank_audit",
-    "bm25_topk",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "envelope_encode",
-    "envelope_decode",
-    "corrupt_skip",
-    "envelope_binary_roundtrip",
-    "custom_source_roundtrip",
-    "partition_key_group",
-    "project_filter",
-    "q1_pricing_summary",
-    "agg_hash",
-    "agg_distinct",
-    "rollup_agg",
-    "pivot_agg",
-    "percentile_agg",
-    "stats_moments",
-    "join_inner",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "range_join_events",
-    "join_asof_events",
-    "q2_min_value_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "window_rank",
-    "window_analytics",
-    "sort_limit_topk",
-    "set_except",
-    "scalar_string_date_math",
-    "json_extract_props",
-    "stream_tumbling_window",
-    "timeseries_gapfill",
-    "anomaly_zscore",
-    "udf_scalar_pandas",
+    # (the 15-strong r2 cohort, then 49 last green in r3, 49 in r4,
+    # …) — the r9 prefix re-verifies exactly the stalest set. Entries
+    # keep their previous relative order within the same last-green
+    # round. Rows-only entries follow at the back in their prior
+    # order — sampling one records only a rows-only line (no
+    # value-regression signal); their invariants are pytest-enforced.
+    # Recompute each round from CORRECTNESS_r*.json.
+    "ann_model_save_load_audit",
+    "dedup_substring_excise",
+    "dedup_substring_excise_text",
+    "heavy_hitters_audit",
     "udtf_token_ngrams",
     "partitioned_write_prune",
     "dedup_exact",
@@ -402,6 +356,56 @@ _PRIORITY: tuple[str, ...] = (
     "q7_nation_pair_volume",
     "q8_market_share",
     "q9_product_profit",
+    "rank_biased_overlap_exact",
+    "benford_first_digit_audit",
+    "funnel_conversion_windows",
+    "chunk_documents_stride",
+    "hll_sketch_native",
+    "interval_coalesce_islands",
+    "knn_mutual_label_blocked",
+    "cusum_changepoint_days",
+    "sql_grouping_sets",
+    "l_diversity_audit",
+    "approx_percentile_rank_audit",
+    "bm25_topk",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "envelope_encode",
+    "envelope_decode",
+    "corrupt_skip",
+    "envelope_binary_roundtrip",
+    "custom_source_roundtrip",
+    "partition_key_group",
+    "project_filter",
+    "q1_pricing_summary",
+    "agg_hash",
+    "agg_distinct",
+    "rollup_agg",
+    "pivot_agg",
+    "percentile_agg",
+    "stats_moments",
+    "join_inner",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "range_join_events",
+    "join_asof_events",
+    "q2_min_value_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "window_rank",
+    "window_analytics",
+    "sort_limit_topk",
+    "set_except",
+    "scalar_string_date_math",
+    "json_extract_props",
+    "stream_tumbling_window",
+    "timeseries_gapfill",
+    "anomaly_zscore",
+    "udf_scalar_pandas",
     "compression_ratio_filter",
     "stream_left_outer_join",
     "statestore_reader_audit",
