@@ -83,6 +83,11 @@ HEADLINE = [
     "dedup_substring_excise",
     "dedup_substring_excise_text",
     "ann_model_save_load_audit",
+    # r9 wave 2: the skip-gram pair miner (corpus-wide higher-order
+    # explode + one pair shuffle) and the two cheap stat screens
+    "skipgram_cooccurrence",
+    "welch_ttest_lengths",
+    "simpson_diversity_tokens",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

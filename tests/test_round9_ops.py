@@ -1,0 +1,124 @@
+"""Round-9 wave-2 operator invariants (pipeline7): brute-force pins
+for skip-gram co-occurrence, the Welch drift audit, and Simpson
+diversity — semantics the row-hash oracle can't express (the oracle
+pins values; these pin meaning against independent Python recomputes).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.operators.pipeline7 import (
+    SKIP_MIN_COUNT,
+    SKIP_TOP_N,
+    SKIP_W,
+    simpson_diversity_tokens,
+    skipgram_cooccurrence,
+    welch_ttest_lengths,
+)
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def _texts(spark, sf_dir):
+    return [
+        r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .collect()
+    ]
+
+
+def test_skipgram_matches_bruteforce(spark, sf_dir):
+    """Independent O(n·W) Python recount of every (center, context)
+    pair, then the same (count desc, x, y) total order and top-N."""
+    cnt: Counter = Counter()
+    for text in _texts(spark, sf_dir):
+        w = text.split(" ")
+        n = len(w)
+        for i in range(n):
+            lo, hi = max(0, i - SKIP_W), min(n - 1, i + SKIP_W)
+            for j in range(lo, hi + 1):
+                if j != i:
+                    cnt[(w[i], w[j])] += 1
+    expected = sorted(
+        ((x, y, c) for (x, y), c in cnt.items() if c >= SKIP_MIN_COUNT),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:SKIP_TOP_N]
+    got = [
+        (r.x, r.y, r.c_pair) for r in skipgram_cooccurrence(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # counts are symmetric by construction: (x,y) and (y,x) agree
+    assert all(cnt[(y, x)] == c for (x, y), c in cnt.items())
+
+
+def test_welch_t2_matches_bruteforce(spark, sf_dir):
+    """Per-source one-vs-rest Welch t² recomputed from raw lengths with
+    Python floats; moments must be exactly equal, t² to float round-off
+    (the engine folds the same doubles in the same order, but the
+    brute-force recompute derives variance from raw values, so allow a
+    relative envelope)."""
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(int(r.n_chars))
+    allv = [v for vs in by_src.values() for v in vs]
+    got = {r.source: r for r in welch_ttest_lengths(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    for src, vs in by_src.items():
+        rest = [v for s, vv in by_src.items() if s != src for v in vv]
+        g = got[src]
+        assert (g.n1, g.s1, g.ss1) == (
+            len(vs),
+            sum(vs),
+            sum(v * v for v in vs),
+        )
+        assert (g.n2, g.s2, g.ss2) == (
+            len(rest),
+            sum(rest),
+            sum(v * v for v in rest),
+        )
+        if len(vs) >= 2 and len(rest) >= 2:
+            m1, m2 = sum(vs) / len(vs), sum(rest) / len(rest)
+            v1 = sum((v - m1) ** 2 for v in vs) / (len(vs) - 1)
+            v2 = sum((v - m2) ** 2 for v in rest) / (len(rest) - 1)
+            se2 = v1 / len(vs) + v2 / len(rest)
+            if se2 > 0:
+                t2 = (m1 - m2) ** 2 / se2
+                assert g.welch_t2 is not None
+                assert math.isclose(g.welch_t2, t2, rel_tol=1e-9)
+            else:
+                assert g.welch_t2 is None
+
+
+def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
+    d = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .collect()
+    }
+    got = {r.doc_id: r for r in simpson_diversity_tokens(spark, sf_dir).collect()}
+    for doc_id, text in d.items():
+        toks = text.split(" ")
+        n = len(toks)
+        if n < 2:
+            assert doc_id not in got
+            continue
+        c = Counter(toks)
+        rep = sum(v * (v - 1) for v in c.values())
+        r = got[doc_id]
+        assert (r.n_tok, r.n_types) == (n, len(c))
+        # trunc-toward-zero division (operands non-negative ⇒ == floor)
+        assert r.simpson_permille == 1000 - (1000 * rep) // (n * (n - 1))
+        assert 0 <= r.simpson_permille <= 1000
+        # all-distinct doc scores exactly 1000; constant doc scores 0
+        if len(c) == n:
+            assert r.simpson_permille == 1000
+        if len(c) == 1:
+            assert r.simpson_permille == 0

@@ -897,56 +897,54 @@ def dedup_substring_excise_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline output: each document's text with its duplicate spans cut
     out (keep-first rule, maximal merged spans — :func:`_excise_spans`).
     Kept segments are the complement intervals of the removed spans;
-    they are rebuilt with pure built-in functions — complement via a
-    LAG over the span starts plus one tail segment, then an ordered
-    ``array_sort(collect_list(struct))`` concat — no UDF, every stage
-    doc-partitioned (per-doc state bounded by doc length, never corpus
-    size). A doc whose every window is a later duplicate excises to
-    the empty string; untouched docs pass through verbatim. The oracle
-    reconstructs the same strings from the direct all-grams ranking
-    with ordered ``string_agg``, so the driver hash-compares the full
-    cleaned corpus byte-for-byte."""
+    they are rebuilt with pure built-in functions — each doc's merged
+    spans are collapsed to ONE sorted array row, joined to the corpus
+    once, and the complement concat is a single ``aggregate`` fold
+    over that array — no UDF, per-doc state bounded by doc length,
+    never corpus size. Crucially the expensive spans sub-DAG (the
+    winnowing gram ranking of :func:`_excise_spans`) appears exactly
+    ONCE in the plan: the first cut of this operator referenced spans
+    from three branches (lead segments / tail segment / touched-doc
+    probe) and Spark re-evaluated the whole ranking per branch — ~3×
+    the census runtime for the same answer (measured 10.0 s at sf0.1
+    before this re-plan). A doc whose every window is a later
+    duplicate excises to the empty string; untouched docs (no spans
+    row) pass through verbatim. The oracle reconstructs the same
+    strings from the direct all-grams ranking with ordered
+    ``string_agg``, so the driver hash-compares the full cleaned
+    corpus byte-for-byte."""
     d, spans = _excise_spans(spark, sf_dir)
-    w = W.partitionBy("doc_id").orderBy("s")
-    lead = spans.select(
-        "doc_id",
-        F.coalesce(F.lag("e").over(w) + 1, F.lit(1)).alias("ks"),
-        (F.col("s") - 1).alias("ke"),
+    spans_arr = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("s").cast("bigint").alias("s"),
+                    F.col("e").cast("bigint").alias("e"),
+                )
+            )
+        ).alias("sp")
     )
-    last = spans.groupBy("doc_id").agg(F.max("e").alias("le"))
-    tail = (
-        d.join(last, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("le") + 1).alias("ks"),
-            F.length("text").alias("ke"),
-        )
-    )
-    segs = lead.union(tail).where(F.col("ke") >= F.col("ks"))
-    pieces = segs.join(d.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
-        "ks",
-        F.substr("text", F.col("ks"), F.col("ke") - F.col("ks") + 1).alias(
-            "piece"
-        ),
-    )
-    kept = pieces.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ks", "piece"))),
-                lambda x: x["piece"],
-            ),
-            "",
-        ).alias("kept_text")
-    )
+    # one fold per doc: walk the sorted removed spans, emitting the gap
+    # before each span, then the tail after the last one. substring()
+    # with a non-positive length yields '' (first span at pos 1, or a
+    # span ending exactly at the doc tail), so no edge branches needed.
+    kept = F.expr(
+        """
+        CASE WHEN sp IS NULL THEN text ELSE aggregate(
+            sp,
+            named_struct('pos', CAST(1 AS BIGINT), 'acc', ''),
+            (a, x) -> named_struct(
+                'pos', x.e + CAST(1 AS BIGINT),
+                'acc', concat(a.acc, substring(text, CAST(a.pos AS INT),
+                                               CAST(x.s - a.pos AS INT)))),
+            a -> concat(a.acc,
+                        substring(text, CAST(a.pos AS INT),
+                                  CAST(length(text) - a.pos + 1 AS INT))))
+        END
+        """
+    ).alias("kept_text")
     return (
         d.select("doc_id", "text")
-        .join(last.select("doc_id", "le"), "doc_id", "left")
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("le").isNull(), F.col("text"))
-            .otherwise(F.coalesce("kept_text", F.lit("")))
-            .alias("kept_text"),
-        )
+        .join(spans_arr, "doc_id", "left")
+        .select("doc_id", kept)
     )

@@ -1,0 +1,257 @@
+"""Pipeline wave 7 (round 9): skip-gram co-occurrence mining, Welch
+two-sample drift auditing, and per-document lexical diversity.
+
+The reference has no relational surface at all (SURVEY.md §2-B); these
+are Layer-B LLM-corpus operators extending the driver's north star.
+Cross-engine determinism discipline (see pipeline6): exact integer
+counts wherever possible; where a statistic is irreducibly real-valued
+(Welch t²) BOTH engines evaluate the same double expression from the
+same exact bigint moments — single IEEE-754 expression, no decimal
+literals (bare ``2.2`` parses as DECIMAL in both engines and rounds
+differently than double; e-notation only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from watermill_kinesis_spark.registry import query
+from watermill_kinesis_spark.sources.tables import load_table
+
+#: skip-gram context radius (word2vec's default-ish small window) and
+#: reporting shape: pairs seen < SKIP_MIN_COUNT times are noise, top-N
+#: keeps the answer driver-comparable at every SF
+SKIP_W = 2
+SKIP_MIN_COUNT = 3
+SKIP_TOP_N = 200
+
+
+@query(
+    "skipgram_cooccurrence",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents
+                  WHERE text IS NOT NULL),
+    pos AS (SELECT w, unnest(generate_series(1, len(w))) AS i FROM toks),
+    ctx AS (
+        SELECT w, i,
+               unnest(generate_series(GREATEST(1, i - {SKIP_W}),
+                                      LEAST(len(w), i + {SKIP_W}))) AS j
+        FROM pos),
+    pairs AS (
+        SELECT w[i] AS x, w[j] AS y, COUNT(*) AS c_pair
+        FROM ctx WHERE j <> i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {SKIP_MIN_COUNT})
+    SELECT x, y, CAST(c_pair AS BIGINT) AS c_pair
+    FROM pairs
+    ORDER BY c_pair DESC, x, y
+    LIMIT {SKIP_TOP_N}
+    """,
+    tags=("text", "ngram", "embedding", "llm-pipeline"),
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within a ±2
+    token window — the pair-extraction stage of word2vec/GloVe-style
+    embedding training (Mikolov et al. 2013) and the wide-window
+    sibling of ``collocation_pmi`` (adjacent bigrams only). Pairs are
+    ORDERED (center, context), so counts are symmetric; a min-count
+    prefilter runs BEFORE any ranking and the report is a
+    deterministic top-N (total order: count desc, then pair text).
+
+    Plan: the token array is materialized ONCE per row (a first cut
+    inlined ``split(text, ' ')`` inside the nested lambdas and Spark's
+    interpreted higher-order functions re-split the document for every
+    (position, offset) element access — O(tokens·window) re-splits,
+    measured 107 s → 14 s at the sf1 replica from this hoist), then
+    context pairs are generated with nested ``transform`` lambdas
+    (~2W pairs/token), then ONE map-side combined groupBy on (x, y)
+    and a TakeOrdered top-N. No join anywhere; at 100 TB the single
+    shuffle carries only the distinct pair counts (vocabulary²,
+    min-count-filtered), never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pairs = F.expr(
+        f"""
+        flatten(transform(
+            sequence(1, size(w)),
+            i -> transform(
+                filter(sequence(greatest(1, i - {SKIP_W}),
+                                least(size(w), i + {SKIP_W})),
+                       j -> j != i),
+                j -> struct(element_at(w, i) AS x,
+                            element_at(w, j) AS y))))
+        """
+    )
+    return (
+        d.select(F.split("text", " ").alias("w"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .where(F.col("c_pair") >= SKIP_MIN_COUNT)
+        .orderBy(F.desc("c_pair"), F.asc("x"), F.asc("y"))
+        .limit(SKIP_TOP_N)
+    )
+
+
+#: Welch t² from exact bigint moments — the SAME double expression text
+#: runs on both engines (all casts to DOUBLE up front; sample variance
+#: via the computational formula; NULL for degenerate groups rather
+#: than a cross-engine div-by-zero skew, the funnel/auc guard pattern)
+_WELCH_T2 = """
+    CASE WHEN n1 >= 2 AND n2 >= 2
+              AND (CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1e0)
+                  / CAST(n1 AS DOUBLE)
+                + (CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1e0)
+                  / CAST(n2 AS DOUBLE) > 0e0
+    THEN
+        (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        / ((CAST(ss1 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) - 1e0) / CAST(n1 AS DOUBLE)
+           + (CAST(ss2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / (CAST(n2 AS DOUBLE) - 1e0) / CAST(n2 AS DOUBLE))
+    ELSE NULL END
+"""
+
+
+@query(
+    "welch_ttest_lengths",
+    oracle=f"""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(n_chars) AS BIGINT) AS s1,
+               CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ss1
+        FROM documents GROUP BY source),
+    tot AS (
+        SELECT SUM(n1) AS nt, SUM(s1) AS st, SUM(ss1) AS sst FROM g),
+    j AS (
+        SELECT g.source, g.n1, g.s1, g.ss1,
+               CAST(tot.nt - g.n1 AS BIGINT) AS n2,
+               CAST(tot.st - g.s1 AS BIGINT) AS s2,
+               CAST(tot.sst - g.ss1 AS BIGINT) AS ss2
+        FROM g CROSS JOIN tot)
+    SELECT source, n1, s1, ss1, n2, s2, ss2,
+           {_WELCH_T2} AS welch_t2
+    FROM j
+    """,
+    tags=("stats", "drift", "quality", "llm-pipeline"),
+)
+def welch_ttest_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-drift audit: Welch's unequal-variance t²
+    statistic of each source's document lengths against the REST of
+    the corpus — the one-vs-rest mean-shift screen a training-data
+    pipeline runs when a crawl source starts emitting truncated or
+    concatenated documents (the ``ks_drift_matrix`` sibling for means;
+    KS is the whole-distribution screen). Exact bigint moments
+    (n, Σlen, Σlen²) per source; the complement group is derived by
+    subtracting from corpus totals — no second scan, no self-join.
+    t² is ONE shared double expression over those bigints
+    (cross-engine bit-equal; see module docstring), NULL on degenerate
+    groups (n < 2 or zero pooled variance) rather than an
+    engine-divergent division by zero.
+
+    Plan: one map-side-combined groupBy(source) over the corpus, one
+    broadcast cross-join of the |sources|-row table against its own
+    1-row total. At 100 TB this is a single aggregation pass; the t²
+    math runs on |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("bigint")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(nc).cast("bigint").alias("s1"),
+        F.sum(nc * nc).cast("bigint").alias("ss1"),
+    )
+    tot = g.agg(
+        F.sum("n1").alias("nt"), F.sum("s1").alias("st"), F.sum("ss1").alias("sst")
+    )
+    j = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n1",
+        "s1",
+        "ss1",
+        (F.col("nt") - F.col("n1")).cast("bigint").alias("n2"),
+        (F.col("st") - F.col("s1")).cast("bigint").alias("s2"),
+        (F.col("sst") - F.col("ss1")).cast("bigint").alias("ss2"),
+    )
+    return j.select(
+        "source",
+        "n1",
+        "s1",
+        "ss1",
+        "n2",
+        "s2",
+        "ss2",
+        F.expr(_WELCH_T2).alias("welch_t2"),
+    )
+
+
+@query(
+    "simpson_diversity_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    a AS (
+        SELECT doc_id, SUM(c) AS n, COUNT(*) AS k,
+               SUM(c * (c - 1)) AS rep
+        FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tok, CAST(k AS BIGINT) AS n_types,
+           CAST(1000 - CAST(1000 * rep AS BIGINT) // CAST(n * (n - 1) AS BIGINT)
+                AS BIGINT) AS simpson_permille
+    FROM a WHERE n >= 2
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def simpson_diversity_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: the unbiased Gini–Simpson index
+    1 − Σc(c−1)/(n(n−1)) over token counts, reported as an EXACT
+    integer permille (1000 = all tokens distinct, 0 = one token
+    repeated) — the collision-probability quality signal that flags
+    keyword-stuffed / looping documents, complementary to
+    ``repetition_ratio`` (surface n-gram repeats) and Gopher's
+    threshold rules. Division is trunc-toward-zero integer division on
+    both engines (Spark ``div`` ↔ DuckDB ``//``; operands here are
+    non-negative); docs with fewer than two tokens are excluded (the
+    index is undefined at n < 2).
+
+    Plan: explode → groupBy (doc_id, tok) → re-group by doc_id; the
+    second aggregation reuses the first exchange's hash partitioning
+    (HashPartitioning(doc_id, tok) does not satisfy doc_id alone, but
+    the combine is map-side either way) — two map-side-combined
+    shuffles whose widths are token-type counts, never raw corpus
+    bytes. Per-doc state is bounded by the doc's vocabulary."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep"),
+    )
+    return a.where(F.col("n") >= 2).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tok"),
+        F.col("k").cast("bigint").alias("n_types"),
+        (
+            F.lit(1000)
+            - F.expr(
+                "CAST(1000 * rep AS BIGINT) div CAST(n * (n - 1) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("simpson_permille"),
+    )

@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.pipeline4",
     "watermill_kinesis_spark.operators.pipeline5",
     "watermill_kinesis_spark.operators.pipeline6",
+    "watermill_kinesis_spark.operators.pipeline7",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.modern",
     "watermill_kinesis_spark.operators.governance",
@@ -97,6 +98,9 @@ _PRIORITY: tuple[str, ...] = (
     # order — sampling one records only a rows-only line (no
     # value-regression signal); their invariants are pytest-enforced.
     # Recompute each round from CORRECTNESS_r*.json.
+    "skipgram_cooccurrence",
+    "welch_ttest_lengths",
+    "simpson_diversity_tokens",
     "ann_model_save_load_audit",
     "dedup_substring_excise",
     "dedup_substring_excise_text",
