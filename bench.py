@@ -88,6 +88,8 @@ HEADLINE = [
     "skipgram_cooccurrence",
     "welch_ttest_lengths",
     "simpson_diversity_tokens",
+    "t_closeness_audit",
+    "kneser_ney_continuation",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

@@ -96,6 +96,87 @@ def test_welch_t2_matches_bruteforce(spark, sf_dir):
                 assert g.welch_t2 is None
 
 
+def test_kneser_ney_matches_bruteforce(spark, sf_dir):
+    """Independent Python recompute of unigram counts, distinct bigram
+    types, left/right continuation type-counts, and the permille."""
+    from watermill_kinesis_spark.operators.pipeline7 import (
+        KN_TOP_N,
+        kneser_ney_continuation,
+    )
+
+    uni: Counter = Counter()
+    types = set()
+    for text in _texts(spark, sf_dir):
+        w = text.split(" ")
+        uni.update(w)
+        types.update(zip(w, w[1:]))
+    nl: Counter = Counter(y for _, y in types)
+    nr: Counter = Counter(x for x, _ in types)
+    bt = len(types)
+    expected = sorted(
+        (
+            (tok, c, nl.get(tok, 0), nr.get(tok, 0), 1000 * nl.get(tok, 0) // bt)
+            for tok, c in uni.items()
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )[:KN_TOP_N]
+    got = [
+        (r.tok, r.c_tok, r.n_left_contexts, r.n_right_contexts, r.cont_permille)
+        for r in kneser_ney_continuation(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # sanity: continuation mass sums to the type count on both sides
+    assert sum(nl.values()) == bt == sum(nr.values())
+
+
+def test_t_closeness_matches_bruteforce(spark, sf_dir):
+    """Independent recompute with exact Fractions: per-QI variational
+    distance of the segment distribution vs the corpus distribution,
+    threshold compare, rows-at-risk and max distance."""
+    from fractions import Fraction
+
+    from watermill_kinesis_spark.operators.governance import (
+        KANON_BAL_BAND,
+        TCLOSE_T_MILLE,
+        t_closeness_audit,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal", "c_mktsegment")
+        .collect()
+    )
+    glob: Counter = Counter()
+    groups: dict = {}
+    for r in rows:
+        band = math.floor(float(r.c_acctbal) / KANON_BAL_BAND)
+        glob[r.c_mktsegment] += 1
+        groups.setdefault((r.c_nationkey, band), Counter())[r.c_mktsegment] += 1
+    n = sum(glob.values())
+    n_viol = rows_at_risk = 0
+    max_dist = Fraction(0)
+    for cnt in groups.values():
+        sz = sum(cnt.values())
+        dist = sum(
+            abs(Fraction(cnt.get(s, 0), sz) - Fraction(g, n))
+            for s, g in glob.items()
+        ) / 2
+        max_dist = max(max_dist, dist)
+        if dist > Fraction(TCLOSE_T_MILLE, 1000):
+            n_viol += 1
+            rows_at_risk += sz
+    got = t_closeness_audit(spark, sf_dir).collect()[0]
+    assert got.n_groups == len(groups)
+    assert got.n_violating_groups == n_viol
+    assert got.n_rows_at_risk == rows_at_risk
+    # floor is monotone, so floor(max fraction) == max(per-group floors)
+    assert got.max_dist_permille == (
+        1000 * max_dist.numerator // max_dist.denominator
+    )
+    # the threshold must split: both branches exercised on every SF
+    assert 0 < n_viol < len(groups)
+
+
 def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
     d = {
         r.doc_id: r.text

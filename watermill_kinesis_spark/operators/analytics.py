@@ -204,23 +204,26 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram frequency table, top-N — the count table a
     count-based LM, a contamination checker, or a collocation miner
     starts from. Bigrams are generated JVM-side with a higher-order
-    transform over token indices (no Python), then one shuffle
-    aggregates counts; top-N is a TakeOrdered, ties broken by bigram so
-    the result SET is unique. At 100 TB the groupBy benefits from
-    map-side partial aggregation; skew on stop-bigrams is absorbed by
-    AQE."""
+    transform over token indices (no Python) — the token array is
+    materialized ONCE per row first (interpreted HOF lambdas do no CSE
+    across the lambda boundary, so an inlined split re-splits the
+    document per element access; see SCALE.md round-9 wave 2) — then
+    one shuffle aggregates counts; top-N is a TakeOrdered, ties broken
+    by bigram so the result SET is unique. At 100 TB the groupBy
+    benefits from map-side partial aggregation; skew on stop-bigrams
+    is absorbed by AQE."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
     bigrams = F.when(
-        F.size(w) >= 2,
+        F.size("w") >= 2,
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 2),"
-            " i -> concat(element_at(split(text, ' '), i + 1), ' ',"
-            " element_at(split(text, ' '), i + 2)))"
+            "transform(sequence(0, size(w) - 2),"
+            " i -> concat(element_at(w, i + 1), ' ',"
+            " element_at(w, i + 2)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.split(F.col("text"), " ").alias("w"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))

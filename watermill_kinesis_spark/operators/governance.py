@@ -11,7 +11,7 @@ exactly like the joins they are built from.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
@@ -180,6 +180,111 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_at_risk"
         ),
         F.min("n_sens").alias("min_distinct_sensitive"),
+    )
+
+
+#: t-closeness threshold, in permille of variational distance
+TCLOSE_T_MILLE = 200
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / {KANON_BAL_BAND}) AS BIGINT) AS bal_band,
+               c_mktsegment AS seg, COUNT(*) AS g
+        FROM customer GROUP BY 1, 2, 3),
+    gl AS (SELECT c_mktsegment AS seg, COUNT(*) AS gn FROM customer GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM customer),
+    per AS (
+        SELECT cnt.c_nationkey, cnt.bal_band, cnt.g, gl.gn, tot.n,
+               SUM(cnt.g) OVER (PARTITION BY cnt.c_nationkey, cnt.bal_band)
+                   AS sz
+        FROM cnt JOIN gl USING (seg) CROSS JOIN tot),
+    qi AS (
+        SELECT c_nationkey, bal_band, MAX(sz) AS sz, MAX(n) AS n,
+               SUM(ABS(g * n - gn * sz) - gn * sz) + MAX(sz) * MAX(n) AS num
+        FROM per GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT_IF(num * 1000 > 2 * {TCLOSE_T_MILLE} * sz * n)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN num * 1000 > 2 * {TCLOSE_T_MILLE} * sz * n
+                         THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(MAX(CAST(1000 * num AS BIGINT) // CAST(2 * sz * n AS BIGINT))
+                AS BIGINT) AS max_dist_permille
+    FROM qi
+    """,
+    tags=("governance", "agg", "llm-pipeline"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-gate ladder
+    (Li, Li & Venkatasubramanian 2007, ICDE): l-diversity is fooled by
+    a group whose sensitive values are distinct but SKEWED relative to
+    the corpus (e.g. 90% one segment where the corpus holds 20%), so
+    the gate bounds each QI group's sensitive-value distribution to
+    within t of the GLOBAL distribution. The sensitive attribute here
+    (market segment) is nominal, so the distance is the variational
+    distance ½·Σ|p_i − q_i| — an exact rational: the audit compares
+    num = Σ_i |g_i·N − G_i·sz| (absent segments contribute G_i·sz,
+    folded in closed form as sz·N − Σ_present G_i·sz so only PRESENT
+    (group, segment) rows are ever materialized) against 2·t·sz·N by
+    integer cross-multiplication — no float division anywhere, the
+    ``rank_biased_overlap_exact`` discipline. Bigint bound: the products
+    are ≤ 2·sz·N² — exact to N ≈ 2·10⁹ rows; beyond that lift to
+    decimal(38,0) ↔ HUGEINT.
+
+    Plan: one map-side-combined aggregate to |QI×segment| rows, a
+    broadcast join against the |segments| global table, a window sum
+    over the (QI) partition (≤ |segments| rows per partition — NOT the
+    raw-row enum-window shape), and a tiny summary. Single corpus scan
+    at any scale, same as its two siblings."""
+    c = load_table(spark, sf_dir, "customer")
+    qi_cols = [
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / KANON_BAL_BAND)
+        .cast("bigint")
+        .alias("bal_band"),
+    ]
+    cnt = c.groupBy(*qi_cols, F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    gl = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("gn")
+    )
+    tot = c.agg(F.count(F.lit(1)).alias("n"))
+    szw = W.partitionBy("c_nationkey", "bal_band")
+    per = (
+        cnt.join(F.broadcast(gl), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "g",
+            "gn",
+            "n",
+            F.sum("g").over(szw).alias("sz"),
+        )
+    )
+    num = (
+        F.sum(
+            F.abs(F.col("g") * F.col("n") - F.col("gn") * F.col("sz"))
+            - F.col("gn") * F.col("sz")
+        )
+        + F.max("sz") * F.max("n")
+    ).alias("num")
+    qi = per.groupBy("c_nationkey", "bal_band").agg(
+        F.max("sz").alias("sz"), F.max("n").alias("n"), num
+    )
+    viol = F.col("num") * 1000 > 2 * TCLOSE_T_MILLE * F.col("sz") * F.col("n")
+    dist = F.expr("CAST(1000 * num AS BIGINT) div CAST(2 * sz * n AS BIGINT)")
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(viol).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("sz")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.max(dist).cast("bigint").alias("max_dist_permille"),
     )
 
 

@@ -77,16 +77,19 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n_tok = uni.agg(F.sum("c").alias("n_tokens"))
+    # token array hoisted out of the lambda: interpreted HOFs re-split
+    # per element access otherwise (SCALE.md round-9 wave 2)
     bigrams = F.when(
-        F.size(w) >= 2,
+        F.size("wt") >= 2,
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 2),"
-            " i -> struct(element_at(split(text, ' '), i + 1) AS x,"
-            " element_at(split(text, ' '), i + 2) AS y))"
+            "transform(sequence(0, size(wt) - 2),"
+            " i -> struct(element_at(wt, i + 1) AS x,"
+            " element_at(wt, i + 2) AS y))"
         ),
     ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
     bi = (
-        d.select(F.explode(bigrams).alias("b"))
+        d.select(w.alias("wt"))
+        .select(F.explode(bigrams).alias("b"))
         .select("b.x", "b.y")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c_xy"))
@@ -403,14 +406,14 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching rule are value-checked against the LIKE spelling."""
     d = load_table(spark, sf_dir, "documents")
     hosts = d.select("doc_id", F.expr(_HOST_SQL.strip()).alias("host"))
-    suffixes = hosts.select(
+    suffixes = hosts.withColumn("labs", F.split("host", "\\.")).select(
         "doc_id",
         "host",
         F.explode(
             F.expr(
                 """
-                transform(sequence(0, size(split(host, '\\\\.')) - 1),
-                          i -> array_join(slice(split(host, '\\\\.'), i + 1, 99), '.'))
+                transform(sequence(0, size(labs) - 1),
+                          i -> array_join(slice(labs, i + 1, 99), '.'))
                 """
             )
         ).alias("sfx"),

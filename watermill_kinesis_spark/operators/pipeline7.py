@@ -195,6 +195,121 @@ def welch_ttest_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: report width for the Kneser–Ney continuation table
+KN_TOP_N = 100
+
+
+@query(
+    "kneser_ney_continuation",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents
+                  WHERE text IS NOT NULL),
+    idx AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks),
+    bi AS (SELECT DISTINCT w[i] AS x, w[i + 1] AS y FROM idx),
+    uni AS (SELECT tok, COUNT(*) AS c
+            FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1),
+    lc AS (SELECT y AS tok, COUNT(*) AS nl FROM bi GROUP BY 1),
+    rc AS (SELECT x AS tok, COUNT(*) AS nr FROM bi GROUP BY 1),
+    t AS (SELECT COUNT(*) AS bt FROM bi)
+    SELECT u.tok, CAST(u.c AS BIGINT) AS c_tok,
+           CAST(COALESCE(lc.nl, 0) AS BIGINT) AS n_left_contexts,
+           CAST(COALESCE(rc.nr, 0) AS BIGINT) AS n_right_contexts,
+           CAST(CAST(1000 * COALESCE(lc.nl, 0) AS BIGINT) // t.bt AS BIGINT)
+               AS cont_permille
+    FROM uni u LEFT JOIN lc USING (tok) LEFT JOIN rc USING (tok)
+    CROSS JOIN t
+    ORDER BY n_left_contexts DESC, tok
+    LIMIT {KN_TOP_N}
+    """,
+    tags=("text", "ngram", "llm-pipeline"),
+)
+def kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney continuation-count table (Kneser & Ney 1995; Chen &
+    Goodman 1999): for each word, how many DISTINCT left contexts it
+    follows (N1+(·w) — the numerator of the KN lower-order
+    distribution P_cont(w) = N1+(·w)/|bigram types|) and how many
+    distinct right contexts it opens (N1+(w·), the backoff-weight
+    count). These are TYPE counts, not token counts — the quantity
+    that makes KN the strongest count-based smoother ("Francisco" is
+    frequent but follows only "San", so its continuation probability
+    is tiny) — complementing ``ngram_lm_counts`` (token counts) and
+    ``stupid_backoff_score`` (score-based backoff). cont_permille is
+    exact integer division on both engines.
+
+    Plan: one pass builds DISTINCT bigram types (map-side combined
+    distinct on the hoisted token array — lambda-CSE rule, SCALE.md
+    round-9 wave 2); each type row then explodes into a ('L', right
+    word) and an ('R', left word) role row so left/right context
+    counts come out of ONE vocab-keyed aggregation — a first cut
+    grouped the types relation twice (by x, by y) and column pruning
+    specialized each branch's exchange (one carries only x, the other
+    only y), defeating ReusedExchange and re-running the corpus
+    distinct per branch. The scalar type count is Σ n_left (each type
+    contributes exactly one L row) — Catalyst collapses that
+    agg-over-agg into a direct global count, so the scalar leg still
+    re-evaluates the types lineage once (the same accepted scalar
+    crossJoin shape as ``collocation_pmi``'s n_tokens; a production
+    pipeline reusing the table would persist ``types``). TakeOrdered
+    top-N with a total order. Net: the raw corpus is scanned three
+    times (unigram counts, bigram types, type count) — down from four
+    in the two-groupBy form; everything downstream is
+    vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(F.split("text", " ").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr(
+            "transform(sequence(0, size(w) - 2),"
+            " i -> struct(element_at(w, i + 1) AS x,"
+            " element_at(w, i + 2) AS y))"
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    types = (
+        toks.select(F.explode(bigrams).alias("b"))
+        .select("b.x", "b.y")
+        .distinct()
+    )
+    roles = types.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("L").alias("role"), F.col("y").alias("tok")
+                ),
+                F.struct(
+                    F.lit("R").alias("role"), F.col("x").alias("tok")
+                ),
+            )
+        ).alias("r")
+    ).select("r.role", "r.tok")
+    counts = roles.groupBy("tok").agg(
+        F.count_if(F.col("role") == "L").alias("nl"),
+        F.count_if(F.col("role") == "R").alias("nr"),
+    )
+    bt = counts.agg(F.sum("nl").alias("bt"))
+    return (
+        uni.join(counts, "tok", "left")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "tok",
+            F.col("c_tok").cast("bigint").alias("c_tok"),
+            F.coalesce("nl", F.lit(0)).cast("bigint").alias("n_left_contexts"),
+            F.coalesce("nr", F.lit(0)).cast("bigint").alias("n_right_contexts"),
+            F.expr(
+                "CAST(1000 * COALESCE(nl, 0) AS BIGINT) div bt"
+            )
+            .cast("bigint")
+            .alias("cont_permille"),
+        )
+        .orderBy(F.desc("n_left_contexts"), F.asc("tok"))
+        .limit(KN_TOP_N)
+    )
+
+
 @query(
     "simpson_diversity_tokens",
     oracle="""

@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     "skipgram_cooccurrence",
     "welch_ttest_lengths",
     "simpson_diversity_tokens",
+    "t_closeness_audit",
+    "kneser_ney_continuation",
     "ann_model_save_load_audit",
     "dedup_substring_excise",
     "dedup_substring_excise_text",
