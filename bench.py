@@ -90,6 +90,8 @@ HEADLINE = [
     "simpson_diversity_tokens",
     "t_closeness_audit",
     "kneser_ney_continuation",
+    "wilson_lower_bound_rank",
+    "vocab_jaccard_sources",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

@@ -177,6 +177,83 @@ def test_t_closeness_matches_bruteforce(spark, sf_dir):
     assert 0 < n_viol < len(groups)
 
 
+def test_wilson_lower_bound_matches_bruteforce(spark, sf_dir):
+    """Recompute the Wilson 95% lower bound per supplier in Python and
+    pin the ranking property the raw rate violates: a tiny all-return
+    group must not outrank a large nearly-all-return group."""
+    from watermill_kinesis_spark.operators.pipeline7 import (
+        WILSON_TOP_N,
+        wilson_lower_bound_rank,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_returnflag")
+        .collect()
+    )
+    agg: dict = {}
+    for r in rows:
+        n, ret = agg.get(r.l_suppkey, (0, 0))
+        agg[r.l_suppkey] = (n + 1, ret + (r.l_returnflag == "R"))
+    z = 1.96
+
+    def wlb(n, r):
+        p = r / n
+        return (
+            p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        ) / (1 + z * z / n)
+
+    expected = sorted(
+        ((k, n, r, wlb(n, r)) for k, (n, r) in agg.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:WILSON_TOP_N]
+    got = wilson_lower_bound_rank(spark, sf_dir).collect()
+    assert [(g.l_suppkey, g.n, g.r) for g in got] == [
+        (k, n, r) for k, n, r, _ in expected
+    ]
+    for g, (_, _, _, w) in zip(got, expected):
+        assert math.isclose(g.wilson_lb, w, rel_tol=1e-12)
+        # the bound is strictly below the raw rate and within [0, 1)
+        assert 0.0 <= g.wilson_lb < g.r / g.n or g.r == 0
+
+
+def test_vocab_jaccard_matches_bruteforce(spark, sf_dir):
+    from watermill_kinesis_spark.operators.pipeline7 import (
+        vocab_jaccard_sources,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", "text")
+        .collect()
+    )
+    vocab: dict = {}
+    for r in rows:
+        vocab.setdefault(r.source, set()).update(r.text.split(" "))
+    got = {
+        (r.src_a, r.src_b): r for r in vocab_jaccard_sources(spark, sf_dir).collect()
+    }
+    srcs = sorted(vocab)
+    n_pairs = 0
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = len(vocab[sa] & vocab[sb])
+            if inter == 0:
+                assert (sa, sb) not in got
+                continue
+            n_pairs += 1
+            r = got[(sa, sb)]
+            assert (r.v_a, r.v_b, r.n_common) == (
+                len(vocab[sa]),
+                len(vocab[sb]),
+                inter,
+            )
+            union = len(vocab[sa] | vocab[sb])
+            assert r.jaccard_permille == 1000 * inter // union
+    assert len(got) == n_pairs
+
+
 def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
     d = {
         r.doc_id: r.text

@@ -310,6 +310,142 @@ def kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Wilson interval: z for 95% two-sided, and the report width
+WILSON_Z = "1.96e0"
+WILSON_TOP_N = 20
+
+#: the SAME double expression runs on both engines: n/r are exact
+#: bigints; +,*,/ and sqrt() are IEEE-754 correctly-rounded in both
+#: (unlike ln/exp), so the emitted score is bit-identical
+_WILSON_LB = f"""
+    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+     + {WILSON_Z} * {WILSON_Z} / (2e0 * CAST(n AS DOUBLE))
+     - {WILSON_Z} * sqrt(
+         (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+          * (1e0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+          + {WILSON_Z} * {WILSON_Z} / (4e0 * CAST(n AS DOUBLE)))
+         / CAST(n AS DOUBLE)))
+    / (1e0 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE))
+"""
+
+
+@query(
+    "wilson_lower_bound_rank",
+    oracle=f"""
+    WITH g AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT_IF(l_returnflag = 'R') AS BIGINT) AS r
+        FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, n, r, {_WILSON_LB} AS wilson_lb
+    FROM g
+    ORDER BY wilson_lb DESC, l_suppkey
+    LIMIT {WILSON_TOP_N}
+    """,
+    tags=("stats", "ranking", "agg"),
+)
+def wilson_lower_bound_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by the Wilson score interval's lower bound on
+    their return rate — the small-sample-honest way to rank
+    proportions (a 1/1 = 100% supplier must NOT outrank a 480/500 =
+    96% one; the raw rate does exactly that, the Wilson lower bound
+    does not). The industry-standard fix popularized by Miller's
+    "How Not To Sort By Average Rating". Exact bigint (n, r) per
+    group; the bound is ONE shared double expression — sqrt is
+    IEEE-754 correctly-rounded in both engines (unlike ln/exp), so
+    this extends the bm25 shared-double discipline to interval
+    statistics and the emitted score hash-compares bit-exactly.
+
+    Plan: one map-side-combined groupBy over the fact table, then
+    |suppliers| rows of double math and a TakeOrdered top-N with a
+    total order (bound desc, supplier) — a single corpus scan at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias("r"),
+    )
+    return (
+        g.select("l_suppkey", "n", "r", F.expr(_WILSON_LB).alias("wilson_lb"))
+        .orderBy(F.desc("wilson_lb"), F.asc("l_suppkey"))
+        .limit(WILSON_TOP_N)
+    )
+
+
+@query(
+    "vocab_jaccard_sources",
+    oracle="""
+    WITH st AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+    sz AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b,
+           CAST(sa.v AS BIGINT) AS v_a, CAST(sb.v AS BIGINT) AS v_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(CAST(1000 * i.n_common AS BIGINT)
+                // CAST(sa.v + sb.v - i.n_common AS BIGINT) AS BIGINT)
+               AS jaccard_permille
+    FROM inter i JOIN sz sa ON i.src_a = sa.source
+                 JOIN sz sb ON i.src_b = sb.source
+    """,
+    tags=("text", "dedup", "corpus-mix", "llm-pipeline"),
+)
+def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard overlap between sources — the
+    corpus-mixing diagnostic behind domain-weight decisions
+    (``domain_mix_weights`` sets sampling ratios by SIZE; this
+    measures REDUNDANCY: two sources sharing 90% of their vocabulary
+    contribute far less diversity than their row counts suggest).
+    Exact integer permille over distinct-token sets.
+
+    Plan: ONE distinct over (source, token) — the only corpus-wide
+    shuffle — then a vocab-sized self-equi-join on token produces
+    pair intersections (both sides are the same exchange, reused;
+    |sources| is small so each token contributes ≤ |sources|² pair
+    rows), a map-side-combined pair count, and two joins against the
+    |sources|-row size table. At 100 TB work scales with distinct
+    (source, token) pairs, never raw rows; skewed stop-tokens expand
+    to at most C(|sources|, 2) rows each."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("v_a").cast("bigint").alias("v_a"),
+            F.col("v_b").cast("bigint").alias("v_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST(1000 * n_common AS BIGINT)"
+                " div CAST(v_a + v_b - n_common AS BIGINT)"
+            )
+            .cast("bigint")
+            .alias("jaccard_permille"),
+        )
+    )
+
+
 @query(
     "simpson_diversity_tokens",
     oracle="""

@@ -103,6 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     "simpson_diversity_tokens",
     "t_closeness_audit",
     "kneser_ney_continuation",
+    "wilson_lower_bound_rank",
+    "vocab_jaccard_sources",
     "ann_model_save_load_audit",
     "dedup_substring_excise",
     "dedup_substring_excise_text",
