@@ -84,7 +84,9 @@ HEADLINE = [
     "dedup_substring_excise_text",
     "ann_model_save_load_audit",
     # r9 wave 2: the skip-gram pair miner (corpus-wide higher-order
-    # explode + one pair shuffle) and the two cheap stat screens
+    # explode + one pair shuffle), the Welch/Simpson stat screens, the
+    # t-closeness release gate, the Kneser-Ney continuation table, the
+    # Wilson-bound ranking, and the cross-source vocab Jaccard
     "skipgram_cooccurrence",
     "welch_ttest_lengths",
     "simpson_diversity_tokens",

@@ -70,6 +70,8 @@ def test_welch_t2_matches_bruteforce(spark, sf_dir):
     allv = [v for vs in by_src.values() for v in vs]
     got = {r.source: r for r in welch_ttest_lengths(spark, sf_dir).collect()}
     assert set(got) == set(by_src)
+    # every group + its complement partitions the corpus
+    assert all(g.n1 + g.n2 == len(allv) for g in got.values())
     for src, vs in by_src.items():
         rest = [v for s, vv in by_src.items() if s != src for v in vv]
         g = got[src]

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import lcents, sql_dsum
+from watermill_kinesis_spark.functions.textexpr import bigram_structs
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -213,17 +214,10 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     benefits from map-side partial aggregation; skew on stop-bigrams
     is absorbed by AQE."""
     d = load_table(spark, sf_dir, "documents")
-    bigrams = F.when(
-        F.size("w") >= 2,
-        F.expr(
-            "transform(sequence(0, size(w) - 2),"
-            " i -> concat(element_at(w, i + 1), ' ',"
-            " element_at(w, i + 2)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select(F.split(F.col("text"), " ").alias("w"))
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(bigram_structs("w")).alias("b"))
+        .select(F.concat("b.x", F.lit(" "), "b.y").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))

@@ -230,9 +230,11 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded in closed form as sz·N − Σ_present G_i·sz so only PRESENT
     (group, segment) rows are ever materialized) against 2·t·sz·N by
     integer cross-multiplication — no float division anywhere, the
-    ``rank_biased_overlap_exact`` discipline. Bigint bound: the products
-    are ≤ 2·sz·N² — exact to N ≈ 2·10⁹ rows; beyond that lift to
-    decimal(38,0) ↔ HUGEINT.
+    ``rank_biased_overlap_exact`` discipline. Bigint bound: the largest
+    product is num·1000 ≤ 2000·sz·N ≤ 2000·N², which stays inside
+    int64 while N ≲ 6.8·10⁷ rows if one QI group dominates (sz ≈ N);
+    beyond that lift the comparison to decimal(38,0) ↔ HUGEINT
+    (exact to ~10¹⁷ rows).
 
     Plan: one map-side-combined aggregate to |QI×segment| rows, a
     broadcast join against the |segments| global table, a window sum

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from watermill_kinesis_spark.functions.textexpr import bigram_structs
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -79,17 +80,9 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = uni.agg(F.sum("c").alias("n_tokens"))
     # token array hoisted out of the lambda: interpreted HOFs re-split
     # per element access otherwise (SCALE.md round-9 wave 2)
-    bigrams = F.when(
-        F.size("wt") >= 2,
-        F.expr(
-            "transform(sequence(0, size(wt) - 2),"
-            " i -> struct(element_at(wt, i + 1) AS x,"
-            " element_at(wt, i + 2) AS y))"
-        ),
-    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
     bi = (
         d.select(w.alias("wt"))
-        .select(F.explode(bigrams).alias("b"))
+        .select(F.explode(bigram_structs("wt")).alias("b"))
         .select("b.x", "b.y")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c_xy"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from watermill_kinesis_spark.functions.textexpr import bigram_structs
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -131,7 +132,7 @@ _WELCH_T2 = """
                CAST(COUNT(*) AS BIGINT) AS n1,
                CAST(SUM(n_chars) AS BIGINT) AS s1,
                CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ss1
-        FROM documents GROUP BY source),
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
     tot AS (
         SELECT SUM(n1) AS nt, SUM(s1) AS st, SUM(ss1) AS sst FROM g),
     j AS (
@@ -160,11 +161,18 @@ def welch_ttest_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups (n < 2 or zero pooled variance) rather than an
     engine-divergent division by zero.
 
+    Rows with NULL n_chars are filtered up front — COUNT(*) would
+    count them while SUM skips them, silently mixing populations in
+    the moments (identically on both engines, so parity alone would
+    not catch it).
+
     Plan: one map-side-combined groupBy(source) over the corpus, one
     broadcast cross-join of the |sources|-row table against its own
     1-row total. At 100 TB this is a single aggregation pass; the t²
     math runs on |sources| rows."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
     nc = F.col("n_chars").cast("bigint")
     g = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n1"),
@@ -261,16 +269,8 @@ def kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c_tok"))
     )
-    bigrams = F.when(
-        F.size("w") >= 2,
-        F.expr(
-            "transform(sequence(0, size(w) - 2),"
-            " i -> struct(element_at(w, i + 1) AS x,"
-            " element_at(w, i + 2) AS y))"
-        ),
-    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
     types = (
-        toks.select(F.explode(bigrams).alias("b"))
+        toks.select(F.explode(bigram_structs("w")).alias("b"))
         .select("b.x", "b.y")
         .distinct()
     )

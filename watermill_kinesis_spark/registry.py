@@ -86,10 +86,12 @@ _PRIORITY: tuple[str, ...] = (
     # ---- Rotation (round 9): STALENESS ordering, recomputed from
     # CORRECTNESS_r01-r08 (VERDICT r8 task 1). The driver's
     # budget-capped gate samples a ~50-entry PREFIX of this list, so
-    # the prefix is the REGRESSION WINDOW: first the 4 round-9
-    # additions (never driver-sampled — the substring-excision census
-    # + materialized corpus, the Misra-Gries frequent-items audit, and
-    # the ANN model save/load round-trip), then every oracle-backed
+    # the prefix is the REGRESSION WINDOW: first the 11 round-9
+    # additions (never driver-sampled — wave 2's skip-gram /
+    # Welch / Simpson / t-closeness / Kneser-Ney / Wilson / vocab-
+    # Jaccard, then wave 1's substring-excision census + materialized
+    # corpus, Misra-Gries frequent-items audit, and ANN model
+    # save/load round-trip), then every oracle-backed
     # entry ordered by the round it last went driver-green ascending
     # (the 15-strong r2 cohort, then 49 last green in r3, 49 in r4,
     # …) — the r9 prefix re-verifies exactly the stalest set. Entries
