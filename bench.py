@@ -86,7 +86,8 @@ HEADLINE = [
     # r9 wave 2: the skip-gram pair miner (corpus-wide higher-order
     # explode + one pair shuffle), the Welch/Simpson stat screens, the
     # t-closeness release gate, the Kneser-Ney continuation table, the
-    # Wilson-bound ranking, and the cross-source vocab Jaccard
+    # Wilson-bound ranking, the cross-source vocab Jaccard, and the
+    # Chao1 / Good-Turing count-based estimators
     "skipgram_cooccurrence",
     "welch_ttest_lengths",
     "simpson_diversity_tokens",
@@ -94,6 +95,8 @@ HEADLINE = [
     "kneser_ney_continuation",
     "wilson_lower_bound_rank",
     "vocab_jaccard_sources",
+    "chao1_vocab_richness",
+    "good_turing_discounts",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

@@ -256,6 +256,57 @@ def test_vocab_jaccard_matches_bruteforce(spark, sf_dir):
     assert len(got) == n_pairs
 
 
+def test_chao1_matches_bruteforce(spark, sf_dir):
+    from watermill_kinesis_spark.operators.pipeline7 import (
+        chao1_vocab_richness,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", "text")
+        .collect()
+    )
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r.source, Counter()).update(r.text.split(" "))
+    got = {r.source: r for r in chao1_vocab_richness(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        k = len(cnt)
+        f1 = sum(1 for v in cnt.values() if v == 1)
+        f2 = sum(1 for v in cnt.values() if v == 2)
+        g = got[src]
+        assert (g.n_types, g.f1, g.f2) == (k, f1, f2)
+        assert g.chao1_x1000 == 1000 * k + (1000 * f1 * (f1 - 1)) // (
+            2 * (f2 + 1)
+        )
+        # the estimator never goes below the observed richness
+        assert g.chao1_x1000 >= 1000 * k
+
+
+def test_good_turing_matches_bruteforce(spark, sf_dir):
+    from watermill_kinesis_spark.operators.pipeline7 import (
+        GT_N_ROWS,
+        good_turing_discounts,
+    )
+
+    bi: Counter = Counter()
+    for text in _texts(spark, sf_dir):
+        w = text.split(" ")
+        bi.update(zip(w, w[1:]))
+    fof: Counter = Counter(bi.values())
+    low = sorted(fof)[:GT_N_ROWS]
+    got = good_turing_discounts(spark, sf_dir).collect()
+    assert [g.r for g in got] == low
+    for g in got:
+        nr, nr1 = fof[g.r], fof.get(g.r + 1, 0)
+        assert (g.n_r, g.n_r1) == (nr, nr1)
+        assert g.r_star_x1000 == (1000 * (g.r + 1) * nr1) // nr
+    # non-vacuity: the adaptive cutoff must produce rows on every SF
+    assert len(got) > 0
+
+
 def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
     d = {
         r.doc_id: r.text

@@ -447,6 +447,148 @@ def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    a AS (
+        SELECT source,
+               COUNT(*) AS k,
+               COUNT_IF(c = 1) AS f1,
+               COUNT_IF(c = 2) AS f2
+        FROM c GROUP BY source)
+    SELECT source, CAST(k AS BIGINT) AS n_types,
+           CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+           CAST(1000 * k + CAST(1000 * f1 * (f1 - 1) AS BIGINT)
+                           // CAST(2 * (f2 + 1) AS BIGINT)
+                AS BIGINT) AS chao1_x1000
+    FROM a
+    """,
+    tags=("text", "stats", "corpus-mix", "llm-pipeline"),
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate per source (Chao 1984,
+    bias-corrected form): observed types k plus f1(f1−1)/(2(f2+1)),
+    where f1/f2 are singleton/doubleton type counts — "how much
+    vocabulary has this source NOT shown us yet", the coverage
+    diagnostic behind corpus-mix and crawl-more decisions. The
+    bias-corrected denominator (f2+1) is used precisely because it
+    stays defined at f2 = 0, so no degenerate-division guard is
+    needed. Reported ×1000 via exact integer division — both engines
+    truncate toward zero on non-negative operands.
+
+    Plan: one map-side-combined groupBy (source, token) — the only
+    corpus-wide shuffle — then a |sources×types|→|sources| aggregation
+    carrying three conditional counts. At 100 TB work scales with
+    distinct (source, token), never raw rows."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_if(F.col("c") == 1).alias("f1"),
+        F.count_if(F.col("c") == 2).alias("f2"),
+    )
+    return a.select(
+        "source",
+        F.col("k").cast("bigint").alias("n_types"),
+        F.col("f1").cast("bigint").alias("f1"),
+        F.col("f2").cast("bigint").alias("f2"),
+        (
+            F.lit(1000) * F.col("k")
+            + F.expr(
+                "CAST(1000 * f1 * (f1 - 1) AS BIGINT)"
+                " div CAST(2 * (f2 + 1) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("chao1_x1000"),
+    )
+
+
+#: Good-Turing: only the lowest observed frequencies are re-estimated
+#: (high-r counts are reliable as-is and N_{r+1} gets sparse) — an
+#: ADAPTIVE cutoff (the 10 smallest observed r), not a fixed r ≤ 10,
+#: so the table is non-vacuous on any corpus's count distribution
+GT_N_ROWS = 10
+
+
+@query(
+    "good_turing_discounts",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents
+                  WHERE text IS NOT NULL),
+    idx AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks),
+    c AS (SELECT w[i] || ' ' || w[i + 1] AS b, COUNT(*) AS c
+          FROM idx GROUP BY 1),
+    fof AS (SELECT c AS r, COUNT(*) AS nr FROM c GROUP BY c),
+    low AS (SELECT r, nr FROM fof ORDER BY r LIMIT {GT_N_ROWS})
+    SELECT a.r, CAST(a.nr AS BIGINT) AS n_r,
+           CAST(COALESCE(b.nr, 0) AS BIGINT) AS n_r1,
+           CAST(CAST(1000 * (a.r + 1) * COALESCE(b.nr, 0) AS BIGINT)
+                // CAST(a.nr AS BIGINT) AS BIGINT) AS r_star_x1000
+    FROM low a LEFT JOIN fof b ON b.r = a.r + 1
+    ORDER BY a.r
+    """,
+    tags=("text", "ngram", "stats", "llm-pipeline"),
+)
+def good_turing_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing adjusted counts for low-frequency BIGRAMS (Good
+    1953): r* = (r+1)·N_{r+1}/N_r over the frequency-of-frequencies
+    table — the discounting scheme under Katz backoff and the classic
+    unseen-mass estimate (r = 1's mass N₁/N). Bigrams, not unigrams:
+    GT lives where singletons live, and the synthetic corpus (like any
+    real one) has its low-count tail at the n-gram level, not in the
+    unigram vocabulary (whose minimum count here is ≥ 26 — a unigram
+    formulation returns an empty, vacuously-passing table). Reported
+    ×1000 via exact integer division; rows limited to the 10 SMALLEST
+    observed frequencies (higher counts are reliable undiscounted —
+    the standard cutoff, made adaptive so the table stays non-vacuous
+    on corpora whose minimum n-gram count exceeds a fixed r). Together
+    with ``kneser_ney_continuation`` and ``chao1_vocab_richness`` this
+    completes the count-based smoothing toolkit.
+
+    Plan: bigram counts (hoisted-array transform + one corpus
+    shuffle), count-of-counts (a |bigram types|→|distinct counts|
+    aggregation), then a SELF-join of the tiny fof relation on r+1 —
+    deliberately a join, not a lead()-window, because the window form
+    needs a single-partition exchange (fof has no partition key) while
+    the join broadcasts a KB-sized relation. N_r > 0 by construction
+    (it's a GROUP BY key count), so the division never sees zero."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    c = (
+        d.select(F.split("text", " ").alias("w"))
+        .select(F.explode(bigram_structs("w")).alias("b"))
+        .select(F.concat("b.x", F.lit(" "), "b.y").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = c.groupBy(F.col("c").alias("r")).agg(F.count(F.lit(1)).alias("nr"))
+    a = fof.orderBy("r").limit(GT_N_ROWS).alias("a")
+    b = fof.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr1"))
+    return (
+        a.join(F.broadcast(b), "r", "left")
+        .select(
+            "r",
+            F.col("nr").cast("bigint").alias("n_r"),
+            F.coalesce("nr1", F.lit(0)).cast("bigint").alias("n_r1"),
+            F.expr(
+                "CAST(1000 * (r + 1) * COALESCE(nr1, 0) AS BIGINT)"
+                " div CAST(nr AS BIGINT)"
+            )
+            .cast("bigint")
+            .alias("r_star_x1000"),
+        )
+        .orderBy("r")
+    )
+
+
+@query(
     "simpson_diversity_tokens",
     oracle="""
     WITH toks AS (

@@ -86,10 +86,11 @@ _PRIORITY: tuple[str, ...] = (
     # ---- Rotation (round 9): STALENESS ordering, recomputed from
     # CORRECTNESS_r01-r08 (VERDICT r8 task 1). The driver's
     # budget-capped gate samples a ~50-entry PREFIX of this list, so
-    # the prefix is the REGRESSION WINDOW: first the 11 round-9
+    # the prefix is the REGRESSION WINDOW: first the 13 round-9
     # additions (never driver-sampled — wave 2's skip-gram /
     # Welch / Simpson / t-closeness / Kneser-Ney / Wilson / vocab-
-    # Jaccard, then wave 1's substring-excision census + materialized
+    # Jaccard / Chao1 / Good-Turing, then wave 1's
+    # substring-excision census + materialized
     # corpus, Misra-Gries frequent-items audit, and ANN model
     # save/load round-trip), then every oracle-backed
     # entry ordered by the round it last went driver-green ascending
@@ -107,6 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "kneser_ney_continuation",
     "wilson_lower_bound_rank",
     "vocab_jaccard_sources",
+    "chao1_vocab_richness",
+    "good_turing_discounts",
     "ann_model_save_load_audit",
     "dedup_substring_excise",
     "dedup_substring_excise_text",
