@@ -307,6 +307,28 @@ def test_good_turing_matches_bruteforce(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_welch_null_nchars_excluded_handcrafted(spark, monkeypatch):
+    """The NULL-n_chars guard is unreachable on driver testdata (no
+    NULLs exist), and oracle parity can't catch its absence (both
+    engines would mix populations identically) — so pin it on a
+    handcrafted frame: a NULL row must not count toward n1 while the
+    sums skip it."""
+    import watermill_kinesis_spark.operators.pipeline7 as p7
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", None), ("b", 30), ("b", 40), ("b", 50)],
+        "source string, n_chars int",
+    )
+    monkeypatch.setattr(p7, "load_table", lambda _s, _d, _t: df)
+    got = {r.source: r for r in p7.welch_ttest_lengths(spark, "_").collect()}
+    a, b = got["a"], got["b"]
+    # the NULL row is excluded from BOTH the count and the sums
+    assert (a.n1, a.s1, a.ss1) == (2, 30, 500)
+    assert (b.n1, b.s1, b.ss1) == (3, 120, 5000)
+    assert (a.n2, a.s2, a.ss2) == (3, 120, 5000)
+    assert a.n1 + a.n2 == 5  # 6 rows minus the NULL one
+
+
 def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
     d = {
         r.doc_id: r.text

@@ -477,7 +477,11 @@ def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bias-corrected denominator (f2+1) is used precisely because it
     stays defined at f2 = 0, so no degenerate-division guard is
     needed. Reported ×1000 via exact integer division — both engines
-    truncate toward zero on non-negative operands.
+    truncate toward zero on non-negative operands. Bigint bound: the
+    numerator 1000·f1·(f1−1) stays inside int64 while a source's
+    singleton-type count f1 ≲ 3.0·10⁹ (larger than any plausible
+    per-source vocabulary; past it, lift to decimal(38,0) ↔ HUGEINT,
+    the t_closeness_audit convention).
 
     Plan: one map-side-combined groupBy (source, token) — the only
     corpus-wide shuffle — then a |sources×types|→|sources| aggregation
