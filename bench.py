@@ -87,7 +87,7 @@ HEADLINE = [
     # explode + one pair shuffle), the Welch/Simpson stat screens, the
     # t-closeness release gate, the Kneser-Ney continuation table, the
     # Wilson-bound ranking, the cross-source vocab Jaccard, and the
-    # Chao1 / Good-Turing count-based estimators
+    # Chao1 / Good-Turing count-based estimators, and token dispersion
     "skipgram_cooccurrence",
     "welch_ttest_lengths",
     "simpson_diversity_tokens",
@@ -97,6 +97,7 @@ HEADLINE = [
     "vocab_jaccard_sources",
     "chao1_vocab_richness",
     "good_turing_discounts",
+    "token_dispersion_stats",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

@@ -329,6 +329,64 @@ def test_welch_null_nchars_excluded_handcrafted(spark, monkeypatch):
     assert a.n1 + a.n2 == 5  # 6 rows minus the NULL one
 
 
+def test_token_dispersion_matches_bruteforce(spark, sf_dir):
+    """Exact-fraction recompute of both statistics: Fano factor of
+    per-doc counts (zeros included) and Gries' DP over sources."""
+    from fractions import Fraction
+
+    from watermill_kinesis_spark.operators.pipeline7 import (
+        DISP_TOP_N,
+        token_dispersion_stats,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    n_docs = len({r.doc_id for r in rows})
+    per_doc: dict = {}
+    per_src: dict = {}
+    w: Counter = Counter()
+    for r in rows:
+        toks = r.text.split(" ")
+        w[r.source] += len(toks)
+        for t in toks:
+            per_doc.setdefault(t, Counter())[r.doc_id] += 1
+            per_src.setdefault(t, Counter())[r.source] += 1
+    wtot = sum(w.values())
+    stats = []
+    for tok, dc in per_doc.items():
+        s1 = sum(dc.values())
+        s2 = sum(v * v for v in dc.values())
+        fano = Fraction(1000 * (n_docs * s2 - s1 * s1), n_docs * s1)
+        dp = (
+            sum(
+                abs(Fraction(per_src[tok].get(s, 0), s1) - Fraction(w[s], wtot))
+                for s in w
+            )
+            / 2
+        )
+        stats.append(
+            (
+                tok,
+                s1,
+                len(dc),
+                fano.numerator // fano.denominator,
+                (1000 * dp.numerator) // dp.denominator,
+            )
+        )
+    expected = sorted(stats, key=lambda t: (-t[1], t[0]))[:DISP_TOP_N]
+    got = [
+        (r.tok, r.c_tok, r.df, r.fano_x1000, r.dp_x1000)
+        for r in token_dispersion_stats(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # DP is a distance in [0, 1]; Fano is non-negative (Cauchy-Schwarz)
+    assert all(0 <= d <= 1000 and f >= 0 for *_, f, d in got)
+
+
 def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
     d = {
         r.doc_id: r.text

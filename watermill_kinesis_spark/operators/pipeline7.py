@@ -592,6 +592,124 @@ def good_turing_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dispersion report width (top tokens by corpus count)
+DISP_TOP_N = 50
+
+
+@query(
+    "token_dispersion_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    pd AS (SELECT tok, doc_id, COUNT(*) AS x FROM toks GROUP BY 1, 2),
+    agg AS (SELECT tok, SUM(x) AS s1, SUM(x * x) AS s2, COUNT(*) AS df
+            FROM pd GROUP BY tok),
+    ps AS (SELECT tok, source, COUNT(*) AS t FROM toks GROUP BY 1, 2),
+    w AS (SELECT source, COUNT(*) AS w FROM toks GROUP BY source),
+    wt AS (SELECT SUM(w) AS wtot FROM w),
+    dp AS (
+        SELECT ps.tok,
+               SUM(ABS(ps.t * wt.wtot - w.w * agg.s1) - w.w * agg.s1)
+                   + MAX(agg.s1) * MAX(wt.wtot) AS dpnum
+        FROM ps JOIN w USING (source)
+                JOIN agg ON ps.tok = agg.tok
+                CROSS JOIN wt
+        GROUP BY ps.tok)
+    SELECT agg.tok, CAST(agg.s1 AS BIGINT) AS c_tok,
+           CAST(agg.df AS BIGINT) AS df,
+           CAST(CAST(1000 * (nd.n * agg.s2 - agg.s1 * agg.s1) AS BIGINT)
+                // CAST(nd.n * agg.s1 AS BIGINT) AS BIGINT) AS fano_x1000,
+           CAST(CAST(1000 * dp.dpnum AS BIGINT)
+                // CAST(2 * agg.s1 * wt.wtot AS BIGINT) AS BIGINT)
+               AS dp_x1000
+    FROM agg JOIN dp USING (tok) CROSS JOIN nd CROSS JOIN wt
+    ORDER BY c_tok DESC, tok
+    LIMIT {DISP_TOP_N}
+    """,
+    tags=("text", "stats", "corpus-mix", "llm-pipeline"),
+)
+def token_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token dispersion diagnostics for the top corpus tokens — the
+    two corpus-linguistics standards behind burstiness-aware term
+    weighting and domain-balance checks, both EXACT rationals:
+
+    - **Fano factor** (variance/mean of per-document counts, zeros
+      included): 1000 ⇒ Poisson-like function word; ≫1000 ⇒ bursty
+      content word. fano_x1000 = 1000·(N·Σx² − (Σx)²) div (N·Σx);
+      the numerator is ≥ 0 by Cauchy–Schwarz, so trunc and floor
+      agree cross-engine.
+    - **Gries' Deviation of Proportions** (DP, 2008): ½·Σ_sources
+      |token share − source size share| — 0 = spread like the corpus,
+      →1 = concentrated in one source. The same
+      absent-part closed-form fold as ``t_closeness_audit``: sources
+      where the token never occurs contribute w_i·s1, folded as
+      s1·W − Σ_present w_i·s1, so only present (token, source) rows
+      materialize. Bigint bound: products ≤ 2·s1·W² — int64-safe to
+      ~10⁶ corpus tokens per source × 10⁶ sources; lift to
+      decimal(38,0) ↔ HUGEINT beyond.
+
+    Plan: one corpus explode feeding three map-side-combined
+    aggregations — per (token, doc), per (token, source), per source —
+    then token-keyed joins of vocab-sized tables and two broadcast
+    scalars. TakeOrdered top-N with a total order; nothing downstream
+    of the explode exceeds vocabulary scale."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    pd_ = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("x"))
+    agg = pd_.groupBy("tok").agg(
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    ps = toks.groupBy("tok", "source").agg(F.count(F.lit(1)).alias("t"))
+    w = toks.groupBy("source").agg(F.count(F.lit(1)).alias("w"))
+    wt = w.agg(F.sum("w").alias("wtot"))
+    dp = (
+        ps.join(F.broadcast(w), "source")
+        .join(agg.select("tok", "s1"), "tok")
+        .crossJoin(F.broadcast(wt))
+        .groupBy("tok")
+        .agg(
+            (
+                F.sum(
+                    F.abs(F.col("t") * F.col("wtot") - F.col("w") * F.col("s1"))
+                    - F.col("w") * F.col("s1")
+                )
+                + F.max("s1") * F.max("wtot")
+            ).alias("dpnum")
+        )
+    )
+    return (
+        agg.join(dp, "tok")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(wt))
+        .select(
+            "tok",
+            F.col("s1").cast("bigint").alias("c_tok"),
+            F.col("df").cast("bigint").alias("df"),
+            F.expr(
+                "CAST(1000 * (n * s2 - s1 * s1) AS BIGINT)"
+                " div CAST(n * s1 AS BIGINT)"
+            )
+            .cast("bigint")
+            .alias("fano_x1000"),
+            F.expr(
+                "CAST(1000 * dpnum AS BIGINT)"
+                " div CAST(2 * s1 * wtot AS BIGINT)"
+            )
+            .cast("bigint")
+            .alias("dp_x1000"),
+        )
+        .orderBy(F.desc("c_tok"), F.asc("tok"))
+        .limit(DISP_TOP_N)
+    )
+
+
 @query(
     "simpson_diversity_tokens",
     oracle="""
