@@ -387,6 +387,46 @@ def test_token_dispersion_matches_bruteforce(spark, sf_dir):
     assert all(0 <= d <= 1000 and f >= 0 for *_, f, d in got)
 
 
+def test_err_matches_cascade_bruteforce(spark, sf_dir):
+    """Recompute ERR@k with exact Fractions straight from the cascade
+    definition (stop-probability product form), independently of the
+    operator's prefix-count formulation, and check the integer
+    scaling is lossless."""
+    from fractions import Fraction
+
+    from watermill_kinesis_spark.operators.retrieval import (
+        ERR_SCALE,
+        expected_reciprocal_rank,
+        _ranked_with_labels,
+    )
+    from watermill_kinesis_spark.operators.similarity import TOP_K
+
+    ranked = _ranked_with_labels(spark, sf_dir).collect()
+    per_q: dict = {}
+    for r in ranked:
+        if r.rank <= TOP_K:
+            per_q.setdefault(r.query_id, []).append(
+                (r.rank, int(r.n_label == r.q_label))
+            )
+    got = {
+        r.query_id: r for r in expected_reciprocal_rank(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_q)
+    for qid, rows in per_q.items():
+        rows.sort()
+        err = Fraction(0)
+        p_continue = Fraction(1)
+        for rank, rel in rows:
+            stop = Fraction(rel, 2)  # binary grade, gmax=1 ⇒ R ∈ {0, ½}
+            err += Fraction(1, rank) * stop * p_continue
+            p_continue *= 1 - stop
+        scaled = err * ERR_SCALE
+        assert scaled.denominator == 1  # the scale is lossless
+        g = got[qid]
+        assert getattr(g, f"err_scaled_{ERR_SCALE}") == scaled.numerator
+        assert g.n_relevant_topk == sum(rel for _, rel in rows)
+
+
 def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
     d = {
         r.doc_id: r.text

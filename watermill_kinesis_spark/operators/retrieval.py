@@ -211,6 +211,75 @@ def mrr_at_k_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ERR scaling: (1/r)·(1/2)^(m+1) × ERR_SCALE is an exact integer for
+#: every rank r ≤ TOP_K and prior-relevant count m ≤ TOP_K−1
+ERR_SCALE = RR_SCALE * (2 ** TOP_K)
+
+
+@query(
+    "expected_reciprocal_rank",
+    oracle=_RANKED_ORACLE_CTE
+    + f""",
+    flagged AS (
+        SELECT query_id, rank,
+               CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+               COALESCE(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY query_id ORDER BY rank
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS m
+        FROM ranked WHERE rank <= {TOP_K})
+    SELECT query_id,
+           CAST(SUM(rel) AS BIGINT) AS n_relevant_topk,
+           CAST(SUM(rel * ({RR_SCALE} // rank)
+                    * CAST(POW(2, {TOP_K} - 1 - m) AS BIGINT)) AS BIGINT)
+               AS err_scaled_{ERR_SCALE}
+    FROM flagged GROUP BY query_id
+    """,
+    tags=("retrieval", "evaluation", "similarity", "llm-pipeline"),
+)
+def expected_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@k under the cascade user model (Chapelle et al., CIKM'09):
+    the user scans the ranking top-down and stops at each relevant
+    result with probability R; ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i).
+    Unlike MRR (first relevant only) and P@k (position-blind), ERR
+    discounts a relevant result by how much relevance precedes it —
+    the diversity-aware cascade metric. Binary grades (label match,
+    gmax = 1 ⇒ R ∈ {{0, ½}}) make every term (1/r)·(1/2)^(m+1) with
+    m = prior relevant count, so scaling by lcm(1..k)·2^k turns the
+    whole metric into exact integers: term = rel·(lcm/r)·2^(k−1−m) —
+    no float crosses the compare (the lcm-MRR / integer-RBO
+    discipline). Summing err_scaled over queries and dividing by
+    |queries|·ERR_SCALE yields ERR@k.
+
+    Plan: reuses the SHARED exact-top-k ranking (broadcast-joined
+    labels, |queries|·k rows); the cascade prefix count is a window
+    over the query partition (k rows each), then one small aggregate.
+    Corpus-scale work stays inside ``similarity_topk``."""
+    r = _ranked_with_labels(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    rel = F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+    prior = W.partitionBy("query_id").orderBy("rank").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    flagged = r.where(F.col("rank") <= TOP_K).select(
+        "query_id",
+        "rank",
+        rel.alias("rel"),
+        F.coalesce(F.sum(rel).over(prior), F.lit(0)).alias("m"),
+    )
+    return flagged.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant_topk"),
+        F.sum(
+            F.col("rel")
+            * F.expr(f"{RR_SCALE} div rank")
+            * F.expr(f"CAST(POW(2, {TOP_K} - 1 - m) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias(f"err_scaled_{ERR_SCALE}"),
+    )
+
+
 #: BM25 parameters (Robertson–Spärck Jones defaults) and the fixed
 #: query; constants are spelled in e-notation inside the SHARED
 #: expression text so BOTH engines parse them as DOUBLE (a bare `2.2`
