@@ -87,7 +87,7 @@ HEADLINE = [
     # explode + one pair shuffle), the Welch/Simpson stat screens, the
     # t-closeness release gate, the Kneser-Ney continuation table, the
     # Wilson-bound ranking, the cross-source vocab Jaccard, and the
-    # Chao1 / Good-Turing count-based estimators, and token dispersion
+    # Chao1 / Good-Turing count-based estimators, token dispersion, and cascade-model ERR
     "skipgram_cooccurrence",
     "welch_ttest_lengths",
     "simpson_diversity_tokens",
@@ -98,6 +98,7 @@ HEADLINE = [
     "chao1_vocab_richness",
     "good_turing_discounts",
     "token_dispersion_stats",
+    "expected_reciprocal_rank",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

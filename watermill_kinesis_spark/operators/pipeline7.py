@@ -479,9 +479,9 @@ def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. Reported ×1000 via exact integer division — both engines
     truncate toward zero on non-negative operands. Bigint bound: the
     numerator 1000·f1·(f1−1) stays inside int64 while a source's
-    singleton-type count f1 ≲ 3.0·10⁹ (larger than any plausible
-    per-source vocabulary; past it, lift to decimal(38,0) ↔ HUGEINT,
-    the t_closeness_audit convention).
+    singleton-type count f1 ≲ 9.6·10⁷ (√(2⁶³/1000); larger than any
+    plausible per-source vocabulary — past it, lift to
+    decimal(38,0) ↔ HUGEINT, the t_closeness_audit convention).
 
     Plan: one map-side-combined groupBy (source, token) — the only
     corpus-wide shuffle — then a |sources×types|→|sources| aggregation
@@ -602,7 +602,8 @@ DISP_TOP_N = 50
     WITH toks AS (
         SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
         FROM documents WHERE text IS NOT NULL),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+           WHERE text IS NOT NULL),
     pd AS (SELECT tok, doc_id, COUNT(*) AS x FROM toks GROUP BY 1, 2),
     agg AS (SELECT tok, SUM(x) AS s1, SUM(x * x) AS s2, COUNT(*) AS df
             FROM pd GROUP BY tok),
@@ -646,20 +647,28 @@ def token_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       absent-part closed-form fold as ``t_closeness_audit``: sources
       where the token never occurs contribute w_i·s1, folded as
       s1·W − Σ_present w_i·s1, so only present (token, source) rows
-      materialize. Bigint bound: products ≤ 2·s1·W² — int64-safe to
-      ~10⁶ corpus tokens per source × 10⁶ sources; lift to
-      decimal(38,0) ↔ HUGEINT beyond.
+      materialize. Bigint bounds: the DP side's largest product is
+      1000·dpnum ≤ 2000·s1·W, int64-safe while s1·W ≲ 4.6·10¹⁵
+      (a corpus-dominant token caps the whole corpus at ~6.8·10⁷
+      tokens; a typical top token at s1 ≈ W/100 stretches that to
+      ~6.8·10⁸); the Fano side's 1000·n·s2 needs n·s2 ≲ 9.2·10¹⁵.
+      The top-N rows are exactly the largest-s1 tokens — the first to
+      overflow — so past these envelopes lift BOTH numerators to
+      decimal(38,0) ↔ HUGEINT (the t_closeness_audit convention).
 
     Plan: one corpus explode feeding three map-side-combined
     aggregations — per (token, doc), per (token, source), per source —
     then token-keyed joins of vocab-sized tables and two broadcast
-    scalars. TakeOrdered top-N with a total order; nothing downstream
-    of the explode exceeds vocabulary scale."""
+    scalars (the document count comes from the PRE-explode frame: a
+    doc with non-null text always yields ≥ 1 token, so the value is
+    identical and one corpus-length distinct pass cheaper). TakeOrdered
+    top-N with a total order; nothing downstream of the explode
+    exceeds vocabulary scale."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
     )
-    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    nd = d.agg(F.countDistinct("doc_id").alias("n"))
     pd_ = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("x"))
     agg = pd_.groupBy("tok").agg(
         F.sum("x").alias("s1"),
