@@ -13,7 +13,7 @@ differently than double; e-notation only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.textexpr import bigram_structs
 from watermill_kinesis_spark.registry import query
@@ -608,7 +608,8 @@ DISP_TOP_N = 50
     agg AS (SELECT tok, SUM(x) AS s1, SUM(x * x) AS s2, COUNT(*) AS df
             FROM pd GROUP BY tok),
     ps AS (SELECT tok, source, COUNT(*) AS t FROM toks GROUP BY 1, 2),
-    w AS (SELECT source, COUNT(*) AS w FROM toks GROUP BY source),
+    w AS (SELECT source, SUM(len(string_split(text, ' '))) AS w
+          FROM documents WHERE text IS NOT NULL GROUP BY source),
     wt AS (SELECT SUM(w) AS wtot FROM w),
     dp AS (
         SELECT ps.tok,
@@ -656,14 +657,16 @@ def token_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       overflow — so past these envelopes lift BOTH numerators to
       decimal(38,0) ↔ HUGEINT (the t_closeness_audit convention).
 
-    Plan: one corpus explode feeding three map-side-combined
-    aggregations — per (token, doc), per (token, source), per source —
-    then token-keyed joins of vocab-sized tables and two broadcast
-    scalars (the document count comes from the PRE-explode frame: a
-    doc with non-null text always yields ≥ 1 token, so the value is
-    identical and one corpus-length distinct pass cheaper). TakeOrdered
-    top-N with a total order; nothing downstream of the explode
-    exceeds vocabulary scale."""
+    Plan: two corpus explodes (per-(token, doc) and per-(token,
+    source) counts genuinely need different granularities) plus two
+    explode-FREE document-frame aggregations: per-source token totals
+    via ``sum(size(split(...)))`` and the document count via a
+    pre-explode distinct — a doc with non-null text always yields ≥ 1
+    token, so both values are identical to their exploded forms at a
+    fraction of the row volume. Downstream it's vocab-sized:
+    the DP fold's s1 comes from a per-token window over ps itself
+    (≤ |sources| rows per partition), then one token-keyed join and
+    two broadcast scalars, TakeOrdered top-N with a total order."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
@@ -676,12 +679,25 @@ def token_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
     )
     ps = toks.groupBy("tok", "source").agg(F.count(F.lit(1)).alias("t"))
-    w = toks.groupBy("source").agg(F.count(F.lit(1)).alias("w"))
+    # per-source token totals need NO explode: size(split(...)) per doc
+    # aggregates to the same value, so the (twice-consumed) w lineage
+    # is a cheap row-wise scan instead of a third corpus explode
+    w = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("w")
+    )
     wt = w.agg(F.sum("w").alias("wtot"))
+    # s1 for the DP fold comes from ps ITSELF (a per-token window over
+    # ≤ |sources| pre-aggregated rows) — a first cut joined the agg
+    # relation here, and since that branch pruned agg to (tok, s1)
+    # while the final join needs all of it, the pruned exchanges
+    # differed and Spark re-evaluated the per-(token, doc) corpus
+    # aggregation twice (the column-pruning-defeats-ReusedExchange
+    # class; see kneser_ney_continuation)
+    s1w = F.sum("t").over(W.partitionBy("tok"))
     dp = (
         ps.join(F.broadcast(w), "source")
-        .join(agg.select("tok", "s1"), "tok")
         .crossJoin(F.broadcast(wt))
+        .select("tok", "t", "w", "wtot", s1w.alias("s1"))
         .groupBy("tok")
         .agg(
             (
