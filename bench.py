@@ -87,7 +87,7 @@ HEADLINE = [
     # explode + one pair shuffle), the Welch/Simpson stat screens, the
     # t-closeness release gate, the Kneser-Ney continuation table, the
     # Wilson-bound ranking, the cross-source vocab Jaccard, and the
-    # Chao1 / Good-Turing count-based estimators, token dispersion, and cascade-model ERR
+    # Chao1 / Good-Turing count-based estimators, token dispersion, cascade-model ERR, and the protobuf codec audit
     "skipgram_cooccurrence",
     "welch_ttest_lengths",
     "simpson_diversity_tokens",
@@ -99,6 +99,7 @@ HEADLINE = [
     "good_turing_discounts",
     "token_dispersion_stats",
     "expected_reciprocal_rank",
+    "envelope_proto_roundtrip",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

@@ -427,6 +427,60 @@ def test_err_matches_cascade_bruteforce(spark, sf_dir):
         assert g.n_relevant_topk == sum(rel for _, rel in rows)
 
 
+def test_protobuf_envelope_golden_bytes_and_roundtrip():
+    """Spec pins for the protobuf envelope codec (the reference's
+    marshaller.go:24 TODO): hand-assembled proto3 wire bytes for a
+    known envelope, deterministic map ordering, proto3 default
+    elision, and the corrupt-input DecodeError contract."""
+    import pytest
+
+    from watermill_kinesis_spark.protocodec import (
+        decode_envelope,
+        encode_envelope,
+    )
+
+    # golden bytes, assembled by hand from the proto3 wire format:
+    # uuid  : 0A 02 'a' 'b'
+    # map   : 12 06 (0A 01 'k'  12 01 'v')
+    # bytes : 1A 02 01 02
+    wire = encode_envelope("ab", {"k": "v"}, b"\x01\x02")
+    assert wire.hex() == "0a02616212060a016b1201761a020102"
+    assert decode_envelope(wire) == ("ab", {"k": "v"}, b"\x01\x02")
+    # deterministic=True sorts map entries by key — insertion order
+    # must not leak into the wire
+    md = {"source": "s1", "lang": "es"}
+    assert encode_envelope("x", md, b"p") == encode_envelope(
+        "x", dict(reversed(list(md.items()))), b"p"
+    )
+    # proto3 elides default-valued scalar fields: empty payload and
+    # empty metadata contribute zero wire bytes
+    assert len(encode_envelope("ab", {}, b"")) == 4
+    # malformed input raises DecodeError (the corrupt-skip contract,
+    # subscriber.go:54-59 semantics)
+    from google.protobuf.message import DecodeError
+
+    with pytest.raises(DecodeError):
+        decode_envelope(b"\xff\xff\xff\xff\xff")
+    # roundtrip property over awkward shapes: unicode, NULs, empties
+    cases = [
+        ("", {}, b""),
+        ("u", {"k": ""}, b"\x00" * 3),
+        ("snowman ☃", {"é": "ü"}, "café".encode()),
+    ]
+    for u, m, p in cases:
+        assert decode_envelope(encode_envelope(u, m, p)) == (u, m, p)
+
+
+def test_proto_roundtrip_audit_verdicts(spark, sf_dir):
+    from watermill_kinesis_spark.operators.messages import (
+        envelope_proto_roundtrip,
+    )
+
+    row = envelope_proto_roundtrip(spark, sf_dir).collect()[0]
+    assert row.all_roundtrip == 1 and row.all_wire_len_exact == 1
+    assert row.n_msgs > 0 and row.total_wire_bytes > 34 * row.n_msgs
+
+
 def test_simpson_matches_bruteforce_and_bounds(spark, sf_dir):
     d = {
         r.doc_id: r.text

@@ -13,6 +13,8 @@ JSONUnmarshaller, #4 corrupt-record skip, #11 partition-key routing
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from watermill_kinesis_spark import codec
@@ -217,4 +219,168 @@ def partition_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_event_types"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Protobuf envelope codec — closes the reference's own TODO
+# (marshaller.go:24 "TODO Protobuf un/marshaller"; no .proto was ever
+# defined there, so protocodec.py defines the obvious Envelope message
+# for MessageData{UUID, Metadata, Payload})
+
+#: proto3 wire-size constants for the audit's first-principles math
+#: (single-byte tags throughout — field numbers ≤ 3):
+#: uuid field = 1 tag + 1 len + 32 md5-hex chars
+_PROTO_UUID_BYTES = 34
+#: a map<string,string> entry is a nested {key=1,value=2} message in a
+#: length-delimited field: 1 outer tag + 1 outer len + (1+1+len(key))
+#: + (1+1+len(value)) ⇒ 6 + len(key) + len(value)
+_PROTO_ENTRY_OVERHEAD = 6
+
+#: payload field size: omitted entirely when empty (proto3 default
+#: elision), else 1 tag + varint(len) + len — the SAME arithmetic is
+#: evaluated per-row engine-side and summed independently oracle-side;
+#: the UTF-8 byte-length spelling differs (DuckDB's octet_length takes
+#: BLOB only), so the template is parameterized on it
+_PROTO_PAYLOAD_SQL_T = """
+    CASE WHEN {L} = 0 THEN 0
+         WHEN {L} < 128 THEN 2 + {L}
+         WHEN {L} < 16384 THEN 3 + {L}
+         ELSE 4 + {L} END
+"""
+_PROTO_PAYLOAD_SQL = _PROTO_PAYLOAD_SQL_T.format(L="octet_length(text)")
+_PROTO_PAYLOAD_ORACLE = _PROTO_PAYLOAD_SQL_T.format(
+    L="octet_length(encode(text))"
+)
+
+
+@query(
+    "envelope_proto_roundtrip",
+    oracle=f"""
+    WITH d AS (
+        SELECT md5(CAST(doc_id AS VARCHAR)) AS uuid, lang, source, text
+        FROM documents WHERE text IS NOT NULL),
+    sz AS (
+        SELECT {_PROTO_UUID_BYTES}
+               + {_PROTO_ENTRY_OVERHEAD} + 4 + octet_length(encode(lang))
+               + {_PROTO_ENTRY_OVERHEAD} + 6 + octet_length(encode(source))
+               + {_PROTO_PAYLOAD_ORACLE} AS wire_bytes
+        FROM d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(COALESCE(SUM(wire_bytes), 0) AS BIGINT) AS total_wire_bytes,
+           1 AS all_roundtrip,
+           1 AS all_wire_len_exact
+    FROM sz
+    """,
+    tags=("codec", "layer-a", "audit"),
+)
+def envelope_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf envelope codec audit — the reference's unshipped
+    marshaller (marshaller.go:24 TODO) implemented and spec-pinned:
+    every document becomes an Envelope{uuid=md5(doc_id),
+    metadata={lang, source}, payload=utf8(text)}, is serialized with
+    ``protocodec.encode_envelope`` (deterministic=True ⇒ key-sorted
+    map entries, reproducible bytes), parsed back, and field-compared.
+    The oracle recomputes the TOTAL wire size from the proto3 spec
+    alone — tag/len/varint arithmetic over octet lengths, never
+    touching the runtime — so a codec that silently mis-sizes varints,
+    emits default-valued fields, or double-encodes UTF-8 hash-fails.
+    The per-row ``all_wire_len_exact`` verdict compares each actual
+    wire length against the same arithmetic ENGINE-side, so a data
+    shape outside the audit's assumptions (e.g. an empty metadata
+    value, whose entry would elide the value field) fails loudly
+    rather than silently agreeing with the oracle.
+
+    Plan: one Arrow-batched pandas-UDF map pass over the corpus (the
+    vendored pure-python protobuf runtime ships to workers as a zip
+    via ``ensure_protobuf_on_workers`` — a bare path-append is NOT
+    enough there: the worker resolves ``google`` as a namespace
+    package whose ``protobuf`` child has no submodules), then a
+    single scalar aggregate. Zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    from watermill_kinesis_spark.streaming.pbcompat import (
+        ensure_protobuf_on_workers,
+    )
+
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover
+        raise ImportError("no protobuf runtime available for workers")
+
+    @pandas_udf("binary")
+    def enc(
+        uuid: pd.Series, lang: pd.Series, source: pd.Series, payload: pd.Series
+    ) -> pd.Series:
+        from watermill_kinesis_spark.protocodec import encode_envelope
+
+        return pd.Series(
+            [
+                encode_envelope(u, {"lang": l, "source": s}, bytes(p))
+                for u, l, s, p in zip(uuid, lang, source, payload)
+            ],
+            dtype=object,
+        )
+
+    @pandas_udf(
+        "uuid string, lang string, source string, payload binary, n_meta int"
+    )
+    def dec(wire: pd.Series) -> pd.DataFrame:
+        from watermill_kinesis_spark.protocodec import decode_envelope
+
+        rows = []
+        for w in wire:
+            u, md, p = decode_envelope(w)
+            rows.append(
+                (u, md.get("lang"), md.get("source"), p, len(md))
+            )
+        return pd.DataFrame(
+            rows, columns=["uuid", "lang", "source", "payload", "n_meta"]
+        )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.md5(F.col("doc_id").cast("string")).alias("uuid"),
+            "lang",
+            "source",
+            F.encode("text", "UTF-8").alias("payload"),
+            F.expr(_PROTO_PAYLOAD_SQL).alias("payload_field_bytes"),
+        )
+    )
+    back = d.withColumn(
+        "wire", enc("uuid", "lang", "source", "payload")
+    ).withColumn("back", dec("wire"))
+    expected_len = (
+        F.lit(_PROTO_UUID_BYTES)
+        + F.lit(_PROTO_ENTRY_OVERHEAD + 4)
+        + F.octet_length("lang")
+        + F.lit(_PROTO_ENTRY_OVERHEAD + 6)
+        + F.octet_length("source")
+        + F.col("payload_field_bytes")
+    )
+    rt_ok = (
+        F.col("back.uuid").eqNullSafe(F.col("uuid"))
+        & F.col("back.lang").eqNullSafe(F.col("lang"))
+        & F.col("back.source").eqNullSafe(F.col("source"))
+        & F.col("back.payload").eqNullSafe(F.col("payload"))
+        & (F.col("back.n_meta") == 2)
+    )
+    agg = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+        F.coalesce(
+            F.sum(F.octet_length("wire")).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("total_wire_bytes"),
+        F.sum(rt_ok.cast("long")).alias("n_rt"),
+        F.sum((F.octet_length("wire") == expected_len).cast("long")).alias(
+            "n_len_ok"
+        ),
+    )
+    return agg.select(
+        "n_msgs",
+        "total_wire_bytes",
+        (F.col("n_rt") == F.col("n_msgs")).cast("int").alias("all_roundtrip"),
+        (F.col("n_len_ok") == F.col("n_msgs")).cast("int").alias(
+            "all_wire_len_exact"
+        ),
     )

@@ -86,10 +86,10 @@ _PRIORITY: tuple[str, ...] = (
     # ---- Rotation (round 9): STALENESS ordering, recomputed from
     # CORRECTNESS_r01-r08 (VERDICT r8 task 1). The driver's
     # budget-capped gate samples a ~50-entry PREFIX of this list, so
-    # the prefix is the REGRESSION WINDOW: first the 15 round-9
+    # the prefix is the REGRESSION WINDOW: first the 16 round-9
     # additions (never driver-sampled — wave 2's skip-gram /
     # Welch / Simpson / t-closeness / Kneser-Ney / Wilson / vocab-
-    # Jaccard / Chao1 / Good-Turing / token-dispersion / ERR, then wave 1's
+    # Jaccard / Chao1 / Good-Turing / token-dispersion / ERR / the protobuf envelope codec audit, then wave 1's
     # substring-excision census + materialized
     # corpus, Misra-Gries frequent-items audit, and ANN model
     # save/load round-trip), then every oracle-backed
@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "good_turing_discounts",
     "token_dispersion_stats",
     "expected_reciprocal_rank",
+    "envelope_proto_roundtrip",
     "ann_model_save_load_audit",
     "dedup_substring_excise",
     "dedup_substring_excise_text",
