@@ -143,6 +143,50 @@ def _rfc3339_utc(df: DataFrame, ts_col: str) -> Column:
     return F.date_format(ts, RFC3339_FORMAT)
 
 
+def merge_system_metadata(
+    df: DataFrame,
+    headers: Column,
+    shard_id_col: str | None = "shard_id",
+    arrival_ts_col: str | None = "approximate_arrival_timestamp",
+    partition_key_col: str | None = "partition_key",
+) -> Column:
+    """Headers map + system-populated keys (partition key, shard id,
+    arrival timestamp — subscriber.go:60 enrichment), shared by every
+    unmarshaller flavor (JSON, binary, protobuf). System keys overwrite
+    header keys, as in the reference (marshaller.go:35-40). Conflicting
+    keys are stripped from the headers first so the merge is
+    well-defined under any ``spark.sql.mapKeyDedupPolicy`` — the engine
+    must not depend on session config it doesn't own. The filter
+    compares against the LITERAL key list: the system keys are
+    compile-time constants, and referencing the system map here would
+    re-evaluate its entry expressions (timestamp formatting included)
+    per header entry per row — measured 8× slower on the decode path."""
+    system_entries = []
+    system_keys: list[str] = []
+    if partition_key_col is not None and partition_key_col in df.columns:
+        system_entries.append(
+            F.create_map(F.lit(META_PARTITION_KEY), F.col(partition_key_col))
+        )
+        system_keys.append(META_PARTITION_KEY)
+    if shard_id_col is not None and shard_id_col in df.columns:
+        system_entries.append(F.create_map(F.lit(META_SHARD_ID), F.col(shard_id_col)))
+        system_keys.append(META_SHARD_ID)
+    if arrival_ts_col is not None and arrival_ts_col in df.columns:
+        system_entries.append(
+            F.create_map(F.lit(META_ARRIVAL_TS), _rfc3339_utc(df, arrival_ts_col))
+        )
+        system_keys.append(META_ARRIVAL_TS)
+    if not system_entries:
+        return headers
+    system = (
+        F.map_concat(*system_entries)
+        if len(system_entries) > 1
+        else system_entries[0]
+    )
+    safe_headers = F.map_filter(headers, lambda k, _: ~k.isin(*system_keys))
+    return F.map_concat(safe_headers, system)
+
+
 def unmarshal(
     df: DataFrame,
     data_col: str = "data",
@@ -165,38 +209,9 @@ def unmarshal(
         F.col(f"_env.{ENVELOPE_HEADERS_FIELD}"),
         F.create_map().cast("map<string,string>"),
     )
-    system_entries = []
-    system_keys: list[str] = []
-    if partition_key_col is not None and partition_key_col in df.columns:
-        system_entries.append(
-            F.create_map(F.lit(META_PARTITION_KEY), F.col(partition_key_col))
-        )
-        system_keys.append(META_PARTITION_KEY)
-    if shard_id_col is not None and shard_id_col in df.columns:
-        system_entries.append(F.create_map(F.lit(META_SHARD_ID), F.col(shard_id_col)))
-        system_keys.append(META_SHARD_ID)
-    if arrival_ts_col is not None and arrival_ts_col in df.columns:
-        system_entries.append(
-            F.create_map(F.lit(META_ARRIVAL_TS), _rfc3339_utc(df, arrival_ts_col))
-        )
-        system_keys.append(META_ARRIVAL_TS)
-    metadata = headers
-    if system_entries:
-        # System keys overwrite header keys, as in the reference
-        # (marshaller.go:35-40). Conflicting keys are stripped from the
-        # headers first so the merge is well-defined under any
-        # ``spark.sql.mapKeyDedupPolicy`` — the engine must not depend
-        # on session config it doesn't own. The filter compares against
-        # the LITERAL key list: the system keys are compile-time
-        # constants, and referencing the system map here would
-        # re-evaluate its entry expressions (timestamp formatting
-        # included) per header entry per row — measured 8× slower on
-        # the decode path.
-        system = F.map_concat(*system_entries) if len(system_entries) > 1 else system_entries[0]
-        safe_headers = F.map_filter(
-            headers, lambda k, _: ~k.isin(*system_keys)
-        )
-        metadata = F.map_concat(safe_headers, system)
+    metadata = merge_system_metadata(
+        df, headers, shard_id_col, arrival_ts_col, partition_key_col
+    )
 
     ok = ~_is_corrupt(F.col("_env"))
     if drop_corrupt:

@@ -34,6 +34,10 @@ from __future__ import annotations
 
 import threading
 
+# module-level so pandas_udf can resolve the postponed 'pd.Series'
+# annotations against this module's globals (PEP 563 stringizes them)
+import pandas as pd  # noqa: E402
+
 _LOCK = threading.Lock()
 _CLS = None
 
@@ -114,3 +118,141 @@ def decode_envelope(data: bytes) -> tuple[str, dict[str, str], bytes]:
     env = cls()
     env.ParseFromString(bytes(data))
     return env.uuid, dict(env.metadata), bytes(env.payload)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-shaped marshaller pair — plug-compatible with the builder
+# API (api.Marshaller / api.Unmarshaller), so a user can swap the JSON
+# wire format for protobuf end-to-end:
+#   PublisherBuilder().with_marshaller(marshal_proto)...
+#   SubscriberBuilder().with_unmarshaller(
+#       lambda wire: unmarshal_proto(wire, drop_corrupt=True))...
+
+
+def _udfs():
+    """Encode/decode pandas UDFs (built lazily so importing this module
+    never needs an active session). The decode UDF carries an ``ok``
+    flag instead of raising: a poison record must not kill the batch —
+    the corrupt-skip contract (subscriber.go:54-59)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(
+        uuid: pd.Series, payload: pd.Series, metadata: pd.Series
+    ) -> pd.Series:
+        out = []
+        for u, p, m in zip(uuid, payload, metadata):
+            out.append(
+                encode_envelope(
+                    u if u is not None else "",
+                    dict(m) if m is not None else {},
+                    bytes(p) if p is not None else b"",
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    @pandas_udf(
+        "uuid string, headers map<string,string>, payload binary, ok boolean"
+    )
+    def dec(data: pd.Series) -> pd.DataFrame:
+        from google.protobuf.message import DecodeError
+
+        rows = []
+        for d in data:
+            try:
+                if d is None:
+                    raise DecodeError("null record")
+                u, md, p = decode_envelope(bytes(d))
+                if not u:
+                    # the JSON path treats a missing uuid as corrupt
+                    # (codec._is_corrupt: NULL uuid) — mirror that
+                    raise DecodeError("empty uuid")
+                rows.append((u, md, p, True))
+            except DecodeError:
+                rows.append((None, None, None, False))
+        return pd.DataFrame(rows, columns=["uuid", "headers", "payload", "ok"])
+
+    return enc, dec
+
+
+def marshal_proto(
+    df,
+    uuid_col: str = "uuid",
+    payload_col: str = "payload",
+    metadata_col: str = "metadata",
+):
+    """Messages → wire entries ``(data binary, partition_key)`` — the
+    protobuf counterpart of ``codec.marshal``. Proto3 cannot represent
+    a NULL payload distinctly from empty bytes (default elision), so
+    NULL marshals as empty — callers needing the distinction keep the
+    JSON or length-prefixed binary codec. Ships the vendored protobuf
+    runtime to workers first (a bare path append on the worker resolves
+    ``google`` as an empty namespace package)."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.schema import META_PARTITION_KEY
+    from watermill_kinesis_spark.streaming.pbcompat import (
+        ensure_protobuf_on_workers,
+    )
+
+    if not ensure_protobuf_on_workers(df.sparkSession):  # pragma: no cover
+        raise ImportError("no protobuf runtime available for workers")
+    enc, _ = _udfs()
+    return df.select(
+        enc(F.col(uuid_col), F.col(payload_col), F.col(metadata_col)).alias(
+            "data"
+        ),
+        F.col(metadata_col).getItem(META_PARTITION_KEY).alias("partition_key"),
+    )
+
+
+def unmarshal_proto(
+    df,
+    data_col: str = "data",
+    shard_id_col: str | None = "shard_id",
+    arrival_ts_col: str | None = "approximate_arrival_timestamp",
+    partition_key_col: str | None = "partition_key",
+    drop_corrupt: bool = False,
+):
+    """Wire records → messages ``(uuid, payload, metadata)`` — the
+    protobuf counterpart of ``codec.unmarshal``, sharing its
+    system-metadata merge (``codec.merge_system_metadata``) so shard
+    id / arrival time / partition key enrichment cannot drift between
+    wire formats. Accepts the data column as BINARY or as the
+    simulator transport's latin1-mapped STRING (exact byte recovery
+    via ``encode(data, 'ISO-8859-1')`` — the KPL-payload convention).
+    Corrupt rows surface as ``uuid IS NULL``; ``drop_corrupt=True``
+    skips them (subscriber.go:54-59)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from watermill_kinesis_spark import codec
+    from watermill_kinesis_spark.streaming.pbcompat import (
+        ensure_protobuf_on_workers,
+    )
+
+    if not ensure_protobuf_on_workers(df.sparkSession):  # pragma: no cover
+        raise ImportError("no protobuf runtime available for workers")
+    _, dec = _udfs()
+    raw = F.col(data_col)
+    if not isinstance(df.schema[data_col].dataType, BinaryType):
+        raw = F.encode(raw, "ISO-8859-1")
+    parsed = df.withColumn("_env", dec(raw))
+    headers = F.coalesce(
+        F.col("_env.headers"), F.create_map().cast("map<string,string>")
+    )
+    metadata = codec.merge_system_metadata(
+        df, headers, shard_id_col, arrival_ts_col, partition_key_col
+    )
+    ok = F.col("_env.ok")
+    if drop_corrupt:
+        return parsed.where(ok).select(
+            F.col("_env.uuid").alias("uuid"),
+            F.col("_env.payload").alias("payload"),
+            metadata.alias("metadata"),
+        )
+    return parsed.select(
+        F.when(ok, F.col("_env.uuid")).alias("uuid"),
+        F.when(ok, F.col("_env.payload")).alias("payload"),
+        F.when(ok, metadata).alias("metadata"),
+    )
