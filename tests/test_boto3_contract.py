@@ -354,3 +354,31 @@ def test_expired_iterator_double_expiry_propagates(monkeypatch):
         with _pytest.raises(Exception) as ei:
             _get_records_refreshing(c, "s", "sh", "stale-it", None, 7)
     assert type(ei.value).__name__ == "ExpiredIteratorException"
+
+
+def test_put_records_accepts_bytearray_data():
+    """PySpark materializes a BinaryType wire column (the protobuf
+    marshaller's output) as BYTEARRAY in foreachPartition rows — the
+    kinesis transport must send it as bytes, not crash on
+    bytearray.encode. The Stubber validates the request against the
+    real service model (Data is a blob)."""
+    from watermill_kinesis_spark.streaming.sink import (
+        KinesisPublisher,
+        PutRecordsEntry,
+    )
+
+    c = _client()
+    with Stubber(c) as stub:
+        # FailedRecordCount is omitted: the service model pins min=1
+        # on it, and success is signaled by records without ErrorCode
+        stub.add_response(
+            "put_records",
+            {"Records": [{"SequenceNumber": "1", "ShardId": "shardId-0"}]},
+            {
+                "StreamName": "s",
+                "Records": [{"Data": b"\x0a\x01x", "PartitionKey": "pk"}],
+            },
+        )
+        pub = KinesisPublisher("s", client=c)
+        res = pub.put_records([PutRecordsEntry(bytearray(b"\x0a\x01x"), "pk")])
+    assert res.failed_indexes == []

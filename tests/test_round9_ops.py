@@ -461,6 +461,11 @@ def test_protobuf_envelope_golden_bytes_and_roundtrip():
 
     with pytest.raises(DecodeError):
         decode_envelope(b"\xff\xff\xff\xff\xff")
+    # structurally-valid wire with invalid UTF-8 in a string field
+    # raises UnicodeDecodeError on the pure-python runtime, NOT
+    # DecodeError — the DataFrame decode path must treat it as poison
+    with pytest.raises(UnicodeDecodeError):
+        decode_envelope(b"\x0a\x01\xff")  # field 1, len 1, byte 0xff
     # roundtrip property over awkward shapes: unicode, NULs, empties
     cases = [
         ("", {}, b""),
@@ -469,6 +474,42 @@ def test_protobuf_envelope_golden_bytes_and_roundtrip():
     ]
     for u, m, p in cases:
         assert decode_envelope(encode_envelope(u, m, p)) == (u, m, p)
+
+
+def test_proto_dataframe_codec_poison_and_null_tolerance(spark):
+    """The DataFrame-shaped codec pair must skip-not-kill on BOTH
+    poison classes (bad wire structure AND invalid-UTF-8 string
+    fields), and marshal a NULL metadata VALUE as '' instead of
+    crashing the publish job (proto3 maps cannot hold null — the
+    verdict-flipping lossy coercion is documented)."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.protocodec import (
+        marshal_proto,
+        unmarshal_proto,
+    )
+
+    msgs = spark.createDataFrame(
+        [("u1", b"p1"), ("u2", b"p2")], "uuid string, payload binary"
+    ).select(
+        "uuid",
+        "payload",
+        F.create_map(
+            F.lit("k"), F.when(F.col("uuid") == "u1", "v")
+        ).alias("metadata"),  # u2's value is NULL
+    )
+    wire = marshal_proto(msgs)
+    rows = wire.collect()
+    assert len(rows) == 2  # NULL map value did not crash the encode
+    poison = spark.createDataFrame(
+        [(bytes(r.data),) for r in rows]
+        + [(b"\xff\xff\xff\xff\xff",), (b"\x0a\x01\xff",)],
+        "data binary",
+    )
+    back = unmarshal_proto(poison, drop_corrupt=True)
+    got = {r.uuid: dict(r.metadata) for r in back.collect()}
+    assert set(got) == {"u1", "u2"}  # both poison rows skipped
+    assert got["u1"]["k"] == "v" and got["u2"]["k"] == ""
 
 
 def test_proto_roundtrip_audit_verdicts(spark, sf_dir):

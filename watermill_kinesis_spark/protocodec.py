@@ -93,7 +93,13 @@ def envelope_class():
         pool = descriptor_pool.DescriptorPool()
         pool.Add(fdp)
         desc = pool.FindMessageTypeByName("watermill.Envelope")
-        _CLS = message_factory.GetMessageClass(desc)
+        try:
+            _CLS = message_factory.GetMessageClass(desc)
+        except AttributeError:  # pragma: no cover - pre-4.22 runtimes
+            # GetMessageClass landed in protobuf ~4.22; pbcompat
+            # explicitly supports older runtimes, so fall back to the
+            # classic factory API there instead of dying
+            _CLS = message_factory.MessageFactory(pool).GetPrototype(desc)
         return _CLS
 
 
@@ -142,10 +148,20 @@ def _udfs():
     ) -> pd.Series:
         out = []
         for u, p, m in zip(uuid, payload, metadata):
+            # proto map<string,string> cannot hold a null value — the
+            # JSON path serializes {"k": null}; here a NULL value
+            # coerces to "" (like the NULL payload below), and the
+            # roundtrip audit's eqNullSafe compare flips its verdict
+            # loudly on any such row rather than crashing the job
+            md = (
+                {k: (v if v is not None else "") for k, v in m.items()}
+                if m is not None
+                else {}
+            )
             out.append(
                 encode_envelope(
                     u if u is not None else "",
-                    dict(m) if m is not None else {},
+                    md,
                     bytes(p) if p is not None else b"",
                 )
             )
@@ -168,7 +184,11 @@ def _udfs():
                     # (codec._is_corrupt: NULL uuid) — mirror that
                     raise DecodeError("empty uuid")
                 rows.append((u, md, p, True))
-            except DecodeError:
+            except (DecodeError, UnicodeDecodeError):
+                # UnicodeDecodeError too: the pure-python runtime
+                # raises it (not DecodeError) for structurally-valid
+                # wire whose string field holds invalid UTF-8 — still
+                # a poison record, still skip-not-kill
                 rows.append((None, None, None, False))
         return pd.DataFrame(rows, columns=["uuid", "headers", "payload", "ok"])
 

@@ -174,7 +174,12 @@ class KinesisPublisher:
     def put_records(self, entries: list[PutRecordsEntry]) -> PutRecordsResult:
         records = [
             {
-                "Data": e.data if isinstance(e.data, bytes) else e.data.encode("utf-8"),
+                # bytes OR bytearray: PySpark materializes BinaryType
+                # columns (e.g. the protobuf marshaller's wire) as
+                # bytearray in foreachPartition rows
+                "Data": bytes(e.data)
+                if isinstance(e.data, (bytes, bytearray))
+                else e.data.encode("utf-8"),
                 # Kinesis requires a non-empty partition key; keyless
                 # messages share one key = one shard, matching the
                 # simulator's shard-0 routing for None keys
