@@ -242,3 +242,55 @@ def test_publish_subscribe_proto_codec_roundtrip(spark, sf_dir, tmp_path):
                 assert r.metadata[k] == v
         # ...and system enrichment matches the JSON path's contract
         assert "shardID" in r.metadata
+
+
+def test_proto_codec_streaming_roundtrip(spark, sf_dir, tmp_path):
+    """The protobuf wire format on the STREAMING path: publish_stream
+    marshals each micro-batch with marshal_proto, the streaming
+    subscribe decodes with unmarshal_proto — payload bytes and header
+    metadata must survive end-to-end with exactly-once counts."""
+    from pyspark.sql import functions as F
+
+    from watermill_kinesis_spark.protocodec import marshal_proto, unmarshal_proto
+
+    root = str(tmp_path / "endpoint")
+    pub = (
+        PublisherBuilder()
+        .with_endpoint(root)
+        .with_shards(2)
+        .with_marshaller(marshal_proto)
+        .build()
+    )
+    sub = (
+        SubscriberBuilder()
+        .with_endpoint(root)
+        .with_unmarshaller(lambda wire: unmarshal_proto(wire, drop_corrupt=True))
+        .build()
+    )
+    msgs = _msgs(spark, sf_dir, 150)
+    n_in = msgs.count()
+    src = str(tmp_path / "src")
+    msgs.write.parquet(src)
+    stream_in = spark.readStream.schema(msgs.schema).parquet(src)
+    q = pub.publish_stream(
+        "topic-ps", stream_in, str(tmp_path / "ckpt_pub"), availableNow=True
+    )
+    q.awaitTermination()
+
+    back = sub.subscribe(spark, "topic-ps")
+    q2 = sub.track(
+        back.select("uuid", F.octet_length("payload").alias("n_payload"))
+        .writeStream.format("memory")
+        .queryName("proto_stream_drain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = {
+        r.uuid: r.n_payload for r in spark.table("proto_stream_drain").collect()
+    }
+    want = {r.uuid: len(bytes(r.payload)) for r in msgs.collect()}
+    assert got == want and len(got) == n_in
+    sub.close()
