@@ -178,3 +178,76 @@ def test_png_pixel_roundtrip_property(w, h, ch, seed):
     got = decode_image_pixels(encode_png(px))
     assert got.shape == (h, w, ch)
     assert np.array_equal(got, px)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(batch=MESSAGES)
+def test_proto_codec_roundtrip_property(spark, batch):
+    """Same adversarial batches through the PROTOBUF wire format.
+    Documented lossy coercions (proto3 cannot represent null): a NULL
+    payload decodes as b'' and a NULL metadata value as '' — the
+    expectation applies exactly those, nothing else."""
+    from watermill_kinesis_spark.protocodec import (
+        marshal_proto,
+        unmarshal_proto,
+    )
+
+    msgs = _df(spark, batch)
+    back = unmarshal_proto(
+        marshal_proto(msgs), partition_key_col=None, drop_corrupt=False
+    )
+    got = _norm(back.collect())
+    expected = {
+        u: (
+            p if p is not None else b"",
+            {k: (v if v is not None else "") for k, v in m.items()}
+            if m is not None
+            else {},
+        )
+        for u, p, m in batch
+    }
+    assert set(got) == set(expected)
+    for u, (p, m) in expected.items():
+        gp, gm = got[u]
+        assert gp == p, f"payload mismatch for {u!r}"
+        assert gm == m, f"metadata mismatch for {u!r}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    uuid=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=64,
+    ),
+    metadata=st.dictionaries(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            min_size=1,
+            max_size=24,
+        ),
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=24,
+        ),
+        max_size=6,
+    ),
+    payload=st.binary(max_size=1024),
+)
+def test_proto_envelope_pure_roundtrip_property(uuid, metadata, payload):
+    """Driver-side encode∘decode identity over wild content (astral
+    unicode, NULs, kilobyte blobs) — no Spark in the loop, so this runs
+    200 examples cheaply; also pins that deterministic serialization is
+    insertion-order independent on every example."""
+    from watermill_kinesis_spark.protocodec import (
+        decode_envelope,
+        encode_envelope,
+    )
+
+    wire = encode_envelope(uuid, metadata, payload)
+    assert decode_envelope(wire) == (uuid, metadata, payload)
+    reordered = dict(reversed(list(metadata.items())))
+    assert encode_envelope(uuid, reordered, payload) == wire
