@@ -512,6 +512,40 @@ def test_proto_dataframe_codec_poison_and_null_tolerance(spark):
     assert got["u1"]["k"] == "v" and got["u2"]["k"] == ""
 
 
+def test_proto_audit_null_lang_fails_loudly_not_fatally(spark, monkeypatch):
+    """A NULL lang/source row (outside the audit's wire-size
+    assumptions) must flip all_wire_len_exact to 0 — never crash the
+    job: the encode UDF coerces None to '' and the per-row length
+    verdict undercounts, exactly the loud-failure contract the
+    docstring promises."""
+    import watermill_kinesis_spark.operators.messages as msgs_mod
+
+    df = spark.createDataFrame(
+        [(0, "hello world", "es", "src0"), (1, "bonjour", None, "src1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(msgs_mod, "load_table", lambda _s, _d, _t: df)
+    row = msgs_mod.envelope_proto_roundtrip(spark, "_").collect()[0]
+    assert row.n_msgs == 2
+    assert row.all_roundtrip == 0  # '' != NULL on the compare side
+    assert row.all_wire_len_exact == 0  # NULL expected_len undercounts
+
+
+def test_proto_audit_empty_corpus_vacuous_verdicts(spark, monkeypatch):
+    """All-NULL-text corpus: verdicts must be the vacuous-true 1 the
+    oracle pins (SUM over zero rows is NULL — the coalesce guard)."""
+    import watermill_kinesis_spark.operators.messages as msgs_mod
+
+    df = spark.createDataFrame(
+        [(0, None, "es", "src0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(msgs_mod, "load_table", lambda _s, _d, _t: df)
+    row = msgs_mod.envelope_proto_roundtrip(spark, "_").collect()[0]
+    assert (row.n_msgs, row.total_wire_bytes) == (0, 0)
+    assert row.all_roundtrip == 1 and row.all_wire_len_exact == 1
+
+
 def test_proto_roundtrip_audit_verdicts(spark, sf_dir):
     from watermill_kinesis_spark.operators.messages import (
         envelope_proto_roundtrip,

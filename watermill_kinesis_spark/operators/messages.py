@@ -312,9 +312,22 @@ def envelope_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) -> pd.Series:
         from watermill_kinesis_spark.protocodec import encode_envelope
 
+        # NULL lang/source coerce to '' (proto3 maps reject None)
+        # instead of crashing the audit job: the per-row length verdict
+        # then goes NULL on such rows (octet_length(NULL)), n_len_ok
+        # undercounts, and all_wire_len_exact flips to 0 against the
+        # oracle's pinned 1 — the loud failure the docstring promises,
+        # not a driver-gate crash
         return pd.Series(
             [
-                encode_envelope(u, {"lang": l, "source": s}, bytes(p))
+                encode_envelope(
+                    u,
+                    {
+                        "lang": l if l is not None else "",
+                        "source": s if s is not None else "",
+                    },
+                    bytes(p),
+                )
                 for u, l, s, p in zip(uuid, lang, source, payload)
             ],
             dtype=object,
@@ -379,8 +392,13 @@ def envelope_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_msgs",
         "total_wire_bytes",
-        (F.col("n_rt") == F.col("n_msgs")).cast("int").alias("all_roundtrip"),
-        (F.col("n_len_ok") == F.col("n_msgs")).cast("int").alias(
-            "all_wire_len_exact"
-        ),
+        # coalesce like total_wire_bytes: on an all-NULL-text corpus
+        # the SUMs are NULL over zero rows and 0 == 0 must read as the
+        # oracle's vacuous-true 1, not a NULL-verdict hash skew
+        (F.coalesce(F.col("n_rt"), F.lit(0)) == F.col("n_msgs"))
+        .cast("int")
+        .alias("all_roundtrip"),
+        (F.coalesce(F.col("n_len_ok"), F.lit(0)) == F.col("n_msgs"))
+        .cast("int")
+        .alias("all_wire_len_exact"),
     )
