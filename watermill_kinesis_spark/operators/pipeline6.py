@@ -204,12 +204,19 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     have we already ingested" metric used to rank crawl snapshots and
     prioritize fresh data: a doc's distinct n-grams are NOVEL if no
     lower-doc_id document contains them (doc_id is ingest order here;
-    any monotone ingest key works). Computed set-exactly: distinct
-    grams per doc → min(doc_id) per gram (one gram-keyed reduce) →
-    join back and count. Both shuffles key on the gram (tiny rows);
-    novelty is an exact integer permille, never a float. At 100 TB
-    the firsts table is the gram dictionary — the same asset the
-    decontamination ops build — computed in one pass."""
+    any monotone ingest key works). Computed set-exactly WITHOUT ever
+    joining on the gram: n_novel per doc is just the count of grams
+    whose min(doc_id) IS that doc — a second aggregation OVER the
+    firsts table — and n_grams is the per-doc distinct count; the two
+    doc-keyed aggregates then join on doc_id. The first cut joined the
+    g relation back against firsts on the gram string and AQE's
+    post-agg size estimate elected to BROADCAST the gram dictionary —
+    an artifact that grows with the corpus — measured as a
+    driver-broadcast OOM on the vanilla 1 GiB session at the 10×
+    replica (caught by the round-9 heavy-family sweep; the sf0.1 gate
+    fit by luck). Now no gram-keyed join exists to mis-plan: the gram
+    dictionary lives exactly one aggregation long. Novelty is an exact
+    integer permille, never a float."""
     d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     starts = F.sequence(F.lit(1), F.size("t") - NOVELTY_N + 1)
@@ -223,16 +230,22 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        g.join(firsts, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(novel).alias("n_novel"),
-            F.expr("CAST(count(IF(first_doc = doc_id, 1, NULL)) * 1000"
-                   " div count(1) AS BIGINT)").alias("novelty_permille"),
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST(COALESCE(n_novel, 0) * 1000 div n_grams AS BIGINT)"
+            ).alias("novelty_permille"),
         )
     )
 
