@@ -90,9 +90,15 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    # the unigram table is a CORPUS-DERIVED dictionary — never leave it
+    # broadcastable (the ngram_novelty_score OOM class, SCALE.md round
+    # 9: serialized size can sit under the broadcast threshold while
+    # the deserialized hash build blows the driver). shuffle_hash keeps
+    # the join key-partitioned at every scale; the scalar n_tok cross
+    # is the only broadcast left.
     joined = (
-        bi.join(F.broadcast(ux), "x")
-        .join(F.broadcast(uy), "y")
+        bi.join(ux.hint("shuffle_hash"), "x")
+        .join(uy.hint("shuffle_hash"), "y")
         .crossJoin(F.broadcast(n_tok))
     )
     return (

@@ -291,8 +291,12 @@ def kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("role") == "R").alias("nr"),
     )
     bt = counts.agg(F.sum("nl").alias("bt"))
+    # both join sides are corpus-derived vocab tables — pin the join
+    # key-partitioned (the ngram_novelty_score OOM class; a mid-scale
+    # corpus can sit under the broadcast threshold serialized while
+    # the dictionary hash build blows the driver)
     return (
-        uni.join(counts, "tok", "left")
+        uni.join(counts.hint("shuffle_hash"), "tok", "left")
         .crossJoin(F.broadcast(bt))
         .select(
             "tok",
@@ -417,8 +421,11 @@ def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
     a, b = st.alias("a"), st.alias("b")
+    # the self-join sides are the corpus-derived (source, token) set —
+    # pin shuffle_hash so no scale ever elects to broadcast a
+    # dictionary (the ngram_novelty_score OOM class)
     inter = (
-        a.join(b, "tok")
+        a.join(b.hint("shuffle_hash"), "tok")
         .where(F.col("a.source") < F.col("b.source"))
         .groupBy(
             F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
@@ -575,8 +582,12 @@ def good_turing_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fof = c.groupBy(F.col("c").alias("r")).agg(F.count(F.lit(1)).alias("nr"))
     a = fof.orderBy("r").limit(GT_N_ROWS).alias("a")
     b = fof.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr1"))
+    # no explicit broadcast of b: fof is corpus-derived (≈ O(√tokens)
+    # distinct frequencies — ~70 MB serialized at 100 TB) and forcing
+    # it to broadcast is the ngram_novelty_score OOM class; side a is
+    # exactly 10 rows, so AQE builds on the provably tiny side
     return (
-        a.join(F.broadcast(b), "r", "left")
+        a.join(b, "r", "left")
         .select(
             "r",
             F.col("nr").cast("bigint").alias("n_r"),
