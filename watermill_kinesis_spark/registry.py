@@ -83,74 +83,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 9): STALENESS ordering, recomputed from
-    # CORRECTNESS_r01-r08 (VERDICT r8 task 1). The driver's
-    # budget-capped gate samples a ~50-entry PREFIX of this list, so
-    # the prefix is the REGRESSION WINDOW: first the 16 round-9
-    # additions (never driver-sampled — wave 2's skip-gram /
-    # Welch / Simpson / t-closeness / Kneser-Ney / Wilson / vocab-
-    # Jaccard / Chao1 / Good-Turing / token-dispersion / ERR / the protobuf envelope codec audit, then wave 1's
-    # substring-excision census + materialized
-    # corpus, Misra-Gries frequent-items audit, and ANN model
-    # save/load round-trip), then every oracle-backed
-    # entry ordered by the round it last went driver-green ascending
-    # (the 15-strong r2 cohort, then 49 last green in r3, 49 in r4,
-    # …) — the r9 prefix re-verifies exactly the stalest set. Entries
-    # keep their previous relative order within the same last-green
-    # round. Rows-only entries follow at the back in their prior
-    # order — sampling one records only a rows-only line (no
-    # value-regression signal); their invariants are pytest-enforced.
-    # Recompute each round from CORRECTNESS_r*.json.
-    "skipgram_cooccurrence",
-    "welch_ttest_lengths",
-    "simpson_diversity_tokens",
-    "t_closeness_audit",
-    "kneser_ney_continuation",
-    "wilson_lower_bound_rank",
-    "vocab_jaccard_sources",
-    "chao1_vocab_richness",
-    "good_turing_discounts",
-    "token_dispersion_stats",
-    "expected_reciprocal_rank",
-    "envelope_proto_roundtrip",
-    "ann_model_save_load_audit",
-    "dedup_substring_excise",
-    "dedup_substring_excise_text",
-    "heavy_hitters_audit",
-    "udtf_token_ngrams",
-    "partitioned_write_prune",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_label_centroids",
-    "text_stats",
-    "lang_id_stopword",
-    "doc_fingerprint",
-    "multimodal_binary_stats",
-    "multimodal_meta_rollup",
-    "sample_stratified_mod",
-    "embedding_avg_pool",
-    "multimodal_image_decode",
-    "graph_triangle_count",
-    "interval_overlap_join",
-    "lagged_cross_correlation",
-    "bpe_pair_counts",
-    "session_path_analysis",
-    "span_corruption_masks",
-    "sql_recursive_cte",
-    "udaf_grouped_pandas",
-    "udf_grouped_map_pandas",
-    "url_canonicalize_dedup",
-    "token_length_histogram_log2",
-    "join_asof_nearest",
-    "lang_id_confusion",
-    "embedding_drift_dims",
-    "basket_lift_pairs",
-    "event_lateness_profile",
-    "agg_skew_kurt",
-    "agg_argmax",
+    # ---- Rotation (round 10): STALENESS ordering, recomputed from
+    # CORRECTNESS_r01-r09 (VERDICT r9 task 1; histogram over the 321
+    # oracle-backed entries: 30 last green r3, 49 r4, 45 r5, 47 r6,
+    # 50 r7, 50 r8, 50 r9 — recomputed, not taken from the verdict).
+    # The driver's budget-capped gate samples a ~50-entry PREFIX of
+    # this list, so the prefix is the REGRESSION WINDOW: new round-10
+    # additions first (never driver-sampled), then every oracle-backed
+    # entry ordered by the round it last went driver-green ascending —
+    # the r10 prefix re-verifies the 30-strong r3 cohort plus the
+    # oldest r4 entries. Entries keep their previous relative order
+    # within the same last-green round. Rows-only entries follow at
+    # the back in their prior order — sampling one records only a
+    # rows-only line (no value-regression signal); their invariants
+    # are pytest-enforced. Recompute each round from
+    # CORRECTNESS_r*.json.
     "mode_agg",
     "agg_bitwise_bool",
     "grouping_sets_agg",
@@ -422,6 +369,56 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_gapfill",
     "anomaly_zscore",
     "udf_scalar_pandas",
+    "skipgram_cooccurrence",
+    "welch_ttest_lengths",
+    "simpson_diversity_tokens",
+    "t_closeness_audit",
+    "kneser_ney_continuation",
+    "wilson_lower_bound_rank",
+    "vocab_jaccard_sources",
+    "chao1_vocab_richness",
+    "good_turing_discounts",
+    "token_dispersion_stats",
+    "expected_reciprocal_rank",
+    "envelope_proto_roundtrip",
+    "ann_model_save_load_audit",
+    "dedup_substring_excise",
+    "dedup_substring_excise_text",
+    "heavy_hitters_audit",
+    "udtf_token_ngrams",
+    "partitioned_write_prune",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_label_centroids",
+    "text_stats",
+    "lang_id_stopword",
+    "doc_fingerprint",
+    "multimodal_binary_stats",
+    "multimodal_meta_rollup",
+    "sample_stratified_mod",
+    "embedding_avg_pool",
+    "multimodal_image_decode",
+    "graph_triangle_count",
+    "interval_overlap_join",
+    "lagged_cross_correlation",
+    "bpe_pair_counts",
+    "session_path_analysis",
+    "span_corruption_masks",
+    "sql_recursive_cte",
+    "udaf_grouped_pandas",
+    "udf_grouped_map_pandas",
+    "url_canonicalize_dedup",
+    "token_length_histogram_log2",
+    "join_asof_nearest",
+    "lang_id_confusion",
+    "embedding_drift_dims",
+    "basket_lift_pairs",
+    "event_lateness_profile",
+    "agg_skew_kurt",
+    "agg_argmax",
     "compression_ratio_filter",
     "stream_left_outer_join",
     "statestore_reader_audit",
