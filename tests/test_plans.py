@@ -667,3 +667,104 @@ def test_driver_fold_internal_stages_stay_red_flag_free(spark, sf_dir):
         assert not _bad_single_partition(p), f"{name}: bad single-partition"
         assert not _bad_enum_window(p), f"{name}: enum window"
         assert not _bad_big_literal(p), f"{name}: big literal"
+
+
+def test_dict_broadcast_guard_catches_prefix_novelty_shape(spark, sf_dir):
+    """Round-10 guard (VERDICT r9 task 2): the pre-fix
+    ngram_novelty_score joined its (doc, gram) relation back against
+    the gram→min(doc) firsts table ON THE GRAM STRING, and AQE's
+    compressed-size estimate elected to broadcast the corpus-growing
+    gram dictionary — a driver OOM at the 10× replica that the sf0.1
+    gate fit by luck. Rebuild that exact join shape and assert
+    `_corpus_dict_broadcast` trips; then assert the benign faces stay
+    clean — a bounded top-K vocab broadcast (GlobalLimit/TakeOrdered
+    in the build side), a fixed-dim broadcast (nation), an inner
+    dictionary aggregate that collapses to a bounded rollup before
+    broadcasting (the Kneser-Ney/vocab-Jaccard shape) — and that every
+    operator re-planned or pinned for this class audits clean."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import _corpus_dict_broadcast
+
+    from watermill_kinesis_spark.registry import all_specs
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size("t") - 2)
+    g = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 3)
+        .select("doc_id", F.explode(starts).alias("i"), "t")
+        .select(
+            "doc_id",
+            F.array_join(F.slice("t", F.col("i"), 3), " ").alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # the PRE-fix shape: instances joined back on the gram string,
+    # dictionary side explicitly broadcast (AQE's runtime election,
+    # made static so the guard sees the same plan at any test scale)
+    bad = (
+        g.join(F.broadcast(firsts), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    hits = _corpus_dict_broadcast(plan(bad))
+    assert hits and "gram" in hits[0], "pre-fix novelty shape must trip"
+
+    # benign: top-K vocab IS bounded — limit below the broadcast
+    topk = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(100)
+    )
+    probe = d.select(F.explode(toks).alias("tok")).join(
+        F.broadcast(topk), "tok"
+    )
+    assert not _corpus_dict_broadcast(plan(probe)), "bounded top-K trips"
+
+    # benign: fixed 25-row dim broadcast
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert not _corpus_dict_broadcast(plan(dim)), "nation dim trips"
+
+    # benign: inner token aggregate collapsing to a bounded-enum
+    # rollup before the broadcast (the vocab_jaccard shape)
+    vocab_per_source = (
+        d.select("source", F.explode(toks).alias("tok"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    rolled = c.crossJoin(F.broadcast(vocab_per_source))
+    assert not _corpus_dict_broadcast(plan(rolled)), "bounded rollup trips"
+
+    # the re-planned / pinned operators audit clean
+    specs = all_specs()
+    for name in (
+        "ngram_novelty_score",
+        "dedup_paragraph",
+        "stupid_backoff_score",
+        "unigram_freq_score",
+        "token_dispersion_stats",
+        "collocation_pmi",
+        "kneser_ney_continuation",
+        "vocab_jaccard_sources",
+        "good_turing_discounts",
+        "heavy_hitters_audit",
+    ):
+        p = plan(specs[name].fn(spark, sf_dir))
+        assert not _corpus_dict_broadcast(p), f"{name}: dict broadcast"

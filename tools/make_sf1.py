@@ -13,10 +13,17 @@ kept as-is. Both engines of the oracle sweep read the SAME parquet,
 so the value-exact compare is as strict as at any driver scale —
 what changes is only the data volume.
 
-    PYTHONPATH=/root/repo python tools/make_sf1.py [out_dir]
+    PYTHONPATH=/root/repo python tools/make_sf1.py [out_dir] [replicas]
 
-Writes ~1.5 GB-scale row counts: lineitem 6.0M, orders 1.5M, events
-1.0M, documents 50k, embeddings 20k.
+At the default 10 replicas (sf1-equivalent) row counts are ~1.5 GB
+scale: lineitem 6.0M, orders 1.5M, events 1.0M, documents 50k,
+embeddings 20k. ``replicas=100`` builds the sf10-equivalent
+(VERDICT r9 task 3's 100×-class sweep): lineitem 60M, documents
+500k — every key stride below clears its sf0.1 domain by ≥100×, so
+the same shifts stay collision-free (largest key ≈ 10⁹, int64-safe),
+and the text-uniquing suffix `" r<i>"` keeps duplicate-group SIZES
+fixed while group COUNTS scale with the replicas — pair stages grow
+linearly, exactly the 100 TB shape.
 """
 
 from __future__ import annotations
@@ -49,7 +56,10 @@ COPY_AS_IS = ("region", "nation")
 
 
 def main() -> None:
+    global REPLICAS
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_replica"
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:

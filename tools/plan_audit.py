@@ -147,6 +147,115 @@ def _bad_big_literal(plan: str) -> bool:
     )
 
 
+#: tables whose row count scales with the corpus (SF → 100 TB).
+#: nation/region are fixed 25/5-row dims and excluded: broadcasting
+#: them is correct at every scale.
+UNBOUNDED_TABLES = re.compile(
+    r"\[file:[^\]]*/(documents|lineitem|orders|events|embeddings|"
+    r"customer|part|partsupp|supplier)\.parquet\]"
+)
+
+#: column names that denote a TEXT-DERIVED DICTIONARY key — the
+#: gram/vocab/distinct-frequency lineage of VERDICT r9 task 2. These
+#: relations' cardinality grows with corpus token volume, their
+#: payloads are highly compressible strings, and AQE's
+#: compressed-shuffle-bytes estimate systematically under-sizes the
+#: deserialized hash relation built from them (the r9
+#: ngram_novelty_score OOM). Numeric FK-keyed aggregates
+#: (custkey/partkey/user_id/fp rollups) are deliberately NOT matched:
+#: the planner sizes fixed-width relations faithfully and falls back
+#: to a shuffle join at scale on its own — the replica sweeps exercise
+#: that class.
+DICT_KEY_RE = re.compile(
+    r"^(gram|grams|ngram|ngrams|shingle|shingles|tok|toks|token|tokens"
+    r"|term|terms|word|words|vocab|bigram|bigrams|trigram|trigrams"
+    r"|bg|w|w1|w2|block|para|paragraph|sent|sentence)$"
+)
+
+
+def _corpus_dict_broadcast(plan: str) -> list[str]:
+    """Round-10 guard (VERDICT r9 task 2): a BroadcastExchange whose
+    build side is a CORPUS-DERIVED DICTIONARY — its topmost
+    aggregation is keyed on a text-derived dictionary column
+    (grams/tokens/vocab), computed over a scan of a corpus-scale
+    table, with no limit/sample bounding the subtree. Such a build
+    side grows with the corpus: it fits the broadcast threshold at
+    test scale by luck — serialized-compressed size sits under 10 MB
+    while the deserialized hash relation explodes — and OOMs the
+    driver/executors at 100 TB. This is the defect class the round-9
+    heavy-replica sweep caught in ngram_novelty_score (AQE broadcast
+    the gram→min(doc) firsts table); the static form catches it at
+    plan-audit time instead of after a 20-minute 10× sweep. Returns
+    one reason string per offending BroadcastExchange.
+
+    Only TOP-LEVEL aggregates (no aggregate ancestor within the
+    broadcast subtree) are judged: an inner gram/token aggregation
+    that collapses to a scalar or a bounded-enum rollup before the
+    broadcast (Kneser-Ney's Σ over the continuation table, vocab
+    sizes per source) emits a bounded relation. A broadcast is
+    further exonerated when its subtree (a) scans no corpus-scale
+    table (literal models, nation/region dims), (b) has a
+    GlobalLimit / TakeOrderedAndProject / CollectLimit bounding it
+    (top-K vocab faces), or (c) is a bounded INPUT face — a pushed
+    ``doc_id < k`` / ``doc_id = k`` benchmark-sample cap or a fixed
+    ``IN (...)`` term-list filter (decontamination suites, fixed
+    query terms)."""
+    out: list[str] = []
+    lines = plan.split("\n")
+
+    def _content_start(s: str) -> int:
+        m = re.match(r"^[\s:+|-]*", s)
+        return m.end()
+
+    agg_re = re.compile(
+        r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]"
+    )
+    bounded_input_re = re.compile(
+        r"\(doc_id#\d+L? (?:<|<=|=) \d+\)|\w+#\d+ IN \("
+    )
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = _content_start(line)
+        j = i + 1
+        sub: list[str] = []
+        while j < len(lines) and _content_start(lines[j]) > depth:
+            sub.append(lines[j])
+            j += 1
+        subtree = "\n".join(sub)
+        if not UNBOUNDED_TABLES.search(subtree):
+            continue
+        if re.search(r"GlobalLimit|TakeOrderedAndProject|CollectLimit", subtree):
+            continue
+        if bounded_input_re.search(subtree):
+            continue
+        # walk the subtree with an ancestor stack: judge only
+        # aggregates with NO aggregate ancestor inside this broadcast
+        stack: list[tuple[int, bool]] = []
+        hit: list[str] = []
+        for s in sub:
+            d = _content_start(s)
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            m = agg_re.search(s)
+            is_agg = m is not None
+            if is_agg and not any(a for _, a in stack):
+                keys = m.group(1)
+                cols = re.findall(r"(\w+)#\d+", keys)
+                dict_keys = sorted(
+                    {c for c in cols if DICT_KEY_RE.match(c)}
+                )
+                if dict_keys:
+                    hit = dict_keys
+            stack.append((d, is_agg))
+        if hit:
+            out.append(
+                "broadcast build side is a corpus-derived dictionary "
+                f"keyed on {hit}"
+            )
+    return out
+
+
 def _bad_nested_loop(plan: str) -> bool:
     """BroadcastNestedLoopJoin is benign only with a 1-row broadcast
     build side: a scalar cross join, or a non-equi comparison against a
@@ -179,6 +288,7 @@ def audit_plan(plan: str) -> dict:
         "bnlj": _bad_nested_loop(plan),
         "enum_window": _bad_enum_window(plan),
         "big_literal": _bad_big_literal(plan),
+        "dict_bcast": _corpus_dict_broadcast(plan),
         "arrow": "ArrowEvalPython" in plan or "MapInPandas" in plan,
     }
 
@@ -196,7 +306,8 @@ def main() -> int:
         "broadcast exchanges, join strategies, parquet pushdown, whole-stage",
         "codegen, top-k short-circuits, Arrow/Python stages. Red-flag",
         "columns (global single-partition exchange, nested-loop join,",
-        "enum-partitioned window, oversized plan literal) must stay",
+        "enum-partitioned window, oversized plan literal, corpus-",
+        "dictionary broadcast build side) must stay",
         "empty — tests/test_plans.py enforces the critical ones.",
         "Rows marked ⟳ are ITERATIVE operators: the explain composes the",
         "unexecuted k-iteration lineage, but each runtime pass",
@@ -209,8 +320,8 @@ def main() -> int:
         "tests/test_plans.py pins directly.",
         "",
         "| query | shuffles | broadcasts | BHJ | SMJ | pushdown | codegen |"
-        " TakeOrdered | WindowGroupLimit | Arrow | scalar-agg | BadSinglePart! | BadNestedLoop! | BadEnumWindow! | BigLiteral! |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        " TakeOrdered | WindowGroupLimit | Arrow | scalar-agg | BadSinglePart! | BadNestedLoop! | BadEnumWindow! | BigLiteral! | DictBcast! |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     flags: list[str] = []
     errors: list[str] = []
@@ -233,7 +344,8 @@ def main() -> int:
             f"{a['bcast_joins']} | {a['smj']} | {y(a['pushed'])} | "
             f"{y(a['codegen'])} | {y(a['take_ordered'])} | {y(a['wgl'])} | "
             f"{y(a['arrow'])} | {y(a['scalar_agg'])} | {y(a['single_part'])} | "
-            f"{y(a['bnlj'])} | {y(a['enum_window'])} | {y(a['big_literal'])} |"
+            f"{y(a['bnlj'])} | {y(a['enum_window'])} | {y(a['big_literal'])} | "
+            f"{y(bool(a['dict_bcast']))} |"
         )
         if a["single_part"]:
             flags.append(f"{name}: single-partition exchange")
@@ -245,6 +357,8 @@ def main() -> int:
             flags.append(
                 f"{name}: array literal > {BIG_LITERAL_ELEMS} elements in plan"
             )
+        for reason in a["dict_bcast"]:
+            flags.append(f"{name}: {reason}")
     lines.append("")
     if errors:
         lines.append("## PLAN BUILD ERRORS")
@@ -257,7 +371,8 @@ def main() -> int:
         lines.append(
             "No red flags: no single-partition exchanges, no nested-loop "
             "joins, no enum-partitioned windows over raw rows, no "
-            "oversized plan literals in any audited plan."
+            "oversized plan literals, and no corpus-dictionary broadcast "
+            "build sides in any audited plan."
         )
     lines.append("")
     with open("PLANS.md", "w") as f:

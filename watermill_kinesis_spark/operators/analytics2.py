@@ -483,8 +483,10 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filter; log-prob variants differ per-libm and would
     flake a bit-exact oracle). Two shuffles at scale: token-count
     aggregate, then token→doc re-aggregate; the frequency table joins
-    back by token (broadcast when the vocabulary fits, shuffle-join
-    otherwise — Catalyst decides from stats)."""
+    back by token with a pinned ``shuffle_hash`` — it is a
+    corpus-derived string dictionary, the build-side class whose
+    compressed-size estimate AQE under-sizes (the r9
+    ngram_novelty_score OOM; plan_audit's DictBcast guard)."""
     toks = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -492,7 +494,7 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        toks.join(freq, "tok")
+        toks.join(freq.hint("shuffle_hash"), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),

@@ -304,14 +304,14 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fp) SimHash(64) fingerprints — the vote stage shared by
-    ``dedup_simhash`` and its recall audit. Per-token xxhash64 votes ±1
-    on each of 64 bits; the sign vector is the fingerprint. One long
-    per doc: downstream shuffles are 16 bytes/row regardless of
-    document size."""
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
-    tok_hash = F.transform(F.array_distinct("toks"), lambda t: F.xxhash64(t))
+def _simhash_fp_col(th: F.Column) -> F.Column:
+    """SimHash(64) fingerprint Column over a per-token-hash array
+    column ``th`` — the vote arithmetic factored out so callers can
+    fuse the fingerprint into a wider single-scan projection (the
+    recall audit computes (doc_id, census-key, fp) in ONE pass over
+    documents instead of joining two derivations on doc_id). Each
+    token hash votes ±1 on each of 64 bits; the sign vector is the
+    fingerprint."""
 
     def bitmask(b: int) -> int:
         return (1 << b) if b < 63 else -(1 << 63)
@@ -320,12 +320,12 @@ def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         """sign of Σ_tokens (bit b set ? +1 : -1)"""
         mask = F.lit(bitmask(b))
         return F.aggregate(
-            F.col("th"),
+            th,
             F.lit(0),
             lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
         )
 
-    fp = F.aggregate(
+    return F.aggregate(
         F.array(
             *[
                 F.when(vote(b) > 0, F.lit(bitmask(b))).otherwise(F.lit(0).cast("bigint"))
@@ -335,7 +335,19 @@ def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return d.withColumn("th", tok_hash).select("doc_id", fp.alias("fp"))
+
+
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) SimHash(64) fingerprints — the vote stage shared by
+    ``dedup_simhash`` and its recall audit. Per-token xxhash64 votes ±1
+    on each of 64 bits; the sign vector is the fingerprint. One long
+    per doc: downstream shuffles are 16 bytes/row regardless of
+    document size."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    tok_hash = F.transform(F.array_distinct("toks"), lambda t: F.xxhash64(t))
+    return d.withColumn("th", tok_hash).select(
+        "doc_id", _simhash_fp_col(F.col("th")).alias("fp")
+    )
 
 
 @query("dedup_simhash", tags=("dedup", "lsh", "llm-pipeline"))
@@ -351,11 +363,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(_simhash_fps(spark, sf_dir))
 
 
-def _simhash_pairs(fps: DataFrame) -> DataFrame:
+def _simhash_pairs(fps: DataFrame, dfp: DataFrame | None = None) -> DataFrame:
     """Blocked Hamming≤3 pair stage over (doc_id, fp) rows — the
     execution body of ``dedup_simhash``, parameterized on the
     fingerprint relation so the recall audit can drive the REAL pair
-    path from one persisted fingerprint pass.
+    path from one persisted fingerprint pass. ``dfp`` optionally
+    supplies the DISTINCT-fingerprint relation (single ``fp`` column)
+    when the caller already aggregated by fp — the recall audit shares
+    one groupBy-fp exchange between its expected-pair census and this
+    blocking stage instead of shuffling the fingerprints twice.
 
     Two scale rules learned at the sf1-equivalent sweep (both
     violations OOM'd a 1 GiB vanilla session on 50k docs):
@@ -392,7 +408,8 @@ def _simhash_pairs(fps: DataFrame) -> DataFrame:
                 block(c)
             )
         keys.append(k)
-    dfp = fps.select("fp").distinct()
+    if dfp is None:
+        dfp = fps.select("fp").distinct()
     chunks = dfp.select(
         "fp", F.explode(F.array(*keys)).alias("bkey")
     )
@@ -997,17 +1014,19 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping is on sha2-256 of the token-set key (collision-free at
     any corpus size — a 64-bit hash would flip verdicts by birthday
     collision around 10^9 distinct keys); NULL-text rows are excluded
-    on BOTH engines (they carry no token set; the pair path's
-    null-keyed join can never emit them). The fingerprint pass is
-    persisted and shared by the census, the expected-pair census, and
-    the audited pair stage — one vote pass, not three."""
+    on BOTH engines (they carry no token set — their fingerprint is
+    NULL, so they feed neither leg). Exchange diet (VERDICT r9 task
+    4): the census key and the fingerprint are FUSED into one
+    projection over a single documents scan — the former doc_id join
+    of two text derivations is gone — and the groupBy-fp relation is
+    aggregated ONCE, feeding both the expected-pair census and the
+    blocking stage's distinct-fp input, so one fp exchange serves
+    both verdict legs."""
     key = F.array_join(
         F.array_sort(F.array_distinct(F.split("text", " "))), " "
     )
-    d = (
-        _docs(spark, sf_dir)
-        .where(F.col("text").isNotNull())
-        .select("doc_id", F.sha2(key, 256).alias("kh"))
+    tok_hash = F.transform(
+        F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
     )
     # one live cached fingerprint slot (the clustering-module
     # convention): repeated runs — bench loops, driver sweeps —
@@ -1018,15 +1037,26 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cached_simhash_fps.unpersist(False)
         except Exception:
             pass  # previous session stopped; nothing left to release
-    fps = _simhash_fps(spark, sf_dir).persist()
-    _cached_simhash_fps = fps
-    keyed = d.join(fps, "doc_id").select("kh", "fp")
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        # th is materialized as a COLUMN before the 64 vote folds
+        # reference it: inlining the transform expression into the
+        # interpreted HOF lambdas would re-hash every token 65× per
+        # row (the skipgram lambda-CSE lesson; CollapseProject keeps
+        # the projection because th is non-cheap and multiply-used)
+        .select("doc_id", F.sha2(key, 256).alias("kh"), tok_hash.alias("th"))
+        .select("doc_id", "kh", _simhash_fp_col(F.col("th")).alias("fp"))
+        .persist()
+    )
+    _cached_simhash_fps = base
+    fps = base.select("doc_id", "fp")
 
     pair_sum = lambda n: F.coalesce(  # Σ C(n,2), exact integer
         F.sum(F.expr(f"{n} * ({n} - 1) div 2")).cast("bigint"),
         F.lit(0).cast("bigint"),
     )
-    grp = keyed.groupBy("kh").agg(
+    grp = base.groupBy("kh").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("fp").alias("n_fp"),
     )
@@ -1038,14 +1068,15 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # ONE fp aggregation serves both legs: the Σ C(n,2) census and the
+    # blocked pair stage's distinct-fingerprint input.
+    fp_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     zh_expected = (
-        fps.where(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n"))
+        fp_counts.where(F.col("fp").isNotNull())
         .agg(pair_sum("n").alias("zh_expected"))
     )
     zh_actual = (
-        _simhash_pairs(fps)
+        _simhash_pairs(fps, dfp=fp_counts.select("fp"))
         .where(F.col("hamming") == 0)
         .agg(F.count(F.lit(1)).cast("bigint").alias("zh_actual"))
     )

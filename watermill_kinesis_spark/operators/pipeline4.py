@@ -266,10 +266,18 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-level MinHash misses. Documents split into non-overlapping
     20 (BLOCK_TOKENS)-token blocks; a block seen in more than one document
     is corpus-duplicated; each document reports its duplicated-block
-    ratio. Two shuffles: block-text → distinct-doc counts, then doc_id
-    → per-doc profile. Blocks are grouped by their text to stay
-    hash-collision-free for the oracle; at 100 TB swap the key for
-    xxhash64(block) (16 bytes/row, same plan shape — see
+    ratio. NO block-keyed join anywhere (r10 restructure, the
+    ngram_novelty_score lesson: joining instances back to a
+    corpus-derived block dictionary leaves AQE free to broadcast the
+    dictionary — plan_audit's DictBcast column flagged exactly that
+    shape here): instances collapse to (doc_id, block, multiplicity)
+    rows, a COUNT window over the block partition attaches each
+    block's distinct-doc count in place — one row per (doc, block), so
+    the window input is the dictionary relation itself — and the
+    per-doc profile is one more doc-keyed aggregate. Three shuffles,
+    all on corpus-cardinality keys. Blocks are grouped by their text
+    to stay hash-collision-free for the oracle; at 100 TB swap the key
+    for xxhash64(block) (16 bytes/row, same plan shape — see
     dedup_exact_hashkey) and explode paragraphs instead of fixed token
     windows."""
     d = load_table(spark, sf_dir, "documents")
@@ -290,16 +298,24 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    block_docs = blocks.groupBy("block").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    from pyspark.sql import Window as W
+
+    inst = blocks.groupBy("doc_id", "block").agg(
+        F.count(F.lit(1)).alias("m")
     )
-    joined = blocks.join(block_docs, "block")
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.count_if(F.col("n_docs") > 1).alias("n_dup_blocks"),
+    # one row per (doc, block) ⇒ rows in the block partition ARE the
+    # block's distinct docs; the unordered COUNT window reads the
+    # dictionary-sized relation once, joins nothing
+    n_docs = F.count(F.lit(1)).over(W.partitionBy("block"))
+    prof = inst.select("doc_id", "m", (n_docs > 1).alias("dup"))
+    return prof.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("dup"), F.col("m")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_blocks"),
         (
-            F.count_if(F.col("n_docs") > 1).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum(F.when(F.col("dup"), F.col("m")).otherwise(0)).cast("double")
+            / F.sum("m").cast("double")
         ).alias("dup_block_ratio"),
     )
 

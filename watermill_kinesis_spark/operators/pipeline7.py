@@ -676,7 +676,11 @@ def token_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token, so both values are identical to their exploded forms at a
     fraction of the row volume. Downstream it's vocab-sized:
     the DP fold's s1 comes from a per-token window over ps itself
-    (≤ |sources| rows per partition), then one token-keyed join and
+    (≤ |sources| rows per partition), then one token-keyed join —
+    pinned ``shuffle_hash``: both sides are vocab-sized string
+    dictionaries and the top-N limit sits ABOVE the join, so nothing
+    bounds the build side AQE would otherwise broadcast (the r9
+    ngram_novelty_score class; plan_audit's DictBcast guard) — and
     two broadcast scalars, TakeOrdered top-N with a total order."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select(
@@ -721,7 +725,7 @@ def token_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        agg.join(dp, "tok")
+        agg.join(dp.hint("shuffle_hash"), "tok")
         .crossJoin(F.broadcast(nd))
         .crossJoin(F.broadcast(wt))
         .select(

@@ -618,9 +618,13 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     KenLM perplexity gate: every score is one integer quotient in micro
     units, summed and averaged exactly. Scale shape: two count
     aggregates over the train corpus (map-side combinable), then
-    count-table joins back to held-out bigrams — broadcast when the
-    vocab/bigram tables fit, shuffle join otherwise (Catalyst decides);
-    the per-doc reduce is one more keyed aggregate."""
+    count-table joins back to held-out bigrams — all three pinned
+    ``shuffle_hash``: the bigram/vocab count tables are corpus-derived
+    string dictionaries, the exact build-side class whose
+    compressed-size estimate AQE under-sizes (the r9
+    ngram_novelty_score broadcast OOM; plan_audit's DictBcast column
+    now rejects a broadcastable dictionary join statically); the
+    per-doc reduce is one more keyed aggregate."""
     d = load_table(spark, sf_dir, "documents")
     p = F.split(F.col("text"), " ")
     toks = d.select("doc_id", p.alias("p"), F.size(p).alias("np"))
@@ -653,9 +657,9 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         " END AS score_micro"
     )
     scored = (
-        held.join(c12, "bg", "left")
-        .join(cl, "w1", "left")
-        .join(cr, "w2", "left")
+        held.join(c12.hint("shuffle_hash"), "bg", "left")
+        .join(cl.hint("shuffle_hash"), "w1", "left")
+        .join(cr.hint("shuffle_hash"), "w2", "left")
         .selectExpr("doc_id", score_expr)
     )
     return scored.groupBy("doc_id").agg(
