@@ -57,11 +57,60 @@ def main() -> None:
     assert codec.marshal(msgs).count() == n
     results["codec_marshal_msgs_per_s"] = round(n / (time.perf_counter() - t0))
 
+    # count() PRUNES a deterministic encode projection (measured r10:
+    # the legacy marshal row runs at near scan speed), so the forced
+    # rows aggregate sum(length(data)) — the encode must run to
+    # produce wire bytes. Legacy rows kept for cross-round continuity.
+    t0 = time.perf_counter()
+    codec.marshal(msgs).agg(F.sum(F.length("data"))).collect()
+    results["codec_marshal_forced_msgs_per_s"] = round(
+        n / (time.perf_counter() - t0)
+    )
+
     t0 = time.perf_counter()
     wire = codec.marshal(msgs)
     decoded = codec.unmarshal(wire, drop_corrupt=True)
     assert decoded.count() == n
     results["codec_roundtrip_msgs_per_s"] = round(n / (time.perf_counter() - t0))
+
+    # the protobuf envelope codec (the reference's marshaller.go:24
+    # TODO, shipped r9) measured beside JSON so wire-format choice is
+    # a benchmarked trade, not a guess (VERDICT r9 task 6). The proto
+    # path is an Arrow-batched pandas UDF pair (pure-python runtime)
+    # vs JSON's JVM expressions — expect it slower per message; what
+    # it buys is wire size and schema evolution.
+    from watermill_kinesis_spark import protocodec
+
+    t0 = time.perf_counter()
+    assert protocodec.marshal_proto(msgs).count() == n
+    results["codec_marshal_proto_msgs_per_s"] = round(
+        n / (time.perf_counter() - t0)
+    )
+
+    t0 = time.perf_counter()
+    protocodec.marshal_proto(msgs).agg(F.sum(F.length("data"))).collect()
+    results["codec_marshal_proto_forced_msgs_per_s"] = round(
+        n / (time.perf_counter() - t0)
+    )
+
+    # wire-size side of the trade: mean envelope bytes per format
+    results["wire_bytes_avg_json"] = round(
+        codec.marshal(msgs).agg(F.avg(F.octet_length("data"))).first()[0], 1
+    )
+    results["wire_bytes_avg_proto"] = round(
+        protocodec.marshal_proto(msgs)
+        .agg(F.avg(F.octet_length("data")))
+        .first()[0],
+        1,
+    )
+
+    t0 = time.perf_counter()
+    wire_p = protocodec.marshal_proto(msgs)
+    decoded_p = protocodec.unmarshal_proto(wire_p, drop_corrupt=True)
+    assert decoded_p.count() == n
+    results["codec_roundtrip_proto_msgs_per_s"] = round(
+        n / (time.perf_counter() - t0)
+    )
 
     base = tempfile.mkdtemp(prefix=f"wk_sbench_{uuidlib.uuid4().hex[:6]}_")
     topic = os.path.join(base, "topic")
