@@ -413,23 +413,49 @@ def _simhash_pairs(fps: DataFrame, dfp: DataFrame | None = None) -> DataFrame:
     chunks = dfp.select(
         "fp", F.explode(F.array(*keys)).alias("bkey")
     )
+    # EVERY join below is keyed on a corpus-derived relation (blocking
+    # keys over distinct fingerprints, the fingerprint table itself)
+    # and BOTH sides grow with the corpus, so every one is pinned
+    # ``merge`` (sort-merge): at the 100× replica AQE's post-shuffle
+    # size estimate elected to BROADCAST a fingerprint side (~500k
+    # rows sit just under the compressed threshold while the hash
+    # relation build blew the vanilla 1 GiB driver) — the r9
+    # ngram_novelty_score class, on the fingerprint member of
+    # SCALE.md's "grams, tokens, fingerprints" rule. shuffle_hash is
+    # NOT the right pin here (first attempt, same sweep): AQE
+    # coalesces the shuffle to its 64 MB advisory partition size, and
+    # a shuffled-hash build must hold a whole coalesced partition as
+    # a hash relation per task — it OOM'd where SMJ spills and
+    # streams. Big-big joins sort; only bounded build sides hash.
     a = chunks.select("bkey", F.col("fp").alias("fp_a"))
     b = chunks.select("bkey", F.col("fp").alias("fp_b"))
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # hamming ≤ 3 BEFORE dropDuplicates (r10, found at the 100×
+    # replica): the filter is a row-local bit_count on the join
+    # output, but written after the dedup aggregate it cannot be
+    # pushed below it — so the aggregate was ingesting every
+    # accidental bucket pair (hamming > 3 junk, the overwhelming
+    # majority) only to discard them afterwards; at 100× the
+    # spill-merge of that junk OOM'd a 1 GiB heap. Filter-then-dedup
+    # is output-identical (hamming is a function of the dedup keys).
     fp_pairs = (
-        a.join(b, ["bkey"])
+        a.join(b.hint("merge"), ["bkey"])
         .where(F.col("fp_a") < F.col("fp_b"))
         .select("fp_a", "fp_b", hamming.alias("hamming"))
-        .dropDuplicates(["fp_a", "fp_b"])
         .where(F.col("hamming") <= 3)
+        .dropDuplicates(["fp_a", "fp_b"])
     )
     inter = (
         fp_pairs.join(
-            fps.select(F.col("doc_id").alias("da"), F.col("fp").alias("fp_a")),
+            fps.select(
+                F.col("doc_id").alias("da"), F.col("fp").alias("fp_a")
+            ).hint("merge"),
             "fp_a",
         )
         .join(
-            fps.select(F.col("doc_id").alias("db"), F.col("fp").alias("fp_b")),
+            fps.select(
+                F.col("doc_id").alias("db"), F.col("fp").alias("fp_b")
+            ).hint("merge"),
             "fp_b",
         )
         .select(
@@ -440,7 +466,7 @@ def _simhash_pairs(fps: DataFrame, dfp: DataFrame | None = None) -> DataFrame:
     )
     intra = (
         fps.alias("x")
-        .join(fps.alias("y"), "fp")
+        .join(fps.alias("y").hint("merge"), "fp")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
