@@ -1,0 +1,322 @@
+"""Round-10 operator invariants (pipeline8): brute-force pins for the
+lexical-richness profile, token burstiness, the TVD drift matrix, the
+Mann-Whitney length test, dedup token accounting, cadence screening,
+and the Brier decomposition — semantics the row-hash oracle can't
+express (the oracle pins values; these pin meaning against independent
+Python recomputes).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from watermill_kinesis_spark.operators.pipeline8 import (
+    BRIER_BINS,
+    BURST_TOP_N,
+    CADENCE_MIN_GAPS,
+    brier_decomposition_exact,
+    dedup_token_savings,
+    mann_whitney_u_lengths,
+    token_burstiness_topk,
+    unigram_tvd_sources,
+    user_cadence_regularity,
+    yule_sichel_richness,
+)
+from watermill_kinesis_spark.sources.tables import load_table
+
+
+def _doc_rows(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", "source", "lang", "n_chars")
+        .collect()
+    )
+
+
+def test_yule_sichel_matches_bruteforce(spark, sf_dir):
+    """Independent Python recount of the per-source frequency spectrum
+    and the three richness constants in exact integer arithmetic."""
+    freq: dict = defaultdict(Counter)
+    for r in _doc_rows(spark, sf_dir):
+        if r.source is not None:
+            freq[r.source].update(r.text.split(" "))
+    expected = {}
+    for src, cnt in freq.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        s2 = sum(c * c for c in cnt.values())
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        expected[src] = (
+            n,
+            v,
+            10_000_000 * (s2 - n) // (n * n),
+            1000 * f2 // v,
+            1000 * f1 // v,
+        )
+    got = {
+        r.source: (
+            r.n_tokens,
+            r.v_types,
+            r.yule_k_x1000,
+            r.sichel_s_permille,
+            r.hapax_permille,
+        )
+        for r in yule_sichel_richness(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # non-degeneracy: some source actually repeats tokens (K > 0)
+    assert any(v[2] > 0 for v in expected.values())
+
+
+def test_burstiness_matches_bruteforce(spark, sf_dir):
+    """Python recount of P(c>=2 | c>=1) per token with the same total
+    order; the top-N prefix must match exactly."""
+    per_doc: dict = defaultdict(Counter)
+    for r in _doc_rows(spark, sf_dir):
+        per_doc[r.doc_id].update(r.text.split(" "))
+    df: Counter = Counter()
+    df2: Counter = Counter()
+    tf: Counter = Counter()
+    for cnt in per_doc.values():
+        for tok, c in cnt.items():
+            df[tok] += 1
+            tf[tok] += c
+            if c >= 2:
+                df2[tok] += 1
+    expected = sorted(
+        (
+            (t, df[t], tf[t], 1000 * df2[t] // df[t], 1000 * tf[t] // df[t])
+            for t in df
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:BURST_TOP_N]
+    got = [
+        (r.tok, r.df, r.tf, r.burstiness_permille, r.mean_in_doc_permille)
+        for r in token_burstiness_topk(spark, sf_dir).collect()
+    ]
+    assert sorted(got, key=lambda x: (-x[1], x[0])) == expected
+    # non-degeneracy: repeats exist somewhere
+    assert any(x[3] > 0 for x in expected)
+
+
+def test_unigram_tvd_matches_bruteforce(spark, sf_dir):
+    """Full-vocabulary TVD per source pair recomputed WITHOUT the
+    absent-part closed form — over the union of both vocabularies —
+    to prove the inner-join fold is algebraically identical."""
+    freq: dict = defaultdict(Counter)
+    for r in _doc_rows(spark, sf_dir):
+        if r.source is not None:
+            freq[r.source].update(r.text.split(" "))
+    totals = {s: sum(c.values()) for s, c in freq.items()}
+    srcs = sorted(freq)
+    expected = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            na, nb = totals[a], totals[b]
+            num = sum(
+                abs(freq[a][t] * nb - freq[b][t] * na)
+                for t in set(freq[a]) | set(freq[b])
+            )
+            common = set(freq[a]) & set(freq[b])
+            expected[(a, b)] = (len(common), 1000 * num // (2 * na * nb))
+    got = {
+        (r.src_a, r.src_b): (r.n_common_types, r.tvd_permille)
+        for r in unigram_tvd_sources(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # bounds: TVD is a metric in [0, 1000]
+    assert all(0 <= v[1] <= 1000 for v in expected.values())
+
+
+def test_mann_whitney_matches_bruteforce(spark, sf_dir):
+    """Midrank U recomputed from a literal sorted rank assignment
+    (fractional midranks x2), plus the z expression from the same
+    moments with Python floats."""
+    rows = [
+        (r.n_chars, 1 if r.lang == "en" else 0)
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .collect()
+    ]
+    vals = sorted(rows)
+    # literal midranks: positions are 1-based over the sorted list
+    by_v: dict = defaultdict(list)
+    for pos, (v, g) in enumerate(vals, start=1):
+        by_v[v].append((pos, g))
+    r1x2 = 0
+    t3t = 0
+    for v, entries in by_v.items():
+        t = len(entries)
+        mid2 = entries[0][0] + entries[-1][0]  # 2*midrank = first+last
+        r1x2 += mid2 * sum(g for _, g in entries)
+        t3t += t * t * t - t
+    n1 = sum(g for _, g in rows)
+    n0 = len(rows) - n1
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    got = mann_whitney_u_lengths(spark, sf_dir).collect()[0]
+    assert (got.n1, got.n0, got.u1_x2, got.u2_x2, got.tie_t3t) == (
+        n1,
+        n0,
+        u1x2,
+        2 * n1 * n0 - u1x2,
+        t3t,
+    )
+    n = n1 + n0
+    var = (n1 * n0 / 12.0) * ((n + 1.0) - t3t / (n * (n - 1.0)))
+    z = (u1x2 - n1 * n0) / (2.0 * math.sqrt(var))
+    assert math.isclose(got.z, z, rel_tol=1e-12)
+    # U1 + U2 = n1*n0 identity (x2 both sides)
+    assert got.u1_x2 + got.u2_x2 == 2 * n1 * n0
+
+
+def test_dedup_token_savings_matches_bruteforce(spark, sf_dir):
+    """Keep-first by (text -> min doc_id) recomputed literally."""
+    rows = _doc_rows(spark, sf_dir)
+    first: dict = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        first.setdefault(r.text, r.doc_id)
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for r in rows:
+        ntok = len(r.text.split(" "))
+        a = agg[r.source]
+        a[0] += 1
+        a[2] += ntok
+        if first[r.text] == r.doc_id:
+            a[1] += 1
+            a[3] += ntok
+    got = {
+        r.source: (r.n_docs, r.n_kept, r.tok_total, r.tok_kept, r.savings_permille)
+        for r in dedup_token_savings(spark, sf_dir).collect()
+    }
+    expected = {
+        s: (a[0], a[1], a[2], a[3], 1000 * (a[2] - a[3]) // a[2])
+        for s, a in agg.items()
+    }
+    assert got == expected
+
+
+def test_user_cadence_matches_bruteforce(spark, sf_dir):
+    """Per-user gap moments recomputed from sorted (epoch-second,
+    event_id) sequences; the cv2 cross-multiplication and the min-gap
+    gate must agree exactly."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+            "event_id",
+        )
+        .collect()
+    )
+    seqs: dict = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.us // 1_000_000, r.event_id))
+    expected = {}
+    for uid, entries in seqs.items():
+        entries.sort()
+        gaps = [
+            entries[i][0] - entries[i - 1][0] for i in range(1, len(entries))
+        ]
+        n = len(gaps)
+        if n < CADENCE_MIN_GAPS:
+            continue
+        s = sum(gaps)
+        q = sum(g * g for g in gaps)
+        cv2 = 0 if s == 0 else 1000 * (n * q - s * s) // (s * s)
+        expected[uid] = (n + 1, s // n, cv2)
+    got = {
+        r.user_id: (r.n_events, r.mean_gap_s, r.cv2_permille)
+        for r in user_cadence_regularity(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "gate must keep some users at every SF"
+
+
+def test_brier_decomposition_matches_bruteforce(spark, sf_dir):
+    """NTILE bins recomputed literally (first n%b tiles one row wider
+    over the (score, key) order), then every Murphy term in exact
+    integer arithmetic; and the per-group identity REL - RES sums
+    consistently against a float Brier recompute."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    by_grp: dict = defaultdict(list)
+    for r in orders:
+        by_grp[r.o_orderpriority].append(
+            (r.o_totalprice, r.o_orderkey, 1 if r.o_orderstatus == "F" else 0)
+        )
+    expected = {}
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        n = len(rows)
+        base, extra = divmod(n, BRIER_BINS)
+        bins: dict = defaultdict(lambda: [0, 0])
+        i = 0
+        for b in range(1, BRIER_BINS + 1):
+            width = base + (1 if b <= extra else 0)
+            for _ in range(width):
+                bins[b][0] += 1
+                bins[b][1] += rows[i][2]
+                i += 1
+        ng = n
+        posg = sum(v[1] for v in bins.values())
+        for b, (nb, pos) in bins.items():
+            rel = (
+                1_000_000
+                * (b * nb - BRIER_BINS * pos) ** 2
+                // (BRIER_BINS * BRIER_BINS * nb)
+            )
+            res = 1_000_000 * (pos * ng - posg * nb) ** 2 // (nb * ng * ng)
+            unc = 1_000_000 * posg * (ng - posg) // (ng * ng)
+            expected[(grp, b)] = (
+                nb,
+                pos,
+                b * 100,
+                1000 * pos // nb,
+                rel,
+                res,
+                unc,
+            )
+    got = {
+        (r.grp, r.bin): (
+            r.n,
+            r.positives,
+            r.forecast_permille,
+            r.rate_permille,
+            r.rel_contrib_micro,
+            r.res_contrib_micro,
+            r.unc_grp_micro,
+        )
+        for r in brier_decomposition_exact(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # Murphy identity sanity (floats): REL - RES + UNC ~ binned Brier
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        n = len(rows)
+        base, extra = divmod(n, BRIER_BINS)
+        i = 0
+        brier = 0.0
+        rel = res = 0.0
+        posg = sum(t[2] for t in rows)
+        obar = posg / n
+        for b in range(1, BRIER_BINS + 1):
+            width = base + (1 if b <= extra else 0)
+            chunk = rows[i : i + width]
+            i += width
+            f = b / BRIER_BINS
+            ok = sum(t[2] for t in chunk) / width
+            brier += sum((f - t[2]) ** 2 for t in chunk)
+            rel += width * (f - ok) ** 2
+            res += width * (ok - obar) ** 2
+        lhs = brier / n
+        rhs = rel / n - res / n + obar * (1 - obar)
+        assert math.isclose(lhs, rhs, rel_tol=1e-9)

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.pipeline5",
     "watermill_kinesis_spark.operators.pipeline6",
     "watermill_kinesis_spark.operators.pipeline7",
+    "watermill_kinesis_spark.operators.pipeline8",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.modern",
     "watermill_kinesis_spark.operators.governance",
@@ -98,6 +99,13 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "yule_sichel_richness",
+    "token_burstiness_topk",
+    "unigram_tvd_sources",
+    "mann_whitney_u_lengths",
+    "dedup_token_savings",
+    "user_cadence_regularity",
+    "brier_decomposition_exact",
     "mode_agg",
     "agg_bitwise_bool",
     "grouping_sets_agg",
