@@ -100,6 +100,17 @@ HEADLINE = [
     "token_dispersion_stats",
     "expected_reciprocal_rank",
     "envelope_proto_roundtrip",
+    # r10-added heavies: the richness/burstiness/TVD corpus statistics
+    # (two corpus explodes + a vocabulary self-join), the Mann-Whitney
+    # rank test, dedup token accounting, cadence screening, and the
+    # Brier decomposition over grouped_scan NTILE bins
+    "yule_sichel_richness",
+    "token_burstiness_topk",
+    "unigram_tvd_sources",
+    "mann_whitney_u_lengths",
+    "dedup_token_savings",
+    "user_cadence_regularity",
+    "brier_decomposition_exact",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

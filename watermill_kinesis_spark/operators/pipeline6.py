@@ -764,8 +764,22 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
     this corpus-wide every round). Remaining stages are doc-partitioned
     windows over dup rows only (≤ doc-length rows per partition); the
     one corpus-wide exchange is the gram hash ranking over candidate
-    docs, the same budget the pair detector already pays."""
-    d = _docs(spark, sf_dir)
+    docs, the same budget the pair detector already pays.
+
+    The docs relation is REPARTITIONED by doc_id before any gram
+    explosion (r10, found at the 100× replica): parquet splits size
+    input tasks by FILE bytes, but char-gramming amplifies ~1000× —
+    half a million docs arrived as ~4 input tasks whose partial
+    aggregates each spilled hundreds of files and then OOM'd the
+    spill-MERGE (each spill reader buffers ~1 MB). Repartitioning
+    first also moves the doc_id exchange BEFORE the explosion —
+    shuffling megabytes of documents instead of gigabytes of grams —
+    and pre-satisfies every doc-partitioned window downstream (the
+    dedup._docs convention, 100×-proven by the simhash audit's base
+    scan)."""
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     kg = _char_gram_hashes(d, SUB_K)
     win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(SUB_W - 1), 0)
     rn = W.partitionBy("doc_id").orderBy("i")

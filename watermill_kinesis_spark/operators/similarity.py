@@ -159,10 +159,21 @@ def _hyperplanes(n: int = LSH_BANDS * LSH_BITS) -> list[list[float]]:
     return planes
 
 
+#: input rows per yielded band frame: each input row fans out ×16
+#: bands WITH its embedding repeated, so an unchunked yield turns a
+#: 10k-row Arrow input batch into ONE ~85 MB Arrow output message —
+#: 8 concurrent workers exhausted the vanilla session's 1 GiB direct
+#: -memory pool at the 100× replica (the Python→JVM arrow stream is
+#: framed by what the kernel yields, not by maxRecordsPerBatch).
+#: 2048 inputs → ~32k output rows ≈ 17 MB per message.
+BAND_YIELD_ROWS = 2048
+
+
 def band_coded(e: DataFrame) -> DataFrame:
     """(vec_id, emb, band, code): one row per band per vector; codes
     come from a single numpy sign-projection matmul per Arrow batch
-    (the interpreted-HOF spelling costs 64 per-row fold evaluations)."""
+    (the interpreted-HOF spelling costs 64 per-row fold evaluations),
+    emitted in bounded slices (see BAND_YIELD_ROWS)."""
     import numpy as np
     import pandas as pd
 
@@ -177,14 +188,21 @@ def band_coded(e: DataFrame) -> DataFrame:
             M = np.stack(pdf["emb"].to_numpy())  # n × dim
             bits = ((M @ P.T) >= 0).reshape(n, LSH_BANDS, LSH_BITS)
             codes = (bits * weights).sum(axis=2).astype(np.int32)  # n × bands
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LSH_BANDS),
-                    "emb": np.repeat(pdf["emb"].to_numpy(), LSH_BANDS),
-                    "band": np.tile(np.arange(LSH_BANDS, dtype=np.int32), n),
-                    "code": codes.ravel(),
-                }
-            )
+            for lo in range(0, n, BAND_YIELD_ROWS):
+                sl = slice(lo, min(lo + BAND_YIELD_ROWS, n))
+                m = sl.stop - sl.start
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy()[sl], LSH_BANDS
+                        ),
+                        "emb": np.repeat(pdf["emb"].to_numpy()[sl], LSH_BANDS),
+                        "band": np.tile(
+                            np.arange(LSH_BANDS, dtype=np.int32), m
+                        ),
+                        "code": codes[sl].ravel(),
+                    }
+                )
 
     return e.select("vec_id", "emb").mapInPandas(
         kernel, "vec_id long, emb array<double>, band int, code int"
