@@ -9,6 +9,7 @@ bit-identical). Usage:
 
 Env toggles (both driver-accuracy modes, combinable):
   SPARK_GRAFT_VANILLA=1       plain SparkSession, none of session.py's tuning
+  SPARK_GRAFT_VANILLA_CORES=N vanilla core count (default 8; 4 = 256 MB/core)
   SPARK_GRAFT_DRIVER_CANON=1  sort RAW pandas rows before stringifying,
                               mirroring the gate's _canon (catches
                               unhashable-cell outputs like r4's
@@ -107,7 +108,13 @@ def main() -> int:
         from pyspark.sql import SparkSession
 
         spark = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(
+                # SPARK_GRAFT_VANILLA_CORES: heap-per-core knob for
+                # replica-scale sweeps — the default local[8] on the
+                # 1 GiB vanilla heap is 128 MB/core, BELOW any real
+                # deployment; heavy entries document their floor
+                f"local[{os.environ.get('SPARK_GRAFT_VANILLA_CORES', '8')}]"
+            )
             .appName("check-oracle-vanilla")
             .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()

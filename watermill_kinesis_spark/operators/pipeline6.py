@@ -766,21 +766,40 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
     one corpus-wide exchange is the gram hash ranking over candidate
     docs, the same budget the pair detector already pays.
 
-    The docs relation is REPARTITIONED by doc_id before any gram
-    explosion (r10, found at the 100× replica): parquet splits size
-    input tasks by FILE bytes, but char-gramming amplifies ~1000× —
-    half a million docs arrived as ~4 input tasks whose partial
-    aggregates each spilled hundreds of files and then OOM'd the
-    spill-MERGE (each spill reader buffers ~1 MB). Repartitioning
-    first also moves the doc_id exchange BEFORE the explosion —
-    shuffling megabytes of documents instead of gigabytes of grams —
-    and pre-satisfies every doc-partitioned window downstream (the
-    dedup._docs convention, 100×-proven by the simhash audit's base
-    scan)."""
+    The candidate gate runs on xxhash64 LONGS (r10 re-plan, forged
+    at the 100× replica): the gate is collision-TOLERANT — a hash
+    collision only ever ADDS a candidate doc (more shared
+    fingerprints, more apparent intra-doc repeats), never removes
+    one, so the superset guarantee — and with it the oracle-proved
+    output — is untouched while every gate row shrinks from a 32-char
+    md5 string to 8 bytes and the hashing itself vectorizes ~3×
+    cheaper. Only the VERIFY stage's duplicate ranking needs the
+    md5-string content hash the oracle can recompute. On a vanilla
+    1 GiB session at 100× the md5-string gate OOM'd its
+    sort/aggregate spill-merges (140M × 56B gram rows; each spill
+    file's reader buffers ~1 MB of heap); the long-gram gate carries
+    the same rows at 24 B. Docs are also REPARTITIONED by doc_id
+    before every gram explosion (8× defaultParallelism): parquet
+    splits size input tasks by FILE bytes, blind to the ~n_chars×
+    explode amplification, so 500k docs arrived as ~4 tasks — the
+    repartition also shuffles megabytes of documents instead of
+    gigabytes of grams and pre-satisfies every doc-partitioned
+    window downstream (a first row-local-array redesign of this gate
+    avoided the explode entirely but paid ~10× in interpreted HOF
+    time; the long-explode form keeps whole-stage codegen)."""
     d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        8 * spark.sparkContext.defaultParallelism, "doc_id"
     )
-    kg = _char_gram_hashes(d, SUB_K)
+    starts = F.sequence(F.lit(1), F.length("text") - SUB_K + 1)
+    kg = (
+        d.where(F.length("text") >= SUB_K)
+        .select("doc_id", F.explode(starts).alias("i"), "text")
+        .select(
+            "doc_id",
+            "i",
+            F.xxhash64(F.substr("text", F.col("i"), F.lit(SUB_K))).alias("h"),
+        )
+    )
     win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(SUB_W - 1), 0)
     rn = W.partitionBy("doc_id").orderBy("i")
     fps = (
@@ -805,8 +824,8 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
     )
     # intra-doc candidates: some k-gram repeats within the doc (a
     # duplicated L-window duplicates its leading k-gram) — grouped on
-    # (doc_id, h) AFTER the doc-partitioned winnowing exchange, so
-    # Catalyst reuses the doc_id hash partitioning (no extra shuffle)
+    # (doc_id, h) AFTER the doc-partitioned exchange, so Catalyst
+    # reuses the doc_id hash partitioning (no extra shuffle)
     intra_cand = (
         kg.groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).alias("np"))
