@@ -111,6 +111,14 @@ HEADLINE = [
     "dedup_token_savings",
     "user_cadence_regularity",
     "brier_decomposition_exact",
+    # r10 wave 2: the CvM integral drift statistic, Mood's k-group
+    # median test, the referential-integrity star sweep, and the
+    # incremental-ingest dedup delta (corpus hash probe + intra-batch
+    # keep-first)
+    "cramer_von_mises_lengths",
+    "mood_median_test_langs",
+    "referential_integrity_audit",
+    "ingest_dedup_delta",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from watermill_kinesis_spark.operators.pipeline8 import (
     BRIER_BINS,
+    cramer_von_mises_lengths,
+    ingest_dedup_delta,
+    mood_median_test_langs,
+    referential_integrity_audit,
     BURST_TOP_N,
     CADENCE_MIN_GAPS,
     brier_decomposition_exact,
@@ -320,3 +324,130 @@ def test_brier_decomposition_matches_bruteforce(spark, sf_dir):
         lhs = brier / n
         rhs = rel / n - res / n + obar * (1 - obar)
         assert math.isclose(lhs, rhs, rel_tol=1e-9)
+
+
+def test_cramer_von_mises_matches_bruteforce(spark, sf_dir):
+    """Literal double-loop CvM: pooled ECDFs evaluated at every
+    observation, exact integer cross-multiplication."""
+    rows = [
+        (r.n_chars, 1 if r.lang == "en" else 0)
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .collect()
+    ]
+    xs = sorted(v for v, g in rows if g == 1)
+    ys = sorted(v for v, g in rows if g == 0)
+    n1, n0 = len(xs), len(ys)
+    import bisect
+
+    s = 0
+    for v, _ in rows:
+        fa = bisect.bisect_right(xs, v)
+        fb = bisect.bisect_right(ys, v)
+        s += (fa * n0 - fb * n1) ** 2
+    t_micro = 10**6 * s // ((n1 + n0) * (n1 + n0) * n1 * n0)
+    got = cramer_von_mises_lengths(spark, sf_dir).collect()[0]
+    assert (got.n1, got.n0, got.t_micro) == (n1, n0, t_micro)
+    assert t_micro >= 0
+
+
+def test_mood_median_matches_bruteforce(spark, sf_dir):
+    """Exact lower median + literal 2xk chi2 cell recompute."""
+    rows = [
+        (r.lang, r.n_chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .collect()
+    ]
+    vals = sorted(v for _, v in rows)
+    med = vals[(len(vals) + 1) // 2 - 1]
+    cells: dict = defaultdict(lambda: [0, 0])
+    for lang, v in rows:
+        cells[lang][0 if v > med else 1] += 1
+    n = len(rows)
+    ra = sum(c[0] for c in cells.values())
+    rb = n - ra
+    expected = {}
+    for lang, (a, b) in cells.items():
+        nj = a + b
+        for side, o, r in (("above", a, ra), ("below", b, rb)):
+            expected[(lang, side)] = (
+                o,
+                r * nj * 1000 // n,
+                (o * n - r * nj) ** 2 * 10**6 // (n * r * nj),
+            )
+    got = {
+        (r.lang, r.side): (r.observed, r.expected_permille, r.chi2_contrib_micro)
+        for r in mood_median_test_langs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert 0 < ra < n, "median split must be non-degenerate"
+
+
+def test_referential_integrity_matches_bruteforce(spark, sf_dir):
+    li = [r.l_orderkey for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()]
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    custs = {r.c_custkey for r in load_table(spark, sf_dir, "customer").collect()}
+    fan = Counter(Counter(li).values())
+    got = {
+        (r.metric, r.k): r.n
+        for r in referential_integrity_audit(spark, sf_dir).collect()
+    }
+    for k, n in fan.items():
+        assert got[("order_fanout", k)] == n
+    assert got[("orders_without_lineitems", 0)] == sum(
+        1 for o in orders if o not in set(li)
+    )
+    assert got[("customers_without_orders", 0)] == sum(
+        1 for c in custs if c not in set(orders.values())
+    )
+    assert got[("lineitems_orphaned", 0)] == sum(
+        1 for o in li if o not in orders
+    )
+    assert got[("orders_orphaned", 0)] == sum(
+        1 for c in orders.values() if c not in custs
+    )
+    # non-degeneracy: the fanout histogram spans several widths
+    # (customers_without_orders is 0 at the synthetic sf0.001 —
+    # unlike true TPC-H — so the histogram is the live signal)
+    assert len(fan) >= 3
+
+
+def test_ingest_dedup_delta_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    rows = _doc_rows(spark, sf_dir)
+    ids = [r.doc_id for r in rows]
+    lo, hi = min(ids), max(ids)
+    cut = lo + (hi - lo + 1) * 4 // 5
+    old_h = {
+        hashlib.md5(r.text.encode()).hexdigest()
+        for r in rows
+        if r.doc_id < cut
+    }
+    seen: dict = {}
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in sorted((r for r in rows if r.doc_id >= cut), key=lambda r: r.doc_id):
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        ntok = len(r.text.split(" "))
+        a = agg[r.source]
+        a[0] += 1
+        a[4] += ntok
+        if h in old_h:
+            a[1] += 1
+        elif h in seen:
+            a[2] += 1
+        else:
+            seen[h] = True
+            a[3] += 1
+            a[5] += ntok
+    got = {
+        r.source: (r.n_new, r.n_dup_corpus, r.n_dup_intra, r.n_kept, r.tok_new, r.tok_kept)
+        for r in ingest_dedup_delta(spark, sf_dir).collect()
+    }
+    assert got == {s: tuple(a) for s, a in agg.items()}
+    # the split is non-degenerate: both sides populated
+    assert old_h and seen is not None and sum(a[0] for a in agg.values()) > 0

@@ -631,3 +631,384 @@ def brier_decomposition_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (CAST(ng AS DECIMAL(38,0)) * ng) AS BIGINT)"
         " AS unc_grp_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises two-sample drift (integral companion of KS / MW)
+
+
+@query(
+    "cramer_von_mises_lengths",
+    oracle="""
+    WITH vals AS (
+        SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    per_v AS (
+        SELECT v, COUNT_IF(g = 1) AS av, COUNT_IF(g = 0) AS bv,
+               COUNT(*) AS t
+        FROM vals GROUP BY v),
+    cum AS (
+        SELECT *,
+               SUM(av) OVER (ORDER BY v) AS ca,
+               SUM(bv) OVER (ORDER BY v) AS cb
+        FROM per_v),
+    m AS (
+        SELECT SUM(av) AS n1, SUM(bv) AS n0,
+               SUM(t * (CAST(ca * (SELECT SUM(bv) FROM per_v)
+                             - cb * (SELECT SUM(av) FROM per_v) AS HUGEINT)
+                        * (ca * (SELECT SUM(bv) FROM per_v)
+                           - cb * (SELECT SUM(av) FROM per_v)))) AS s
+        FROM cum)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           CAST(CAST(1000000 AS HUGEINT) * s
+                // (CAST(n1 + n0 AS HUGEINT) * (n1 + n0) * n1 * n0)
+                AS BIGINT) AS t_micro
+    FROM m
+    """,
+    tags=("evaluation", "statistics", "drift", "llm-pipeline"),
+)
+def cramer_von_mises_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic on document length,
+    English vs everything else — the INTEGRAL drift measure completing
+    the two-sample family: KS (``ks_drift_matrix``) reacts to the
+    worst single ECDF gap, Mann-Whitney (``mann_whitney_u_lengths``)
+    to median shift, CvM to the whole squared ECDF difference — the
+    one that catches variance/shape drift a location test misses.
+    T = nm/(n+m)²·Σ_pooled (F(x)−G(x))², evaluated per distinct value
+    with multiplicities: every term is the cross-multiplied integer
+    t_v·(A_v·m − B_v·n)², summed in decimal(38,0) ↔ HUGEINT (the
+    squared term passes int64 around n·m ≈ 3·10⁹ — the 100× replica
+    already needs 128-bit), and T is reported in exact micro units by
+    one 128-bit quotient. Plan: the corpus collapses to |distinct
+    n_chars| rows first; cumulative windows run over that bounded
+    aggregated table (plan-audit-exempt); one scalar fold."""
+    vals = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            F.col("n_chars").alias("v"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
+        )
+    )
+    per_v = vals.groupBy("v").agg(
+        F.count_if(F.col("g") == 1).alias("av"),
+        F.count_if(F.col("g") == 0).alias("bv"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    cumw = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    totw = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = per_v.select(
+        "av",
+        "bv",
+        "t",
+        F.sum("av").over(cumw).alias("ca"),
+        F.sum("bv").over(cumw).alias("cb"),
+        F.sum("av").over(totw).alias("n1"),
+        F.sum("bv").over(totw).alias("n0"),
+    )
+    m = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n0"),
+        F.sum(
+            F.expr(
+                "t * (CAST(ca * n0 - cb * n1 AS DECIMAL(38,0))"
+                "      * (ca * n0 - cb * n1))"
+            )
+        ).alias("s"),
+    )
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n1",
+        "CAST(n0 AS BIGINT) AS n0",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * s"
+        " div (CAST(n1 + n0 AS DECIMAL(38,0)) * (n1 + n0) * n1 * n0)"
+        " AS BIGINT) AS t_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test across languages
+
+
+@query(
+    "mood_median_test_langs",
+    oracle="""
+    WITH vals AS (
+        SELECT lang, n_chars AS v FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    per_v AS (SELECT v, COUNT(*) AS t FROM vals GROUP BY v),
+    med AS (
+        SELECT MIN(v) AS med FROM (
+            SELECT v, SUM(t) OVER (ORDER BY v) AS cum FROM per_v)
+        WHERE cum >= ((SELECT COUNT(*) FROM vals) + 1) // 2),
+    cells AS (
+        SELECT lang,
+               COUNT_IF(v > (SELECT med FROM med)) AS above,
+               COUNT_IF(v <= (SELECT med FROM med)) AS below
+        FROM vals GROUP BY lang),
+    m AS (
+        SELECT lang, above, below, above + below AS nj,
+               SUM(above) OVER () AS ra, SUM(below) OVER () AS rb,
+               SUM(above + below) OVER () AS n
+        FROM cells),
+    longf AS (
+        SELECT lang, 'above' AS side, above AS o, ra AS r, nj, n FROM m
+        UNION ALL
+        SELECT lang, 'below' AS side, below AS o, rb AS r, nj, n FROM m)
+    SELECT lang, side, CAST(o AS BIGINT) AS observed,
+           CAST(r * nj * 1000 // n AS BIGINT) AS expected_permille,
+           CAST(CAST(o * n - r * nj AS HUGEINT) * (o * n - r * nj) * 1000000
+                // (CAST(n AS HUGEINT) * r * nj) AS BIGINT)
+               AS chi2_contrib_micro
+    FROM longf
+    """,
+    tags=("evaluation", "statistics", "drift"),
+)
+def mood_median_test_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of document length across ALL languages —
+    the k-group nonparametric screen (Mann-Whitney handles two
+    groups): split every length at the EXACT grand lower median
+    (rank ⌈N/2⌉, found on the aggregated distinct-value table — the
+    quantile_disc integer-rank rule, never float·N), then test the
+    above/below × language contingency with the
+    ``chi2_statistic_exact`` per-cell convention — observed, the
+    independence expectation in permille, and (O·N − r·c)²·10⁶/(N·r·c)
+    with squared intermediates in decimal(38,0) ↔ HUGEINT. Output is
+    the 2×k cell table; χ² = Σ contribs/10⁶ with k−1 df. Plan: one
+    value-table aggregate for the median, one |langs|-sized cell
+    aggregate, windows only over those bounded relations."""
+    vals = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", F.col("n_chars").alias("v"))
+    )
+    per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    cumw = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    ranked = per_v.select("v", F.sum("t").over(cumw).alias("cum"))
+    ntot = vals.count()  # scalar: drives the exact median rank
+    med = (
+        ranked.where(F.col("cum") >= (ntot + 1) // 2)
+        .agg(F.min("v").alias("med"))
+    )
+    cells = (
+        vals.crossJoin(F.broadcast(med))
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.col("v") > F.col("med")).alias("above"),
+            F.count_if(F.col("v") <= F.col("med")).alias("below"),
+        )
+    )
+    tw = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    m = cells.select(
+        "lang",
+        "above",
+        "below",
+        (F.col("above") + F.col("below")).alias("nj"),
+        F.sum("above").over(tw).alias("ra"),
+        F.sum("below").over(tw).alias("rb"),
+        F.sum(F.col("above") + F.col("below")).over(tw).alias("n"),
+    )
+    above = m.selectExpr(
+        "lang", "'above' AS side", "above AS o", "ra AS r", "nj", "n"
+    )
+    below = m.selectExpr(
+        "lang", "'below' AS side", "below AS o", "rb AS r", "nj", "n"
+    )
+    return above.unionByName(below).selectExpr(
+        "lang",
+        "side",
+        "CAST(o AS BIGINT) AS observed",
+        "CAST((r * nj * 1000) div n AS BIGINT) AS expected_permille",
+        "CAST(CAST(o * n - r * nj AS DECIMAL(38,0)) * (o * n - r * nj)"
+        " * 1000000 div (CAST(n AS DECIMAL(38,0)) * r * nj) AS BIGINT)"
+        " AS chi2_contrib_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit over the TPC-H star
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'order_fanout' AS metric, CAST(k AS BIGINT) AS k,
+           CAST(n AS BIGINT) AS n
+    FROM (SELECT cnt AS k, COUNT(*) AS n
+          FROM (SELECT l_orderkey, COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_orderkey)
+          GROUP BY cnt)
+    UNION ALL
+    SELECT 'orders_without_lineitems', 0,
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'customers_without_orders', 0, CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'lineitems_orphaned', 0, CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphaned', 0, CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=("relational", "quality", "audit"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the order star — the
+    data-quality gate a warehouse load runs before anything else:
+    orphaned facts (lineitems without an order, orders without a
+    customer), childless parents (orders with no lineitems, customers
+    with no orders — the latter genuinely non-zero in TPC-H, ~⅓ of
+    customers), and the parent→child fanout histogram (lineitems per
+    order: 1..7 by construction — a shifted histogram is the first
+    symptom of a bad incremental load). All exact anti-join /
+    aggregate counts; every join is FK-keyed between corpus-scale
+    relations (shuffle joins, statistics-governed — nothing here is a
+    string dictionary). Output is a tidy (metric, k, n) relation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    fanout = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr("'order_fanout' AS metric", "CAST(k AS BIGINT) AS k",
+                    "CAST(n AS BIGINT) AS n")
+    )
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).selectExpr(
+            f"'{name}' AS metric", "CAST(0 AS BIGINT) AS k",
+            "CAST(n AS BIGINT) AS n"
+        )
+
+    orders_no_li = one(
+        "orders_without_lineitems",
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti"),
+    )
+    cust_no_orders = one(
+        "customers_without_orders",
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti"),
+    )
+    li_orphans = one(
+        "lineitems_orphaned",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    o_orphans = one(
+        "orders_orphaned",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    return (
+        fanout.unionByName(orders_no_li)
+        .unionByName(cust_no_orders)
+        .unionByName(li_orphans)
+        .unionByName(o_orphans)
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental-ingest exact dedup delta
+
+#: the "new batch" is the last fifth of the doc_id ingest range —
+#: deterministic, scale-free, and non-degenerate at every SF
+INGEST_SPLIT_NUM = 4
+INGEST_SPLIT_DEN = 5
+
+
+@query(
+    "ingest_dedup_delta",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo,
+               MIN(doc_id) + (MAX(doc_id) - MIN(doc_id) + 1)
+                   * {INGEST_SPLIT_NUM} // {INGEST_SPLIT_DEN} AS cut
+        FROM documents),
+    hashed AS (
+        SELECT doc_id, source, md5(text) AS h,
+               len(string_split(text, ' ')) AS ntok,
+               doc_id >= (SELECT cut FROM bounds) AS is_new
+        FROM documents WHERE text IS NOT NULL),
+    old_h AS (SELECT DISTINCT h FROM hashed WHERE NOT is_new),
+    newb AS (
+        SELECT n.*, o.h IS NOT NULL AS dup_corpus,
+               ROW_NUMBER() OVER (PARTITION BY n.h ORDER BY n.doc_id) AS rn
+        FROM hashed n LEFT JOIN old_h o USING (h)
+        WHERE n.is_new)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(COUNT_IF(dup_corpus) AS BIGINT) AS n_dup_corpus,
+           CAST(COUNT_IF(NOT dup_corpus AND rn > 1) AS BIGINT)
+               AS n_dup_intra,
+           CAST(COUNT_IF(NOT dup_corpus AND rn = 1) AS BIGINT) AS n_kept,
+           CAST(SUM(ntok) AS BIGINT) AS tok_new,
+           CAST(COALESCE(SUM(CASE WHEN NOT dup_corpus AND rn = 1
+                                  THEN ntok END), 0) AS BIGINT) AS tok_kept
+    FROM newb GROUP BY source
+    """,
+    tags=("dedup", "pipeline", "llm-pipeline"),
+)
+def ingest_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup accounting — the shape a production
+    pipeline actually runs (nobody re-dedups 100 TB per crawl): the
+    NEW batch (last fifth of the ingest-ordered doc_id range, a
+    deterministic stand-in for "this week's crawl") is checked
+    against the EXISTING corpus by exact text hash, then within
+    itself by keep-first. Per source of the new batch: docs already
+    in the corpus, intra-batch duplicates, survivors, and the token
+    budget before/after. The corpus probe is a LEFT join against the
+    distinct old-hash relation pinned ``merge``: both sides grow with
+    the corpus and the build side is a corpus-derived content-hash
+    dictionary — never broadcastable (the r9/r10 rule; shuffled-hash
+    builds die at AQE's coalesced-partition sizes, the simhash
+    lesson). Intra-batch keep-first is a window over the hash
+    partition — no dictionary join at all (the dedup_token_savings
+    shape). The ingest cut itself is one scalar MIN/MAX aggregate."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hihi")
+    ).selectExpr(
+        "lo",
+        f"lo + ((hihi - lo + 1) * {INGEST_SPLIT_NUM})"
+        f" div {INGEST_SPLIT_DEN} AS cut",
+    )
+    hashed = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("ntok"),
+        (F.col("doc_id") >= F.col("cut")).alias("is_new"),
+    )
+    old_h = hashed.where(~F.col("is_new")).select("h").distinct()
+    newb = hashed.where("is_new").join(
+        old_h.select(F.col("h"), F.lit(True).alias("dup_corpus")).hint(
+            "merge"
+        ),
+        "h",
+        "left",
+    )
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    newb = newb.select(
+        "source",
+        "ntok",
+        F.coalesce("dup_corpus", F.lit(False)).alias("dup_corpus"),
+        rn.alias("rn"),
+    )
+    kept = ~F.col("dup_corpus") & (F.col("rn") == 1)
+    return newb.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.count_if(F.col("dup_corpus")).cast("bigint").alias("n_dup_corpus"),
+        F.count_if(~F.col("dup_corpus") & (F.col("rn") > 1))
+        .cast("bigint")
+        .alias("n_dup_intra"),
+        F.count_if(kept).cast("bigint").alias("n_kept"),
+        F.sum("ntok").cast("bigint").alias("tok_new"),
+        F.coalesce(F.sum(F.when(kept, F.col("ntok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tok_kept"),
+    )

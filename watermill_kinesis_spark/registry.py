@@ -99,6 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "cramer_von_mises_lengths",
+    "mood_median_test_langs",
+    "referential_integrity_audit",
+    "ingest_dedup_delta",
     "yule_sichel_richness",
     "token_burstiness_topk",
     "unigram_tvd_sources",
