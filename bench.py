@@ -133,6 +133,8 @@ _R7_START = HEADLINE.index("gopher_quality_rules")
 _R8_START = HEADLINE.index("knn_mutual_label_blocked")
 #: index where the r9-added heavies start
 _R9_START = HEADLINE.index("dedup_substring_excise")
+#: index where the r10-added heavies start
+_R10_START = HEADLINE.index("yule_sichel_richness")
 
 #: Calibration anchors (r5 VERDICT "what's wrong #3"; widened to a
 #: 3-anchor median by r8 VERDICT task 4): the machine is co-tenant, so
@@ -281,8 +283,10 @@ def main() -> int:
     r7_total = round(sum(timings.get(n, 0.0) for n in r7_heavies), 3)
     r8_heavies = HEADLINE[_R8_START:_R9_START]
     r8_total = round(sum(timings.get(n, 0.0) for n in r8_heavies), 3)
-    r9_heavies = HEADLINE[_R9_START:]
+    r9_heavies = HEADLINE[_R9_START:_R10_START]
     r9_total = round(sum(timings.get(n, 0.0) for n in r9_heavies), 3)
+    r10_heavies = HEADLINE[_R10_START:]
+    r10_total = round(sum(timings.get(n, 0.0) for n in r10_heavies), 3)
     heavy_total = round(
         total
         - core_total
@@ -291,7 +295,8 @@ def main() -> int:
         - r6_total
         - r7_total
         - r8_total
-        - r9_total,
+        - r9_total
+        - r10_total,
         3,
     )
     import statistics
@@ -321,6 +326,7 @@ def main() -> int:
                     "heavies_added_r7": r7_total,
                     "heavies_added_r8": r8_total,
                     "heavies_added_r9": r9_total,
+                    "heavies_added_r10": r10_total,
                 },
                 "calibration": {
                     # legacy single-anchor fields (scan) for continuity

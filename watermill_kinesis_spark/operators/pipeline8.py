@@ -184,16 +184,23 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.source AS src_a, b.source AS src_b,
                COUNT(*) AS n_common,
                SUM(ABS(a.c * wb.n - b.c * wa.n)) AS sum_abs,
-               SUM(a.c) AS s_a, SUM(b.c) AS s_b,
-               MAX(wa.n) AS n_a, MAX(wb.n) AS n_b
+               SUM(a.c) AS s_a, SUM(b.c) AS s_b
         FROM ps a JOIN ps b ON a.tok = b.tok AND a.source < b.source
         JOIN w wa ON wa.source = a.source
         JOIN w wb ON wb.source = b.source
-        GROUP BY 1, 2)
-    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common_types,
-           CAST(1000 * (sum_abs + (n_a - s_a) * n_b + (n_b - s_b) * n_a)
-                // (2 * n_a * n_b) AS BIGINT) AS tvd_permille
-    FROM common
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT wa.source AS src_a, wb.source AS src_b,
+               wa.n AS n_a, wb.n AS n_b
+        FROM w wa JOIN w wb ON wa.source < wb.source)
+    SELECT p.src_a, p.src_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common_types,
+           CAST(1000 * (COALESCE(c.sum_abs, 0)
+                        + (p.n_a - COALESCE(c.s_a, 0)) * p.n_b
+                        + (p.n_b - COALESCE(c.s_b, 0)) * p.n_a)
+                // (2 * p.n_a * p.n_b) AS BIGINT) AS tvd_permille
+    FROM pairs p LEFT JOIN common c
+      ON c.src_a = p.src_a AND c.src_b = p.src_b
     """,
     tags=("text", "statistics", "drift", "llm-pipeline"),
 )
@@ -203,7 +210,10 @@ def unigram_tvd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Jensen-Shannon need logs (not cross-engine bit-exact): 0 =
     same distribution, 1000‰ = disjoint vocabularies. The
     distribution-level companion of ``vocab_jaccard_sources`` (which
-    compares vocabularies as SETS). Absent-part closed form (the
+    compares vocabularies as SETS); every source pair is emitted,
+    including zero-overlap pairs at exactly 1000‰ (the complete pair
+    frame comes from the bounded per-source totals, LEFT-joined to
+    the common-token stats). Absent-part closed form (the
     t_closeness fold): only tokens present in BOTH sources join —
     Σ_only-a p = (N_a − Σ_common c_a)/N_a and symmetrically — so the
     join is inner, never full-outer, and nothing vocabulary-sized
@@ -248,15 +258,25 @@ def unigram_tvd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_abs"),
             F.sum("c_a").alias("s_a"),
             F.sum("c_b").alias("s_b"),
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
         )
     )
-    return common.selectExpr(
+    # COMPLETE pair frame (review finding): a source pair with zero
+    # shared tokens never joins, but its TVD is exactly 1000‰ — build
+    # every pair from the bounded totals relation and LEFT-join the
+    # common-token stats, so "maximal drift" and "not measured" can't
+    # be conflated
+    pairs = (
+        wa.crossJoin(wb)
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    full = pairs.join(common, ["src_a", "src_b"], "left")
+    return full.selectExpr(
         "src_a",
         "src_b",
-        "CAST(n_common AS BIGINT) AS n_common_types",
-        "CAST((1000 * (sum_abs + (n_a - s_a) * n_b + (n_b - s_b) * n_a))"
+        "CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common_types",
+        "CAST((1000 * (COALESCE(sum_abs, 0)"
+        " + (n_a - COALESCE(s_a, 0)) * n_b"
+        " + (n_b - COALESCE(s_b, 0)) * n_a))"
         " div (2 * n_a * n_b) AS BIGINT) AS tvd_permille",
     )
 
@@ -783,10 +803,17 @@ def mood_median_test_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
     cumw = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    ranked = per_v.select("v", F.sum("t").over(cumw).alias("cum"))
-    ntot = vals.count()  # scalar: drives the exact median rank
+    totw = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # the grand total rides a window over the SAME aggregated value
+    # table — no separate corpus count() action (review finding: an
+    # eager count here ran a full scan job even at plan-build time)
+    ranked = per_v.select(
+        "v",
+        F.sum("t").over(cumw).alias("cum"),
+        F.sum("t").over(totw).alias("ntot"),
+    )
     med = (
-        ranked.where(F.col("cum") >= (ntot + 1) // 2)
+        ranked.where(F.expr("cum >= (ntot + 1) div 2"))
         .agg(F.min("v").alias("med"))
     )
     cells = (
