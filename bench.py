@@ -119,6 +119,8 @@ HEADLINE = [
     "mood_median_test_langs",
     "referential_integrity_audit",
     "ingest_dedup_delta",
+    "sql_named_window",
+    "dow_uniformity_audit",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from watermill_kinesis_spark.operators.pipeline8 import (
     BRIER_BINS,
     cramer_von_mises_lengths,
+    dow_uniformity_audit,
     ingest_dedup_delta,
     mood_median_test_langs,
     referential_integrity_audit,
@@ -451,3 +452,58 @@ def test_ingest_dedup_delta_matches_bruteforce(spark, sf_dir):
     assert got == {s: tuple(a) for s, a in agg.items()}
     # the split is non-degenerate: both sides populated
     assert old_h and seen is not None and sum(a[0] for a in agg.values()) > 0
+
+
+def test_dow_uniformity_matches_bruteforce(spark, sf_dir):
+    """Portable weekday arithmetic + exact chi2-x7 contributions."""
+    import datetime
+
+    rows = [
+        r.o_orderdate
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderdate")
+        .where(F.col("o_orderdate").isNotNull())
+        .collect()
+    ]
+    anchor = datetime.date(1970, 1, 5)  # a Monday
+    cnt = Counter((d.date() - anchor).days % 7 for d in rows)
+    n = sum(cnt.values())
+    got = {
+        r.dow: (r.observed, r.expected_floor, r.chi2_contrib_x7_micro)
+        for r in dow_uniformity_audit(spark, sf_dir).collect()
+    }
+    expected = {
+        dow: (o, n // 7, (7 * o - n) ** 2 * 10**6 // (7 * n))
+        for dow, o in cnt.items()
+    }
+    assert got == expected
+    # every weekday occurs at every SF (orders span years)
+    assert set(cnt) == set(range(7))
+
+
+def test_sql_named_window_matches_inline_over(spark, sf_dir):
+    """The WINDOW clause must be pure sugar: identical rows to the
+    inline OVER spelling."""
+    from watermill_kinesis_spark.operators.sqltext import (
+        run_sql,
+        sql_named_window,
+    )
+
+    inline = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(RANK() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS order_seq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS run_cents
+        FROM orders WHERE o_custkey < 1000
+        """,
+    )
+    a = sorted(map(tuple, sql_named_window(spark, sf_dir).collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b and len(a) > 0

@@ -1039,3 +1039,61 @@ def ingest_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tok_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week uniformity audit (order seasonality screen)
+
+
+@query(
+    "dow_uniformity_audit",
+    oracle="""
+    WITH d AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-05') % 7 AS dow
+        FROM orders WHERE o_orderdate IS NOT NULL),
+    cells AS (SELECT dow, COUNT(*) AS o FROM d GROUP BY dow),
+    m AS (SELECT *, SUM(o) OVER () AS n FROM cells)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(o AS BIGINT) AS observed,
+           CAST(n // 7 AS BIGINT) AS expected_floor,
+           CAST(CAST(7 * o - n AS HUGEINT) * (7 * o - n) * 1000000
+                // (CAST(7 AS HUGEINT) * n) AS BIGINT)
+               AS chi2_contrib_x7_micro
+    FROM m
+    """,
+    tags=("evaluation", "statistics", "events"),
+)
+def dow_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week load profile of order dates with an exact χ²
+    uniformity audit — the seasonality screen a pipeline runs before
+    trusting any time-bucketed metric (a skewed weekday histogram is
+    the first symptom of a partial load or a timezone bug). Weekday
+    is computed PORTABLY as days-since-a-known-Monday mod 7 (0 =
+    Monday): Spark's dayofweek() is 1-based Sunday-first while
+    DuckDB's dow is 0-based Sunday-first, so neither engine's builtin
+    crosses the oracle — date arithmetic does, exactly. The χ² term
+    against the uniform expectation n/7 is kept integer-exact by
+    scaling through 7: Σ (O − n/7)²/(n/7) = Σ (7O − n)²/(7n), emitted
+    per cell ×10⁶ with 128-bit intermediates (decimal(38,0) ↔
+    HUGEINT). One scan, one 7-row aggregate; the marginal windows run
+    over the 7-row cell table."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-05").cast("date"))
+                % 7
+            ).alias("dow")
+        )
+    )
+    cells = d.groupBy("dow").agg(F.count(F.lit(1)).alias("o"))
+    tw = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    m = cells.select("dow", "o", F.sum("o").over(tw).alias("n"))
+    return m.selectExpr(
+        "CAST(dow AS BIGINT) AS dow",
+        "CAST(o AS BIGINT) AS observed",
+        "CAST(n div 7 AS BIGINT) AS expected_floor",
+        "CAST(CAST(7 * o - n AS DECIMAL(38,0)) * (7 * o - n) * 1000000"
+        " div (CAST(7 AS DECIMAL(38,0)) * n) AS BIGINT)"
+        " AS chi2_contrib_x7_micro",
+    )

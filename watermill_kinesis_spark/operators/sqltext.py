@@ -236,3 +236,34 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partial aggregation below it (vs one job per set if a user
     unioned four GROUP BYs)."""
     return run_sql(spark, sf_dir, _SQL_GROUPING_SETS)
+
+
+#: one WINDOW-clause text, two engines: a NAMED window shared by a
+#: ranking and a running-sum measure, money floored to exact cents
+#: BEFORE the bigint cast (Spark truncates double→bigint, DuckDB
+#: rounds — FLOOR makes both exact), over a corpus-cardinality
+#: partition key with a unique total order (RANGE peers are single
+#: rows, so the default ANSI frame is deterministic on both engines).
+_SQL_NAMED_WINDOW = """
+SELECT o_custkey, o_orderkey,
+       CAST(RANK() OVER w AS BIGINT) AS order_seq,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS run_cents
+FROM orders
+WHERE o_custkey < 1000
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("sql_named_window", oracle=_SQL_NAMED_WINDOW, tags=("sql", "window"))
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI ``WINDOW`` clause (named window definitions shared by
+    several OVER references) — the dialect-parity face the window
+    family was missing: one window spec text feeds both a RANK and a
+    running SUM, so a consumer can't desync the two specs while
+    editing one of them. Plans identically to inline OVER specs (the
+    name is resolved at analysis time; Catalyst sees one Window node
+    for both measures — no extra exchange or sort for the second
+    function). Partitioned by the corpus-cardinality customer key,
+    never an enum."""
+    return run_sql(spark, sf_dir, _SQL_NAMED_WINDOW)

@@ -99,6 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "sql_named_window",
+    "dow_uniformity_audit",
     "cramer_von_mises_lengths",
     "mood_median_test_langs",
     "referential_integrity_audit",
