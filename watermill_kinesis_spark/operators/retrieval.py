@@ -510,3 +510,132 @@ def rank_biased_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+#: NDCG discount weights as exact scaled integers: the only
+#: transcendental in DCG = Σ rel_r / log2(r+1) is log2 of the RANK —
+#: a constant for every r ≤ k — so the k discounts are precomputed
+#: ONCE here (Python math.log2, correctly rounded, then scaled to
+#: 10^12 units and rounded to integers) and spelled as literals in
+#: BOTH engines' expressions. No engine evaluates a log anywhere:
+#: DCG/IDCG are exact bigint sums of shared constants, the lcm-MRR /
+#: integer-ERR discipline extended to graded discounts.
+NDCG_SCALE = 10**12
+NDCG_W = tuple(
+    round(NDCG_SCALE / math.log2(r + 1)) for r in range(1, TOP_K + 1)
+)
+#: NDCG_CUM[m] = Σ_{r≤m} NDCG_W[r−1] — the ideal DCG for m relevant
+#: docs (binary gains put them in the first m positions)
+NDCG_CUM = tuple(
+    sum(NDCG_W[:m]) for m in range(TOP_K + 1)
+)
+
+_NDCG_W_CASE = (
+    "CASE rank "
+    + " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W))
+    + " ELSE 0 END"
+)
+_NDCG_CUM_CASE = (
+    "CASE least(n_relevant_corpus, {k}) ".format(k=TOP_K)
+    + " ".join(f"WHEN {m} THEN {c}" for m, c in enumerate(NDCG_CUM))
+    + " END"
+)
+
+
+@query(
+    "ndcg_at_k",
+    oracle=_RANKED_ORACLE_CTE
+    + f""",
+    dcg AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_relevant_topk,
+               CAST(SUM(CASE WHEN n_label = q_label
+                             THEN {_NDCG_W_CASE} ELSE 0 END) AS BIGINT)
+                   AS dcg_scaled
+        FROM ranked WHERE rank <= {TOP_K} GROUP BY query_id),
+    corpus AS (
+        SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant_corpus
+        FROM q JOIN embeddings e
+          ON e.label = q.q_label AND e.vec_id <> q.query_id
+        GROUP BY q.query_id),
+    j AS (
+        SELECT d.query_id, d.n_relevant_topk,
+               coalesce(c.n_relevant_corpus, 0) AS n_relevant_corpus,
+               d.dcg_scaled
+        FROM dcg d LEFT JOIN corpus c ON d.query_id = c.query_id)
+    SELECT query_id, n_relevant_topk, n_relevant_corpus, dcg_scaled,
+           CAST({_NDCG_CUM_CASE} AS BIGINT) AS idcg_scaled,
+           CAST(1000 * dcg_scaled
+                // greatest({_NDCG_CUM_CASE}, 1) AS BIGINT)
+               AS ndcg_permille
+    FROM j
+    """,
+    tags=("retrieval", "evaluation", "similarity", "llm-pipeline"),
+)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the exact cosine top-k against label-match relevance
+    — the position-discounted completion of the retrieval scorecard
+    (P/R@k are position-blind, MRR sees only the first hit, ERR is a
+    stopping model; NDCG is what ranking papers and dashboards
+    report). Binary gains, so DCG = Σ_{{r: relevant}} W_r with the
+    log2 discounts precomputed as the shared integer constants
+    ``NDCG_W`` (10^12 units) — every value that crosses the compare
+    is an exact bigint, and the ideal DCG is a CASE lookup of
+    ``NDCG_CUM`` at min(|relevant corpus|, k): with binary gains the
+    ideal ranking simply fills the first min(R, k) slots. A query
+    whose label is unique in the corpus has IDCG 0; its NDCG is
+    pinned 0 via greatest(idcg, 1), not dropped or NULLed.
+
+    Plan: reuses the SHARED exact-top-k ranking (|queries|·k rows,
+    broadcast label joins) and the same corpus-relevant aggregate as
+    ``precision_recall_at_k`` — the only corpus-scale work stays
+    inside ``similarity_topk``'s batch-local top-k scan."""
+    r = _ranked_with_labels(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_labels = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    corpus = (
+        e.join(
+            F.broadcast(q_labels),
+            (e.label == q_labels.q_label) & (e.vec_id != q_labels.query_id),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant_corpus"))
+    )
+    rel = F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+    dcg = (
+        r.where(F.col("rank") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(rel).cast("bigint").alias("n_relevant_topk"),
+            F.sum(
+                F.when(
+                    F.col("n_label") == F.col("q_label"),
+                    F.expr(_NDCG_W_CASE),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dcg_scaled"),
+        )
+    )
+    return (
+        dcg.join(corpus, "query_id", "left")
+        .withColumn(
+            "n_relevant_corpus",
+            F.coalesce(F.col("n_relevant_corpus"), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "query_id",
+            "n_relevant_topk",
+            "n_relevant_corpus",
+            "dcg_scaled",
+            F.expr(_NDCG_CUM_CASE).cast("bigint").alias("idcg_scaled"),
+            F.expr(
+                f"1000 * dcg_scaled div greatest({_NDCG_CUM_CASE}, 1L)"
+            )
+            .cast("bigint")
+            .alias("ndcg_permille"),
+        )
+    )

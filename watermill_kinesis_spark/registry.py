@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.pipeline6",
     "watermill_kinesis_spark.operators.pipeline7",
     "watermill_kinesis_spark.operators.pipeline8",
+    "watermill_kinesis_spark.operators.pipeline9",
     "watermill_kinesis_spark.operators.sqltext",
     "watermill_kinesis_spark.operators.modern",
     "watermill_kinesis_spark.operators.governance",
@@ -99,6 +100,10 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "ndcg_at_k",
+    "kruskal_wallis_lengths",
+    "levene_brown_forsythe",
+    "ansari_bradley_dispersion",
     "sql_named_window",
     "dow_uniformity_audit",
     "cramer_von_mises_lengths",
