@@ -201,3 +201,237 @@ def test_ndcg_matches_fraction_bruteforce(spark, sf_dir):
         assert g.ndcg_permille == 1000 * dcg // max(idcg, 1)
         # NDCG ∈ [0, 1000]: the ideal ranking really is an upper bound
         assert 0 <= g.ndcg_permille <= 1000
+
+
+def test_binary_quant_hamming_matches_bruteforce(spark, sf_dir):
+    """Recompute sign codes and Hamming ranking per query in plain
+    Python from the raw embeddings — independently of both the packed
+    bit-ops path and the distance-domain cutoff trick."""
+    from watermill_kinesis_spark.operators.similarity2 import (
+        binary_quant_hamming_topk,
+    )
+    from watermill_kinesis_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = {r.vec_id: [1 if x > 0 else 0 for x in r.embedding] for r in e.collect()}
+    expected = {}
+    for qid in range(N_QUERIES):
+        qb = vecs[qid]
+        scored = sorted(
+            (sum(a != b for a, b in zip(qb, vecs[v])), v)
+            for v in vecs
+            if v != qid
+        )
+        expected[qid] = [
+            (v, h, rank + 1) for rank, (h, v) in enumerate(scored[:TOP_K])
+        ]
+    got: dict = {}
+    for r in binary_quant_hamming_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.hamming, r.rank)
+        )
+    for qid in got:
+        got[qid].sort(key=lambda t: t[2])
+    assert got == expected
+    # distances are monotone in rank and within the 64-bit domain
+    for rows in got.values():
+        hs = [h for _, h, _ in rows]
+        assert hs == sorted(hs) and all(0 <= h <= 64 for h in hs)
+
+
+def test_cochran_armitage_matches_bruteforce(spark, sf_dir):
+    """Recompute the trend moments from a literal join and the z from
+    the same exact integers with Python floats."""
+    from watermill_kinesis_spark.operators.pipeline9 import (
+        cochran_armitage_trend,
+    )
+
+    li = {
+        r.l_orderkey: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    )
+    orders = {
+        r.o_orderkey: int(r.o_orderpriority[0])
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    }
+    n_g: dict = defaultdict(int)
+    r_g: dict = defaultdict(int)
+    for r in rows:
+        w = orders[r.l_orderkey]
+        n_g[w] += 1
+        r_g[w] += int(r.l_returnflag == "R")
+    n = sum(n_g.values())
+    rtot = sum(r_g.values())
+    swn = sum(w * n_g[w] for w in n_g)
+    swr = sum(w * r_g[w] for w in n_g)
+    sw2n = sum(w * w * n_g[w] for w in n_g)
+    a = n * swr - rtot * swn
+    b = rtot * (n - rtot) * (n * sw2n - swn * swn)
+    z = a * math.sqrt(n) / math.sqrt(b) if b > 0 else 0.0
+
+    got = {r.priority_class: r for r in cochran_armitage_trend(spark, sf_dir).collect()}
+    assert set(got) == set(n_g)
+    for w, r in got.items():
+        assert (r.n, r.n_returned) == (n_g[w], r_g[w])
+        assert r.return_permille == 1000 * r_g[w] // n_g[w]
+        assert (r.n_total, r.trend_numer_xn) == (n, a)
+        assert math.isclose(r.z, z, rel_tol=1e-12)
+    # the weights really span the 5 TPC-H priority classes
+    assert set(n_g) == {1, 2, 3, 4, 5}
+
+
+def test_mcnemar_matches_bruteforce(spark, sf_dir):
+    """Rebuild the per-customer paired flags and the 2×2 cells from
+    literal collections."""
+    from watermill_kinesis_spark.operators.pipeline9 import (
+        mcnemar_paired_returns,
+    )
+
+    order_ret: dict = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    ):
+        order_ret[r.l_orderkey] |= int(r.l_returnflag == "R")
+    h: dict = defaultdict(lambda: [0, 0])
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .collect()
+    ):
+        half = 0 if r.o_orderdate.month <= 6 else 1
+        h[r.o_custkey][half] |= order_ret.get(r.o_orderkey, 0)
+    n_pairs = len(h)
+    both = sum(1 for a, c in h.values() if a and c)
+    b = sum(1 for a, c in h.values() if a and not c)
+    c = sum(1 for a, cc in h.values() if not a and cc)
+    neither = n_pairs - both - b - c
+    x2 = (b - c) ** 2 * 1_000_000 // (b + c) if b + c else 0
+    x2c = (
+        (abs(b - c) - 1) ** 2 * 1_000_000 // (b + c)
+        if b + c and abs(b - c) >= 1
+        else 0
+    )
+    got = mcnemar_paired_returns(spark, sf_dir).collect()[0]
+    assert (
+        got.n_pairs,
+        got.both_ret,
+        got.h1_only,
+        got.h2_only,
+        got.neither,
+        got.mcnemar_x2_micro,
+        got.mcnemar_x2_corrected_micro,
+    ) == (n_pairs, both, b, c, neither, x2, x2c)
+    # cells partition the pair population
+    assert both + b + c + neither == n_pairs
+
+
+def test_kmv_sketch_is_exact_k_minima_and_estimator_sound(spark, sf_dir):
+    """The distributed fold must produce EXACTLY the k smallest rotated
+    bigram hashes per source (recomputed via a full literal sort), and
+    the audit flags must equal a Python re-derivation of estimator +
+    bound from those minima."""
+    from watermill_kinesis_spark.operators.frequency import (
+        KMV_K,
+        _kmv_bigrams,
+        _kmv_sketches,
+        kmv_distinct_audit,
+    )
+
+    bi = _kmv_bigrams(spark, sf_dir)
+    hashed = bi.select(
+        "source",
+        F.xxhash64("x", "y").bitwiseXOR(F.lit(-(2**63))).alias("h"),
+    ).collect()
+    exact_minima: dict = defaultdict(list)
+    exact_counts: dict = defaultdict(int)
+    for r in hashed:
+        exact_minima[r.source].append(r.h)
+        exact_counts[r.source] += 1
+    for src in exact_minima:
+        exact_minima[src] = sorted(set(exact_minima[src]))[:KMV_K]
+
+    got_sk = {r.source: list(r.ks) for r in _kmv_sketches(spark, sf_dir).collect()}
+    assert got_sk == dict(exact_minima)
+
+    def est_x1000(ks):
+        if len(ks) < KMV_K:
+            return len(ks) * 1000
+        u_k = ks[KMV_K - 1] + 2**63 + 1
+        return 1000 * (KMV_K - 1) * 2**64 // u_k
+
+    got = {r.source: r for r in kmv_distinct_audit(spark, sf_dir).collect()}
+    assert set(got) == set(exact_counts)
+    for src, r in got.items():
+        assert r.n_distinct_exact == exact_counts[src]
+        e = est_x1000(got_sk[src])
+        expected_flag = int(
+            abs(e - 1000 * exact_counts[src]) <= 250 * exact_counts[src] + 3000
+        )
+        assert r.kmv_within_bound == expected_flag == 1
+    # both sketch regimes are reachable: small corpora stay exact sets,
+    # sf0.01+ exceed k and exercise the real estimator
+    if max(exact_counts.values()) >= KMV_K:
+        assert any(len(v) == KMV_K for v in got_sk.values())
+
+
+def test_theta_pair_audit_matches_python_set_algebra(spark, sf_dir):
+    """Recompute union/intersection estimates from the engine's own
+    sketch arrays with Python set algebra, and the exact sizes from
+    literal bigram sets; every flag must match the re-derivation and
+    be green."""
+    from watermill_kinesis_spark.operators.frequency import (
+        KMV_K,
+        _kmv_bigrams,
+        _kmv_sketches,
+        theta_sketch_pair_audit,
+    )
+
+    bis: dict = defaultdict(set)
+    for r in _kmv_bigrams(spark, sf_dir).collect():
+        bis[r.source].add((r.x, r.y))
+    sk = {r.source: list(r.ks) for r in _kmv_sketches(spark, sf_dir).collect()}
+
+    def est_x1000(ks):
+        if len(ks) < KMV_K:
+            return len(ks) * 1000
+        u_k = ks[KMV_K - 1] + 2**63 + 1
+        return 1000 * (KMV_K - 1) * 2**64 // u_k
+
+    got = {
+        (r.src_a, r.src_b): r
+        for r in theta_sketch_pair_audit(spark, sf_dir).collect()
+    }
+    srcs = sorted(bis)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    assert set(got) == expected_pairs
+    for (a, b), r in got.items():
+        exact_inter = len(bis[a] & bis[b])
+        exact_union = len(bis[a] | bis[b])
+        assert (r.exact_union, r.exact_inter) == (exact_union, exact_inter)
+        merged = sorted(set(sk[a]) | set(sk[b]))[:KMV_K]
+        u_est = est_x1000(merged)
+        rho = sum(1 for v in merged if v in set(sk[a]) and v in set(sk[b]))
+        i_est = rho * u_est // len(merged)
+        assert r.union_within_bound == int(
+            abs(u_est - 1000 * exact_union) <= 250 * exact_union + 3000
+        )
+        assert r.inter_within_bound == int(
+            abs(i_est - 1000 * exact_inter) <= 150 * exact_union + 3000
+        )
+        assert r.union_within_bound == 1 and r.inter_within_bound == 1

@@ -788,3 +788,278 @@ def heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mg_within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct-counting with set algebra
+
+#: KMV size: k minimum hash values per sketch. Standard error of the
+#: distinct estimate ≈ 1/√(k−2) ≈ 6.3% at 256; the audit bounds below
+#: allow ~4σ.
+KMV_K = 256
+
+#: sign-bit rotation: unsigned 64-bit order == signed order of
+#: (h XOR 2^63), so sketches sort/merge as plain BIGINTs and only the
+#: final estimate expression shifts back to unsigned space (in
+#: DECIMAL(38,0), where 2^64 fits comfortably)
+_KMV_ROT = -(2**63)
+
+#: shared estimate expression over a sorted rotated-key array column
+#: `ks` (smallest-k unsigned hashes): if the sketch holds FEWER than k
+#: values it IS the exact distinct set; otherwise the classic KMV
+#: estimator (k−1)·2^64/(u_k+1) with u_k the k-th smallest unsigned
+#: hash. Emitted ×1000 as an exact integer (truncating div; quotient
+#: ≤ 1000·|universe seen| — int64-safe at any corpus).
+def _kmv_est_x1000(ks: str, k: int = KMV_K) -> str:
+    u_k = (
+        f"CAST(element_at({ks}, {k}) AS DECIMAL(38,0))"
+        f" + {2**63} + 1"
+    )
+    return (
+        f"CASE WHEN size({ks}) < {k}"
+        f"     THEN CAST(size({ks}) AS BIGINT) * 1000"
+        f"     ELSE CAST(CAST({1000 * (k - 1)} AS DECIMAL(38,0))"
+        f"               * {2**64} div ({u_k}) AS BIGINT) END"
+    )
+
+
+def _kmv_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, x, y) — the DISTINCT per-source token-bigram relation
+    both the sketches and the exact audit legs are built over. Bigrams
+    rather than unigrams deliberately: this corpus' unigram vocabulary
+    (31) is far below any useful sketch size, so a unigram KMV would
+    only ever exercise the exact-set branch; the bigram universe
+    crosses k at sf0.01 and stays under it at sf0.001, so BOTH
+    estimator branches run under the oracle gate across the standard
+    scales."""
+    from watermill_kinesis_spark.functions.textexpr import bigram_structs
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("source", F.split("text", " ").alias("w"))
+        .select("source", F.explode(bigram_structs("w")).alias("b"))
+        .select("source", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .distinct()
+    )
+
+
+def _kmv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, ks) — per-source KMV sketch over the DISTINCT bigram
+    relation: ks is the ascending array of the ≤k smallest rotated
+    bigram hashes. Built mergeable-summaries style (the
+    ``heavy_hitters_audit`` shape): each task folds its partition into
+    a ≤k-value summary per source with a numpy partial k-min (bounded
+    memory no matter the vocabulary), and the final merge is one JVM
+    aggregate over the bounded (tasks × k)-row summary relation —
+    collect_set dedups, array_sort restores unsigned order, slice
+    keeps k. No vocabulary-sized state ever concentrates anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    hashed = _kmv_bigrams(spark, sf_dir).select(
+        "source",
+        F.xxhash64("x", "y").bitwiseXOR(F.lit(_KMV_ROT)).alias("h"),
+    )
+
+    def kmin_partition(batches):
+        acc: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for src, grp in pdf.groupby("source", sort=False):
+                h = grp["h"].to_numpy(dtype=np.int64)
+                prev = acc.get(src)
+                allh = np.unique(h if prev is None else np.concatenate([prev, h]))
+                acc[src] = allh[: KMV_K]  # unique() sorts ascending
+        for src, h in acc.items():
+            yield pd.DataFrame({"source": src, "h": h})
+
+    partial = hashed.mapInPandas(kmin_partition, "source string, h long")
+    return partial.groupBy("source").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("ks")
+    )
+
+
+#: shared DuckDB CTE: the distinct per-source bigram relation
+_KMV_BI_CTE = """
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL),
+    idx AS (SELECT source, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks),
+    bi AS (SELECT DISTINCT source, w[i] AS x, w[i + 1] AS y FROM idx)
+"""
+
+
+@query(
+    "kmv_distinct_audit",
+    oracle=_KMV_BI_CTE
+    + """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_exact,
+           1 AS kmv_within_bound
+    FROM bi GROUP BY source
+    """,
+    tags=("sketch", "frequency", "audit", "llm-pipeline"),
+)
+def kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count audit — the ORDER-STATISTIC
+    member of the mergeable-sketch family (HLL counts leading zeros,
+    KMV keeps the k smallest hashes; keeping VALUES is what buys the
+    set algebra audited by ``theta_sketch_pair_audit``). The sketch is
+    built distributed with bounded memory (numpy partial k-min per
+    task, one bounded JVM merge — see ``_kmv_sketches``) and its
+    estimate (k−1)·2^64/u_k is exact integer arithmetic in
+    DECIMAL(38,0), ×1000. The audit pins |est − exact| ≤
+    0.25·exact + 3 (≈4σ at k=256) per source; the oracle pins the
+    exact distinct counts and the verdict — the hash-dependent
+    estimate itself never crosses the compare (the
+    ``hll_accuracy_audit`` convention). A sketch smaller than k IS
+    the exact set, and the shared CASE pins est = size exactly, so
+    small sources audit at zero slack... within the same bound."""
+    sk = _kmv_sketches(spark, sf_dir).select(
+        "source", F.expr(_kmv_est_x1000("ks")).alias("est_x1000")
+    )
+    exact = _kmv_bigrams(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_exact")
+    )
+    return exact.join(F.broadcast(sk), "source").select(
+        "source",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("est_x1000") - 1000 * F.col("n_distinct_exact"))
+            <= 250 * F.col("n_distinct_exact") + 3000
+        )
+        .cast("int")
+        .alias("kmv_within_bound"),
+    )
+
+
+@query(
+    "theta_sketch_pair_audit",
+    oracle=_KMV_BI_CTE
+    + """,
+    sz AS (SELECT source, COUNT(*) AS v FROM bi GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        FROM bi a JOIN bi b
+          ON a.x = b.x AND a.y = b.y AND a.source < b.source
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT sa.source AS src_a, sb.source AS src_b,
+               sa.v AS v_a, sb.v AS v_b
+        FROM sz sa JOIN sz sb ON sa.source < sb.source)
+    SELECT p.src_a, p.src_b,
+           CAST(p.v_a + p.v_b - COALESCE(i.n_inter, 0) AS BIGINT)
+               AS exact_union,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS exact_inter,
+           1 AS union_within_bound,
+           1 AS inter_within_bound
+    FROM pairs p LEFT JOIN inter i
+      ON p.src_a = i.src_a AND p.src_b = i.src_b
+    """,
+    tags=("sketch", "frequency", "audit", "llm-pipeline"),
+)
+def theta_sketch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra audit: the reason KMV keeps hash
+    VALUES — two per-source sketches support UNION (k smallest of the
+    merged value set — again a valid KMV sketch) and INTERSECTION (the
+    theta estimator: ρ/k of the union's candidates present in both
+    sketches, scaled by the union estimate) with NO second corpus
+    pass. This is how 100 TB pipelines answer "how much vocabulary do
+    sources A and B share?" for every pair at once from 20 KB of
+    state. Per pair, both estimates are audited against exactly
+    recomputed union/intersection sizes: union within 0.25·exact + 3
+    (a union sketch is just KMV), intersection within
+    0.15·exact_union + 3 ABSOLUTE in the union (the theta error is
+    additive in the union, not relative in the intersection — tiny
+    overlaps cannot be estimated to relative precision, and the bound
+    says so honestly). Oracle pins exact sizes and both verdicts.
+
+    Plan: sketches come from the shared bounded-memory build; the
+    pair stage is a |sources|²-row crossJoin of KB arrays (array_union
+    /array_intersect/slice — pure JVM); the exact legs reuse the
+    ``vocab_jaccard_sources`` shape — ONE distinct over
+    (source, token), a shuffle_hash-pinned vocab self-join (the
+    corpus-dictionary class must never broadcast), a complete pair
+    frame via the bounded size table so zero-overlap pairs audit as
+    exact 0, not missing rows."""
+    sk = _kmv_sketches(spark, sf_dir)
+    a = sk.select(F.col("source").alias("src_a"), F.col("ks").alias("ks_a"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("ks").alias("ks_b"))
+    pairs_sk = (
+        a.crossJoin(b)
+        .where(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.slice(
+                F.array_sort(F.array_union("ks_a", "ks_b")), 1, KMV_K
+            ).alias("ks"),
+            F.col("ks_a").alias("ks_a"),
+            F.col("ks_b").alias("ks_b"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(_kmv_est_x1000("ks")).alias("union_est_x1000"),
+            F.size(
+                F.array_intersect(F.array_intersect("ks", "ks_a"), "ks_b")
+            ).alias("rho"),
+            F.size("ks").alias("k_used"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "union_est_x1000",
+            F.expr(
+                "CAST(CAST(rho AS BIGINT) * union_est_x1000"
+                " div k_used AS BIGINT)"
+            ).alias("inter_est_x1000"),
+        )
+    )
+    st = _kmv_bigrams(spark, sf_dir)
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    sa, sb = st.alias("a"), st.alias("b")
+    inter = (
+        sa.join(sb.hint("shuffle_hash"), ["x", "y"])
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))
+    pairs = za.crossJoin(zb).where(F.col("src_a") < F.col("src_b"))
+    exact = (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("v_a") + F.col("v_b") - F.coalesce("n_inter", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("exact_union"),
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+        )
+    )
+    return exact.join(F.broadcast(pairs_sk), ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "exact_union",
+        "exact_inter",
+        (
+            F.abs(F.col("union_est_x1000") - 1000 * F.col("exact_union"))
+            <= 250 * F.col("exact_union") + 3000
+        )
+        .cast("int")
+        .alias("union_within_bound"),
+        (
+            F.abs(F.col("inter_est_x1000") - 1000 * F.col("exact_inter"))
+            <= 150 * F.col("exact_union") + 3000
+        )
+        .cast("int")
+        .alias("inter_within_bound"),
+    )

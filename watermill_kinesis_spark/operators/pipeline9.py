@@ -559,3 +559,224 @@ def ansari_bradley_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1000 * abs(ab - e) div greatest(e, 1) AS BIGINT)"
         " AS abs_dev_permille",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend: ordered groups × binary outcome
+
+
+@query(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(substring(o.o_orderpriority, 1, 1) AS INTEGER) AS w,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    per_class AS (
+        SELECT w, COUNT(*) AS n, SUM(ret) AS r FROM base GROUP BY w),
+    m AS (
+        SELECT w, n, r,
+               SUM(n) OVER () AS ntot,
+               SUM(r) OVER () AS rtot,
+               SUM(w * n) OVER () AS swn,
+               SUM(w * r) OVER () AS swr,
+               SUM(w * w * n) OVER () AS sw2n
+        FROM per_class),
+    s AS (
+        SELECT w, n, r, ntot,
+               CAST(ntot AS HUGEINT) * swr
+                   - CAST(rtot AS HUGEINT) * swn AS a,
+               CAST(rtot AS HUGEINT) * (ntot - rtot)
+                   * (CAST(ntot AS HUGEINT) * sw2n
+                      - CAST(swn AS HUGEINT) * swn) AS b
+        FROM m)
+    SELECT CAST(w AS BIGINT) AS priority_class,
+           CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS n_returned,
+           CAST(1000 * r // n AS BIGINT) AS return_permille,
+           CAST(ntot AS BIGINT) AS n_total,
+           CAST(a AS BIGINT) AS trend_numer_xn,
+           CASE WHEN b <= 0 THEN 0e0
+                ELSE CAST(a AS DOUBLE) * sqrt(CAST(ntot AS DOUBLE))
+                     / sqrt(CAST(b AS DOUBLE)) END AS z
+    FROM s ORDER BY priority_class
+    """,
+    tags=("evaluation", "statistics", "contingency", "llm-pipeline"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the lineitem RETURN rate move
+    monotonically with order priority? The contingency family's
+    ordered-alternative member — χ² (``chi2_statistic_exact``,
+    ``mood_median_test_langs``) treats the k classes as unordered and
+    wastes power when the alternative is a dose-response trend; CA
+    scores each class with its ordinal weight (the leading digit of
+    ``o_orderpriority``) and tests the weighted slope. All moments
+    (N, R, Σwn, Σwr, Σw²n) are exact bigints from ONE aggregate;
+    clearing denominators gives z = A·√N/√B with A = N·Σwr − R·Σwn
+    (exact, possibly negative — it is never fed to integer division)
+    and B = R(N−R)(N·Σw²n − (Σwn)²) ≥ 0 exact in DECIMAL(38,0) ↔
+    HUGEINT. z is ONE shared double expression whose only
+    transcendental is sqrt (IEEE correctly-rounded, the Mann-Whitney
+    precedent), so it hash-compares bit-exactly; zero variance (one
+    class, or R ∈ {0, N}) pins z = 0 via the shared CASE.
+
+    Plan: the lineitem⋈orders join is the engine's bread-and-butter
+    co-keyed big join (the q-series shape — shuffle on orderkey,
+    AQE-planned); everything after is a 5-row aggregate with
+    unbounded windows over those 5 rows. Bounds: B ≤ 25·N⁴ needs
+    N ≲ 10⁸ rows for DECIMAL(38,0) — two decades past the 100×
+    replica's lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("w"),
+    )
+    per_class = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ret").alias("r"))
+    )
+    tw = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    m = per_class.select(
+        "w",
+        "n",
+        "r",
+        F.sum("n").over(tw).alias("ntot"),
+        F.sum("r").over(tw).alias("rtot"),
+        F.sum(F.col("w") * F.col("n")).over(tw).alias("swn"),
+        F.sum(F.col("w") * F.col("r")).over(tw).alias("swr"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).over(tw).alias("sw2n"),
+    )
+    s = m.selectExpr(
+        "w",
+        "n",
+        "r",
+        "ntot",
+        "CAST(ntot AS DECIMAL(38,0)) * swr"
+        " - CAST(rtot AS DECIMAL(38,0)) * swn AS a",
+        "CAST(rtot AS DECIMAL(38,0)) * (ntot - rtot)"
+        " * (CAST(ntot AS DECIMAL(38,0)) * sw2n"
+        "    - CAST(swn AS DECIMAL(38,0)) * swn) AS b",
+    )
+    return s.selectExpr(
+        "CAST(w AS BIGINT) AS priority_class",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(r AS BIGINT) AS n_returned",
+        "CAST(1000 * r div n AS BIGINT) AS return_permille",
+        "CAST(ntot AS BIGINT) AS n_total",
+        "CAST(a AS BIGINT) AS trend_numer_xn",
+        "CASE WHEN b <= 0 THEN 0e0"
+        "     ELSE CAST(a AS DOUBLE) * sqrt(CAST(ntot AS DOUBLE))"
+        "          / sqrt(CAST(b AS DOUBLE)) END AS z",
+    ).orderBy("priority_class")
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test: per-customer return behavior, H1 vs H2
+
+
+@query(
+    "mcnemar_paired_returns",
+    oracle="""
+    WITH order_ret AS (
+        SELECT l_orderkey, MAX(CASE WHEN l_returnflag = 'R' THEN 1
+                                    ELSE 0 END) AS ret
+        FROM lineitem GROUP BY l_orderkey),
+    per_cust AS (
+        SELECT o.o_custkey,
+               MAX(CASE WHEN month(o.o_orderdate) <= 6
+                        THEN COALESCE(r.ret, 0) ELSE 0 END) AS h1,
+               MAX(CASE WHEN month(o.o_orderdate) > 6
+                        THEN COALESCE(r.ret, 0) ELSE 0 END) AS h2
+        FROM orders o LEFT JOIN order_ret r ON o.o_orderkey = r.l_orderkey
+        GROUP BY o.o_custkey),
+    cells AS (
+        SELECT COUNT(*) AS n_pairs,
+               COUNT_IF(h1 = 1 AND h2 = 1) AS both_ret,
+               COUNT_IF(h1 = 1 AND h2 = 0) AS b,
+               COUNT_IF(h1 = 0 AND h2 = 1) AS c,
+               COUNT_IF(h1 = 0 AND h2 = 0) AS neither
+        FROM per_cust)
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(both_ret AS BIGINT) AS both_ret,
+           CAST(b AS BIGINT) AS h1_only,
+           CAST(c AS BIGINT) AS h2_only,
+           CAST(neither AS BIGINT) AS neither,
+           CAST(CASE WHEN b + c = 0 THEN 0
+                     ELSE (b - c) * (b - c) * 1000000 // (b + c) END
+                AS BIGINT) AS mcnemar_x2_micro,
+           CAST(CASE WHEN b + c = 0 OR abs(b - c) < 1 THEN 0
+                     ELSE (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000
+                          // (b + c) END AS BIGINT)
+               AS mcnemar_x2_corrected_micro
+    FROM cells
+    """,
+    tags=("evaluation", "statistics", "contingency", "llm-pipeline"),
+)
+def mcnemar_paired_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test of PAIRED binary outcomes: per customer, "had a
+    returned item in Jan–Jun" vs "had one in Jul–Dec" — the
+    within-subject design the independence-assuming χ² family cannot
+    touch (each customer is their own control; only the b/c
+    discordant cells carry information). The statistic
+    (b−c)²/(b+c) and its Edwards continuity correction
+    (|b−c|−1)²/(b+c) are pure integer arithmetic in micro units —
+    squared numerators are non-negative by construction, so the
+    truncating division is divergence-safe — and the full 2×2 cell
+    census is emitted alongside so the statistic is auditable.
+
+    Plan: per-order return flags from one map-side-combinable
+    lineitem aggregate; orders LEFT-join that relation on the
+    orderkey (co-keyed, the q-series shape; lineitem-less orders
+    count as no-return rather than dropping a pair); ONE per-customer
+    aggregate folds both halves simultaneously (a customer inactive
+    in a half pins that half's flag 0 — the pair population is every
+    ordering customer, stated explicitly rather than silently
+    dropping single-half customers); the cells are one scalar
+    aggregate. No window over raw rows anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret0"),
+    )
+    order_ret = li.groupBy("l_orderkey").agg(F.max("ret0").alias("ret"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.month("o_orderdate").alias("mo")
+    )
+    per_cust = (
+        o.join(order_ret, o.o_orderkey == order_ret.l_orderkey, "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("mo") <= 6, F.coalesce("ret", F.lit(0)))
+                .otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(F.col("mo") > 6, F.coalesce("ret", F.lit(0)))
+                .otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    cells = per_cust.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if((F.col("h1") == 1) & (F.col("h2") == 1)).alias("both_ret"),
+        F.count_if((F.col("h1") == 1) & (F.col("h2") == 0)).alias("b"),
+        F.count_if((F.col("h1") == 0) & (F.col("h2") == 1)).alias("c"),
+        F.count_if((F.col("h1") == 0) & (F.col("h2") == 0)).alias("neither"),
+    )
+    return cells.selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(both_ret AS BIGINT) AS both_ret",
+        "CAST(b AS BIGINT) AS h1_only",
+        "CAST(c AS BIGINT) AS h2_only",
+        "CAST(neither AS BIGINT) AS neither",
+        "CAST(CASE WHEN b + c = 0 THEN 0"
+        "          ELSE (b - c) * (b - c) * 1000000 div (b + c) END"
+        "     AS BIGINT) AS mcnemar_x2_micro",
+        "CAST(CASE WHEN b + c = 0 OR abs(b - c) < 1 THEN 0"
+        "          ELSE (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000"
+        "               div (b + c) END AS BIGINT)"
+        " AS mcnemar_x2_corrected_micro",
+    )

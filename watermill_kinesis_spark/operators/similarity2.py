@@ -938,3 +938,124 @@ def ann_model_save_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors bigint, model_roundtrip_identical int, "
         "codes_identical int, cells_identical int",
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (binary) quantization + Hamming retrieval
+
+
+#: the sign-bit packing expression: 64 dims → ONE bigint, built with
+#: pure bit ops (shiftleft/OR never trips ANSI arithmetic — the sign
+#: bit at i=63 is an OR'd bit pattern, not an overflowing product)
+_SIGN_PACK = (
+    "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
+    " (acc, i) -> acc | (CASE WHEN emb[i] > 0D"
+    "                         THEN shiftleft(CAST(1 AS BIGINT), i)"
+    "                         ELSE CAST(0 AS BIGINT) END))"
+)
+
+
+@query(
+    "binary_quant_hamming_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               len(list_filter(
+                   list_zip(q.qe, CAST(e.embedding AS DOUBLE[])),
+                   s -> (s[1] > 0) <> (s[2] > 0))) AS hamming
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(hamming AS BIGINT) AS hamming,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "quantization", "llm-pipeline"),
+)
+def binary_quant_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) embedding quantization with Hamming-distance
+    retrieval — the most aggressive quantization tier in production
+    vector search (64 dims × 4 bytes → ONE int64 per vector, 32×
+    smaller than float32 and 8× smaller than the int8 face audited by
+    ``embedding_int8_quant_audit``), scored entirely JVM-side:
+    distance is ``bit_count(code_a ^ code_b)``, one xor + popcount
+    per comparison, no Python anywhere.
+
+    The top-k uses the small-distance-domain trick instead of a
+    global rank window: a 64-bit code admits only 65 Hamming values,
+    so pass 1 aggregates (query, hamming) → count — map-side
+    combinable to ≤ 65·|queries| rows per task, NO corpus-scale
+    shuffle — and the per-query cutoff h* (the smallest distance
+    whose cumulative count reaches k) comes from a window over that
+    65-row relation. Pass 2 re-derives codes in projection and keeps
+    only rows with hamming ≤ h*: the only rows that ever shuffle are
+    the ≤ k + ties-at-h* candidates, on which an exact
+    (hamming, neighbor_id) row_number reproduces the oracle's global
+    ranking bit-for-bit (every row below h* is included, so the
+    prefix is identical). Degenerate corpora where thousands of
+    vectors share the k-th distance inflate the tie set — the
+    candidate filter is still distance-exact, never wrong, just less
+    selective. Corpus smaller than k pins h* = 64 (keep everything)
+    via the left-join coalesce.
+
+    Both passes are projection + aggregate over one scan each; at
+    100 TB the (vec_id, code) relation is 16 B/row and would be
+    cached/materialized once, but even uncached this plan moves only
+    candidate rows. Sign convention ``x > 0`` is shared verbatim with
+    the oracle (float→double cast preserves sign; exact zeros land in
+    the 0-bit on both engines)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr(_SIGN_PACK).alias("code")
+    )
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.col("code").bitwiseXOR(F.col("qcode"))).alias(
+                "hamming"
+            ),
+        )
+    )
+    counts = scored.groupBy("query_id", "hamming").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cw = (
+        W.partitionBy("query_id")
+        .orderBy("hamming")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    thr = (
+        counts.withColumn("cum", F.sum("c").over(cw))
+        .where(F.col("cum") >= TOP_K)
+        .groupBy("query_id")
+        .agg(F.min("hamming").alias("hmax"))
+    )
+    cand = scored.join(F.broadcast(thr), "query_id", "left").where(
+        F.col("hamming") <= F.coalesce(F.col("hmax"), F.lit(64))
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -100,6 +100,11 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "kmv_distinct_audit",
+    "theta_sketch_pair_audit",
+    "binary_quant_hamming_topk",
+    "cochran_armitage_trend",
+    "mcnemar_paired_returns",
     "ndcg_at_k",
     "kruskal_wallis_lengths",
     "levene_brown_forsythe",
