@@ -435,3 +435,64 @@ def test_theta_pair_audit_matches_python_set_algebra(spark, sf_dir):
             abs(i_est - 1000 * exact_inter) <= 150 * exact_union + 3000
         )
         assert r.union_within_bound == 1 and r.inter_within_bound == 1
+
+
+def test_hilbert_layout_matches_reference_curve(spark, sf_dir):
+    """Pin the unrolled SQL xy→d against the classic reference
+    implementation (Wikipedia xy2d), verify the defining Hilbert
+    property — consecutive d values are ALWAYS grid neighbors (the
+    locality guarantee Morton order lacks) — and recompute the bucket
+    stats literally."""
+    from watermill_kinesis_spark.operators.analytics4 import (
+        HILBERT_BITS,
+        hilbert_curve_layout,
+    )
+
+    n = 1 << HILBERT_BITS
+
+    def xy2d(x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    # the curve is a bijection and consecutive cells are neighbors
+    cells = {}
+    for x in range(n):
+        for y in range(n):
+            cells[xy2d(x, y)] = (x, y)
+    assert sorted(cells) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    )
+    expected: dict = {}
+    for r in rows:
+        d = xy2d(r.l_partkey % n, r.l_suppkey % n)
+        st = expected.setdefault(
+            d, [0, r.l_partkey, r.l_partkey, r.l_suppkey, r.l_suppkey]
+        )
+        st[0] += 1
+        st[1] = min(st[1], r.l_partkey)
+        st[2] = max(st[2], r.l_partkey)
+        st[3] = min(st[3], r.l_suppkey)
+        st[4] = max(st[4], r.l_suppkey)
+    got = {
+        r.hbucket: [r.n_rows, r.min_part, r.max_part, r.min_supp, r.max_supp]
+        for r in hilbert_curve_layout(spark, sf_dir).collect()
+    }
+    assert got == expected

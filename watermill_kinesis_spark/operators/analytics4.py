@@ -1939,3 +1939,137 @@ def funnel_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000 div count(1) END AS BIGINT)"
         ).alias("conversion_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (the locality-stronger sibling of z-order)
+
+#: bits per dimension → a 2^HILBERT_BITS × 2^HILBERT_BITS grid and
+#: 4^HILBERT_BITS hilbert buckets (matches ZORDER_BITS so the two
+#: layouts are directly comparable)
+HILBERT_BITS = 4
+
+
+def _hilbert_d_sql(x: str, y: str, intdiv: str = "DIV") -> str:
+    """xy→d on the order-``HILBERT_BITS`` Hilbert curve as ONE nested
+    SQL expression, shared verbatim between engines (the
+    ``_z_interleave_sql`` convention; only the integer-division
+    spelling differs). The classic loop (per level: quadrant digit
+    from the two high bits, then reflect/transpose the frame) is
+    unrolled into ``HILBERT_BITS`` nested SELECTs over (x, y, d) —
+    state threading the optimizer collapses into straight-line
+    integer arithmetic. No bitwise XOR anywhere: ``^`` means POWER in
+    DuckDB, so the quadrant digit (3·rx)⊕ry is spelled as the
+    explicit 4-case CASE."""
+    inner = f"SELECT {x} AS x, {y} AS y, 0 AS d FROM __src__"
+    for lvl in range(HILBERT_BITS - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"((x {intdiv} {s}) % 2)"
+        ry = f"((y {intdiv} {s}) % 2)"
+        digit = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f"      WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+            f"      WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+            f"      ELSE 3 END)"
+        )
+        # rotation operates on the SUB-SQUARE coordinates (x % s):
+        # reflecting the raw coordinate (s-1-x) goes negative whenever
+        # the extracted high bit was set, and negative div/mod then
+        # diverges between engines — masking first keeps every
+        # intermediate in [0, s) (verified equivalent to the classic
+        # formulation and pinned against it in tests)
+        new_x = (
+            f"(CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {s} - 1 - (y % {s})"
+            f"       ELSE y % {s} END)"
+            f" ELSE x % {s} END)"
+        )
+        new_y = (
+            f"(CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {s} - 1 - (x % {s})"
+            f"       ELSE x % {s} END)"
+            f" ELSE y % {s} END)"
+        )
+        inner = (
+            f"SELECT {new_x} AS x, {new_y} AS y,"
+            f" d + {s * s} * {digit} AS d FROM ({inner})"
+        )
+    return inner
+
+
+@query(
+    "hilbert_curve_layout",
+    oracle=f"""
+    WITH __src__ AS (
+        SELECT l_partkey, l_suppkey,
+               l_partkey % {1 << HILBERT_BITS} AS hx,
+               l_suppkey % {1 << HILBERT_BITS} AS hy
+        FROM lineitem),
+    hd AS ({_hilbert_d_sql("hx", "hy", intdiv="//")
+            .replace("FROM __src__",
+                     ", l_partkey AS pk, l_suppkey AS sk FROM __src__")
+            .replace("AS d FROM (", "AS d, pk, sk FROM (")})
+    SELECT d AS hbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(pk) AS min_part, MAX(pk) AS max_part,
+           MIN(sk) AS min_supp, MAX(sk) AS max_supp
+    FROM hd GROUP BY d
+    """,
+    tags=("layout", "scan"),
+)
+def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering layout — ``zorder_layout``'s
+    locality-stronger sibling and the curve behind Databricks liquid
+    clustering: unlike Morton order, the Hilbert curve never jumps
+    across the key space (consecutive d values are always grid
+    neighbors), so contiguous file groups cover tighter rectangles
+    and min/max skipping prunes strictly better on range predicates.
+    The xy→d map is the classic reflect/transpose recursion unrolled
+    to ``HILBERT_BITS`` levels of pure integer div/mod/CASE
+    arithmetic — one expression text shared with the oracle, exact on
+    both engines (no float, no xor — ``^`` is POWER in DuckDB). The
+    output is each hilbert-bucket's row count and per-dimension
+    min/max — the skipping statistics a writer would persist, and
+    directly comparable with ``zorder_layout``'s buckets since both
+    use {1 << HILBERT_BITS}×{1 << HILBERT_BITS} grids. At 100 TB: add
+    dimensions by lifting the unroll to the n-D Hilbert recursion,
+    widen bits to the target file count, and write with
+    ``repartitionByRange(hbucket).sortWithinPartitions``."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_partkey") % (1 << HILBERT_BITS)).alias("hx"),
+        (F.col("l_suppkey") % (1 << HILBERT_BITS)).alias("hy"),
+    )
+    cur = li.selectExpr(
+        "hx AS x", "hy AS y", "0 AS d", "l_partkey AS pk", "l_suppkey AS sk"
+    )
+    for lvl in range(HILBERT_BITS - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"((x DIV {s}) % 2)"
+        ry = f"((y DIV {s}) % 2)"
+        digit = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f"      WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+            f"      WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+            f"      ELSE 3 END)"
+        )
+        cur = cur.selectExpr(
+            f"(CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {s} - 1 - (y % {s})"
+            f"       ELSE y % {s} END)"
+            f" ELSE x % {s} END) AS x",
+            f"(CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {s} - 1 - (x % {s})"
+            f"       ELSE x % {s} END)"
+            f" ELSE y % {s} END) AS y",
+            f"d + {s * s} * {digit} AS d",
+            "pk",
+            "sk",
+        )
+    return cur.groupBy(F.col("d").alias("hbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("pk").alias("min_part"),
+        F.max("pk").alias("max_part"),
+        F.min("sk").alias("min_supp"),
+        F.max("sk").alias("max_supp"),
+    )

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "hilbert_curve_layout",
     "kmv_distinct_audit",
     "theta_sketch_pair_audit",
     "binary_quant_hamming_topk",
