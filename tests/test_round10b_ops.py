@@ -496,3 +496,81 @@ def test_hilbert_layout_matches_reference_curve(spark, sf_dir):
         for r in hilbert_curve_layout(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_acf_matches_bruteforce(spark, sf_dir):
+    """Rebuild the zero-filled day spine and the textbook ACF literally
+    in Python (full-series mean/variance) and compare every lag."""
+    from datetime import timedelta
+
+    from watermill_kinesis_spark.operators.analytics4 import (
+        ACF_MAX_LAG,
+        acf_daily_lags,
+    )
+
+    counts: dict = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select("ts").collect():
+        counts[r.ts.date()] += 1
+    lo, hi = min(counts), max(counts)
+    series = []
+    day = lo
+    while day <= hi:
+        series.append(counts.get(day, 0))
+        day += timedelta(days=1)
+    n = len(series)
+    s = sum(series)
+    q = sum(x * x for x in series)
+    mean = s / n
+    den_f = sum((x - mean) ** 2 for x in series)
+
+    got = {r.lag: r for r in acf_daily_lags(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, ACF_MAX_LAG + 1))
+    for lag, r in got.items():
+        head, tail = series[: n - lag], series[lag:]
+        c_l = sum(a * b for a, b in zip(head, tail))
+        assert (r.n_pairs, r.cross_sum) == (n - lag, c_l)
+        assert (r.head_sum, r.tail_sum) == (sum(head), sum(tail))
+        num = n * n * c_l - n * s * (sum(head) + sum(tail)) + (n - lag) * s * s
+        den = n * n * q - n * s * s
+        expected = num / den if den > 0 else 0.0
+        assert math.isclose(r.acf, expected, rel_tol=1e-12, abs_tol=1e-15)
+        # ACF magnitude bound (Cauchy-Schwarz over the truncated sums
+        # is not exactly 1, but the classic estimator stays within)
+        assert -1.001 <= r.acf <= 1.001
+        if den_f > 0:
+            # cross-check against the float textbook form
+            fl = sum(
+                (a - mean) * (b - mean) for a, b in zip(head, tail)
+            ) / den_f
+            assert math.isclose(r.acf, fl, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_lincoln_petersen_matches_bruteforce(spark, sf_dir):
+    """Recompute the capture sets and Chapman estimator literally."""
+    from watermill_kinesis_spark.operators.frequency import (
+        lincoln_petersen_distinct,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    c1 = {r.text for r in rows if r.doc_id % 2 == 0}
+    c2 = {r.text for r in rows if r.doc_id % 3 == 0}
+    all_texts = {r.text for r in rows}
+    m = len(c1 & c2)
+    est = (len(c1) + 1) * (len(c2) + 1) * 1000 // (m + 1) - 1000
+    got = lincoln_petersen_distinct(spark, sf_dir).collect()[0]
+    assert (
+        got.n1,
+        got.n2,
+        got.n_recaptured,
+        got.chapman_est_x1000,
+        got.n_distinct_exact,
+    ) == (len(c1), len(c2), m, est, len(all_texts))
+    # the estimator is in the right ballpark on mod-marked captures
+    # (deterministic for this corpus; a wildly-off estimate means the
+    # capture marks stopped being independent)
+    assert got.chapman_est_x1000 >= 1000 * m

@@ -2073,3 +2073,127 @@ def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").alias("min_supp"),
         F.max("sk").alias("max_supp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function of the daily event series
+
+#: maximum day lag (inclusive) for acf_daily_lags
+ACF_MAX_LAG = 14
+
+
+@query(
+    "acf_daily_lags",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY day),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+    spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                         AS DATE) AS day FROM bounds),
+    daily AS (SELECT s.day, COALESCE(d.x, 0) AS x
+              FROM spine s LEFT JOIN d USING (day)),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q FROM daily),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x AS xa, b.x AS xb
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)),
+    sums AS (
+        SELECT lag, COUNT(*) AS np,
+               SUM(CAST(xa AS HUGEINT) * xb) AS c_l,
+               SUM(xa) AS a_l, SUM(xb) AS b_l
+        FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(c_l AS BIGINT) AS cross_sum,
+           CAST(a_l AS BIGINT) AS head_sum,
+           CAST(b_l AS BIGINT) AS tail_sum,
+           CASE WHEN CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT) * s * s
+                     <= 0 THEN 0e0
+                ELSE CAST(CAST(n AS HUGEINT) * n * c_l
+                          - CAST(n AS HUGEINT) * s * (a_l + b_l)
+                          + CAST(np AS HUGEINT) * s * s AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * n * q
+                            - CAST(n AS HUGEINT) * s * s AS DOUBLE) END
+               AS acf
+    FROM sums CROSS JOIN tot
+    ORDER BY lag
+    """,
+    tags=("event-time", "statistics"),
+)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the TOTAL daily event series at lags
+    1..{ACF_MAX_LAG} — the Box-Jenkins seasonality fingerprint (a
+    weekly cycle shows as an ACF spike at lag 7) and the self-series
+    companion of ``lagged_cross_correlation``, with the textbook ACF
+    estimator rather than a windowed Pearson: deviations are taken
+    from the FULL-series mean and normalized by the FULL-series sum of
+    squares, so r_l is comparable across lags and bounded the way the
+    Bartlett bands assume. Clearing the mean's 1/n gives
+    r_l = (n²·C_l − n·S·(A_l+B_l) + (n−l)·S²) / (n²·Q − n·S²) — every
+    moment an exact integer on the shared zero-filled day spine
+    (missing days are real zeros, not silently skipped rows), squared
+    terms in DECIMAL(38,0) ↔ HUGEINT, and ONE double division at the
+    end (numerator legitimately negative for anti-correlated lags —
+    it never meets integer division; the constant-series corner pins
+    0 via the shared CASE).
+
+    Plan: one scan collapses to |days| rows; the spine, lag join
+    ({ACF_MAX_LAG}× replication of a bounded relation), and moment
+    aggregates all run on day-scale data — constant work at 100 TB of
+    events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day")
+    )
+    d = ev.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+    bounds = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    daily = spine.join(d, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", F.expr("date_add(day, lag)").alias("day"), F.col("x").alias("xa")
+    )
+    b = daily.select(F.col("day").alias("day"), F.col("x").alias("xb"))
+    sums = (
+        a.join(b, "day")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                F.expr("CAST(xa AS DECIMAL(38,0)) * xb")
+            ).alias("c_l"),
+            F.sum("xa").alias("a_l"),
+            F.sum("xb").alias("b_l"),
+        )
+    )
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(lag AS INT) AS lag",
+            "CAST(np AS BIGINT) AS n_pairs",
+            "CAST(c_l AS BIGINT) AS cross_sum",
+            "CAST(a_l AS BIGINT) AS head_sum",
+            "CAST(b_l AS BIGINT) AS tail_sum",
+            "CASE WHEN CAST(n AS DECIMAL(38,0)) * n * q"
+            "          - CAST(n AS DECIMAL(38,0)) * s * s <= 0 THEN 0e0"
+            "     ELSE CAST(CAST(n AS DECIMAL(38,0)) * n * c_l"
+            "               - CAST(n AS DECIMAL(38,0)) * s * (a_l + b_l)"
+            "               + CAST(np AS DECIMAL(38,0)) * s * s AS DOUBLE)"
+            "          / CAST(CAST(n AS DECIMAL(38,0)) * n * q"
+            "                 - CAST(n AS DECIMAL(38,0)) * s * s AS DOUBLE)"
+            " END AS acf",
+        )
+        .orderBy("lag")
+    )

@@ -1063,3 +1063,78 @@ def theta_sketch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("inter_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lincoln-Petersen / Chapman capture-recapture distinct estimation
+
+
+@query(
+    "lincoln_petersen_distinct",
+    oracle="""
+    WITH c1 AS (SELECT DISTINCT text FROM documents
+                WHERE text IS NOT NULL AND doc_id % 2 = 0),
+    c2 AS (SELECT DISTINCT text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 3 = 0),
+    m AS (SELECT COUNT(*) AS m FROM c1 JOIN c2 USING (text)),
+    tot AS (SELECT COUNT(DISTINCT text) AS n_exact FROM documents
+            WHERE text IS NOT NULL)
+    SELECT CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS n1,
+           CAST((SELECT COUNT(*) FROM c2) AS BIGINT) AS n2,
+           CAST(m.m AS BIGINT) AS n_recaptured,
+           CAST((CAST((SELECT COUNT(*) FROM c1) AS HUGEINT) + 1)
+                * ((SELECT COUNT(*) FROM c2) + 1) * 1000 // (m.m + 1)
+                - 1000 AS BIGINT) AS chapman_est_x1000,
+           CAST(tot.n_exact AS BIGINT) AS n_distinct_exact
+    FROM m CROSS JOIN tot
+    """,
+    tags=("sketch", "frequency", "dedup", "llm-pipeline"),
+)
+def lincoln_petersen_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimation of the distinct-text population —
+    the ecology estimator (Lincoln-Petersen, with Chapman's +1 bias
+    correction) applied to corpus QA: when the full distinct count is
+    too expensive to recompute on every ingest, two cheap overlapping
+    samples (here the deterministic doc_id mod-2 and mod-3 marks,
+    jointly hitting mod-6 — the independence the estimator assumes)
+    give N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from three bounded DISTINCT
+    aggregates. Everything is exact integer arithmetic — the estimate
+    is emitted ×1000 via one non-negative truncating division (m+1 ≥
+    1 always, Chapman's whole point) — and the exact population rides
+    along, so the row itself shows the estimator's accuracy; unlike
+    the hash-based KMV audit this op is deterministic end-to-end and
+    the ESTIMATE crosses the oracle compare, not just a verdict flag.
+
+    Plan: three map-side-combinable distinct aggregates over one scan
+    lineage (the two capture samples are doc_id-mod filters pushed to
+    the scan); the recapture join is distinct-text-keyed —
+    corpus-derived, so at scale it shuffles (never broadcasts) — and
+    every output is a scalar."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    c1 = d.where(F.col("doc_id") % 2 == 0).select("text").distinct()
+    c2 = d.where(F.col("doc_id") % 3 == 0).select("text").distinct()
+    m = c1.join(c2.hint("shuffle_hash"), "text").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    n1 = c1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c2.agg(F.count(F.lit(1)).alias("n2"))
+    tot = d.select("text").distinct().agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        m.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(n1 AS BIGINT) AS n1",
+            "CAST(n2 AS BIGINT) AS n2",
+            "CAST(m AS BIGINT) AS n_recaptured",
+            "CAST((CAST(n1 AS DECIMAL(38,0)) + 1) * (n2 + 1) * 1000"
+            " div (m + 1) - 1000 AS BIGINT) AS chapman_est_x1000",
+            "CAST(n_exact AS BIGINT) AS n_distinct_exact",
+        )
+    )
