@@ -121,6 +121,16 @@ HEADLINE = [
     "ingest_dedup_delta",
     "sql_named_window",
     "dow_uniformity_audit",
+    # r10 wave 3: the heaviest of the round's additions — the full
+    # Hamming retrieval pass (sign-pack projection ×2 scans +
+    # candidate shuffle), the theta-sketch pair audit (bigram sketch
+    # fold + the bounded exact set-algebra legs), NDCG over the shared
+    # exact-top-k ranking, and the Cochran-Armitage lineitem⋈orders
+    # trend scan
+    "binary_quant_hamming_topk",
+    "theta_sketch_pair_audit",
+    "ndcg_at_k",
+    "cochran_armitage_trend",
 ]
 
 #: index where the r4-added heavies start in HEADLINE

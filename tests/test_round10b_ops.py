@@ -574,3 +574,84 @@ def test_lincoln_petersen_matches_bruteforce(spark, sf_dir):
     # (deterministic for this corpus; a wildly-off estimate means the
     # capture marks stopped being independent)
     assert got.chapman_est_x1000 >= 1000 * m
+
+
+def test_negative_sampling_matches_bruteforce(spark, sf_dir):
+    """Recompute the md5 draws and the quartic acceptance comparison
+    literally per occurrence, and sanity-check the realized rate
+    tracks (c/cmax)^0.75."""
+    import hashlib
+
+    from watermill_kinesis_spark.operators.pipeline5 import (
+        NEG_DRAW_BITS,
+        negative_sampling_power75,
+    )
+
+    occ = []
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    ):
+        for i, tok in enumerate(r.text.split(" "), start=1):
+            occ.append((r.doc_id, i, tok))
+    counts = Counter(t for _, _, t in occ)
+    cmax = max(counts.values())
+    lim = 1 << (4 * NEG_DRAW_BITS)
+    stats: dict = defaultdict(lambda: [0, 0])
+    for doc_id, i, tok in occ:
+        u = int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:3], 16)
+        c = counts[tok]
+        stats[tok][0] += 1
+        if u**4 * cmax**3 < lim * c**3:
+            stats[tok][1] += 1
+    got = {r.tok: r for r in negative_sampling_power75(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for tok, r in got.items():
+        n_occ, n_neg = stats[tok]
+        assert (r.c, r.n_occ, r.n_negatives) == (counts[tok], n_occ, n_neg)
+        assert r.accept_permille == 1000 * n_neg // n_occ
+    # realized rates track the 3/4-power law (loose: draw is 12-bit
+    # and per-token occurrence counts are finite)
+    for tok, r in got.items():
+        p = (counts[tok] / cmax) ** 0.75
+        if r.n_occ >= 200:
+            assert abs(r.n_negatives / r.n_occ - p) < 0.15
+    # cmax token accepts (p = 1): every draw is below the threshold
+    top = max(got.values(), key=lambda r: r.c)
+    assert top.n_negatives == top.n_occ
+
+
+def test_feature_hashing_matches_bruteforce(spark, sf_dir):
+    """Recompute the bucket census literally from md5 buckets."""
+    import hashlib
+
+    from watermill_kinesis_spark.operators.pipeline5 import (
+        FEATHASH_BUCKETS,
+        feature_hashing_counts,
+    )
+
+    counts = Counter()
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("text")
+        .collect()
+    ):
+        counts.update(r.text.split(" "))
+    buckets: dict = defaultdict(lambda: [0, 0, 0])
+    for tok, n in counts.items():
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % FEATHASH_BUCKETS
+        st = buckets[b]
+        st[0] += 1
+        st[1] += n
+        st[2] = max(st[2], n)
+    got = {r.bucket: r for r in feature_hashing_counts(spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    for b, r in got.items():
+        n_types, n_tokens, mx = buckets[b]
+        assert (r.n_types, r.n_tokens) == (n_types, n_tokens)
+        assert r.dominant_share_permille == 1000 * mx // n_tokens
+    # the census exercises real collisions: some bucket holds >1 type
+    assert any(v[0] > 1 for v in buckets.values())

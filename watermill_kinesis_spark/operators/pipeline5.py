@@ -516,3 +516,187 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style 3/4-power negative sampling (deterministic, no RNG)
+
+#: per-occurrence uniform draw resolution (bits). 12 keeps the exact
+#: acceptance comparison u⁴·cmax³ < 2⁴⁸·c³ inside DECIMAL(38,0) up to
+#: cmax ≈ 7·10⁷ occurrences of the most frequent token.
+NEG_DRAW_BITS = 12
+
+
+@query(
+    "negative_sampling_power75",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE text IS NOT NULL),
+    occ AS (SELECT doc_id, i, w[i] AS tok
+            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+                  FROM toks)),
+    c AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
+    mx AS (SELECT MAX(c) AS cmax FROM c),
+    drawn AS (
+        SELECT o.tok, c.c, mx.cmax,
+               CAST(('0x' || substr(md5(CAST(o.doc_id AS VARCHAR) || ':'
+                                        || CAST(o.i AS VARCHAR)), 1, 3))
+                    AS BIGINT) AS u
+        FROM occ o JOIN c ON o.tok = c.tok CROSS JOIN mx),
+    acc AS (
+        SELECT tok, c,
+               COUNT(*) AS n_occ,
+               COUNT_IF(CAST(u AS HUGEINT) * u * u * u
+                        * (CAST(cmax AS HUGEINT) * cmax * cmax)
+                        < CAST({1 << (4 * NEG_DRAW_BITS)} AS HUGEINT)
+                          * (CAST(c AS HUGEINT) * c * c)) AS n_neg
+        FROM drawn GROUP BY tok, c)
+    SELECT tok, CAST(c AS BIGINT) AS c,
+           CAST(n_occ AS BIGINT) AS n_occ,
+           CAST(n_neg AS BIGINT) AS n_negatives,
+           CAST(1000 * n_neg // n_occ AS BIGINT) AS accept_permille
+    FROM acc ORDER BY tok
+    """,
+    tags=("pipeline", "sampling", "text", "llm-pipeline"),
+)
+def negative_sampling_power75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec noise distribution, materialized: sample token
+    OCCURRENCES with probability (c/cmax)^¾ — Mikolov et al.'s
+    unigram^0.75 damping, which keeps frequent tokens from swamping
+    the negative pool while still favoring them. No RNG and no
+    fractional power anywhere: each occurrence draws a deterministic
+    md5-derived {NEG_DRAW_BITS}-bit uniform u (the ``sample_weighted``
+    convention — retry-safe at scale, identical across engines), and
+    u/2^b < (c/cmax)^¾ is raised to the 4th power into the EXACT
+    integer comparison u⁴·cmax³ < 2^(4b)·c³ in DECIMAL(38,0) ↔
+    HUGEINT. Emitted per token: unigram count, occurrences, accepted
+    negatives, and the realized accept rate — every value exact.
+
+    Plan: one posexplode over the corpus (the occurrence relation),
+    a vocabulary-count aggregate joined back via shuffle_hash (the
+    corpus-dictionary rule: never broadcast a token-keyed build
+    side), a scalar cmax broadcast, and one per-token aggregate. Work
+    scales with token occurrences — the same as any tokenize pass."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    occ = d.select(
+        "doc_id", F.posexplode("w").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    c = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    mx = c.agg(F.max("c").alias("cmax"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            3,
+        ),
+        16,
+        10,
+    ).cast("long")
+    drawn = (
+        occ.join(c.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(mx))
+        .select("tok", "c", "cmax", u.alias("u"))
+    )
+    acc = drawn.groupBy("tok", "c").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_if(
+            F.expr(
+                "CAST(u AS DECIMAL(38,0)) * u * u * u"
+                " * (CAST(cmax AS DECIMAL(38,0)) * cmax * cmax)"
+                f" < CAST({1 << (4 * NEG_DRAW_BITS)} AS DECIMAL(38,0))"
+                "   * (CAST(c AS DECIMAL(38,0)) * c * c)"
+            )
+        ).alias("n_neg"),
+    )
+    return acc.selectExpr(
+        "tok",
+        "CAST(c AS BIGINT) AS c",
+        "CAST(n_occ AS BIGINT) AS n_occ",
+        "CAST(n_neg AS BIGINT) AS n_negatives",
+        "CAST(1000 * n_neg div n_occ AS BIGINT) AS accept_permille",
+    ).orderBy("tok")
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick featurization census
+
+#: feature-hash buckets (intentionally far below the vocabulary so
+#: collisions are REAL and the census exercises them)
+FEATHASH_BUCKETS = 16
+
+
+@query(
+    "feature_hashing_counts",
+    oracle=f"""
+    WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents WHERE text IS NOT NULL),
+    b AS (
+        SELECT tok,
+               CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT)
+                   % {FEATHASH_BUCKETS} AS bucket,
+               COUNT(*) AS n
+        FROM occ GROUP BY tok),
+    agg AS (
+        SELECT bucket, COUNT(*) AS n_types, SUM(n) AS n_tokens,
+               MAX(n) AS max_type_tokens
+        FROM b GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(1000 * max_type_tokens // n_tokens AS BIGINT)
+               AS dominant_share_permille
+    FROM agg ORDER BY bucket
+    """,
+    tags=("pipeline", "text", "features", "llm-pipeline"),
+)
+def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009), censused: project
+    the vocabulary onto {FEATHASH_BUCKETS} feature buckets with a
+    deterministic md5-derived hash and report each bucket's load —
+    distinct types, total token mass, and the dominant type's share.
+    This is the fixed-width featurization large-scale linear models
+    and ANN pre-filters use when the vocabulary is unbounded; the
+    census is the collision diagnostic that decides bucket width.
+    Buckets are deliberately far below the vocabulary so collisions
+    are real and visible (dominant_share < 1000‰ ⟺ a genuine
+    collision shares the bucket). Everything is exact integers; the
+    hash is the shared md5 convention, identical on both engines.
+
+    Plan: token explode → per-type aggregate (vocabulary-sized,
+    map-side combined) → {FEATHASH_BUCKETS}-row aggregate. No joins,
+    no windows over raw rows."""
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    b = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).select(
+        "tok",
+        "n",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+            % FEATHASH_BUCKETS
+        ).alias("bucket"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("max_type_tokens"),
+    )
+    return agg.selectExpr(
+        "CAST(bucket AS BIGINT) AS bucket",
+        "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(1000 * max_type_tokens div n_tokens AS BIGINT)"
+        " AS dominant_share_permille",
+    ).orderBy("bucket")

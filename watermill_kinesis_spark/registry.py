@@ -100,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "negative_sampling_power75",
+    "feature_hashing_counts",
     "acf_daily_lags",
     "lincoln_petersen_distinct",
     "hilbert_curve_layout",
