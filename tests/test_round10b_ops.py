@@ -655,3 +655,77 @@ def test_feature_hashing_matches_bruteforce(spark, sf_dir):
         assert r.dominant_share_permille == 1000 * mx // n_tokens
     # the census exercises real collisions: some bucket holds >1 type
     assert any(v[0] > 1 for v in buckets.values())
+
+
+def test_map_at_k_matches_fraction_bruteforce(spark, sf_dir):
+    """Recompute AP@k with exact Fractions from the shared ranked
+    relation; the lcm scaling must be lossless."""
+    from fractions import Fraction
+
+    from watermill_kinesis_spark.operators.retrieval import (
+        RR_SCALE,
+        _ranked_with_labels,
+        map_at_k_exact,
+    )
+    from watermill_kinesis_spark.operators.similarity import TOP_K
+
+    per_q: dict = defaultdict(list)
+    for r in _ranked_with_labels(spark, sf_dir).collect():
+        if r.rank <= TOP_K:
+            per_q[r.query_id].append((r.rank, int(r.n_label == r.q_label)))
+    got = {r.query_id: r for r in map_at_k_exact(spark, sf_dir).collect()}
+    assert set(got) == set(per_q)
+    for qid, rows in per_q.items():
+        rows.sort()
+        ap = Fraction(0)
+        prefix = 0
+        for rank, rel in rows:
+            prefix += rel
+            if rel:
+                ap += Fraction(prefix, rank)
+        scaled = ap * RR_SCALE
+        assert scaled.denominator == 1
+        g = got[qid]
+        n_rel = sum(rel for _, rel in rows)
+        assert g.n_relevant_topk == n_rel
+        assert getattr(g, f"ap_sum_scaled_{RR_SCALE}") == scaled.numerator
+        expected_pm = (
+            0 if n_rel == 0 else 1000 * scaled.numerator // (n_rel * RR_SCALE)
+        )
+        assert g.ap_permille == expected_pm
+        assert 0 <= g.ap_permille <= 1000
+
+
+def test_mcc_sweep_matches_bruteforce(spark, sf_dir):
+    """Recompute every threshold's confusion matrix, MCC, and Youden J
+    from a literal scan; the one-pass suffix-sum sweep must agree."""
+    from watermill_kinesis_spark.operators.evaluation import (
+        MCC_THRESHOLDS,
+        mcc_threshold_sweep,
+    )
+
+    rows = [
+        (r.o_totalprice, int(r.o_orderstatus == "F"))
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    ]
+    pos = sum(l for _, l in rows)
+    neg = len(rows) - pos
+    got = {r.threshold: r for r in mcc_threshold_sweep(spark, sf_dir).collect()}
+    assert set(got) == set(MCC_THRESHOLDS)
+    for t, r in got.items():
+        tp = sum(1 for p, l in rows if p >= t and l)
+        fp = sum(1 for p, l in rows if p >= t and not l)
+        fn, tn = pos - tp, neg - fp
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        mcc = (tp * tn - fp * fn) / math.sqrt(den) if den > 0 else 0.0
+        assert math.isclose(r.mcc, mcc, rel_tol=1e-12, abs_tol=1e-15)
+        j = (1000 * tp // pos if pos else 0) + (
+            1000 * tn // neg if neg else 0
+        ) - 1000
+        assert r.youden_j_permille == j
+        assert -1.0 <= r.mcc <= 1.0
+    # the sweep really sweeps: confusion matrices differ across cutoffs
+    assert len({(r.tp, r.fp) for r in got.values()}) > 1

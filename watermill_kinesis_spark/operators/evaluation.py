@@ -1650,3 +1650,143 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(F.broadcast(v), "nation").select(
         "nation", "n_months", "s_statistic", "var_s_x18"
     )
+
+
+# ---------------------------------------------------------------------------
+# MCC / Youden-J threshold sweep (one-pass model selection)
+
+#: candidate decision thresholds on o_totalprice (covers the observed
+#: ~[1k, 500k] range; PRICE_CUTOFF = 150k is among them so the sweep
+#: subsumes confusion_matrix_exact's operating point)
+MCC_THRESHOLDS = (50_000, 100_000, 150_000, 200_000, 250_000, 300_000)
+
+
+@query(
+    "mcc_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT o_totalprice AS p,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders),
+    bands AS (
+        SELECT CASE {" ".join(f"WHEN p >= {t} THEN {t}" for t in sorted(MCC_THRESHOLDS, reverse=True))}
+                    ELSE 0 END AS band,
+               SUM(label) AS n1, SUM(1 - label) AS n0
+        FROM scored GROUP BY 1),
+    cum AS (
+        SELECT band,
+               SUM(n1) OVER (ORDER BY band DESC) AS tp,
+               SUM(n0) OVER (ORDER BY band DESC) AS fp,
+               SUM(n1) OVER () AS pos, SUM(n0) OVER () AS neg
+        FROM bands),
+    th AS (SELECT unnest(ARRAY{list(MCC_THRESHOLDS)}) AS threshold),
+    cm AS (
+        SELECT th.threshold,
+               CAST(COALESCE((SELECT MAX(tp) FROM cum
+                              WHERE band >= th.threshold), 0) AS HUGEINT)
+                   AS tp,
+               CAST(COALESCE((SELECT MAX(fp) FROM cum
+                              WHERE band >= th.threshold), 0) AS HUGEINT)
+                   AS fp,
+               CAST((SELECT MAX(pos) FROM cum) AS HUGEINT) AS pos,
+               CAST((SELECT MAX(neg) FROM cum) AS HUGEINT) AS neg
+        FROM th)
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(pos - tp AS BIGINT) AS fn, CAST(neg - fp AS BIGINT) AS tn,
+           CASE WHEN (tp + fp) * (pos) * (neg) * (pos - tp + neg - fp
+                     + tp + fp) = 0 OR tp + fp = 0 OR pos - tp + neg - fp = 0
+                     OR pos = 0 OR neg = 0
+                THEN 0e0
+                ELSE CAST(tp * (neg - fp) - fp * (pos - tp) AS DOUBLE)
+                     / sqrt(CAST((tp + fp) * pos * neg
+                                 * (pos - tp + neg - fp) AS DOUBLE)) END
+               AS mcc,
+           CAST(CASE WHEN pos > 0 THEN tp * 1000 // pos ELSE 0 END
+                + CASE WHEN neg > 0 THEN (neg - fp) * 1000 // neg ELSE 0 END
+                - 1000 AS BIGINT) AS youden_j_permille
+    FROM cm ORDER BY threshold
+    """,
+    tags=("evaluation", "statistics", "ml"),
+)
+def mcc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation and Youden's J across a grid of decision
+    thresholds in ONE corpus pass — the model-selection sweep
+    ``confusion_matrix_exact`` (single operating point) and
+    ``auc_roc_exact`` (threshold-free area) both leave open: WHICH
+    cutoff to deploy. The classic trick: bucket rows into threshold
+    bands (one map-side-combinable aggregate), then every
+    threshold's confusion matrix is a suffix sum over the ≤|grid|+1
+    band rows — k operating points for the cost of one scan. MCC =
+    (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is the shared
+    sqrt-only double over exact DECIMAL(38,0) ↔ HUGEINT counts (the
+    numerator may be negative — it never meets integer division; any
+    degenerate margin pins 0 via the shared CASE). Youden's J =
+    sensitivity + specificity − 1 is integer permille with the
+    subtraction AFTER the divisions. Note MCC's known property that
+    it is 0 whenever a margin is empty — the sweep shows it."""
+    o = load_table(spark, sf_dir, "orders")
+    label = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    band = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN o_totalprice >= {t} THEN {t}"
+            for t in sorted(MCC_THRESHOLDS, reverse=True)
+        )
+        + " ELSE 0 END"
+    )
+    bands = o.select(band.alias("band"), label.alias("label")).groupBy(
+        "band"
+    ).agg(
+        F.sum("label").alias("n1"),
+        F.sum(1 - F.col("label")).alias("n0"),
+    )
+    cumw = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
+    cum = bands.select(
+        "band",
+        F.sum("n1").over(cumw).alias("tp"),
+        F.sum("n0").over(cumw).alias("fp"),
+    )
+    totals = bands.agg(
+        F.sum("n1").cast("decimal(38,0)").alias("pos"),
+        F.sum("n0").cast("decimal(38,0)").alias("neg"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in MCC_THRESHOLDS], "threshold long"
+    )
+    # a threshold with NO band at or above it (tiny corpora) must
+    # still emit a row with tp = fp = 0, so totals ride a separate
+    # cross join rather than the (possibly empty) band match
+    cm = (
+        th.join(
+            F.broadcast(cum), F.col("band") >= F.col("threshold"), "left"
+        )
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.max("tp"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("tp"),
+            F.coalesce(F.max("fp"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("fp"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return cm.selectExpr(
+        "CAST(threshold AS BIGINT) AS threshold",
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(pos - tp AS BIGINT) AS fn",
+        "CAST(neg - fp AS BIGINT) AS tn",
+        "CASE WHEN (tp + fp) * (pos) * (neg) * (pos - tp + neg - fp"
+        "          + tp + fp) = 0 OR tp + fp = 0"
+        "          OR pos - tp + neg - fp = 0 OR pos = 0 OR neg = 0"
+        "     THEN 0e0"
+        "     ELSE CAST(tp * (neg - fp) - fp * (pos - tp) AS DOUBLE)"
+        "          / sqrt(CAST((tp + fp) * pos * neg"
+        "                      * (pos - tp + neg - fp) AS DOUBLE)) END"
+        " AS mcc",
+        "CAST(CASE WHEN pos > 0 THEN tp * 1000 div pos ELSE 0 END"
+        " + CASE WHEN neg > 0 THEN (neg - fp) * 1000 div neg ELSE 0 END"
+        " - 1000 AS BIGINT) AS youden_j_permille",
+    ).orderBy("threshold")

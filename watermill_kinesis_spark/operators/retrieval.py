@@ -639,3 +639,80 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_permille"),
         )
     )
+
+
+@query(
+    "map_at_k_exact",
+    oracle=_RANKED_ORACLE_CTE
+    + f""",
+    flagged AS (
+        SELECT query_id, rank,
+               CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+               SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY query_id ORDER BY rank) AS prefix_rel
+        FROM ranked WHERE rank <= {TOP_K}),
+    ap AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS n_relevant_topk,
+               CAST(COALESCE(SUM(rel * prefix_rel * ({RR_SCALE} // rank)), 0)
+                    AS BIGINT) AS ap_sum_scaled_{RR_SCALE}
+        FROM flagged GROUP BY query_id)
+    SELECT query_id, n_relevant_topk, ap_sum_scaled_{RR_SCALE},
+           CAST(CASE WHEN n_relevant_topk = 0 THEN 0
+                     ELSE 1000 * ap_sum_scaled_{RR_SCALE}
+                          // (n_relevant_topk * {RR_SCALE}) END AS BIGINT)
+               AS ap_permille
+    FROM ap
+    """,
+    tags=("retrieval", "evaluation", "similarity", "llm-pipeline"),
+)
+def map_at_k_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision@k per query — averaging these over queries is
+    MAP, the last missing member of the retrieval scorecard (P/R@k
+    position-blind, MRR first-hit-only, ERR a stopping model, NDCG
+    graded-discount; AP is the area under the precision-recall curve
+    and the metric ad-hoc retrieval evaluations default to). AP@k =
+    (1/R_k)·Σ_{{r relevant}} P@r with P@r = prefix_rel_r/r — every
+    term is (prefix_rel·lcm(1..k)/r), an exact integer under the
+    family's lcm scaling, so the per-query AP numerator is an exact
+    bigint and the final permille is one truncating division
+    (normalized by the RETRIEVED relevant count R_k, the @k
+    convention that keeps AP@k ≤ 1 without a corpus pass; queries
+    with no relevant hit pin 0 explicitly). Plan: the shared
+    exact-top-k ranking, one prefix window over k-row partitions, one
+    aggregate — corpus-scale work stays inside ``similarity_topk``."""
+    from pyspark.sql import Window as W
+
+    r = _ranked_with_labels(spark, sf_dir)
+    rel = F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+    pw = W.partitionBy("query_id").orderBy("rank").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    flagged = r.where(F.col("rank") <= TOP_K).select(
+        "query_id",
+        "rank",
+        rel.alias("rel"),
+        F.sum(rel).over(pw).alias("prefix_rel"),
+    )
+    ap = flagged.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant_topk"),
+        F.coalesce(
+            F.sum(
+                F.col("rel")
+                * F.col("prefix_rel")
+                * F.expr(f"{RR_SCALE} div rank")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"ap_sum_scaled_{RR_SCALE}"),
+    )
+    return ap.selectExpr(
+        "query_id",
+        "n_relevant_topk",
+        f"ap_sum_scaled_{RR_SCALE}",
+        f"CAST(CASE WHEN n_relevant_topk = 0 THEN 0"
+        f"          ELSE 1000 * ap_sum_scaled_{RR_SCALE}"
+        f"               div (n_relevant_topk * {RR_SCALE}) END AS BIGINT)"
+        " AS ap_permille",
+    )

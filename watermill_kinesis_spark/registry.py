@@ -100,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "map_at_k_exact",
+    "mcc_threshold_sweep",
     "negative_sampling_power75",
     "feature_hashing_counts",
     "acf_daily_lags",
