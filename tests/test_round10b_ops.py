@@ -729,3 +729,57 @@ def test_mcc_sweep_matches_bruteforce(spark, sf_dir):
         assert -1.0 <= r.mcc <= 1.0
     # the sweep really sweeps: confusion matrices differ across cutoffs
     assert len({(r.tp, r.fp) for r in got.values()}) > 1
+
+
+def test_bfs_hops_matches_python_bfs(spark, sf_dir):
+    """Literal Python level-synchronous BFS over the same bipartite
+    edges — pins min-hop semantics, the census, and the checksums."""
+    from watermill_kinesis_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        graph_bfs_hops,
+    )
+
+    edges = set()
+    min_supp = None
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    ):
+        edges.add((r.l_partkey, r.l_suppkey))
+        min_supp = r.l_suppkey if min_supp is None else min(min_supp, r.l_suppkey)
+    by_s: dict = defaultdict(set)
+    by_p: dict = defaultdict(set)
+    for p, s in edges:
+        by_s[s].add(p)
+        by_p[p].add(s)
+    hop_of = {("s", min_supp): 0}
+    frontier = [("s", min_supp)]
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = set()
+        for kind, k in frontier:
+            if kind == "s":
+                nxt.update(("p", p) for p in by_s[k])
+            else:
+                nxt.update(("s", s) for s in by_p[k])
+        frontier = [n for n in nxt if n not in hop_of]
+        for n in frontier:
+            hop_of[n] = hop
+        if not frontier:
+            break
+    expected: dict = {}
+    for (kind, k), hop in hop_of.items():
+        st = expected.setdefault(hop, [0, 0, 0, 0])
+        if kind == "p":
+            st[0] += 1
+            st[2] += k
+        else:
+            st[1] += 1
+            st[3] += k
+    got = {
+        r.hop: [r.n_parts, r.n_suppliers, r.part_key_sum, r.supp_key_sum]
+        for r in graph_bfs_hops(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # hop 0 is exactly the seed supplier
+    assert got[0] == [0, 1, 0, min_supp]
