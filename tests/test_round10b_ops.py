@@ -783,3 +783,58 @@ def test_bfs_hops_matches_python_bfs(spark, sf_dir):
     assert got == expected
     # hop 0 is exactly the seed supplier
     assert got[0] == [0, 1, 0, min_supp]
+
+
+def test_dod_census_matches_bruteforce(spark, sf_dir):
+    """Recompute the Gorilla bucket census literally: per-user ordered
+    second-floored epochs, second differences, spec buckets."""
+    from watermill_kinesis_spark.operators.analytics4 import (
+        delta_of_delta_encoding_census,
+    )
+
+    per_user: dict = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .collect()
+    ):
+        per_user[r.user_id].append((r.ts, r.event_id))
+
+    def bucket(d):
+        if d == 0:
+            return "a_zero", 1
+        if -63 <= d <= 64:
+            return "b_7bit", 9
+        if -255 <= d <= 256:
+            return "c_9bit", 12
+        if -2047 <= d <= 2048:
+            return "d_12bit", 16
+        return "e_32bit", 36
+
+    census: dict = defaultdict(lambda: [0, 0])
+    for rows in per_user.values():
+        rows.sort()
+        # floor to whole seconds AFTER ordering by full-resolution ts;
+        # naive-datetime epoch via a fixed reference (TZ-free, unlike
+        # datetime.timestamp() which assumes the machine zone)
+        from datetime import datetime
+
+        epoch0 = datetime(1970, 1, 1)
+        ts = [
+            math.floor((t - epoch0).total_seconds()) for t, _ in rows
+        ]
+        for i in range(2, len(ts)):
+            dod = (ts[i] - ts[i - 1]) - (ts[i - 1] - ts[i - 2])
+            b, bits = bucket(dod)
+            census[b][0] += 1
+            census[b][1] += bits
+    got = {
+        r.bucket: (r.n_deltas, r.bits_total, r.vs_raw64_permille)
+        for r in delta_of_delta_encoding_census(spark, sf_dir).collect()
+    }
+    expected = {
+        b: (n, bits, 1000 * bits // (64 * n)) for b, (n, bits) in census.items()
+    }
+    assert got == expected
+    # the census is non-degenerate: the compressible buckets exist
+    assert sum(n for n, _, _ in got.values()) > 0

@@ -2197,3 +2197,106 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gorilla delta-of-delta timestamp encoding census
+
+#: Gorilla (Facebook, VLDB'15) delta-of-delta bit buckets: control-bit
+#: prefix lengths + payload widths per class
+_DOD_BUCKETS_SQL = """
+    CASE WHEN dod = 0 THEN 'a_zero'
+         WHEN dod BETWEEN -63 AND 64 THEN 'b_7bit'
+         WHEN dod BETWEEN -255 AND 256 THEN 'c_9bit'
+         WHEN dod BETWEEN -2047 AND 2048 THEN 'd_12bit'
+         ELSE 'e_32bit' END
+"""
+_DOD_BITS_SQL = """
+    CASE WHEN dod = 0 THEN 1
+         WHEN dod BETWEEN -63 AND 64 THEN 9
+         WHEN dod BETWEEN -255 AND 256 THEN 12
+         WHEN dod BETWEEN -2047 AND 2048 THEN 16
+         ELSE 36 END
+"""
+
+
+@query(
+    "delta_of_delta_encoding_census",
+    oracle=f"""
+    WITH ordered AS (
+        -- floor to whole SECONDS (epoch_us // 1e6): Gorilla's buckets
+        -- assume second-resolution stamps, and DuckDB's epoch() keeps
+        -- the sub-second fraction the Spark side truncates
+        SELECT user_id, epoch_us(ts) // 1000000 AS t,
+               LAG(epoch_us(ts) // 1000000) OVER w AS t1,
+               LAG(epoch_us(ts) // 1000000, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    dods AS (
+        SELECT (t - t1) - (t1 - t2) AS dod
+        FROM ordered WHERE t2 IS NOT NULL),
+    census AS (
+        SELECT {_DOD_BUCKETS_SQL} AS bucket,
+               COUNT(*) AS n,
+               SUM({_DOD_BITS_SQL}) AS bits
+        FROM dods GROUP BY 1)
+    SELECT bucket, CAST(n AS BIGINT) AS n_deltas,
+           CAST(bits AS BIGINT) AS bits_total,
+           CAST(1000 * bits // (64 * n) AS BIGINT)
+               AS vs_raw64_permille
+    FROM census ORDER BY bucket
+    """,
+    tags=("event-time", "compression", "layout"),
+)
+def delta_of_delta_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta timestamp compressibility census
+    (Pelkonen et al., VLDB'15 — the encoding behind every modern TSDB,
+    including the hypertable stores this engine's rollup family
+    models): per user, second-order differences of the event-time
+    series fall into the spec's control buckets (0 → 1 bit, ±64 → 7,
+    ±256 → 9, ±2048 → 12, else 32, plus control prefixes), and the
+    census of those buckets IS the storage estimate a TSDB capacity
+    plan runs before choosing chunk intervals. Exact integers
+    throughout: epochs are UTC-pinned longs on both engines, the
+    (ts, event_id) total order makes every lag deterministic under
+    ties, and the per-bucket bits-vs-raw64 ratio is one truncating
+    division. Plan: ONE window over the user partition (user_id is
+    corpus-cardinality — thousands of parallel partitions, the
+    sessionize shape, never an enum window) followed by a 5-row
+    aggregate."""
+    # TIMESTAMP_NTZ has no direct long cast in Spark and a tz-sensitive
+    # one via TIMESTAMP — build the epoch from tz-free FIELDS instead,
+    # which is exactly what DuckDB's epoch() does on a naive timestamp
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(
+            "unix_date(CAST(ts AS DATE)) * 86400L"
+            " + hour(ts) * 3600L + minute(ts) * 60L + second(ts)"
+        ).alias("t"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dods = (
+        ev.select(
+            "t",
+            F.lag("t", 1).over(w).alias("t1"),
+            F.lag("t", 2).over(w).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select(
+            ((F.col("t") - F.col("t1")) - (F.col("t1") - F.col("t2"))).alias(
+                "dod"
+            )
+        )
+    )
+    census = dods.groupBy(F.expr(_DOD_BUCKETS_SQL).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_DOD_BITS_SQL)).alias("bits"),
+    )
+    return census.selectExpr(
+        "bucket",
+        "CAST(n AS BIGINT) AS n_deltas",
+        "CAST(bits AS BIGINT) AS bits_total",
+        "CAST(1000 * bits div (64 * n) AS BIGINT) AS vs_raw64_permille",
+    ).orderBy("bucket")
