@@ -838,3 +838,40 @@ def test_dod_census_matches_bruteforce(spark, sf_dir):
     assert got == expected
     # the census is non-degenerate: the compressible buckets exist
     assert sum(n for n, _, _ in got.values()) > 0
+
+
+def test_kaplan_meier_matches_bruteforce(spark, sf_dir):
+    """Literal per-user lifetime/censoring recompute; at-risk suffix
+    sums and hazards must match, and the KM identities must hold."""
+    from watermill_kinesis_spark.operators.analytics4 import (
+        KM_CENSOR_DAYS,
+        kaplan_meier_hazard,
+    )
+
+    per_user: dict = {}
+    for r in load_table(spark, sf_dir, "events").select("user_id", "ts").collect():
+        d = r.ts.date()
+        lo, hi = per_user.get(r.user_id, (d, d))
+        per_user[r.user_id] = (min(lo, d), max(hi, d))
+    corpus_end = max(hi for _, hi in per_user.values())
+    per_t: dict = defaultdict(lambda: [0, 0])
+    for lo, hi in per_user.values():
+        t = (hi - lo).days
+        censored = (corpus_end - hi).days < KM_CENSOR_DAYS
+        per_t[t][1 if censored else 0] += 1
+    got = {r.lifetime_days: r for r in kaplan_meier_hazard(spark, sf_dir).collect()}
+    assert set(got) == set(per_t)
+    total = len(per_user)
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        n_at_risk = sum(
+            dd + cc for tt, (dd, cc) in per_t.items() if tt >= t
+        )
+        r = got[t]
+        assert (r.n_at_risk, r.n_churned, r.n_censored) == (n_at_risk, d, c)
+        assert r.hazard_permille == 1000 * d // n_at_risk
+    # identities: risk set at t=0 is every user; exits partition users
+    assert got[min(per_t)].n_at_risk == total or min(per_t) > 0
+    assert sum(r.n_churned + r.n_censored for r in got.values()) == total
+    # censoring is real on this corpus (recent users exist)
+    assert sum(r.n_censored for r in got.values()) > 0

@@ -2300,3 +2300,102 @@ def delta_of_delta_encoding_census(spark: SparkSession, sf_dir: str) -> DataFram
         "CAST(bits AS BIGINT) AS bits_total",
         "CAST(1000 * bits div (64 * n) AS BIGINT) AS vs_raw64_permille",
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier hazard table (user-lifetime survival analysis)
+
+#: censoring horizon: a user whose LAST event is within this many days
+#: of the corpus end may still be alive — censored, not churned
+KM_CENSOR_DAYS = 28
+
+
+@query(
+    "kaplan_meier_hazard",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS first_day,
+               MAX(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY user_id),
+    bounds AS (SELECT MAX(last_day) AS corpus_end FROM per_user),
+    lives AS (
+        SELECT date_diff('day', first_day, last_day) AS t,
+               CASE WHEN date_diff('day', last_day,
+                                   (SELECT corpus_end FROM bounds))
+                         < {KM_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS censored
+        FROM per_user),
+    per_t AS (
+        SELECT t, COUNT_IF(censored = 0) AS d, COUNT_IF(censored = 1) AS c
+        FROM lives GROUP BY t),
+    risk AS (
+        SELECT t, d, c,
+               SUM(d + c) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_at_risk
+        FROM per_t)
+    SELECT CAST(t AS BIGINT) AS lifetime_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(c AS BIGINT) AS n_censored,
+           CAST(1000 * d // n_at_risk AS BIGINT) AS hazard_permille
+    FROM risk ORDER BY lifetime_days
+    """,
+    tags=("event-time", "statistics", "lifecycle"),
+)
+def kaplan_meier_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier hazard table over user lifetimes — survival
+    analysis with honest RIGHT-CENSORING, the lifecycle tool
+    ``retention_cohort``'s calendar matrix cannot replace: a user
+    whose last event sits within {KM_CENSOR_DAYS} days of the corpus
+    end has not been observed to churn (they may act tomorrow), so
+    they leave the risk set at their observed lifetime WITHOUT
+    counting as a death — naive churn curves silently overestimate
+    hazard near the observation boundary and this operator does not.
+    Per lifetime offset t: the at-risk count (suffix sum over the
+    bounded lifetime table — everyone who survived at least t),
+    deaths, censored exits, and the discrete hazard d/n in exact
+    permille; the Kaplan-Meier survival curve is the running product
+    of (1 − hazard) — left to the reader precisely because a float
+    product is order-fragile, while this table is the exact input
+    every survival library consumes.
+
+    Plan: one per-user aggregate (map-side combined), a scalar corpus
+    -end broadcast, a |lifetimes|-row aggregate (bounded by the
+    observation span in days), and the suffix-sum window over those
+    bounded rows (aggregate-below exemption). Corpus-scale work is
+    the single events scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    bounds = per_user.agg(F.max("last_day").alias("corpus_end"))
+    lives = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").alias("t"),
+        F.when(
+            F.datediff("corpus_end", "last_day") < KM_CENSOR_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    per_t = lives.groupBy("t").agg(
+        F.count_if(F.col("censored") == 0).alias("d"),
+        F.count_if(F.col("censored") == 1).alias("c"),
+    )
+    sw = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(sw).alias("n_at_risk"),
+    )
+    return risk.selectExpr(
+        "CAST(t AS BIGINT) AS lifetime_days",
+        "CAST(n_at_risk AS BIGINT) AS n_at_risk",
+        "CAST(d AS BIGINT) AS n_churned",
+        "CAST(c AS BIGINT) AS n_censored",
+        "CAST(1000 * d div n_at_risk AS BIGINT) AS hazard_permille",
+    ).orderBy("lifetime_days")
