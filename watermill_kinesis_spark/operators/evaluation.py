@@ -1668,29 +1668,20 @@ MCC_THRESHOLDS = (50_000, 100_000, 150_000, 200_000, 250_000, 300_000)
         SELECT o_totalprice AS p,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
         FROM orders),
-    bands AS (
-        SELECT CASE {" ".join(f"WHEN p >= {t} THEN {t}" for t in sorted(MCC_THRESHOLDS, reverse=True))}
-                    ELSE 0 END AS band,
-               SUM(label) AS n1, SUM(1 - label) AS n0
-        FROM scored GROUP BY 1),
-    cum AS (
-        SELECT band,
-               SUM(n1) OVER (ORDER BY band DESC) AS tp,
-               SUM(n0) OVER (ORDER BY band DESC) AS fp,
-               SUM(n1) OVER () AS pos, SUM(n0) OVER () AS neg
-        FROM bands),
-    th AS (SELECT unnest(ARRAY{list(MCC_THRESHOLDS)}) AS threshold),
+    agg AS (
+        SELECT SUM(label) AS pos, SUM(1 - label) AS neg,
+               {", ".join(
+                   f"SUM(CASE WHEN p >= {t} THEN label ELSE 0 END) AS tp_{t},"
+                   f" SUM(CASE WHEN p >= {t} THEN 1 - label ELSE 0 END)"
+                   f" AS fp_{t}"
+                   for t in MCC_THRESHOLDS)}
+        FROM scored),
     cm AS (
-        SELECT th.threshold,
-               CAST(COALESCE((SELECT MAX(tp) FROM cum
-                              WHERE band >= th.threshold), 0) AS HUGEINT)
-                   AS tp,
-               CAST(COALESCE((SELECT MAX(fp) FROM cum
-                              WHERE band >= th.threshold), 0) AS HUGEINT)
-                   AS fp,
-               CAST((SELECT MAX(pos) FROM cum) AS HUGEINT) AS pos,
-               CAST((SELECT MAX(neg) FROM cum) AS HUGEINT) AS neg
-        FROM th)
+        {" UNION ALL ".join(
+            f"SELECT {t} AS threshold, CAST(tp_{t} AS HUGEINT) AS tp,"
+            f" CAST(fp_{t} AS HUGEINT) AS fp, CAST(pos AS HUGEINT) AS pos,"
+            f" CAST(neg AS HUGEINT) AS neg FROM agg"
+            for t in MCC_THRESHOLDS)})
     SELECT CAST(threshold AS BIGINT) AS threshold,
            CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(pos - tp AS BIGINT) AS fn, CAST(neg - fp AS BIGINT) AS tn,
@@ -1714,10 +1705,13 @@ def mcc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds in ONE corpus pass — the model-selection sweep
     ``confusion_matrix_exact`` (single operating point) and
     ``auc_roc_exact`` (threshold-free area) both leave open: WHICH
-    cutoff to deploy. The classic trick: bucket rows into threshold
-    bands (one map-side-combinable aggregate), then every
-    threshold's confusion matrix is a suffix sum over the ≤|grid|+1
-    band rows — k operating points for the cost of one scan. MCC =
+    cutoff to deploy. The grid is a compile-time constant, so every
+    threshold's confusion matrix comes from ONE aggregate of
+    per-threshold conditional sums (all map-side combinable) stacked
+    to rows — k operating points for the cost of one scan and NO join
+    of any kind (the first cut's non-equi band join planned as a
+    bounded nested-loop join; plan_audit's red-flag column exists
+    precisely to keep that class out, so it was restructured away). MCC =
     (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is the shared
     sqrt-only double over exact DECIMAL(38,0) ↔ HUGEINT counts (the
     numerator may be negative — it never meets integer division; any
@@ -1727,50 +1721,38 @@ def mcc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is 0 whenever a margin is empty — the sweep shows it."""
     o = load_table(spark, sf_dir, "orders")
     label = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-    band = F.expr(
-        "CASE "
-        + " ".join(
-            f"WHEN o_totalprice >= {t} THEN {t}"
-            for t in sorted(MCC_THRESHOLDS, reverse=True)
+    # the grid is a compile-time constant, so EVERY threshold's
+    # confusion counts come from ONE aggregate of per-threshold
+    # conditional sums (all map-side combinable) — join-free by
+    # construction (the first cut's non-equi band join planned as a
+    # nested-loop join; bounded, but the red-flag class plan_audit
+    # exists to keep out)
+    aggs = [
+        F.sum("label").alias("pos"),
+        F.sum(1 - F.col("label")).alias("neg"),
+    ]
+    for t in MCC_THRESHOLDS:
+        at = F.col("p") >= t
+        aggs.append(F.sum(F.when(at, F.col("label")).otherwise(0)).alias(f"tp_{t}"))
+        aggs.append(
+            F.sum(F.when(at, 1 - F.col("label")).otherwise(0)).alias(f"fp_{t}")
         )
-        + " ELSE 0 END"
+    agg = o.select(F.col("o_totalprice").alias("p"), label.alias("label")).agg(
+        *aggs
     )
-    bands = o.select(band.alias("band"), label.alias("label")).groupBy(
-        "band"
-    ).agg(
-        F.sum("label").alias("n1"),
-        F.sum(1 - F.col("label")).alias("n0"),
+    stack = ", ".join(
+        f"{t}L, tp_{t}, fp_{t}" for t in MCC_THRESHOLDS
     )
-    cumw = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
-    cum = bands.select(
-        "band",
-        F.sum("n1").over(cumw).alias("tp"),
-        F.sum("n0").over(cumw).alias("fp"),
-    )
-    totals = bands.agg(
-        F.sum("n1").cast("decimal(38,0)").alias("pos"),
-        F.sum("n0").cast("decimal(38,0)").alias("neg"),
-    )
-    th = spark.createDataFrame(
-        [(t,) for t in MCC_THRESHOLDS], "threshold long"
-    )
-    # a threshold with NO band at or above it (tiny corpora) must
-    # still emit a row with tp = fp = 0, so totals ride a separate
-    # cross join rather than the (possibly empty) band match
-    cm = (
-        th.join(
-            F.broadcast(cum), F.col("band") >= F.col("threshold"), "left"
-        )
-        .groupBy("threshold")
-        .agg(
-            F.coalesce(F.max("tp"), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("tp"),
-            F.coalesce(F.max("fp"), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("fp"),
-        )
-        .crossJoin(F.broadcast(totals))
+    cm = agg.selectExpr(
+        f"stack({len(MCC_THRESHOLDS)}, {stack}) AS (threshold, tp0, fp0)",
+        "CAST(pos AS DECIMAL(38,0)) AS pos",
+        "CAST(neg AS DECIMAL(38,0)) AS neg",
+    ).selectExpr(
+        "threshold",
+        "CAST(tp0 AS DECIMAL(38,0)) AS tp",
+        "CAST(fp0 AS DECIMAL(38,0)) AS fp",
+        "pos",
+        "neg",
     )
     return cm.selectExpr(
         "CAST(threshold AS BIGINT) AS threshold",
