@@ -894,8 +894,13 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order: 1..7 by construction — a shifted histogram is the first
     symptom of a bad incremental load). All exact anti-join /
     aggregate counts; every join is FK-keyed between corpus-scale
-    relations (shuffle joins, statistics-governed — nothing here is a
-    string dictionary). Output is a tidy (metric, k, n) relation."""
+    relations and MERGE-PINNED: at the 10× replica on a vanilla 1 GiB
+    session, AQE elected to broadcast the orders key relation (fits
+    compressed under the threshold, blows the driver deserialized —
+    the r9 ngram_novelty class on a FACT key side) and the sweep
+    caught it; both sides of every anti-join here grow with the
+    corpus, so sort-merge (spills and streams) is the only shape that
+    survives any scale. Output is a tidy (metric, k, n) relation."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -917,19 +922,19 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders_no_li = one(
         "orders_without_lineitems",
-        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti"),
+        o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey, "left_anti"),
     )
     cust_no_orders = one(
         "customers_without_orders",
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti"),
+        c.join(o.hint("merge"), c.c_custkey == o.o_custkey, "left_anti"),
     )
     li_orphans = one(
         "lineitems_orphaned",
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey, "left_anti"),
     )
     o_orphans = one(
         "orders_orphaned",
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey, "left_anti"),
     )
     return (
         fanout.unionByName(orders_no_li)
