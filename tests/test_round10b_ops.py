@@ -875,3 +875,45 @@ def test_kaplan_meier_matches_bruteforce(spark, sf_dir):
     assert sum(r.n_churned + r.n_censored for r in got.values()) == total
     # censoring is real on this corpus (recent users exist)
     assert sum(r.n_censored for r in got.values()) > 0
+
+
+def test_sax_matches_bruteforce(spark, sf_dir):
+    """Literal SAX recompute: zero-filled spine, PAA windows, sample
+    std z-normalization, quartile breakpoints."""
+    from datetime import timedelta
+
+    from watermill_kinesis_spark.operators.analytics4 import (
+        SAX_WINDOW_DAYS,
+        sax_symbolic_daily,
+    )
+
+    counts: dict = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select("ts").collect():
+        counts[r.ts.date()] += 1
+    lo, hi = min(counts), max(counts)
+    series = []
+    day = lo
+    while day <= hi:
+        series.append(counts.get(day, 0))
+        day += timedelta(days=1)
+    n = len(series)
+    s = sum(series)
+    q = sum(x * x for x in series)
+    mean = s / n
+    var = (q - s * s / n) / (n - 1) if n * q - s * s > 0 else 0.0
+    sd = math.sqrt(var) if var > 0 else 0.0
+    bp = 0.6744897501960817
+    expected = {}
+    for w in range((n + SAX_WINDOW_DAYS - 1) // SAX_WINDOW_DAYS):
+        chunk = series[w * SAX_WINDOW_DAYS : (w + 1) * SAX_WINDOW_DAYS]
+        paa = sum(chunk) / len(chunk)
+        z = (paa - mean) / sd if sd > 0 else 0.0
+        sym = "a" if z < -bp else "b" if z < 0 else "c" if z < bp else "d"
+        expected[w] = (len(chunk), sum(chunk), sym)
+    got = {
+        r.window_id: (r.n_days, r.sum_events, r.symbol)
+        for r in sax_symbolic_daily(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the alphabet is actually used (a constant series would be all-c)
+    assert len({sym for _, _, sym in got.values()}) >= 2

@@ -2399,3 +2399,113 @@ def kaplan_meier_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(c AS BIGINT) AS n_censored",
         "CAST(1000 * d div n_at_risk AS BIGINT) AS hazard_permille",
     ).orderBy("lifetime_days")
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of the daily event series
+
+#: PAA window width (days) and the 4-symbol alphabet breakpoints: the
+#: standard-normal quartiles ±0.6744897501960817 (Φ⁻¹(¾), correctly
+#: rounded by scipy once, frozen here as shared literals — the NDCG
+#: discount-constant pattern: no engine ever evaluates Φ⁻¹)
+SAX_WINDOW_DAYS = 7
+SAX_BP = "0.6744897501960817e0"
+
+
+@query(
+    "sax_symbolic_daily",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY day),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+    spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                         AS DATE) AS day FROM bounds),
+    daily AS (
+        SELECT s.day, COALESCE(d.x, 0) AS x,
+               date_diff('day', (SELECT mn FROM bounds), s.day)
+                   // {SAX_WINDOW_DAYS} AS w
+        FROM spine s LEFT JOIN d USING (day)),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q FROM daily),
+    paa AS (
+        SELECT w, COUNT(*) AS n_days, SUM(x) AS sum_x FROM daily GROUP BY w),
+    z AS (
+        SELECT w, n_days, sum_x, n, s, q,
+               CASE WHEN CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+                         <= 0 THEN 0e0
+                    ELSE (CAST(sum_x AS DOUBLE) / n_days
+                          - CAST(s AS DOUBLE) / n)
+                         / sqrt((CAST(q AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * s / n)
+                                / (n - 1e0)) END AS zval
+        FROM paa CROSS JOIN tot)
+    SELECT CAST(w AS BIGINT) AS window_id,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(sum_x AS BIGINT) AS sum_events,
+           CASE WHEN zval < -{SAX_BP} THEN 'a'
+                WHEN zval < 0e0 THEN 'b'
+                WHEN zval < {SAX_BP} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z ORDER BY window_id
+    """,
+    tags=("event-time", "statistics", "mining"),
+)
+def sax_symbolic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin/Keogh et al. 2003)
+    of the daily event series: PAA means over {SAX_WINDOW_DAYS}-day
+    windows, z-normalized against the whole series, discretized into
+    a 4-symbol alphabet at the standard-normal quartile breakpoints.
+    The string of symbols is what time-series mining indexes (motif
+    discovery, anomaly grammars, DTW lower bounds) — and the same
+    lower-bounding property SAX papers prove makes it a data-skipping
+    key for series at 100 TB. Determinism: the breakpoints are
+    Φ⁻¹(¾) frozen as shared literals (the NDCG discount-constant
+    pattern — neither engine evaluates an inverse CDF); the z value
+    is ONE shared double chain over exact integer moments (sample
+    std, sqrt-only) on the zero-filled day spine, so the symbol CASE
+    compares bit-identical doubles to identical literals on both
+    engines. The zero-variance corner pins z = 0 ('c'). Plan: the
+    corpus collapses to |days| rows; PAA, moments, and symbols all
+    run on that bounded relation — constant work at any event
+    volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day")
+    )
+    d = ev.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+    bounds = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        "mn", F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    daily = spine.join(d, "day", "left").select(
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        F.expr(f"datediff(day, mn) div {SAX_WINDOW_DAYS}").alias("w"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    paa = daily.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("sum_x")
+    )
+    z = paa.crossJoin(F.broadcast(tot)).selectExpr(
+        "w",
+        "n_days",
+        "sum_x",
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s"
+        "          <= 0 THEN 0e0"
+        "     ELSE (CAST(sum_x AS DOUBLE) / n_days"
+        "           - CAST(s AS DOUBLE) / n)"
+        "          / sqrt((CAST(q AS DOUBLE)"
+        "                  - CAST(s AS DOUBLE) * s / n)"
+        "                 / (n - 1e0)) END AS zval",
+    )
+    return z.selectExpr(
+        "CAST(w AS BIGINT) AS window_id",
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(sum_x AS BIGINT) AS sum_events",
+        f"CASE WHEN zval < -{SAX_BP} THEN 'a'"
+        f"     WHEN zval < 0e0 THEN 'b'"
+        f"     WHEN zval < {SAX_BP} THEN 'c'"
+        "     ELSE 'd' END AS symbol",
+    ).orderBy("window_id")

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only line (no value-regression signal); their invariants
     # are pytest-enforced. Recompute each round from
     # CORRECTNESS_r*.json.
+    "sax_symbolic_daily",
     "kaplan_meier_hazard",
     "delta_of_delta_encoding_census",
     "graph_bfs_hops",
