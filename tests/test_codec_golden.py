@@ -178,3 +178,81 @@ def test_binary_codec_golden_byte_layout(spark):
     }
     assert bytes(back["u1"][0]) == b"hi" and back["u1"][1]["h"] == "v"
     assert back["u2"][0] is None and back["u2"][1] == {"k": ""}
+
+
+def test_proto_sql_encoder_byte_parity_with_runtime(spark):
+    """The r11 JVM-expression proto encoder (protocodec.
+    encode_envelope_col — VERDICT r10 task 5) must emit byte-identical
+    wire to the runtime's deterministic serializer on every edge the
+    proto3 spec has: default-valued scalar fields elide, map-entry
+    key/value fields always emit (even empty), entries sort by key
+    (UTF-8 byte order == code-point order), varint lengths across the
+    1/2/3-byte boundaries, NULL coercions (uuid→"", metadata→{},
+    value→"", payload→b"")."""
+    from watermill_kinesis_spark.protocodec import (
+        decode_envelope,
+        encode_envelope,
+        encode_envelope_col,
+    )
+
+    cases = [
+        ("u1", {"a": "b"}, b"payload"),
+        ("", {}, b""),                    # all defaults: zero wire bytes
+        ("x", {"": ""}, b""),             # empty entry still emits 12 04 0a 00 12 00
+        ("x", {"k": ""}, b"p"),           # empty value: inner field still written
+        ("x", {"": "v"}, b"p"),           # empty key: inner field still written
+        ("ü", {"ℓ": "日本語", "zz": "ü"}, "ünïcode".encode()),
+        ("y", {"b": "2", "a": "1", "c": "3"}, b"q"),  # key sort
+        ("m", {"k": "v" * 127}, b"B" * 128),     # 1→2-byte varint boundary
+        ("M", {"k": "v" * 16383}, b"B" * 16384),  # 2→3-byte varint boundary
+    ]
+    df = spark.createDataFrame(
+        cases, "uuid string, metadata map<string,string>, payload binary"
+    )
+    got = df.select(
+        encode_envelope_col(
+            F.col("uuid"), F.col("metadata"), F.col("payload")
+        ).alias("w")
+    ).collect()
+    for (u, m, p), r in zip(cases, got):
+        ref = encode_envelope(u, m, p)
+        assert bytes(r.w) == ref, f"wire divergence for uuid={u!r}"
+        assert decode_envelope(bytes(r.w)) == (u, m, p)
+    # NULL coercion parity with the pandas encoder's documented rules
+    nulls = spark.createDataFrame(
+        [(None, None, None)],
+        "uuid string, metadata map<string,string>, payload binary",
+    )
+    rw = nulls.select(
+        encode_envelope_col(
+            F.col("uuid"), F.col("metadata"), F.col("payload")
+        ).alias("w")
+    ).first()
+    assert bytes(rw.w) == encode_envelope("", {}, b"")
+
+
+def test_marshal_proto_engines_agree_and_sql_has_no_python_stage(spark):
+    """marshal_proto's default (JVM) and pandas engines emit identical
+    wire over a realistic message relation, and the default engine's
+    plan contains NO Python stage — the property that closes the r10
+    forced-marshal throughput gap."""
+    from watermill_kinesis_spark.protocodec import marshal_proto
+
+    msgs = spark.createDataFrame(
+        [
+            ("u%d" % i, ("pay%d" % i).encode(), {"partitionKey": "pk%d" % (i % 3), "h": "v" * (i % 5)})
+            for i in range(50)
+        ],
+        "uuid string, payload binary, metadata map<string,string>",
+    )
+    sql_rows = sorted(
+        (bytes(r.data), r.partition_key)
+        for r in marshal_proto(msgs).collect()
+    )
+    pd_rows = sorted(
+        (bytes(r.data), r.partition_key)
+        for r in marshal_proto(msgs, engine="pandas").collect()
+    )
+    assert sql_rows == pd_rows
+    plan = marshal_proto(msgs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

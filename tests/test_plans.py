@@ -768,3 +768,73 @@ def test_dict_broadcast_guard_catches_prefix_novelty_shape(spark, sf_dir):
     ):
         p = plan(specs[name].fn(spark, sf_dir))
         assert not _corpus_dict_broadcast(p), f"{name}: dict broadcast"
+
+
+def test_fact_key_broadcast_guard_catches_ria_shape(spark, sf_dir):
+    """Round-11 guard (VERDICT r10 task 2): the pre-9fca7f6
+    referential_integrity_audit let AQE elect to broadcast the ORDERS
+    key relation inside its anti-join stack — a fact-table KEY
+    PROJECTION whose deserialized hash relation grows with the corpus
+    (the 10× sweep OOM'd a vanilla 1 GiB driver on it at runtime).
+    Rebuild that exact anti-join shape and assert
+    `_fact_key_broadcast` trips — both with the broadcast made static
+    (scale-independent plan) and as the sf-scale statically-elected
+    BroadcastHashJoin the unpinned form compiles to at test scale —
+    then assert the benign faces stay clean: a filtered-dim key
+    broadcast (the filter column rides the parquet ReadSchema), a
+    fixed-dim broadcast (nation), a bounded key probe (doc_id ≤ k),
+    a scalar-collapsed build side, and the merge-pinned operator
+    itself."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import _fact_key_broadcast
+
+    from watermill_kinesis_spark.registry import all_specs
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    # the PRE-fix shape, broadcast pinned static so the guard sees the
+    # same plan at any test scale
+    bad = o.join(F.broadcast(li), o.o_orderkey == li.l_orderkey, "left_anti")
+    hits = _fact_key_broadcast(plan(bad))
+    assert hits and "lineitem" in hits[0], "pre-fix RIA shape must trip"
+
+    # the UNPINNED form: at sf-scale the static planner itself elects
+    # the broadcast (the same election AQE makes at runtime at 10×)
+    unpinned = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+    p_unpinned = plan(unpinned)
+    if "BroadcastExchange" in p_unpinned:  # stats-dependent, but loud
+        assert _fact_key_broadcast(p_unpinned), "unpinned RIA shape must trip"
+
+    # benign: filtered dim — the pushed filter column stays in the
+    # parquet ReadSchema, so this is never a bare key projection
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ben = o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+    assert not _fact_key_broadcast(plan(ben)), "filtered dim trips"
+
+    # benign: fixed 25-row dim
+    n = load_table(spark, sf_dir, "nation")
+    ben2 = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert not _fact_key_broadcast(plan(ben2)), "nation dim trips"
+
+    # benign: bounded key probe (benchmark-sample cap on the key)
+    d = load_table(spark, sf_dir, "documents")
+    probe = d.where(F.col("doc_id") <= 100).select("doc_id")
+    ben3 = d.join(F.broadcast(probe), "doc_id")
+    assert not _fact_key_broadcast(plan(ben3)), "bounded key probe trips"
+
+    # benign: scalar-collapsed build side (broadcast filter, 1 row)
+    mx = li.agg(F.max("l_orderkey").alias("mk"))
+    ben4 = o.join(F.broadcast(mx), o.o_orderkey == F.col("mk"))
+    assert not _fact_key_broadcast(plan(ben4)), "scalar agg build trips"
+
+    # the merge-pinned operator audits clean (and broadcasts nothing)
+    specs = all_specs()
+    p = plan(specs["referential_integrity_audit"].fn(spark, sf_dir))
+    assert not _fact_key_broadcast(p), "pinned RIA trips"

@@ -75,10 +75,13 @@ def main() -> None:
 
     # the protobuf envelope codec (the reference's marshaller.go:24
     # TODO, shipped r9) measured beside JSON so wire-format choice is
-    # a benchmarked trade, not a guess (VERDICT r9 task 6). The proto
-    # path is an Arrow-batched pandas UDF pair (pure-python runtime)
-    # vs JSON's JVM expressions — expect it slower per message; what
-    # it buys is wire size and schema evolution.
+    # a benchmarked trade, not a guess (VERDICT r9 task 6). Since r11
+    # the default encode path is the JVM expression
+    # protocodec.encode_envelope_col (no Python worker in the plan;
+    # byte-parity-pinned against the runtime encoder), closing the r10
+    # ~9× forced-marshal gap; the Arrow-batched pandas encoder is kept
+    # as engine="pandas" and measured alongside for continuity — the
+    # decode path stays runtime-backed either way.
     from watermill_kinesis_spark import protocodec
 
     t0 = time.perf_counter()
@@ -90,6 +93,14 @@ def main() -> None:
     t0 = time.perf_counter()
     protocodec.marshal_proto(msgs).agg(F.sum(F.length("data"))).collect()
     results["codec_marshal_proto_forced_msgs_per_s"] = round(
+        n / (time.perf_counter() - t0)
+    )
+
+    t0 = time.perf_counter()
+    protocodec.marshal_proto(msgs, engine="pandas").agg(
+        F.sum(F.length("data"))
+    ).collect()
+    results["codec_marshal_proto_pandas_forced_msgs_per_s"] = round(
         n / (time.perf_counter() - t0)
     )
 

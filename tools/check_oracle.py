@@ -14,6 +14,20 @@ Env toggles (both driver-accuracy modes, combinable):
                               mirroring the gate's _canon (catches
                               unhashable-cell outputs like r4's
                               embedding_normalize array column)
+  SPARK_GRAFT_HASH_ROWS=N     outputs larger than N rows compare by an
+                              order-insensitive per-row hash SUM instead
+                              of materialized sorted-tuple lists (default
+                              50000; 0 disables). The cell canon is
+                              byte-identical to the exact path — only the
+                              row assembly is vectorized and the compare
+                              is an aggregate — so a value divergence
+                              still fails; what's lost is only the
+                              first-mismatch row dump. This is what makes
+                              a FULL 10x replica sweep tractable: the r10
+                              close-out measured 540 s/entry on 1M-row
+                              as-of joins, ~all of it the row-by-row
+                              ``.iloc`` tuple build, not engine time
+                              (VERDICT r10 task 1).
 """
 
 from __future__ import annotations
@@ -93,6 +107,30 @@ def driver_canon_df(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def hash_df(df: pd.DataFrame) -> tuple[list[str], int, int]:
+    """Order-insensitive digest of a large result: every cell goes
+    through the SAME :func:`canon_cell` as the exact path (so float
+    repr, NULL, binary-hex and timestamp spellings cannot diverge
+    between modes), the canonical strings of a row are joined with an
+    out-of-alphabet separator, each row string is hashed
+    (``pd.util.hash_pandas_object``, fixed default key — deterministic
+    across processes), and the row hashes are SUMMED mod 2^64. A sum
+    is order-insensitive, so no O(n log n) sort and no O(n) python
+    tuple list is ever built — the 540 s/entry instrument cost of the
+    r10 close-out drops to the pandas ``map`` of the canon itself."""
+    cols = sorted(df.columns)
+    if not len(df):
+        return cols, 0, 0
+    joined = df[cols[0]].map(canon_cell).astype(str)
+    for c in cols[1:]:
+        joined = joined + "\x1f" + df[c].map(canon_cell).astype(str)
+    hashes = pd.util.hash_pandas_object(joined, index=False).to_numpy(
+        dtype=np.uint64
+    )
+    total = int(hashes.sum(dtype=np.uint64))
+    return cols, len(df), total
+
+
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
@@ -147,6 +185,33 @@ def main() -> int:
             print(f"FAIL  {name}: oracle SQL raised")
             traceback.print_exc()
             n_fail += 1
+            continue
+        hash_rows = int(os.environ.get("SPARK_GRAFT_HASH_ROWS", "50000"))
+        if hash_rows and max(len(sdf), len(odf)) > hash_rows:
+            try:
+                scols, snum, shash = hash_df(sdf)
+                ocols, onum, ohash = hash_df(odf)
+            except Exception:
+                print(f"FAIL  {name}: hash canonicalization raised")
+                traceback.print_exc()
+                n_fail += 1
+                continue
+            msgs = []
+            if scols != ocols:
+                msgs.append(f"cols spark={scols} oracle={ocols}")
+            if snum != onum:
+                msgs.append(f"rowcount spark={snum} oracle={onum}")
+            if not msgs and shash != ohash:
+                msgs.append(f"value-hash spark={shash:016x} oracle={ohash:016x}")
+            if msgs:
+                print(f"FAIL  {name}: " + " | ".join(msgs))
+                n_fail += 1
+            else:
+                print(
+                    f"PASS  {name}: rows={snum} hash={shash:016x} "
+                    f"(hash-mode, {time.time()-t0:.1f}s)"
+                )
+                n_pass += 1
             continue
         _canon = (
             driver_canon_df

@@ -256,6 +256,158 @@ def _corpus_dict_broadcast(plan: str) -> list[str]:
     return out
 
 
+#: column-name shape of a KEY: the PK/FK/id columns of the data model.
+#: A broadcast build side whose scan reads ONLY these is a key
+#: projection — its cardinality is the fact table's row (or key)
+#: count, which grows with the corpus.
+FACT_KEY_COL_RE = re.compile(r"(?:key|_id|^id)$")
+
+#: bounded-input filters that exonerate a fact-table scan inside a
+#: broadcast subtree: a pushed/post-scan equality or upper bound on a
+#: key (benchmark sample caps), or a fixed IN-list (decontamination
+#: suites, fixed query keys) — both in Filter-node spelling
+#: (``(doc_id#12L <= 100)``) and in PushedFilters spelling
+#: (``EqualTo(doc_id,5)`` / ``In(doc_id, [...])``).
+FACT_BOUNDED_RE = re.compile(
+    r"\(\w+#\d+L? (?:<|<=|=) \d+\)"
+    r"|\w+#\d+ IN \("
+    r"|(?:EqualTo|LessThan|LessThanOrEqual|In)\(\w*(?:key|id)"
+)
+
+
+#: the TRUE fact tables for the key-projection broadcast rule —
+#: row counts proportional to the corpus with no dimension role.
+#: customer/part/supplier also scale with SF but their broadcast
+#: elections are scan-direct and statistics-governed throughout the
+#: q-series (certified value-exact at the 100× replica), so they are
+#: judged by the narrower anti/semi + post-shuffle conditions only
+#: via this same rule when their scan feeds those shapes — the
+#: blanket fact set stays the big four + embeddings.
+FACT_TABLES_RE = re.compile(
+    r"\[file:[^\]]*/(lineitem|orders|events|documents|embeddings)"
+    r"\.parquet\]"
+)
+
+
+def _fact_key_broadcast(plan: str) -> list[str]:
+    """Round-11 guard (VERDICT r10 task 2): a BroadcastExchange whose
+    build side is a FACT-TABLE KEY PROJECTION — the subtree scans a
+    fact table (lineitem/orders/events/documents/embeddings) reading
+    ONLY key columns (ReadSchema is all ``*key``/``*_id`` fields) —
+    in one of the two shapes where the broadcast election is blind to
+    true cardinality:
+
+    * the broadcast feeds an ANTI or SEMI join (the probe side is the
+      corpus, so the build side must hold EVERY key — the exact shape
+      of the round-10 ``referential_integrity_audit`` OOM, where AQE
+      elected to broadcast the ORDERS key relation from its
+      post-shuffle COMPRESSED bytes: sequential int64 keys compress
+      ~brutally, the deserialized hash relation does not; fixed by
+      merge-pinning in commit 9fca7f6);
+    * the build subtree contains an Exchange or a keyed aggregate —
+      a post-shuffle/distinct key relation, where every size the
+      planner sees is compressed shuffle bytes, the same blind spot.
+
+    Scan-direct INNER-join broadcasts of fact keys are deliberately
+    NOT flagged: their election is governed by file statistics
+    (column-pruned parquet size), which track true cardinality, and
+    the planner demotes them to shuffle joins at scale on its own —
+    the full TPC-H series over exactly these shapes is certified
+    value-exact at the 100× replica on a 1 GiB session.
+
+    Exonerations (mirrors ``_corpus_dict_broadcast``): a GlobalLimit /
+    TakeOrderedAndProject / CollectLimit bounding the subtree (top-K
+    key faces); a bounded-input filter on a key (pushed or post-scan
+    equality / upper bound / IN-list — benchmark caps and fixed probe
+    sets); a scalar aggregate (``keys=[]``) collapsing the subtree to
+    one row; and scans whose ReadSchema carries ANY non-key column —
+    a filtered dim face (the filter column rides the ReadSchema on
+    parquet scans, so selective dim broadcasts are never confused
+    with bare key projections)."""
+    out: list[str] = []
+    lines = plan.split("\n")
+
+    def _content_start(s: str) -> int:
+        m = re.match(r"^[\s:+|-]*", s)
+        return m.end()
+
+    scan_re = re.compile(
+        r"Scan parquet[^\n]*?\[file:[^\]]*/(\w+)\.parquet\][^\n]*?"
+        r"ReadSchema: struct<([^\n]*)>"
+    )
+    anti_semi_re = re.compile(
+        r"Join\b.*?\b(?:LeftAnti|LeftSemi|ExistenceJoin)"
+    )
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = _content_start(line)
+        j = i + 1
+        sub: list[str] = []
+        while j < len(lines) and _content_start(lines[j]) > depth:
+            sub.append(lines[j])
+            j += 1
+        subtree = "\n".join(sub)
+        if not FACT_TABLES_RE.search(subtree):
+            continue
+        if re.search(r"GlobalLimit|TakeOrderedAndProject|CollectLimit", subtree):
+            continue
+        if FACT_BOUNDED_RE.search(subtree):
+            continue
+        if "HashAggregate(keys=[]" in subtree or "SortAggregate(keys=[]" in (
+            subtree
+        ):
+            continue  # scalar-collapsed build side: 1 row at any scale
+        # shape gate: the nearest ancestor (the consuming join) must be
+        # anti/semi, OR the build side must be post-shuffle/aggregated
+        parent = ""
+        for k in range(i - 1, -1, -1):
+            if _content_start(lines[k]) < depth:
+                parent = lines[k]
+                break
+        blind_shape = bool(anti_semi_re.search(parent)) or bool(
+            re.search(
+                r"Exchange |HashAggregate\(keys=\[\w|SortAggregate\(keys=\[\w"
+                r"|ObjectHashAggregate\(keys=\[\w",
+                subtree,
+            )
+        )
+        if not blind_shape:
+            continue
+        # the WHOLE build side must be key-derived: every scan in the
+        # subtree reads only key columns (if any non-key attribute
+        # enters, the relation is either filtered by selectivity the
+        # planner sizes faithfully or rolled up to a bounded axis —
+        # e.g. a per-nation aggregate — and is not this class)
+        scans = list(scan_re.finditer(subtree))
+        if not scans:
+            continue
+        fact_key_scans = []
+        all_key_only = True
+        for m in scans:
+            table, schema = m.group(1), m.group(2)
+            cols = re.findall(r"(\w+):", schema)
+            if not cols or not all(FACT_KEY_COL_RE.search(c) for c in cols):
+                all_key_only = False
+                break
+            if re.match(
+                r"lineitem|orders|events|documents|embeddings", table
+            ):
+                fact_key_scans.append((table, cols))
+        if all_key_only and fact_key_scans:
+            table, cols = fact_key_scans[0]
+            out.append(
+                "broadcast build side is a fact-table key projection: "
+                f"{table} reading only {sorted(set(cols))} "
+                + (
+                    "feeding an anti/semi join"
+                    if anti_semi_re.search(parent)
+                    else "as a post-shuffle/aggregated relation"
+                )
+            )
+    return out
+
+
 def _bad_nested_loop(plan: str) -> bool:
     """BroadcastNestedLoopJoin is benign only with a 1-row broadcast
     build side: a scalar cross join, or a non-equi comparison against a
@@ -289,6 +441,7 @@ def audit_plan(plan: str) -> dict:
         "enum_window": _bad_enum_window(plan),
         "big_literal": _bad_big_literal(plan),
         "dict_bcast": _corpus_dict_broadcast(plan),
+        "fact_key_bcast": _fact_key_broadcast(plan),
         "arrow": "ArrowEvalPython" in plan or "MapInPandas" in plan,
     }
 
@@ -307,7 +460,8 @@ def main() -> int:
         "codegen, top-k short-circuits, Arrow/Python stages. Red-flag",
         "columns (global single-partition exchange, nested-loop join,",
         "enum-partitioned window, oversized plan literal, corpus-",
-        "dictionary broadcast build side) must stay",
+        "dictionary broadcast build side, fact-table key-projection",
+        "broadcast build side) must stay",
         "empty — tests/test_plans.py enforces the critical ones.",
         "Rows marked ⟳ are ITERATIVE operators: the explain composes the",
         "unexecuted k-iteration lineage, but each runtime pass",
@@ -320,8 +474,8 @@ def main() -> int:
         "tests/test_plans.py pins directly.",
         "",
         "| query | shuffles | broadcasts | BHJ | SMJ | pushdown | codegen |"
-        " TakeOrdered | WindowGroupLimit | Arrow | scalar-agg | BadSinglePart! | BadNestedLoop! | BadEnumWindow! | BigLiteral! | DictBcast! |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        " TakeOrdered | WindowGroupLimit | Arrow | scalar-agg | BadSinglePart! | BadNestedLoop! | BadEnumWindow! | BigLiteral! | DictBcast! | FactKeyBcast! |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     flags: list[str] = []
     errors: list[str] = []
@@ -345,7 +499,7 @@ def main() -> int:
             f"{y(a['codegen'])} | {y(a['take_ordered'])} | {y(a['wgl'])} | "
             f"{y(a['arrow'])} | {y(a['scalar_agg'])} | {y(a['single_part'])} | "
             f"{y(a['bnlj'])} | {y(a['enum_window'])} | {y(a['big_literal'])} | "
-            f"{y(bool(a['dict_bcast']))} |"
+            f"{y(bool(a['dict_bcast']))} | {y(bool(a['fact_key_bcast']))} |"
         )
         if a["single_part"]:
             flags.append(f"{name}: single-partition exchange")
@@ -359,6 +513,8 @@ def main() -> int:
             )
         for reason in a["dict_bcast"]:
             flags.append(f"{name}: {reason}")
+        for reason in a["fact_key_bcast"]:
+            flags.append(f"{name}: {reason}")
     lines.append("")
     if errors:
         lines.append("## PLAN BUILD ERRORS")
@@ -371,7 +527,8 @@ def main() -> int:
         lines.append(
             "No red flags: no single-partition exchanges, no nested-loop "
             "joins, no enum-partitioned windows over raw rows, no "
-            "oversized plan literals, and no corpus-dictionary broadcast "
+            "oversized plan literals, no corpus-dictionary broadcast "
+            "build sides, and no fact-table key-projection broadcast "
             "build sides in any audited plan."
         )
     lines.append("")

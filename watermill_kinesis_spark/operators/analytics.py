@@ -610,7 +610,11 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size (≤7 here; capped/exploded-from-collect_set in a real
     retail schema), NEVER corpus-quadratic; the min-count HAVING runs
     before the dimension joins so only surviving pairs join the
-    item-frequency table, and the 1-row basket total broadcasts."""
+    item-frequency table, and the 1-row basket total broadcasts. The
+    item-frequency join sides are shuffle_hash-PINNED (r11 fact-key
+    plan-audit rule): |parts| grows with the corpus and the relation
+    is post-shuffle — compressed int64 keys under-size the planner's
+    broadcast election, the r10 referential_integrity OOM class."""
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = b.agg(
@@ -620,7 +624,11 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, c = b.alias("a"), b.alias("c")
     p = (
         a.join(
-            c,
+            # shuffle_hash pin (r11): b is the post-shuffle distinct
+            # basket relation — basket-scale, never broadcastable; the
+            # pair join hashes on the basket key partition-locally and
+            # evaluates the part inequality as a residual condition
+            c.hint("shuffle_hash"),
             (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("c.l_partkey")),
         )
@@ -634,8 +642,8 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = item.select(F.col("l_partkey").alias("part_x"), F.col("c").alias("cx"))
     iy = item.select(F.col("l_partkey").alias("part_y"), F.col("c").alias("cy"))
     return (
-        p.join(ix, "part_x")
-        .join(iy, "part_y")
+        p.join(ix.hint("shuffle_hash"), "part_x")
+        .join(iy.hint("shuffle_hash"), "part_y")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_x",

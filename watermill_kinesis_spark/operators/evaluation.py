@@ -1685,8 +1685,7 @@ MCC_THRESHOLDS = (50_000, 100_000, 150_000, 200_000, 250_000, 300_000)
     SELECT CAST(threshold AS BIGINT) AS threshold,
            CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(pos - tp AS BIGINT) AS fn, CAST(neg - fp AS BIGINT) AS tn,
-           CASE WHEN (tp + fp) * (pos) * (neg) * (pos - tp + neg - fp
-                     + tp + fp) = 0 OR tp + fp = 0 OR pos - tp + neg - fp = 0
+           CASE WHEN tp + fp = 0 OR pos - tp + neg - fp = 0
                      OR pos = 0 OR neg = 0
                 THEN 0e0
                 ELSE CAST(tp * (neg - fp) - fp * (pos - tp) AS DOUBLE)
@@ -1760,9 +1759,8 @@ def mcc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(fp AS BIGINT) AS fp",
         "CAST(pos - tp AS BIGINT) AS fn",
         "CAST(neg - fp AS BIGINT) AS tn",
-        "CASE WHEN (tp + fp) * (pos) * (neg) * (pos - tp + neg - fp"
-        "          + tp + fp) = 0 OR tp + fp = 0"
-        "          OR pos - tp + neg - fp = 0 OR pos = 0 OR neg = 0"
+        "CASE WHEN tp + fp = 0 OR pos - tp + neg - fp = 0"
+        "          OR pos = 0 OR neg = 0"
         "     THEN 0e0"
         "     ELSE CAST(tp * (neg - fp) - fp * (pos - tp) AS DOUBLE)"
         "          / sqrt(CAST((tp + fp) * pos * neg"

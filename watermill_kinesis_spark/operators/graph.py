@@ -214,16 +214,22 @@ def pagerank(
     conserved at |nodes| · 1/|nodes| scaled by the damping identity.
     Iterations are persisted and the previous rank state released
     per step — lineage stays O(1) and at 100 TB each step is a single
-    co-partitioned shuffle of |edges| rows."""
+    co-partitioned shuffle of |edges| rows. The degree and rank join
+    sides are shuffle_hash-PINNED (r11: the fact-key plan-audit rule
+    flagged the planner electing to broadcast them — they are
+    NODE-scale post-shuffle relations whose compressed-bytes size
+    estimate under-sizes the deserialized hash relation, the exact
+    r10 referential_integrity OOM class; a partition-local hash build
+    is spill-safe at any scale and skips the sort)."""
     edges = bipartite_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    edges_deg = edges.join(deg, "src").persist()
+    edges_deg = edges.join(deg.hint("shuffle_hash"), "src").persist()
     n_nodes = deg.count()  # also materializes edges_deg's inputs
     base = (1.0 - damping) / n_nodes
     ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank")).persist()
     for _ in range(iters):
         contribs = (
-            edges_deg.join(ranks, "src")
+            edges_deg.join(ranks.hint("shuffle_hash"), "src")
             .select("dst", (F.col("rank") / F.col("degree")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -453,9 +459,26 @@ def pagerank_mass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (bipartite graphs alternate node kinds per hop)
 BFS_MAX_HOPS = 4
 
-#: persisted per-level BFS state of the latest invocation (the
-#: clustering-module slot convention: replaced, never accumulated)
-_bfs_cached: list = []
+#: the FINAL visited relation of the latest invocation — the only BFS
+#: state that must outlive the call (the returned census DataFrame
+#: reads it lazily). Everything else (edges, intermediate visited
+#: generations) is released before the function returns (ADVICE r10:
+#: the old module-global kept EVERY level's full visited set alive
+#: until the next invocation). Replaced, never accumulated.
+_bfs_final: list = []
+
+
+def _release_local_checkpoint(df) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame. ``DataFrame.unpersist`` only reaches CacheManager
+    entries, not checkpoint blocks; the checkpointed RDD itself hangs
+    off the LogicalRDD analyzed plan. After this the df is
+    unusable by design — only ever called on generations no live plan
+    references."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # session stopped / plan shape changed: nothing to free
 
 
 @query(
@@ -509,21 +532,27 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap-per-core budget, while the repartition exchange itself is a
     sort-free spill-safe write and the dedup then runs on post-shuffle
     partitions Catalyst co-locates with the agg's requirement; (2)
-    each BFS level is MATERIALIZED (persist + count, the pagerank ⟳
-    convention) — the declaratively-unrolled form references the
-    frontier twice and visited once per level, so lineage (and
-    edge-scan count) doubled per hop; (3) frontier/visited join sides
-    are shuffle_hash-pinned: they are node-scale but corpus-derived,
-    and AQE's size estimate must never elect to broadcast a
-    node-scale relation at 100 TB. Output is ≤{BFS_MAX_HOPS + 1}
-    census rows of exact integers."""
-    global _bfs_cached
-    for df in _bfs_cached:
-        try:
-            df.unpersist(False)
-        except Exception:
-            pass  # previous session stopped; nothing left to release
-    _bfs_cached = []
+    each BFS level is MATERIALIZED **and its lineage TRUNCATED** via
+    ``localCheckpoint(eager=True)`` (VERDICT r10 task 4): the
+    declaratively-unrolled form references the frontier twice and
+    visited once per level, so the lazy lineage — and Catalyst's
+    re-analysis cost — grew O(hops²) even though persist+count
+    materialized execution (the old PLANS.md row printed 689
+    composed shuffles); with per-level checkpoints every level plans
+    against a flat LogicalRDD and the registered plan is a single
+    aggregate over it; (3) frontier/visited join sides are
+    shuffle_hash-pinned: they are node-scale but corpus-derived, and
+    AQE's size estimate must never elect to broadcast a node-scale
+    relation at 100 TB. Checkpoint storage is scoped per invocation
+    (ADVICE r10): each superseded visited generation and the edge
+    cache are released as soon as the next level materializes /
+    before returning — only the FINAL visited (which the returned
+    census plan reads) survives the call, replaced on the next one.
+    Output is ≤{BFS_MAX_HOPS + 1} census rows of exact integers."""
+    global _bfs_final
+    for df in _bfs_final:
+        _release_local_checkpoint(df)
+    _bfs_final = []
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = (
@@ -532,46 +561,56 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    _bfs_cached.append(edges)
     seed = li.agg(F.min("l_suppkey").alias("k")).select(
         (F.col("k") * 2 + 1).alias("node"), F.lit(0).alias("hop")
     )
-    visited = seed.persist()
-    visited.count()
-    _bfs_cached.append(visited)
+    visited = seed.localCheckpoint(eager=True)
+    n_visited = visited.count()
     frontier = visited
-    for hop in range(1, BFS_MAX_HOPS + 1):
-        # bipartite: an odd (supplier) frontier expands over s-matches,
-        # an even (part) frontier over p-matches — one join each level
-        f_s = frontier.where(F.col("node") % 2 == 1).select(
-            F.expr("node div 2").alias("s")
-        )
-        f_p = frontier.where(F.col("node") % 2 == 0).select(
-            F.expr("node div 2").alias("p")
-        )
-        nxt = (
-            edges.join(f_s.hint("shuffle_hash"), "s")
-            .select((F.col("p") * 2).alias("node"))
-            .unionByName(
-                edges.join(f_p.hint("shuffle_hash"), "p").select(
-                    (F.col("s") * 2 + 1).alias("node")
+    try:
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            # bipartite: an odd (supplier) frontier expands over
+            # s-matches, an even (part) frontier over p-matches — one
+            # join each level
+            f_s = frontier.where(F.col("node") % 2 == 1).select(
+                F.expr("node div 2").alias("s")
+            )
+            f_p = frontier.where(F.col("node") % 2 == 0).select(
+                F.expr("node div 2").alias("p")
+            )
+            nxt = (
+                edges.join(f_s.hint("shuffle_hash"), "s")
+                .select((F.col("p") * 2).alias("node"))
+                .unionByName(
+                    edges.join(f_p.hint("shuffle_hash"), "p").select(
+                        (F.col("s") * 2 + 1).alias("node")
+                    )
                 )
+                .distinct()
+                .join(
+                    visited.select("node").hint("shuffle_hash"),
+                    "node",
+                    "left_anti",
+                )
+                .select("node", F.lit(hop).alias("hop"))
             )
-            .distinct()
-            .join(
-                visited.select("node").hint("shuffle_hash"),
-                "node",
-                "left_anti",
+            new_visited = visited.unionByName(nxt).localCheckpoint(
+                eager=True
             )
-            .select("node", F.lit(hop).alias("hop"))
-        )
-        new_visited = visited.unionByName(nxt).persist()
-        if new_visited.count() == visited.count():
-            new_visited.unpersist(False)
-            break  # frontier exhausted — the graph is fully reached
-        _bfs_cached.append(new_visited)
-        visited = new_visited
-        frontier = new_visited.where(F.col("hop") == hop)
+            n_new = new_visited.count()
+            if n_new == n_visited:
+                _release_local_checkpoint(new_visited)
+                break  # frontier exhausted — the graph is fully reached
+            # the superseded generation is referenced by no live plan
+            # (new_visited is already materialized and flat): free it
+            # NOW, not at the next invocation
+            _release_local_checkpoint(visited)
+            visited = new_visited
+            n_visited = n_new
+            frontier = new_visited.where(F.col("hop") == hop)
+    finally:
+        edges.unpersist(False)
+    _bfs_final = [visited]
     return (
         visited.groupBy("hop")
         .agg(

@@ -14,6 +14,8 @@ a float division.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.registry import query
@@ -38,6 +40,42 @@ TRIM_PCT = 5
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _gram_explode_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for the pre-explosion doc repartition of the
+    excise pair — sized from INPUT GEOMETRY, not a fixed multiplier
+    (VERDICT r10 task 3). The r10 fix repartitioned docs to a flat
+    8×defaultParallelism before every gram explosion because parquet
+    splits size tasks by FILE bytes, blind to the ~n_chars× explode
+    amplification; but a fixed multiplier overshoots small inputs
+    (sf0.1 got 256 partitions for ~140 MB of gram rows — ~220 near-empty
+    tasks through every downstream doc-partitioned window stage, the
+    r10 bench regression) and undershoots at cluster scale. Instead the
+    gram-row volume is estimated from the documents parquet byte size
+    (text compresses ~10×; a gram row is ~24 B of (doc_id, i, hash) in
+    the exchange) and divided into ~128 MB tasks, floored at
+    defaultParallelism so every core works at any input size and capped
+    at 64×defaultParallelism so a mis-estimate can never schedule an
+    absurd task count. At the 100× replica (58 MB parquet, 4-core
+    vanilla session) this yields ~105 partitions — MORE headroom per
+    1 GiB heap than r10's 8×4=32 — while sf0.1 drops to exactly
+    defaultParallelism."""
+    dp = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return 8 * dp  # remote/unstattable input: the r10 flat rule
+    est_gram_bytes = size * 10 * 24
+    return max(dp, min(64 * dp, est_gram_bytes // (128 << 20) + 1))
 
 
 def _char_gram_hashes(d: DataFrame, k: int) -> DataFrame:
@@ -779,7 +817,9 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
     sort/aggregate spill-merges (140M × 56B gram rows; each spill
     file's reader buffers ~1 MB of heap); the long-gram gate carries
     the same rows at 24 B. Docs are also REPARTITIONED by doc_id
-    before every gram explosion (8× defaultParallelism): parquet
+    before every gram explosion, sized from input geometry
+    (:func:`_gram_explode_partitions` — ~128 MB of estimated gram
+    rows per task, floored at defaultParallelism): parquet
     splits size input tasks by FILE bytes, blind to the ~n_chars×
     explode amplification, so 500k docs arrived as ~4 tasks — the
     repartition also shuffles megabytes of documents instead of
@@ -788,7 +828,7 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
     avoided the explode entirely but paid ~10× in interpreted HOF
     time; the long-explode form keeps whole-stage codegen)."""
     d = _docs(spark, sf_dir).repartition(
-        8 * spark.sparkContext.defaultParallelism, "doc_id"
+        _gram_explode_partitions(spark, sf_dir), "doc_id"
     )
     starts = F.sequence(F.lit(1), F.length("text") - SUB_K + 1)
     kg = (

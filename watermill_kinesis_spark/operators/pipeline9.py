@@ -706,10 +706,12 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c AS BIGINT) AS h2_only,
            CAST(neither AS BIGINT) AS neither,
            CAST(CASE WHEN b + c = 0 THEN 0
-                     ELSE (b - c) * (b - c) * 1000000 // (b + c) END
+                     ELSE CAST(b - c AS HUGEINT) * (b - c) * 1000000
+                          // (b + c) END
                 AS BIGINT) AS mcnemar_x2_micro,
            CAST(CASE WHEN b + c = 0 OR abs(b - c) < 1 THEN 0
-                     ELSE (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000
+                     ELSE CAST(abs(b - c) - 1 AS HUGEINT)
+                          * (abs(b - c) - 1) * 1000000
                           // (b + c) END AS BIGINT)
                AS mcnemar_x2_corrected_micro
     FROM cells
@@ -725,8 +727,13 @@ def mcnemar_paired_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b−c)²/(b+c) and its Edwards continuity correction
     (|b−c|−1)²/(b+c) are pure integer arithmetic in micro units —
     squared numerators are non-negative by construction, so the
-    truncating division is divergence-safe — and the full 2×2 cell
-    census is emitted alongside so the statistic is auditable.
+    truncating division is divergence-safe, and the squared
+    intermediate rides DECIMAL(38,0) ↔ HUGEINT (module rule 2: at
+    |b−c| ≳ 3.04e6 discordant customers, (b−c)²·10⁶ would wrap a
+    plain BIGINT silently in non-ANSI Spark while DuckDB errors — a
+    cross-engine divergence, unreachable at certified scales but now
+    impossible by construction) — and the full 2×2 cell census is
+    emitted alongside so the statistic is auditable.
 
     Plan: per-order return flags from one map-side-combinable
     lineitem aggregate; orders LEFT-join that relation on the
@@ -773,10 +780,12 @@ def mcnemar_paired_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(c AS BIGINT) AS h2_only",
         "CAST(neither AS BIGINT) AS neither",
         "CAST(CASE WHEN b + c = 0 THEN 0"
-        "          ELSE (b - c) * (b - c) * 1000000 div (b + c) END"
+        "          ELSE CAST(b - c AS DECIMAL(38,0)) * (b - c) * 1000000"
+        "               div (b + c) END"
         "     AS BIGINT) AS mcnemar_x2_micro",
         "CAST(CASE WHEN b + c = 0 OR abs(b - c) < 1 THEN 0"
-        "          ELSE (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000"
+        "          ELSE CAST(abs(b - c) - 1 AS DECIMAL(38,0))"
+        "               * (abs(b - c) - 1) * 1000000"
         "               div (b + c) END AS BIGINT)"
         " AS mcnemar_x2_corrected_micro",
     )

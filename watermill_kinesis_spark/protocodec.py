@@ -127,6 +127,118 @@ def decode_envelope(data: bytes) -> tuple[str, dict[str, str], bytes]:
 
 
 # ---------------------------------------------------------------------------
+# JVM-side encoder: the proto3 wire format of the Envelope message
+# expressed entirely in built-in SQL functions — tag/len/varint
+# arithmetic over octet lengths, binary concat, key-sorted map walk.
+# The oracle-backed `envelope_proto_roundtrip` audit already proved
+# this arithmetic SQL-expressible (it recomputes total wire size from
+# the spec alone); this is the same construction emitting the BYTES,
+# so the forced-marshal hot path never leaves the JVM (VERDICT r10
+# task 5: the pandas-UDF encoder on the vendored pure-python runtime
+# measured ~9× slower than the JSON codec's `to_json` path).
+# Deterministic-serialization parity: python's deterministic map walk
+# sorts string keys by code point; `array_sort` on Spark strings
+# compares UTF8String bytes, and UTF-8 byte order equals code-point
+# order, so both emit entries in the same order — pinned byte-for-byte
+# against `encode_envelope` in tests/test_codec_golden.py.
+
+
+def _varint_hex(n):
+    """Hex string of the proto varint encoding of a non-negative int
+    column. Four bytes cover lengths < 2^28 (268 MB) — far above any
+    record this codec can meet (the Kinesis record ceiling is 1 MB;
+    the JSON codec enforces it upstream)."""
+    from pyspark.sql import functions as F
+
+    def byte(x):
+        return F.lpad(F.hex(x), 2, "0")
+
+    def cont(x):  # continuation byte: low 7 bits | 0x80
+        return byte(x.bitwiseAND(F.lit(0x7F)).bitwiseOR(F.lit(0x80)))
+
+    return (
+        F.when(n < (1 << 7), byte(n))
+        .when(n < (1 << 14), F.concat(cont(n), byte(F.shiftright(n, 7))))
+        .when(
+            n < (1 << 21),
+            F.concat(
+                cont(n), cont(F.shiftright(n, 7)), byte(F.shiftright(n, 14))
+            ),
+        )
+        .otherwise(
+            F.concat(
+                cont(n),
+                cont(F.shiftright(n, 7)),
+                cont(F.shiftright(n, 14)),
+                byte(F.shiftright(n, 21)),
+            )
+        )
+    )
+
+
+def _ld_field(tag_hex: str, data):
+    """Length-delimited field bytes: tag + varint(len) + payload —
+    OMITTED entirely at length 0 (proto3 default elision for scalar
+    string/bytes fields)."""
+    from pyspark.sql import functions as F
+
+    n = F.octet_length(data)
+    return F.when(n == 0, F.lit(b"")).otherwise(
+        F.concat(F.unhex(F.concat(F.lit(tag_hex), _varint_hex(n))), data)
+    )
+
+
+def encode_envelope_col(uuid_col, metadata_col, payload_col):
+    """Column expression producing the SAME deterministic wire bytes
+    as :func:`encode_envelope`, built from JVM built-ins only (no
+    Python worker in the plan). NULL coercions mirror the pandas
+    encoder exactly: NULL uuid → "", NULL metadata → {}, NULL map
+    value → "", NULL payload → b"". Map entries are emitted in
+    key-sorted order; an entry whose key AND value are both empty
+    still emits (a map entry is a repeated message field — presence
+    is the entry itself), and — unlike top-level scalar fields — its
+    inner key/value fields are ALWAYS written even at their default:
+    the runtime's MessageMap serialization writes both
+    unconditionally (the parity suite caught the elided spelling
+    diverging on empty values)."""
+    from pyspark.sql import functions as F
+
+    uuid_b = F.encode(F.coalesce(uuid_col, F.lit("")), "UTF-8")
+    md = F.coalesce(metadata_col, F.create_map().cast("map<string,string>"))
+
+    def always_field(tag_hex, data):
+        return F.concat(
+            F.unhex(
+                F.concat(F.lit(tag_hex), _varint_hex(F.octet_length(data)))
+            ),
+            data,
+        )
+
+    def entry(k):
+        inner = F.concat(
+            always_field("0A", F.encode(k, "UTF-8")),
+            always_field(
+                "12",
+                F.encode(F.coalesce(F.element_at(md, k), F.lit("")), "UTF-8"),
+            ),
+        )
+        return F.concat(
+            F.unhex(F.concat(F.lit("12"), _varint_hex(F.octet_length(inner)))),
+            inner,
+        )
+
+    entries = F.aggregate(
+        F.transform(F.array_sort(F.map_keys(md)), entry),
+        F.lit(b""),
+        lambda acc, e: F.concat(acc, e),
+    )
+    payload_b = F.coalesce(payload_col, F.lit(b""))
+    return F.concat(
+        _ld_field("0A", uuid_b), entries, _ld_field("1A", payload_b)
+    )
+
+
+# ---------------------------------------------------------------------------
 # DataFrame-shaped marshaller pair — plug-compatible with the builder
 # API (api.Marshaller / api.Unmarshaller), so a user can swap the JSON
 # wire format for protobuf end-to-end:
@@ -200,28 +312,44 @@ def marshal_proto(
     uuid_col: str = "uuid",
     payload_col: str = "payload",
     metadata_col: str = "metadata",
+    engine: str = "sql",
 ):
     """Messages → wire entries ``(data binary, partition_key)`` — the
     protobuf counterpart of ``codec.marshal``. Proto3 cannot represent
     a NULL payload distinctly from empty bytes (default elision), so
     NULL marshals as empty — callers needing the distinction keep the
-    JSON or length-prefixed binary codec. Ships the vendored protobuf
-    runtime to workers first (a bare path append on the worker resolves
-    ``google`` as an empty namespace package)."""
+    JSON or length-prefixed binary codec.
+
+    ``engine="sql"`` (default) emits the wire bytes with the JVM
+    expression :func:`encode_envelope_col` — no Python worker in the
+    plan, no protobuf runtime needed anywhere, ~the JSON codec's
+    throughput class (VERDICT r10 task 5 closed this way; the two
+    encoders are byte-equality-pinned in tests/test_codec_golden.py).
+    ``engine="pandas"`` keeps the runtime-backed Arrow-batch encoder —
+    the parity reference, and the path a user extending the message
+    schema beyond the fixed Envelope would generalize. That path
+    ships the vendored protobuf runtime to workers first (a bare path
+    append on the worker resolves ``google`` as an empty namespace
+    package)."""
     from pyspark.sql import functions as F
 
     from watermill_kinesis_spark.schema import META_PARTITION_KEY
-    from watermill_kinesis_spark.streaming.pbcompat import (
-        ensure_protobuf_on_workers,
-    )
 
-    if not ensure_protobuf_on_workers(df.sparkSession):  # pragma: no cover
-        raise ImportError("no protobuf runtime available for workers")
-    enc, _ = _udfs()
+    if engine == "sql":
+        data = encode_envelope_col(
+            F.col(uuid_col), F.col(metadata_col), F.col(payload_col)
+        )
+    else:
+        from watermill_kinesis_spark.streaming.pbcompat import (
+            ensure_protobuf_on_workers,
+        )
+
+        if not ensure_protobuf_on_workers(df.sparkSession):  # pragma: no cover
+            raise ImportError("no protobuf runtime available for workers")
+        enc, _ = _udfs()
+        data = enc(F.col(uuid_col), F.col(payload_col), F.col(metadata_col))
     return df.select(
-        enc(F.col(uuid_col), F.col(payload_col), F.col(metadata_col)).alias(
-            "data"
-        ),
+        data.alias("data"),
         F.col(metadata_col).getItem(META_PARTITION_KEY).alias("partition_key"),
     )
 

@@ -85,71 +85,24 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 10): STALENESS ordering, recomputed from
-    # CORRECTNESS_r01-r09 (VERDICT r9 task 1; histogram over the 321
-    # oracle-backed entries: 30 last green r3, 49 r4, 45 r5, 47 r6,
-    # 50 r7, 50 r8, 50 r9 — recomputed, not taken from the verdict).
-    # The driver's budget-capped gate samples a ~50-entry PREFIX of
-    # this list, so the prefix is the REGRESSION WINDOW: new round-10
-    # additions first (never driver-sampled), then every oracle-backed
-    # entry ordered by the round it last went driver-green ascending —
-    # the r10 prefix re-verifies the 30-strong r3 cohort plus the
-    # oldest r4 entries. Entries keep their previous relative order
-    # within the same last-green round. Rows-only entries follow at
-    # the back in their prior order — sampling one records only a
-    # rows-only line (no value-regression signal); their invariants
-    # are pytest-enforced. Recompute each round from
-    # CORRECTNESS_r*.json.
-    "sax_symbolic_daily",
-    "kaplan_meier_hazard",
-    "delta_of_delta_encoding_census",
-    "graph_bfs_hops",
-    "map_at_k_exact",
-    "mcc_threshold_sweep",
-    "negative_sampling_power75",
-    "feature_hashing_counts",
-    "acf_daily_lags",
-    "lincoln_petersen_distinct",
-    "hilbert_curve_layout",
-    "kmv_distinct_audit",
-    "theta_sketch_pair_audit",
-    "binary_quant_hamming_topk",
-    "cochran_armitage_trend",
-    "mcnemar_paired_returns",
-    "ndcg_at_k",
-    "kruskal_wallis_lengths",
-    "levene_brown_forsythe",
-    "ansari_bradley_dispersion",
-    "sql_named_window",
-    "dow_uniformity_audit",
-    "cramer_von_mises_lengths",
-    "mood_median_test_langs",
-    "referential_integrity_audit",
-    "ingest_dedup_delta",
-    "yule_sichel_richness",
-    "token_burstiness_topk",
-    "unigram_tvd_sources",
-    "mann_whitney_u_lengths",
-    "dedup_token_savings",
-    "user_cadence_regularity",
-    "brier_decomposition_exact",
-    "mode_agg",
-    "agg_bitwise_bool",
-    "grouping_sets_agg",
-    "profile_columns",
-    "histogram_fixed_width",
-    "crosstab_expected",
-    "corr_matrix_exact",
-    "observe_metrics_audit",
-    "heavy_hitters",
-    "quantile_sketch_mergeable",
-    "q11_important_stock",
-    "q16_supplier_cnt",
-    "q17_small_quantity_avg",
-    "q20_nested_in",
-    "q21_late_sole_supplier",
-    "join_full_outer",
-    "bucketed_join_colocated",
+    # ---- Rotation (round 11): STALENESS ordering, recomputed from
+    # CORRECTNESS_r01-r10 (VERDICT r10 task 6; last-green histogram
+    # over the 354 oracle-backed entries: 13 last green r3, 49 r4,
+    # 45 r5, 47 r6, 50 r7, 50 r8, 50 r9, 50 r10 — recomputed from
+    # the files, not taken from the verdict). The driver's
+    # budget-capped gate samples a ~50-entry PREFIX of this list,
+    # so the prefix is the REGRESSION WINDOW: every oracle-backed
+    # entry ordered by the round it last went driver-green
+    # ascending — the r11 prefix re-verifies the full 13-strong r3
+    # cohort plus the oldest r4 entries (the r10 prefix retired the
+    # whole r10-addition cohort to last-green=10). Entries keep
+    # their previous relative order within the same last-green
+    # round. Rows-only entries follow at the back in their prior
+    # order — sampling one records only a rows-only line (no
+    # value-regression signal); their invariants are
+    # pytest-enforced. Recompute each round from CORRECTNESS_r*.json
+    # (tools note: the recompute script lives inline in the round
+    # log; inputs are the per-entry err/rows/schema/hash fields).
     "join_asof_tolerance",
     "join_asof_forward",
     "window_count_distinct",
@@ -454,6 +407,56 @@ _PRIORITY: tuple[str, ...] = (
     "event_lateness_profile",
     "agg_skew_kurt",
     "agg_argmax",
+    "sax_symbolic_daily",
+    "kaplan_meier_hazard",
+    "delta_of_delta_encoding_census",
+    "graph_bfs_hops",
+    "map_at_k_exact",
+    "mcc_threshold_sweep",
+    "negative_sampling_power75",
+    "feature_hashing_counts",
+    "acf_daily_lags",
+    "lincoln_petersen_distinct",
+    "hilbert_curve_layout",
+    "kmv_distinct_audit",
+    "theta_sketch_pair_audit",
+    "binary_quant_hamming_topk",
+    "cochran_armitage_trend",
+    "mcnemar_paired_returns",
+    "ndcg_at_k",
+    "kruskal_wallis_lengths",
+    "levene_brown_forsythe",
+    "ansari_bradley_dispersion",
+    "sql_named_window",
+    "dow_uniformity_audit",
+    "cramer_von_mises_lengths",
+    "mood_median_test_langs",
+    "referential_integrity_audit",
+    "ingest_dedup_delta",
+    "yule_sichel_richness",
+    "token_burstiness_topk",
+    "unigram_tvd_sources",
+    "mann_whitney_u_lengths",
+    "dedup_token_savings",
+    "user_cadence_regularity",
+    "brier_decomposition_exact",
+    "mode_agg",
+    "agg_bitwise_bool",
+    "grouping_sets_agg",
+    "profile_columns",
+    "histogram_fixed_width",
+    "crosstab_expected",
+    "corr_matrix_exact",
+    "observe_metrics_audit",
+    "heavy_hitters",
+    "quantile_sketch_mergeable",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q17_small_quantity_avg",
+    "q20_nested_in",
+    "q21_late_sole_supplier",
+    "join_full_outer",
+    "bucketed_join_colocated",
     "compression_ratio_filter",
     "stream_left_outer_join",
     "statestore_reader_audit",
