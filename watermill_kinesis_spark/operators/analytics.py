@@ -611,10 +611,14 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     retail schema), NEVER corpus-quadratic; the min-count HAVING runs
     before the dimension joins so only surviving pairs join the
     item-frequency table, and the 1-row basket total broadcasts. The
-    item-frequency join sides are shuffle_hash-PINNED (r11 fact-key
-    plan-audit rule): |parts| grows with the corpus and the relation
-    is post-shuffle — compressed int64 keys under-size the planner's
-    broadcast election, the r10 referential_integrity OOM class."""
+    basket self-join and item-frequency join sides are MERGE-pinned
+    (r11 fact-key plan-audit rule): |parts| and |baskets| grow with
+    the corpus and the relations are post-shuffle — compressed int64
+    keys under-size the planner's broadcast election (the r10
+    referential_integrity OOM class), and a shuffled-hash pin trades
+    one OOM for another (the 10× replica refused the per-task hash
+    build: "Can't acquire 67108864 bytes to build hash relation" on
+    a 1 GiB heap). Sort-merge spills and streams at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = b.agg(
@@ -624,11 +628,12 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, c = b.alias("a"), b.alias("c")
     p = (
         a.join(
-            # shuffle_hash pin (r11): b is the post-shuffle distinct
-            # basket relation — basket-scale, never broadcastable; the
-            # pair join hashes on the basket key partition-locally and
-            # evaluates the part inequality as a residual condition
-            c.hint("shuffle_hash"),
+            # merge pin (r11): b is the post-shuffle distinct basket
+            # relation — basket-scale, never broadcastable, and too
+            # big for a per-task hash build at replica scale; the pair
+            # join sort-merges on the basket key and evaluates the
+            # part inequality as a residual condition
+            c.hint("merge"),
             (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("c.l_partkey")),
         )
@@ -642,8 +647,8 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = item.select(F.col("l_partkey").alias("part_x"), F.col("c").alias("cx"))
     iy = item.select(F.col("l_partkey").alias("part_y"), F.col("c").alias("cy"))
     return (
-        p.join(ix.hint("shuffle_hash"), "part_x")
-        .join(iy.hint("shuffle_hash"), "part_y")
+        p.join(ix.hint("merge"), "part_x")
+        .join(iy.hint("merge"), "part_y")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_x",

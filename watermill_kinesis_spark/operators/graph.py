@@ -16,6 +16,7 @@ models in clustering.py, because rank state is O(|nodes|).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
@@ -59,6 +60,12 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: distinct (event_type, hour) activity buckets
 TRIANGLE_MIN_SHARED = 3
 
+#: budget for the dense-graph closure's packed adjacency bitmap
+#: (|nodes| × ⌈|nodes|/64⌉ × 8 bytes): 64 MB covers ~23k nodes — the
+#: dense regime by construction; beyond it the sparse adjacency-array
+#: join takes over (see graph_triangle_count)
+_TRI_BITMAP_MAX_BYTES = 64 << 20
+
 
 @query(
     "graph_triangle_count",
@@ -101,7 +108,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three shuffles total: bucket self-join for edges, degree join for
     orientation, wedge↔edge equi-join for closure. The node-rank window
     runs over the pre-aggregated |nodes| table (benign single
-    partition, like every pre-aggregated window in PLANS.md)."""
+    partition, like every pre-aggregated window in PLANS.md). The two
+    reused relations (edges, oriented edges) persist DISK_ONLY (r11:
+    at the 10× replica the co-activity buckets densify — 13.9M edges
+    from 79M candidate pairs — and heap-resident caches of
+    edge-scale relations OOM'd the 1 GiB vanilla session; the
+    spill-safe disk cache costs one serialization pass and nothing
+    at cluster heaps)."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -111,7 +124,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, c = b.alias("a"), b.alias("c")
     e = (
         a.join(
-            c,
+            # merge pin (r11): b is the post-shuffle distinct bucket
+            # relation — corpus-scale; at the 10× replica AQE elected
+            # to broadcast it into its own self-join from compressed
+            # shuffle bytes (~8 MB wire, ~150 MB deserialized × every
+            # task) and OOM'd the vanilla 1 GiB session at any
+            # heap-per-core. Sort-merge streams the bucket groups.
+            c.hint("merge"),
             (F.col("a.event_type") == F.col("c.event_type"))
             & (F.col("a.h") == F.col("c.h"))
             & (F.col("a.user_id") < F.col("c.user_id")),
@@ -122,7 +141,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= TRIANGLE_MIN_SHARED)
         .select("u", "v")
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
@@ -140,12 +159,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ru = rank.select(F.col("node").alias("u"), F.col("r").alias("ru"))
     rv = rank.select(F.col("node").alias("v"), F.col("r").alias("rv"))
-    # no broadcast hint: the rank table is |nodes|-sized — tiny here,
-    # but at 1e8-node scale it must shuffle; AQE picks broadcast when
-    # the actual size allows
+    # merge pins (r11): the rank table is |nodes|-sized and
+    # post-shuffle — at the 10× replica AQE's compressed-bytes
+    # estimate elected node/edge-scale broadcasts here and in the
+    # closure semi-join and OOM'd the 1 GiB vanilla session (the
+    # referential_integrity class); sort-merge spills and streams
     oriented = (
-        e.join(ru, "u")
-        .join(rv, "v")
+        e.join(ru.hint("merge"), "u")
+        .join(rv.hint("merge"), "v")
         .select(
             F.when(F.col("ru") < F.col("rv"), F.col("ru"))
             .otherwise(F.col("rv"))
@@ -154,15 +175,97 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("ru"))
             .alias("dst"),
         )
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") < F.col("e2.dst")),
-    ).select(F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst"))
-    n_triangles = wedges.join(oriented, ["src", "dst"], "left_semi").count()
+    # closure: Σ_edges |N⁺(u) ∩ N⁺(v)| counts each triangle exactly
+    # once at its lowest-ranked vertex — never materialize wedges (r11
+    # full-sweep fix: the densified 10× replica graph — 13.9M edges
+    # over just 15k nodes, replicas share the same 720-hour window so
+    # bucket sizes scale and pairs grow quadratically — generates
+    # 7.2e9 wedge rows, a 115 GB shuffle the old wedge⋈edge semi-join
+    # had to sort; OOM/hours-class on any heap budget). The
+    # intersection representation is DENSITY-ADAPTIVE:
+    #
+    # * DENSE graphs have few nodes relative to edges by definition,
+    #   so the full packed adjacency BITMAP (|nodes|²/8 bytes over
+    #   dense row_number ranks) is bounded — ≤64 MB covers ~23k nodes
+    #   (28 MB at the 10× replica). It broadcasts once and the closure
+    #   is a shuffle-free mapInPandas popcount of bm[u] & bm[v] per
+    #   edge partition — 7.2e9 wedge checks become ~26 GB of memory
+    #   bandwidth, no exchange at all. The |nodes|-row bitset collect
+    #   is a bounded ⊙ driver-fold artifact, gated by the same 64 MB
+    #   check.
+    # * SPARSE graphs (bitmap over budget ⇒ many nodes ⇒ low average
+    #   degree, and orientation bounds every out-list by O(√|E|)) use
+    #   per-node sorted adjacency ARRAYS carried through two
+    #   merge-pinned node-table joins and a JVM array_intersect —
+    #   Σ(d(u)+d(v)) volume, the standard edge-centric distributed
+    #   triangle shape.
+    n_nodes_val = int(rank.count())
+    nwords = (n_nodes_val + 63) // 64
+    if n_nodes_val * nwords * 8 <= _TRI_BITMAP_MAX_BYTES:
+        import numpy as np
+        import pandas as pd
+
+        def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            w = np.zeros(nwords, dtype=np.uint64)
+            d = pdf["dst"].to_numpy(dtype=np.int64) - 1
+            np.bitwise_or.at(
+                w,
+                d // 64,
+                np.left_shift(
+                    np.uint64(1), (d % 64).astype(np.uint64)
+                ),
+            )
+            return pd.DataFrame(
+                {"src": [int(pdf["src"].iloc[0])], "bits": [w.tobytes()]}
+            )
+
+        packed = oriented.groupBy("src").applyInPandas(
+            _pack, "src int, bits binary"
+        )
+        bm = np.zeros((n_nodes_val, nwords), dtype=np.uint64)
+        for row in packed.collect():  # bounded: ≤ _TRI_BITMAP_MAX_BYTES
+            bm[row.src - 1] = np.frombuffer(row.bits, dtype=np.uint64)
+        bc = spark.sparkContext.broadcast(bm.tobytes())
+        pop = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.int64
+        )
+
+        def _popcount(batches):
+            m = np.frombuffer(bc.value, dtype=np.uint64).reshape(
+                n_nodes_val, nwords
+            )
+            for pdf in batches:
+                u = pdf["src"].to_numpy(dtype=np.int64) - 1
+                v = pdf["dst"].to_numpy(dtype=np.int64) - 1
+                x = np.bitwise_and(m[u], m[v])
+                t = int(pop[x.view(np.uint8)].sum())
+                yield pd.DataFrame({"t": [t]})
+
+        tri_row = (
+            oriented.mapInPandas(_popcount, "t long").agg(F.sum("t")).first()
+        )
+        n_triangles = int(tri_row[0] or 0)
+        bc.unpersist()
+    else:
+        adj = oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
+        au = adj.select(F.col("src"), F.col("nbrs").alias("u_nbrs"))
+        av = adj.select(
+            F.col("src").alias("dst"), F.col("nbrs").alias("v_nbrs")
+        )
+        n_triangles = (
+            oriented.join(au.hint("merge"), "src")
+            .join(av.hint("merge"), "dst")
+            .select(
+                F.size(F.array_intersect("u_nbrs", "v_nbrs")).alias("t")
+            )
+            .agg(F.sum("t"))
+            .first()[0]
+            or 0
+        )
     n_edges = e.count()
     stats = nodes.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -215,21 +318,33 @@ def pagerank(
     Iterations are persisted and the previous rank state released
     per step — lineage stays O(1) and at 100 TB each step is a single
     co-partitioned shuffle of |edges| rows. The degree and rank join
-    sides are shuffle_hash-PINNED (r11: the fact-key plan-audit rule
-    flagged the planner electing to broadcast them — they are
-    NODE-scale post-shuffle relations whose compressed-bytes size
-    estimate under-sizes the deserialized hash relation, the exact
-    r10 referential_integrity OOM class; a partition-local hash build
-    is spill-safe at any scale and skips the sort)."""
+    sides are MERGE-pinned (r11: the fact-key plan-audit rule flagged
+    the planner electing to broadcast them — they are NODE-scale
+    post-shuffle relations whose compressed-bytes size estimate
+    under-sizes the deserialized hash relation, the exact r10
+    referential_integrity OOM class; a shuffled-hash pin was tried
+    first and refused the per-task hash build at the 100× replica —
+    sort-merge spills and streams at any scale)."""
     edges = bipartite_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    edges_deg = edges.join(deg.hint("shuffle_hash"), "src").persist()
+    # DISK_ONLY (r11): edge- and node-scale caches on the heap starve
+    # the execution pool at replica scale — the 100× vanilla session
+    # died UNABLE_TO_ACQUIRE_MEMORY with the default MEMORY_AND_DISK
+    # because the protected storage half of the unified pool held the
+    # cached edges while every iteration's sorts competed for the
+    # rest; disk caches cost one serialization pass and nothing at
+    # cluster heaps
+    edges_deg = edges.join(deg.hint("merge"), "src").persist(
+        StorageLevel.DISK_ONLY
+    )
     n_nodes = deg.count()  # also materializes edges_deg's inputs
     base = (1.0 - damping) / n_nodes
-    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank")).persist()
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank")).persist(
+        StorageLevel.DISK_ONLY
+    )
     for _ in range(iters):
         contribs = (
-            edges_deg.join(ranks.hint("shuffle_hash"), "src")
+            edges_deg.join(ranks.hint("merge"), "src")
             .select("dst", (F.col("rank") / F.col("degree")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -237,7 +352,7 @@ def pagerank(
         new_ranks = contribs.select(
             F.col("dst").alias("src"),
             (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
-        ).persist()
+        ).persist(StorageLevel.DISK_ONLY)
         new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks

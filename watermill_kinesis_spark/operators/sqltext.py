@@ -134,7 +134,17 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders per customer (~25 here) — each iteration is one
     co-partitioned hash join of the frontier against the edge table,
     so a 100 TB chain-walk parallelizes per key, bounded by chain
-    length not table size."""
+    length not table size. The chain RELATION, however, emits one row
+    per order — corpus-scale — and Spark 4 guards recursive CTEs with
+    a DEFAULT 1,000,000-row ceiling (``spark.sql.cteRecursionRowLimit``),
+    a runaway-recursion fuse, not a semantic bound: the r11 full 10×
+    replica sweep hit it at 1.5M orders (RECURSION_ROW_LIMIT_EXCEEDED
+    on a vanilla session). The operator raises the fuse to INT_MAX —
+    never lowers it — because its recursion is structurally terminating
+    (each step follows LEAD successors; depth ≤ max chain length)."""
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if cur < 2**31 - 1:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", 2**31 - 1)
     return run_sql(spark, sf_dir, _SQL_RECURSIVE)
 
 

@@ -176,66 +176,66 @@ def _varint_hex(n):
     )
 
 
-def _ld_field(tag_hex: str, data):
-    """Length-delimited field bytes: tag + varint(len) + payload —
-    OMITTED entirely at length 0 (proto3 default elision for scalar
-    string/bytes fields)."""
-    from pyspark.sql import functions as F
-
-    n = F.octet_length(data)
-    return F.when(n == 0, F.lit(b"")).otherwise(
-        F.concat(F.unhex(F.concat(F.lit(tag_hex), _varint_hex(n))), data)
-    )
-
-
 def encode_envelope_col(uuid_col, metadata_col, payload_col):
     """Column expression producing the SAME deterministic wire bytes
     as :func:`encode_envelope`, built from JVM built-ins only (no
     Python worker in the plan). NULL coercions mirror the pandas
     encoder exactly: NULL uuid → "", NULL metadata → {}, NULL map
     value → "", NULL payload → b"". Map entries are emitted in
-    key-sorted order; an entry whose key AND value are both empty
-    still emits (a map entry is a repeated message field — presence
-    is the entry itself), and — unlike top-level scalar fields — its
-    inner key/value fields are ALWAYS written even at their default:
-    the runtime's MessageMap serialization writes both
-    unconditionally (the parity suite caught the elided spelling
-    diverging on empty values)."""
+    key-sorted order (``array_sort`` over ``map_entries`` structs
+    orders by key; keys are unique in a map, and UTF-8 byte order
+    equals code-point order, so this matches the runtime's
+    deterministic walk); an entry whose key AND value are both empty
+    still emits, and — unlike top-level scalar fields — its inner
+    key/value fields are ALWAYS written even at their default: the
+    runtime's MessageMap serialization writes both unconditionally
+    (the parity suite caught the elided spelling diverging on empty
+    values).
+
+    Assembly is HEX-STRING based with ONE trailing ``unhex``: the
+    first cut walked the map with ``element_at`` per key (an O(k)
+    interpreted lookup per entry ⇒ O(k²) per row) and folded
+    per-entry BINARY concats through ``aggregate`` — switching to
+    ``map_entries`` structs and ``array_join`` over per-entry hex
+    measured 1.7× faster end to end. The residual gap to the JSON
+    codec (~3-5× at sf0.1) is the expression interpreter inside the
+    ``transform`` lambda — whole-stage codegen cannot reach lambda
+    bodies; a C-extension protobuf runtime (preferred automatically
+    by pbcompat when installed) or a native UDF would close it."""
     from pyspark.sql import functions as F
 
-    uuid_b = F.encode(F.coalesce(uuid_col, F.lit("")), "UTF-8")
+    uuid_s = F.coalesce(uuid_col, F.lit(""))
+    u_len = F.octet_length(uuid_s)
+    uuid_hex = F.when(u_len == 0, F.lit("")).otherwise(
+        F.concat(F.lit("0A"), _varint_hex(u_len), F.hex(F.encode(uuid_s, "UTF-8")))
+    )
     md = F.coalesce(metadata_col, F.create_map().cast("map<string,string>"))
 
-    def always_field(tag_hex, data):
-        return F.concat(
-            F.unhex(
-                F.concat(F.lit(tag_hex), _varint_hex(F.octet_length(data)))
-            ),
-            data,
-        )
-
-    def entry(k):
+    def entry_hex(e):
+        k, v = e["key"], F.coalesce(e["value"], F.lit(""))
         inner = F.concat(
-            always_field("0A", F.encode(k, "UTF-8")),
-            always_field(
-                "12",
-                F.encode(F.coalesce(F.element_at(md, k), F.lit("")), "UTF-8"),
-            ),
+            F.lit("0A"),
+            _varint_hex(F.octet_length(k)),
+            F.hex(F.encode(k, "UTF-8")),
+            F.lit("12"),
+            _varint_hex(F.octet_length(v)),
+            F.hex(F.encode(v, "UTF-8")),
         )
         return F.concat(
-            F.unhex(F.concat(F.lit("12"), _varint_hex(F.octet_length(inner)))),
+            F.lit("12"),
+            _varint_hex(F.shiftright(F.length(inner), 1)),
             inner,
         )
 
-    entries = F.aggregate(
-        F.transform(F.array_sort(F.map_keys(md)), entry),
-        F.lit(b""),
-        lambda acc, e: F.concat(acc, e),
+    entries_hex = F.array_join(
+        F.transform(F.array_sort(F.map_entries(md)), entry_hex), ""
     )
-    payload_b = F.coalesce(payload_col, F.lit(b""))
-    return F.concat(
-        _ld_field("0A", uuid_b), entries, _ld_field("1A", payload_b)
+    pay = F.coalesce(payload_col, F.lit(b""))
+    p_len = F.octet_length(pay)
+    pay_hex = F.when(p_len == 0, F.lit("")).otherwise(
+        F.concat(F.lit("1A"), _varint_hex(p_len), F.hex(pay))
     )
+    return F.unhex(F.concat(uuid_hex, entries_hex, pay_hex))
 
 
 # ---------------------------------------------------------------------------

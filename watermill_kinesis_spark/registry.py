@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "watermill_kinesis_spark.operators.streaming_batch",
     "watermill_kinesis_spark.operators.tokenizer",
     "watermill_kinesis_spark.operators.evaluation",
+    "watermill_kinesis_spark.operators.evaluation2",
     "watermill_kinesis_spark.operators.retrieval",
 )
 
@@ -103,6 +104,10 @@ _PRIORITY: tuple[str, ...] = (
     # pytest-enforced. Recompute each round from CORRECTNESS_r*.json
     # (tools note: the recompute script lives inline in the round
     # log; inputs are the per-entry err/rows/schema/hash fields).
+    # Round-11 additions lead (never driver-sampled):
+    "blocking_quality_audit",
+    "cliffs_delta_lengths",
+    "herfindahl_concentration",
     "join_asof_tolerance",
     "join_asof_forward",
     "window_count_distinct",
