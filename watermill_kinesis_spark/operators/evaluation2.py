@@ -323,3 +323,249 @@ def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "               div (k - 1) END AS BIGINT)"
         " AS hhi_normalized_micro",
     ).orderBy("axis")
+
+
+@query(
+    "goodman_kruskal_gamma",
+    oracle="""
+    WITH ranked AS (
+        SELECT CASE substr(o_orderpriority, 1, 1)
+                    WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
+                    WHEN '4' THEN 4 ELSE 5 END AS x,
+               CASE WHEN o_totalprice >= 500000 THEN 5
+                    ELSE CAST(FLOOR(o_totalprice / 100000) AS INT) END AS y
+        FROM orders),
+    cells AS (
+        SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS n
+        FROM ranked GROUP BY x, y),
+    pairs AS (
+        SELECT SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                        THEN a.n * b.n ELSE 0 END) AS conc,
+               SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                        THEN a.n * b.n ELSE 0 END) AS disc
+        FROM cells a CROSS JOIN cells b)
+    SELECT CAST(conc AS BIGINT) AS concordant_pairs,
+           CAST(disc AS BIGINT) AS discordant_pairs,
+           CAST(CASE WHEN conc + disc = 0 THEN 0
+                     ELSE (conc - disc) * 1000000 // (conc + disc) END
+                AS BIGINT) AS gamma_micro
+    FROM pairs
+    """,
+    tags=("evaluation", "statistics", "ordinal", "llm-pipeline"),
+)
+def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma between order PRIORITY (ordinal 1..5 by
+    its leading digit) and order VALUE BAND (fixed 100k price bands,
+    0..5 — the price domain is a property of the data model, not the
+    corpus size, so the banding is scale-independent): γ = (C − D)/
+    (C + D) over concordant/discordant pairs, ignoring ties — the
+    ordinal association measure that answers "do urgent orders cost
+    more?" where χ² (nominal) wastes the ordering and Pearson
+    (interval) over-reads rank codes as distances. Completes the
+    ordinal kit beside `kendall_tau_exact` (τ includes tie
+    corrections; γ is the tie-free ratio, the one reported for
+    cross-tabulated ordinal data). A first cut banded by global
+    ntile(5) — an exact row-quintile, but its window is a
+    SINGLE-PARTITION global sort over the raw corpus, precisely the
+    parallelism collapse plan_audit's BadSinglePart! column exists to
+    keep out; fixed value bands carry the same ordinal signal with
+    ZERO windows.
+
+    Exact pair counting from the bounded JOINT FREQUENCY TABLE (≤5×6
+    cells): C and D are Σ n(a)·n(b) over cell pairs with strictly
+    agreeing / disagreeing orderings — a bounded cross join at any
+    corpus size; no row-level pair is ever formed. ONE
+    map-side-combinable corpus aggregate total. Products ride
+    HUGEINT ↔ DECIMAL(38,0); γ is integer micro via the shared
+    division spelling."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.substring("o_orderpriority", 1, 1).cast("int").alias("x")
+    y = (
+        F.when(F.col("o_totalprice") >= 500000, 5)
+        .otherwise(F.expr("CAST(FLOOR(o_totalprice / 100000) AS INT)"))
+        .alias("y")
+    )
+    cells = (
+        o.select(x, y)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")),
+                F.col("a.n") * F.col("b.n"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")),
+                F.col("a.n") * F.col("b.n"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("disc"),
+    )
+    return pairs.selectExpr(
+        "CAST(conc AS BIGINT) AS concordant_pairs",
+        "CAST(disc AS BIGINT) AS discordant_pairs",
+        "CAST(CASE WHEN conc + disc = 0 THEN 0"
+        "          ELSE (conc - disc) * 1000000 div (conc + disc) END"
+        "     AS BIGINT) AS gamma_micro",
+    )
+
+
+@query(
+    "cramers_v_exact",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b,
+               CAST(COUNT(*) AS HUGEINT) AS o
+        FROM orders GROUP BY 1, 2),
+    m AS (
+        SELECT o,
+               CAST(SUM(o) OVER (PARTITION BY a) AS HUGEINT) AS r,
+               CAST(SUM(o) OVER (PARTITION BY b) AS HUGEINT) AS c,
+               CAST(SUM(o) OVER () AS HUGEINT) AS n
+        FROM cells),
+    agg AS (
+        SELECT MAX(n) AS n,
+               SUM((o * n - r * c) * (o * n - r * c) * 1000000
+                   // (n * r * c)) AS chi2_n_micro,
+               (SELECT COUNT(DISTINCT a) FROM cells) AS nr,
+               (SELECT COUNT(DISTINCT b) FROM cells) AS nc
+        FROM m)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(nr AS BIGINT) AS n_levels_a,
+           CAST(nc AS BIGINT) AS n_levels_b,
+           CAST(chi2_n_micro AS BIGINT) AS chi2_times_n_micro,
+           sqrt(CAST(chi2_n_micro AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(CASE WHEN nr < nc THEN nr - 1 ELSE nc - 1 END
+                          AS DOUBLE) * 1000000e0)) AS cramers_v
+    FROM agg
+    """,
+    tags=("evaluation", "statistics", "contingency", "llm-pipeline"),
+)
+def cramers_v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for order priority × order status — the [0, 1]
+    effect size that `chi2_statistic_exact` (per-cell contributions)
+    deliberately stops short of: V = √(χ²/(N·min(r−1, c−1))),
+    comparable across tables of any shape, the number a data-mixing
+    report quotes for "how strongly is label X entangled with
+    source Y". The χ² mass is carried as the exact integer
+    Σ(O·N − r·c)²·10⁶/(N·r·c) (= χ²·N·10⁶ — the chi2_statistic_exact
+    spelling summed), so everything up to the final √ is
+    HUGEINT ↔ DECIMAL(38,0) integer arithmetic, and the lone double
+    is one sqrt of one exact ratio written token-for-token
+    identically in both engines. One corpus aggregate to |A×B| cells;
+    windows and rollups run over the bounded cell table."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    r = F.sum("o").over(W.partitionBy("a")).cast("decimal(38,0)")
+    c = F.sum("o").over(W.partitionBy("b")).cast("decimal(38,0)")
+    n = F.sum("o").over(W.partitionBy()).cast("decimal(38,0)")
+    # integer χ²·N·10⁶: per-cell (O·N − r·c)²·10⁶ div (N·r·c), summed
+    contrib = cells.select(
+        F.expr(
+            "CAST(o AS DECIMAL(38,0)) AS o"
+        ),
+        r.alias("r"),
+        c.alias("c"),
+        n.alias("n"),
+    ).selectExpr(
+        "n",
+        "(o * n - r * c) * (o * n - r * c) * 1000000 div (n * r * c)"
+        " AS contrib_micro",
+    )
+    nr = cells.select("a").distinct().count()
+    nc = cells.select("b").distinct().count()
+    agg = contrib.agg(
+        F.max("n").alias("n"), F.sum("contrib_micro").alias("chi2_n_micro")
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"CAST({nr} AS BIGINT) AS n_levels_a",
+        f"CAST({nc} AS BIGINT) AS n_levels_b",
+        "CAST(chi2_n_micro AS BIGINT) AS chi2_times_n_micro",
+        "sqrt(CAST(chi2_n_micro AS DOUBLE)"
+        "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        f"        * CAST(CASE WHEN {nr} < {nc} THEN {nr} - 1"
+        f"               ELSE {nc} - 1 END AS DOUBLE) * 1000000e0))"
+        " AS cramers_v",
+    )
+
+
+@query(
+    "odds_ratio_returns",
+    oracle="""
+    WITH cells AS (
+        SELECT CASE WHEN month(l_shipdate) <= 6 THEN 1 ELSE 0 END AS h1,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+               CAST(COUNT(*) AS HUGEINT) AS n
+        FROM lineitem GROUP BY 1, 2),
+    t AS (
+        SELECT SUM(CASE WHEN h1 = 1 AND ret = 1 THEN n ELSE 0 END) AS a,
+               SUM(CASE WHEN h1 = 1 AND ret = 0 THEN n ELSE 0 END) AS b,
+               SUM(CASE WHEN h1 = 0 AND ret = 1 THEN n ELSE 0 END) AS c,
+               SUM(CASE WHEN h1 = 0 AND ret = 0 THEN n ELSE 0 END) AS d
+        FROM cells)
+    SELECT CAST(a AS BIGINT) AS h1_returned,
+           CAST(b AS BIGINT) AS h1_kept,
+           CAST(c AS BIGINT) AS h2_returned,
+           CAST(d AS BIGINT) AS h2_kept,
+           CAST(CASE WHEN b * c = 0 THEN -1
+                     ELSE a * d * 1000000 // (b * c) END AS BIGINT)
+               AS odds_ratio_micro,
+           CAST(CASE WHEN (a + b) * (c + d) = 0 THEN -1
+                     ELSE (a * (c + d) - c * (a + b)) * 1000000
+                          // ((a + b) * (c + d)) END AS BIGINT)
+               AS risk_diff_micro
+    FROM t
+    """,
+    tags=("evaluation", "statistics", "contingency", "llm-pipeline"),
+)
+def odds_ratio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact odds ratio (and risk difference) of line-item RETURN
+    between shipping halves of the year — the 2×2 effect size the χ²
+    family reports significance for but never magnitude: OR = ad/bc
+    answers "how much more likely is a return on an H1 shipment?",
+    the epidemiology-standard ratio that transfers directly to A/B
+    corpus questions (filter-pass odds by source, contamination odds
+    by shard). Both metrics are exact integer micro units — ad and bc
+    ride HUGEINT ↔ DECIMAL(38,0) (each ≤ N², wraps int64 past
+    N ≈ 3e9 rows/cell), division is the shared integer spelling, and
+    degenerate margins pin −1 (undefined, distinct from a true 0).
+    ONE map-side-combinable aggregate over the scan; the 2×2 fold is
+    scalar. Zero joins, zero windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h1 = F.when(F.month("l_shipdate") <= 6, 1).otherwise(0)
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    cells = li.select(h1.alias("h1"), ret.alias("ret")).agg(
+        F.sum(F.when((F.col("h1") == 1) & (F.col("ret") == 1), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.sum(F.when((F.col("h1") == 1) & (F.col("ret") == 0), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("b"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("ret") == 1), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("ret") == 0), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    return cells.selectExpr(
+        "CAST(a AS BIGINT) AS h1_returned",
+        "CAST(b AS BIGINT) AS h1_kept",
+        "CAST(c AS BIGINT) AS h2_returned",
+        "CAST(d AS BIGINT) AS h2_kept",
+        "CAST(CASE WHEN b * c = 0 THEN -1"
+        "          ELSE a * d * 1000000 div (b * c) END AS BIGINT)"
+        " AS odds_ratio_micro",
+        "CAST(CASE WHEN (a + b) * (c + d) = 0 THEN -1"
+        "          ELSE (a * (c + d) - c * (a + b)) * 1000000"
+        "               div ((a + b) * (c + d)) END AS BIGINT)"
+        " AS risk_diff_micro",
+    )

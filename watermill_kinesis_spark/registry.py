@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "blocking_quality_audit",
     "cliffs_delta_lengths",
     "herfindahl_concentration",
+    "goodman_kruskal_gamma",
+    "cramers_v_exact",
+    "odds_ratio_returns",
     "join_asof_tolerance",
     "join_asof_forward",
     "window_count_distinct",
