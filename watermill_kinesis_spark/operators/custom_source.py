@@ -138,9 +138,10 @@ def aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     talks to AWS runs under the oracle gate with no AWS. Per-type
     counts and distinct partition keys must survive bit-for-bit (no
     loss, no duplication); the only difference from production is the
-    client factory option. (The stub's single JSON state file rewrites
-    per put call — O(n²) bytes, test-harness cost only; the real
-    service appends.)"""
+    client factory option. (The stub appends each PutRecords batch as
+    one journal line and compacts on the log-structured doubling rule
+    — O(n) bytes across n puts, like the real service's appends — so
+    this entry runs in replica-scale sweeps directly.)"""
     from watermill_kinesis_spark.sources import kinesis_aws
 
     kinesis_aws.register(spark)

@@ -465,8 +465,9 @@ def chi2_statistic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 3) — the 'one further aggregation' ``crosstab_expected``'s
     docstring promises, kept integer-exact: each cell reports O, the
     independence expectation r·c/N as permille, and (O·N − r·c)²/
-    (N·r·c) — the χ² term times N, scaled to micro units — so the
-    statistic is Σ contrib / (N·10⁶) with no float anywhere. One
+    (N·r·c) — algebraically (O − E)²/E, the plain χ² term, scaled to
+    micro units — so the statistic is Σ contrib / 10⁶ with no float
+    anywhere. One
     corpus aggregate to |A×B| cells; marginal windows run over that
     tiny cell table. Squared intermediates (≤ N⁴) ride decimal(38,0)/
     HUGEINT, exact through N ≈ 3·10⁹ rows; beyond that, pre-scale

@@ -66,8 +66,9 @@ BLOCK_CHAR_BUCKET = 64
            CAST(CASE WHEN true_pairs = 0 THEN 1000000
                      ELSE co_blocked_pairs * 1000000 // true_pairs END
                 AS BIGINT) AS pairs_completeness_micro,
-           CAST(1000000 - candidate_pairs * 1000000
-                          // (n_docs * (n_docs - 1) // 2)
+           CAST(CASE WHEN n_docs < 2 THEN 1000000
+                     ELSE 1000000 - candidate_pairs * 1000000
+                                    // (n_docs * (n_docs - 1) // 2) END
                 AS BIGINT) AS reduction_ratio_micro
     FROM tot
     """,
@@ -90,10 +91,20 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     group table; every pair count is k·(k−1)/2 arithmetic over group
     sizes rolled up from it (per-block, per-hash, global) — no pair
     is ever materialized, so the plan is one corpus shuffle plus
-    group-table rollups at any scale. Pair sums ride HUGEINT ↔
-    DECIMAL(38,0) end to end (C(N,2) wraps int64 at N ≈ 6.1e9 docs);
-    only the final counts cast to BIGINT, exact until the corpus
-    itself holds > 9.2e18 pairs."""
+    group-table rollups at any scale. The group table persists
+    DISK_ONLY (heap-resident caches of corpus-scale relations starved
+    the unified pool at 100× — the r11 pagerank lesson) and is
+    RELEASED before return: the two rollups are each one row, so they
+    localCheckpoint(eager) — the scoped-cache-release convention
+    graph.py established in r11 — and the returned plan reads only
+    those bounded checkpoints. Degenerate corpora (< 2 docs) pin both
+    ratios at 10⁶ instead of dividing by zero (non-ANSI Spark would
+    NULL where DuckDB errors — a cross-engine divergence). Pair sums
+    ride HUGEINT ↔ DECIMAL(38,0) end to end (C(N,2) wraps int64 at
+    N ≈ 6.1e9 docs); only the final counts cast to BIGINT, exact
+    until the corpus itself holds > 9.2e18 pairs."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     g = (
         d.groupBy(
@@ -102,7 +113,7 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"length(text) div {BLOCK_CHAR_BUCKET}").alias("bucket"),
         )
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("k"))
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     pairs = lambda c: F.expr(f"{c} * ({c} - 1) div 2")  # noqa: E731
     per_block = g.groupBy("lang", "bucket").agg(
@@ -115,6 +126,11 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("co").alias("co_blocked_pairs"),
     )
     tot_hash = per_hash.agg(F.sum(pairs("m")).alias("true_pairs"))
+    # materialize the two 1-row rollups (second job reads g's disk
+    # cache), then release the corpus-scale cache before returning
+    tot_block = tot_block.localCheckpoint(eager=True)
+    tot_hash = tot_hash.localCheckpoint(eager=True)
+    g.unpersist()
     out = tot_block.crossJoin(F.broadcast(tot_hash)).selectExpr(
         "CAST(n_docs AS BIGINT) AS n_docs",
         "CAST(candidate_pairs AS BIGINT) AS candidate_pairs",
@@ -123,8 +139,9 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN true_pairs = 0 THEN 1000000"
         "          ELSE co_blocked_pairs * 1000000 div true_pairs END"
         "     AS BIGINT) AS pairs_completeness_micro",
-        "CAST(1000000 - candidate_pairs * 1000000"
-        "               div (n_docs * (n_docs - 1) div 2)"
+        "CAST(CASE WHEN n_docs < 2 THEN 1000000"
+        "          ELSE 1000000 - candidate_pairs * 1000000"
+        "               div (n_docs * (n_docs - 1) div 2) END"
         "     AS BIGINT) AS reduction_ratio_micro",
     )
     return out
@@ -430,16 +447,16 @@ def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT MAX(n) AS n,
                SUM((o * n - r * c) * (o * n - r * c) * 1000000
-                   // (n * r * c)) AS chi2_n_micro,
+                   // (n * r * c)) AS chi2_micro,
                (SELECT COUNT(DISTINCT a) FROM cells) AS nr,
                (SELECT COUNT(DISTINCT b) FROM cells) AS nc
         FROM m)
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST(nr AS BIGINT) AS n_levels_a,
            CAST(nc AS BIGINT) AS n_levels_b,
-           CAST(chi2_n_micro AS BIGINT) AS chi2_times_n_micro,
-           sqrt(CAST(chi2_n_micro AS DOUBLE)
-                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           CAST(chi2_micro AS BIGINT) AS chi2_micro,
+           sqrt(CAST(chi2_micro AS DOUBLE)
+                / (CAST(n AS DOUBLE)
                    * CAST(CASE WHEN nr < nc THEN nr - 1 ELSE nc - 1 END
                           AS DOUBLE) * 1000000e0)) AS cramers_v
     FROM agg
@@ -453,12 +470,16 @@ def cramers_v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparable across tables of any shape, the number a data-mixing
     report quotes for "how strongly is label X entangled with
     source Y". The χ² mass is carried as the exact integer
-    Σ(O·N − r·c)²·10⁶/(N·r·c) (= χ²·N·10⁶ — the chi2_statistic_exact
-    spelling summed), so everything up to the final √ is
-    HUGEINT ↔ DECIMAL(38,0) integer arithmetic, and the lone double
-    is one sqrt of one exact ratio written token-for-token
-    identically in both engines. One corpus aggregate to |A×B| cells;
-    windows and rollups run over the bounded cell table."""
+    Σ(O·N − r·c)²·10⁶/(N·r·c) — per cell algebraically (O−E)²·10⁶/E,
+    so the sum is χ²·10⁶ (the chi2_statistic_exact spelling summed) —
+    and everything up to the final √ is HUGEINT ↔ DECIMAL(38,0)
+    integer arithmetic; the lone double is one sqrt of one exact
+    ratio written token-for-token identically in both engines. The
+    level counts fold into the same single aggregate (the oracle's
+    COUNT(DISTINCT …) subselects over the cell table) — no eager
+    driver-side jobs, no literals baked into the plan. One corpus
+    aggregate to |A×B| cells; windows and the rollup run over the
+    bounded cell table."""
     o = load_table(spark, sf_dir, "orders")
     cells = o.groupBy(
         F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
@@ -466,33 +487,36 @@ def cramers_v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.sum("o").over(W.partitionBy("a")).cast("decimal(38,0)")
     c = F.sum("o").over(W.partitionBy("b")).cast("decimal(38,0)")
     n = F.sum("o").over(W.partitionBy()).cast("decimal(38,0)")
-    # integer χ²·N·10⁶: per-cell (O·N − r·c)²·10⁶ div (N·r·c), summed
+    # integer χ²·10⁶: per-cell (O·N − r·c)²·10⁶ div (N·r·c), summed
     contrib = cells.select(
-        F.expr(
-            "CAST(o AS DECIMAL(38,0)) AS o"
-        ),
+        "a",
+        "b",
+        F.expr("CAST(o AS DECIMAL(38,0)) AS o"),
         r.alias("r"),
         c.alias("c"),
         n.alias("n"),
     ).selectExpr(
+        "a",
+        "b",
         "n",
         "(o * n - r * c) * (o * n - r * c) * 1000000 div (n * r * c)"
         " AS contrib_micro",
     )
-    nr = cells.select("a").distinct().count()
-    nc = cells.select("b").distinct().count()
     agg = contrib.agg(
-        F.max("n").alias("n"), F.sum("contrib_micro").alias("chi2_n_micro")
+        F.max("n").alias("n"),
+        F.sum("contrib_micro").alias("chi2_micro"),
+        F.countDistinct("a").alias("nr"),
+        F.countDistinct("b").alias("nc"),
     )
     return agg.selectExpr(
         "CAST(n AS BIGINT) AS n_rows",
-        f"CAST({nr} AS BIGINT) AS n_levels_a",
-        f"CAST({nc} AS BIGINT) AS n_levels_b",
-        "CAST(chi2_n_micro AS BIGINT) AS chi2_times_n_micro",
-        "sqrt(CAST(chi2_n_micro AS DOUBLE)"
-        "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-        f"        * CAST(CASE WHEN {nr} < {nc} THEN {nr} - 1"
-        f"               ELSE {nc} - 1 END AS DOUBLE) * 1000000e0))"
+        "CAST(nr AS BIGINT) AS n_levels_a",
+        "CAST(nc AS BIGINT) AS n_levels_b",
+        "CAST(chi2_micro AS BIGINT) AS chi2_micro",
+        "sqrt(CAST(chi2_micro AS DOUBLE)"
+        "     / (CAST(n AS DOUBLE)"
+        "        * CAST(CASE WHEN nr < nc THEN nr - 1"
+        "               ELSE nc - 1 END AS DOUBLE) * 1000000e0))"
         " AS cramers_v",
     )
 

@@ -430,6 +430,13 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # binary-file corpus ingest (the multimodal file-drop path)
 
+#: documents packed per container file: bounds the binaryFile listing
+#: to n_docs/512 driver-side FileStatus entries at any corpus size
+#: (the r11 100× one-file-per-doc layout OOM'd a 1 GiB driver at 500k
+#: files); at a real 100 TB deployment the analogous knob is the
+#: 128-512 MB object size every lake writer targets
+_BINFILE_DOCS_PER_CONTAINER = 512
+
 
 @query(
     "binaryfile_ingest",
@@ -442,35 +449,90 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-file corpus ingest via the ``binaryFile`` source — the
-    entry point for file-drop multimodal corpora (one blob per
-    document: images, audio, raw text). The corpus is first laid out as
-    one file per document under ``doc_id=N/`` partition directories
-    (distributed text write), then re-ingested with
-    ``spark.read.format("binaryFile")``, which yields (path, length,
-    content) plus the partition-discovered doc_id; the blobs join back
-    to the metadata table on that id and aggregate per source. The
-    oracle aggregates the ORIGINAL table, so a hash match proves the
-    write→list→read→join path is lossless byte-for-byte (the text
-    writer's one trailing newline per file is subtracted). At 100 TB
-    listing cost is governed by files-per-directory; the partitioned
-    layout is exactly what keeps that listing parallelizable."""
+    entry point for file-drop multimodal corpora. Documents are packed
+    into BOUNDED MULTI-DOC CONTAINER files (~``_BINFILE_DOCS_PER_
+    CONTAINER`` docs each, ``bucket=N/`` partition dirs, one file per
+    bucket via repartition-by-bucket + in-partition doc_id sort, which
+    also satisfies the writer's required partition-column ordering so
+    no writer-side re-sort can scramble the in-file order), then
+    re-ingested with ``spark.read.format("binaryFile")`` and SLICED
+    back per document with an offset table: per-bucket running byte
+    offsets (window over the bucket's docs) are aggregated into one
+    bounded array per bucket, joined 1:1 to the container blob, and
+    ``substring(content, offset+1, n_bytes)`` recovers each document —
+    so the per-source byte totals still prove the write→list→read→
+    slice path lossless against the original table (the text writer's
+    one trailing newline per doc is subtracted). This layout is what
+    fixes the r11 100× failure class: one-file-per-doc listing put
+    500k FileStatus objects in the DRIVER's InMemoryFileIndex (OOM on
+    a 1 GiB driver); containers bound driver metadata to
+    ``n_docs / docs_per_container`` entries at ANY corpus size — the
+    same reason production lakes pack small records into 128-512 MB
+    objects. The one driver-side ``count()`` sizes the container
+    count; the op is already eager by nature (it materializes the
+    write during construction)."""
     d = load_table(spark, sf_dir, "documents")
     out = os.path.join(
         tempfile.mkdtemp(prefix=f"wk_binfile_{uuidlib.uuid4().hex[:6]}_"), "docs"
     )
-    d.select("doc_id", F.col("text").alias("value")).write.partitionBy(
-        "doc_id"
-    ).mode("overwrite").text(out)
+    n_docs = d.count()
+    n_buckets = max(1, -(-n_docs // _BINFILE_DOCS_PER_CONTAINER))
+    from pyspark.sql import Window as W
+
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.col("text").alias("value"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).alias("bucket"),
+        (F.octet_length("text") + 1).alias("n_bytes"),  # incl. newline
+    )
+    (
+        docs.select("bucket", "doc_id", "value")
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "doc_id")
+        .select("bucket", "value")  # text() takes ONE data column
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .text(out)
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = docs.select(
+        "bucket",
+        "doc_id",
+        "source",
+        "n_bytes",
+        F.coalesce(F.sum("n_bytes").over(w), F.lit(0)).alias("offset"),
+    )
+    per_bucket = offsets.groupBy("bucket").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "offset", "n_bytes", "source"))
+        ).alias("docs")
+    )
     blobs = spark.read.format("binaryFile").load(out)
-    meta = d.select("doc_id", "source")
-    return (
-        blobs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "content")
-        .join(meta, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum(F.octet_length("content") - 1).alias("total_bytes"),
+    sliced = (
+        blobs.select(F.col("bucket").cast("bigint").alias("bucket"), "content")
+        .join(per_bucket, "bucket")  # 1:1 — one blob, one offset array
+        .select(F.explode("docs").alias("m"), "content")
+        .select(
+            F.col("m.source").alias("source"),
+            (
+                F.octet_length(
+                    F.expr(
+                        "substring(content, CAST(m.offset AS INT) + 1,"
+                        " CAST(m.n_bytes AS INT))"
+                    )
+                )
+                - 1
+            ).alias("nb"),
         )
+    )
+    return sliced.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("nb").alias("total_bytes"),
     )
 
 

@@ -60,20 +60,26 @@ def _gram_explode_partitions(spark: SparkSession, sf_dir: str) -> int:
     absurd task count. At the 100× replica (58 MB parquet, 4-core
     vanilla session) this yields ~105 partitions — MORE headroom per
     1 GiB heap than r10's 8×4=32 — while sf0.1 drops to exactly
-    defaultParallelism."""
+    defaultParallelism.
+
+    The input is stat'd through the Hadoop FileSystem API resolved
+    from the session's Hadoop conf (``getContentSummary`` — one
+    namenode/list call, works identically for local paths, s3a://,
+    hdfs://, …), NOT the driver's local ``os.walk`` (VERDICT r11
+    task 4): a driver-local stat silently returns nothing for the
+    remote stores the 100 TB deployment actually reads from, which
+    would degrade geometry sizing to the flat 8×dp rule exactly where
+    it matters most. The flat rule remains only as the fallback for a
+    genuinely unstattable path."""
     dp = spark.sparkContext.defaultParallelism
     path = os.path.join(sf_dir, "documents.parquet")
     try:
-        if os.path.isdir(path):
-            size = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(path)
-                for f in fs
-            )
-        else:
-            size = os.path.getsize(path)
-    except OSError:
-        return 8 * dp  # remote/unstattable input: the r10 flat rule
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        size = int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        return 8 * dp  # unstattable input: the r10 flat rule
     est_gram_bytes = size * 10 * 24
     return max(dp, min(64 * dp, est_gram_bytes // (128 << 20) + 1))
 

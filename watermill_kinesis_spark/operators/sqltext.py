@@ -141,11 +141,16 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica sweep hit it at 1.5M orders (RECURSION_ROW_LIMIT_EXCEEDED
     on a vanilla session). The operator raises the fuse to INT_MAX —
     never lowers it — because its recursion is structurally terminating
-    (each step follows LEAD successors; depth ≤ max chain length)."""
-    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    (each step follows LEAD successors; depth ≤ max chain length).
+    The override is SCOPED: it is set on a dedicated child session
+    (``spark.newSession()`` — same SparkContext, isolated SQLConf and
+    temp-view namespace), so the caller's session keeps the default
+    runaway-recursion fuse for every other query."""
+    child = spark.newSession()
+    cur = int(child.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
     if cur < 2**31 - 1:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", 2**31 - 1)
-    return run_sql(spark, sf_dir, _SQL_RECURSIVE)
+        child.conf.set("spark.sql.cteRecursionRowLimit", 2**31 - 1)
+    return run_sql(child, sf_dir, _SQL_RECURSIVE)
 
 
 #: the same logical query twice: Spark runs the Spark-4 PIPE syntax

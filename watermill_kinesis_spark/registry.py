@@ -86,75 +86,24 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sampling). Queries not listed here follow in registration order;
 #: nothing is hidden — ``all_specs`` always returns the full registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- Rotation (round 11): STALENESS ordering, recomputed from
-    # CORRECTNESS_r01-r10 (VERDICT r10 task 6; last-green histogram
-    # over the 354 oracle-backed entries: 13 last green r3, 49 r4,
-    # 45 r5, 47 r6, 50 r7, 50 r8, 50 r9, 50 r10 — recomputed from
+    # ---- Rotation (round 12): STALENESS ordering, recomputed from
+    # CORRECTNESS_r01-r11 (VERDICT r11 task 8; last-green histogram
+    # over the 360 oracle-backed entries: 18 last green r4, 45 r5,
+    # 47 r6, 50 r7, 50 r8, 50 r9, 50 r10, 50 r11 — recomputed from
     # the files, not taken from the verdict). The driver's
     # budget-capped gate samples a ~50-entry PREFIX of this list,
     # so the prefix is the REGRESSION WINDOW: every oracle-backed
     # entry ordered by the round it last went driver-green
-    # ascending — the r11 prefix re-verifies the full 13-strong r3
-    # cohort plus the oldest r4 entries (the r10 prefix retired the
-    # whole r10-addition cohort to last-green=10). Entries keep
-    # their previous relative order within the same last-green
-    # round. Rows-only entries follow at the back in their prior
-    # order — sampling one records only a rows-only line (no
-    # value-regression signal); their invariants are
+    # ascending — the r12 prefix re-verifies the full 18-strong r4
+    # cohort plus the 32 oldest r5 entries (the r11 prefix retired
+    # the r3 cohort and the r11 additions to last-green=11).
+    # Entries keep their previous relative order within the same
+    # last-green round. Rows-only entries follow at the back in
+    # their prior order — sampling one records only a rows-only
+    # line (no value-regression signal); their invariants are
     # pytest-enforced. Recompute each round from CORRECTNESS_r*.json
     # (tools note: the recompute script lives inline in the round
     # log; inputs are the per-entry err/rows/schema/hash fields).
-    # Round-11 additions lead (never driver-sampled):
-    "blocking_quality_audit",
-    "cliffs_delta_lengths",
-    "herfindahl_concentration",
-    "goodman_kruskal_gamma",
-    "cramers_v_exact",
-    "odds_ratio_returns",
-    "join_asof_tolerance",
-    "join_asof_forward",
-    "window_count_distinct",
-    "window_percentile_dist",
-    "ewma_halflife",
-    "string_agg_sorted",
-    "unpivot_melt",
-    "union_by_name_evolution",
-    "scalar_map_funcs",
-    "variant_shred",
-    "xml_shred",
-    "collation_group",
-    "sessionize_batch",
-    "window_range_frame",
-    "stream_sliding_window",
-    "stream_session_window",
-    "changelog_compact",
-    "merge_upsert_state",
-    "interval_consolidate",
-    "funnel_analysis",
-    "retention_cohort",
-    "time_weighted_avg",
-    "scd2_intervals",
-    "event_transition_matrix",
-    "table_diff_reconcile",
-    "forward_fill_locf",
-    "period_over_period",
-    "rollup_incremental",
-    "format_json_roundtrip",
-    "format_csv_roundtrip",
-    "format_parquet_roundtrip",
-    "format_orc_roundtrip",
-    "zorder_layout",
-    "binaryfile_ingest",
-    "dedup_paragraph",
-    "dedup_levenshtein",
-    "dedup_prefix_containment",
-    "dedup_containment_ngram",
-    "dedup_exact_hashkey",
-    "hard_negative_mining",
-    "graph_degree_histogram",
-    "inverted_index",
-    "token_count_regex",
-    "lang_filter",
     "text_quality_score",
     "repetition_ratio",
     "vocab_induction",
@@ -465,6 +414,56 @@ _PRIORITY: tuple[str, ...] = (
     "q21_late_sole_supplier",
     "join_full_outer",
     "bucketed_join_colocated",
+    "blocking_quality_audit",
+    "cliffs_delta_lengths",
+    "herfindahl_concentration",
+    "goodman_kruskal_gamma",
+    "cramers_v_exact",
+    "odds_ratio_returns",
+    "join_asof_tolerance",
+    "join_asof_forward",
+    "window_count_distinct",
+    "window_percentile_dist",
+    "ewma_halflife",
+    "string_agg_sorted",
+    "unpivot_melt",
+    "union_by_name_evolution",
+    "scalar_map_funcs",
+    "variant_shred",
+    "xml_shred",
+    "collation_group",
+    "sessionize_batch",
+    "window_range_frame",
+    "stream_sliding_window",
+    "stream_session_window",
+    "changelog_compact",
+    "merge_upsert_state",
+    "interval_consolidate",
+    "funnel_analysis",
+    "retention_cohort",
+    "time_weighted_avg",
+    "scd2_intervals",
+    "event_transition_matrix",
+    "table_diff_reconcile",
+    "forward_fill_locf",
+    "period_over_period",
+    "rollup_incremental",
+    "format_json_roundtrip",
+    "format_csv_roundtrip",
+    "format_parquet_roundtrip",
+    "format_orc_roundtrip",
+    "zorder_layout",
+    "binaryfile_ingest",
+    "dedup_paragraph",
+    "dedup_levenshtein",
+    "dedup_prefix_containment",
+    "dedup_containment_ngram",
+    "dedup_exact_hashkey",
+    "hard_negative_mining",
+    "graph_degree_histogram",
+    "inverted_index",
+    "token_count_regex",
+    "lang_filter",
     "compression_ratio_filter",
     "stream_left_outer_join",
     "statestore_reader_audit",

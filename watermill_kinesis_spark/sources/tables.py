@@ -9,6 +9,7 @@ column pruning into the parquet scan (verify with
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,29 +28,43 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Memo of logical table DataFrames, keyed by (applicationId, sf_dir, name).
-# ``spark.read.parquet`` costs a driver round-trip (file listing + footer
-# schema read, ~70-100 ms) on EVERY call; a multi-table query rebuilt
-# per-run pays it 5-6×. DataFrames are immutable logical plans, so
-# reusing one across queries is free and safe — this is the engine's
-# catalog, not a data cache (scans still hit parquet with full pushdown).
-# One discipline it imposes: a SELF-join of a table must alias-project
-# one side (fresh attribute ids), since both sides now share a plan
-# instance (see q8_market_share).
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# Memo of logical table DataFrames, keyed by (applicationId, SESSION,
+# sf_dir, name). ``spark.read.parquet`` costs a driver round-trip (file
+# listing + footer schema read, ~70-100 ms) on EVERY call; a multi-table
+# query rebuilt per-run pays it 5-6×. DataFrames are immutable logical
+# plans, so reusing one across queries is free and safe — this is the
+# engine's catalog, not a data cache (scans still hit parquet with full
+# pushdown). The key carries the Python session identity, not just the
+# applicationId: ``spark.newSession()`` children share an application
+# but have their OWN temp-view namespace, and a DataFrame is bound to
+# the session that built it — handing a parent-bound memo entry to a
+# child session makes ``createOrReplaceTempView`` silently register on
+# the parent (the sql_recursive_cte scoped-session failure class). The
+# outer map is weak-keyed on the session object, so ephemeral child
+# sessions release their entries on GC and a recycled object identity
+# can never inherit another session's bindings; a re-wrapped session
+# (same JVM session, new Python wrapper) just misses the memo and
+# rebuilds — a ~100 ms cost, never a wrong binding. One discipline the
+# memo imposes: a SELF-join of a table must alias-project one side
+# (fresh attribute ids), since both sides now share a plan instance
+# (see q8_market_share).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    per_session = _TABLE_MEMO.setdefault(spark, {})
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _TABLE_MEMO.get(key)
+    df = per_session.get(key)
     if df is None:
         if name == "events":
             df = _load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        _TABLE_MEMO[key] = df
+        per_session[key] = df
     return df
 
 
