@@ -176,6 +176,26 @@ CALIBRATION_REFS_SEC = {
 #: kept for BENCH_r* readers of the old single-anchor field names
 CALIBRATION_REF_SEC = CALIBRATION_REFS_SEC["scan"]
 
+#: In-block anchor targets (r11 VERDICT task 2): the r11 round saw the
+#: r7/r9 audit heavies rise 18-27% raw with UNCHANGED code while the
+#: session-start anchors read the machine as fast — a co-tenant burst
+#: DURING the heavies block that anchors timed minutes earlier cannot
+#: see. For each query named here, the scan anchor is re-timed (best
+#: of 3) immediately BEFORE its 5-run measurement; the same-moment
+#: anchor/target ratio cancels whatever load both saw (the r9
+#: ratio-derivation technique), so a regression that survives in
+#: `queries[name] / (inblock_anchors[name] / scan_ref)` is a plan
+#: change, not noise. An isolated r12 rerun already adjudicated the
+#: r11 spike as co-tenant noise (simhash 3.99→3.31 s, ann_model
+#: 3.07→2.49 s with no code change); this instrument makes that
+#: adjudication automatic in every future round.
+INBLOCK_ANCHOR_QUERIES = (
+    "simhash_recall_audit",
+    "kcenter_diversity_audit",
+    "ann_model_save_load_audit",
+    "bloom_fpp_audit",
+)
+
 
 def _calibration_seconds(spark) -> dict[str, float]:
     """Time the three frozen anchors (best of 5 each): scan-agg,
@@ -270,8 +290,30 @@ def main() -> int:
     # throughput is what a resident engine delivers and what the
     # baseline comparison should see.
     calib = {k: round(v, 3) for k, v in _calibration_seconds(spark).items()}
+
+    import pyspark.sql.functions as F  # for the in-block scan anchor
+
+    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+
+    def _scan_anchor_best(runs: int = 3) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spark.read.parquet(li_path).select(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.count(F.lit(1)),
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     timings: dict[str, float] = {}
+    inblock_anchors: dict[str, float] = {}
     for name in names:
+        if name in INBLOCK_ANCHOR_QUERIES:
+            # same-moment anchor: timed immediately before the target
+            # so the anchor/target ratio cancels co-tenant load
+            inblock_anchors[name] = round(_scan_anchor_best(), 3)
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
@@ -348,6 +390,15 @@ def main() -> int:
                     "anchors_sec": calib,
                     "anchor_refs_sec": CALIBRATION_REFS_SEC,
                     "anchor_drifts": drifts,
+                    # same-moment scan anchors timed immediately
+                    # before each audit heavy (r11 VERDICT task 2):
+                    # query_sec / (inblock_anchor / scan_ref) is the
+                    # load-cancelled normalization for that query
+                    "inblock_anchors_sec": inblock_anchors,
+                    "inblock_drifts": {
+                        k: round(v / CALIBRATION_REFS_SEC["scan"], 3)
+                        for k, v in inblock_anchors.items()
+                    },
                     # the governing drift is the MEDIAN of the three
                     # per-anchor ratios (r8 VERDICT task 4)
                     "drift": drift,

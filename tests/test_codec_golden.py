@@ -205,6 +205,15 @@ def test_proto_sql_encoder_byte_parity_with_runtime(spark):
         ("y", {"b": "2", "a": "1", "c": "3"}, b"q"),  # key sort
         ("m", {"k": "v" * 127}, b"B" * 128),     # 1→2-byte varint boundary
         ("M", {"k": "v" * 16383}, b"B" * 16384),  # 2→3-byte varint boundary
+        # r12 chr-string fast-path fence (k+v < 124 octets): the last
+        # entry shape served by the chr path (inner_len = 127, the top
+        # single-byte varint), the first shape past it (falls back to
+        # the hex walk), and a mixed map where ONE long entry sends
+        # the whole map down the fallback while short entries ride
+        # along — all three must stay byte-identical to the runtime
+        ("f", {"k": "v" * 122}, b"p"),            # k+v=123: chr path max
+        ("g", {"k": "v" * 123}, b"p"),            # k+v=124: hex fallback
+        ("h", {"aa": "s", "k": "v" * 150}, b"p"),  # mixed → whole-map fallback
     ]
     df = spark.createDataFrame(
         cases, "uuid string, metadata map<string,string>, payload binary"
