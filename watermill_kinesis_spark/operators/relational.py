@@ -192,20 +192,36 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB path: no expand, no second
-    shuffle, fixed-size sketches merge associatively. Audited the
-    sketch-audit way (same pattern as ``hll_accuracy_audit``, which
-    covers the separate DataSketches HLL face): the engine-specific
-    estimate runs beside the exact COUNT DISTINCT and never crosses
-    the compare — the row carries exact counts plus the VERDICT that
-    the rsd=0.01 estimate landed within ±5% (±3 absolute for tiny
-    groups), which the oracle pins to 1. Retires the registry's one
-    historically rows-only-probed entry (r1 ``no_oracle``)."""
+    shuffle over raw rows, fixed-size sketches merge associatively.
+    Audited the sketch-audit way (same pattern as
+    ``hll_accuracy_audit``, which covers the separate DataSketches HLL
+    face): the engine-specific estimate runs beside the exact COUNT
+    DISTINCT and never crosses the compare — the row carries exact
+    counts plus the VERDICT that the rsd=0.01 estimate landed within
+    ±5% (±3 absolute for tiny groups), which the oracle pins to 1.
+    Retires the registry's one historically rows-only-probed entry
+    (r1 ``no_oracle``).
+
+    The exact and approx legs are SEPARATE aggregates joined on the
+    group key (broadcast — |event types| rows): fused into one
+    aggregate, Spark's distinct rewrite plans an Expand whose
+    partial-aggregation buffer carries EVERY aggregate's state on
+    EVERY leg's keys — the rsd=0.01 HLL++ register array (~tens of
+    KB) allocated per (event_type, user_id) distinct key, which is
+    O(distinct pairs × sketch bytes) heap and OOM'd the 1 GiB
+    replica-sweep executor at 150k users (r12 100× sweep find). Split,
+    the distinct leg's buffer is counters only and the sketch leg
+    keeps one register array per GROUP — the fixed-size promise the
+    docstring always claimed."""
     ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct("user_id", 0.01).alias("est"),
     )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("est")
+    )
+    agg = exact.join(F.broadcast(approx), "event_type")
     slack = F.greatest(F.lit(3.0), F.col("n_users_exact") * F.lit(0.05))
     return agg.select(
         "event_type",

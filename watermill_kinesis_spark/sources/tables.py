@@ -145,14 +145,15 @@ def cache_tables(
             continue
         if size > budget:
             continue
+        per_session = _TABLE_MEMO.setdefault(spark, {})
         key = (spark.sparkContext.applicationId, sf_dir, name)
-        cached = _TABLE_MEMO.get(key)
+        cached = per_session.get(key)
         if cached is not None and cached.is_cached:
             pinned.append(name)
             continue
         df = load_table(spark, sf_dir, name).repartition(par).persist()
         df.count()  # materialize now so queries never pay the warm-up
-        _TABLE_MEMO[key] = df
+        per_session[key] = df
         pinned.append(name)
     return pinned
 
@@ -163,8 +164,9 @@ def uncache_tables(
     """Release pinned tables and drop them from the catalog memo, so the
     next ``load_table`` reads parquet again (restoring scan-level
     pushdown/pruning for those tables)."""
+    per_session = _TABLE_MEMO.get(spark) or {}
     for name in names:
         key = (spark.sparkContext.applicationId, sf_dir, name)
-        df = _TABLE_MEMO.pop(key, None)
+        df = per_session.pop(key, None)
         if df is not None and df.is_cached:
             df.unpersist()
