@@ -244,7 +244,7 @@ def _bench_kinesis_parallel(spark, base: str) -> int:
             )
         client._shards[shard] = recs
     client._seq = seq
-    client._save()
+    client.dump_state()
     n = KINESIS_BENCH_SHARDS * KINESIS_BENCH_PER_SHARD
 
     kinesis_aws.register(spark)
@@ -327,7 +327,7 @@ def _bench_kinesis_sustained(
             )
         client._shards[shard] = recs
     client._seq = seq
-    client._save()
+    client.dump_state()
     n = n_shards * per_shard
 
     kinesis_aws.register(spark)

@@ -430,6 +430,7 @@ class FileStubKinesisClient(StubKinesisClient):
     def _maybe_compact(self) -> None:
         # lock held, journal fully replayed: fold it into a fresh
         # snapshot generation once it outgrows the snapshot itself
+        # (log-structured doubling — amortized O(N) total compaction)
         try:
             jsize = os.path.getsize(self._jpath)
         except OSError:
@@ -440,6 +441,11 @@ class FileStubKinesisClient(StubKinesisClient):
             ssize = 0
         if jsize < max(self._COMPACT_MIN_BYTES, ssize):
             return
+        self._compact()
+
+    def _compact(self) -> None:
+        # lock held, journal fully replayed: write the in-memory state
+        # as snapshot generation g+1 and retire journal.g
         old_jpath = self._jpath
         self._gen += 1
         raw = {
@@ -471,6 +477,16 @@ class FileStubKinesisClient(StubKinesisClient):
             os.remove(old_jpath)
         except OSError:
             pass
+
+    def dump_state(self) -> None:
+        """Persist the CURRENT in-memory state as a fresh snapshot
+        generation — the seam for benches/tests that build shard lists
+        directly on the object instead of going through put()/
+        put_records() (which journal themselves). One snapshot write,
+        no per-record journaling of the seeded records."""
+        with self._locked():
+            self._replay_journal()  # don't drop another writer's tail
+            self._compact()
 
     # mutations journal one line under the flock; reads re-load
     # locklessly (another process may have appended)
