@@ -375,14 +375,23 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably identical to the plain join (the oracle runs the plain
     join). AQE's skew-join handles most cases at runtime; explicit
     salting is the tool for the pathological keys AQE can't split
-    (single giant group in an aggregation-after-join)."""
+    (single giant group in an aggregation-after-join).
+
+    The join is MERGE-PINNED: the planner sizes the dim side from file
+    statistics that cannot see the ×8 explode, so at replica scale it
+    elected a broadcast whose deserialized hash relation (8× the dim)
+    blew the 1 GiB driver (`notEnoughMemoryToBuildAndBroadcastTable`,
+    r12 100× sweep) — the size-underestimated-build-side class. A
+    broadcast would also make the salt dead weight: broadcast joins
+    have no shuffle, hence no shuffle skew; the salted pattern only
+    means anything on a shuffle join, which the pin guarantees."""
     n_salt = 8
     e = _t(spark, sf_dir, "events").withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
     )
     c = _t(spark, sf_dir, "customer").withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    )
+    ).hint("merge")
     return (
         e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
         .groupBy("event_type")

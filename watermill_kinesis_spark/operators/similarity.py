@@ -52,6 +52,29 @@ def _emb(spark: SparkSession, sf_dir: str, distribute: bool = False) -> DataFram
     return e
 
 
+def batch_topk(S, ids, k):
+    """Exact batch-local top-k per query column, ordered by
+    (score DESC, id ASC) — the SAME total order the global merge
+    window uses. ``np.argpartition`` selects by score alone, so when
+    the k-th boundary is a TIE (duplicate embeddings — guaranteed on
+    a replicated corpus, common in any deduplicating pipeline), the
+    batch keeps an arbitrary tied candidate and may discard exactly
+    the row the global (score DESC, id ASC) ranking needs: the merged
+    result is then wrong, not just reordered. The r12 100× census
+    caught this as value drift in three top-k ops. lexsort keys
+    (id minor, -score major) reproduce the global order batch-locally;
+    cost is O(n log n) per query column over argpartition's O(n) —
+    immaterial against the BLAS matmul that precedes it. Masked
+    entries (-inf) sort last and are dropped by the callers'
+    isfinite filter."""
+    import numpy as np
+
+    order = np.lexsort(
+        (np.broadcast_to(ids[:, None], S.shape), -S), axis=0
+    )
+    return order[:k]
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -114,7 +137,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             S = Mn @ Qn.T  # |batch| × |queries|
             S[ids[:, None] == qids[None, :]] = -np.inf  # mask self-match
             k = min(TOP_K, len(ids))
-            top = np.argpartition(-S, k - 1, axis=0)[:k]  # k × |queries|
+            top = batch_topk(S, ids, k)  # k × |queries|, tie-exact
             out_q = np.repeat(qids[None, :], k, axis=0).ravel()
             out_n = ids[top].ravel()
             out_s = np.take_along_axis(S, top, axis=0).ravel()

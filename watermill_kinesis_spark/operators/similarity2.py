@@ -22,6 +22,7 @@ from watermill_kinesis_spark.operators.similarity import (
     _dot,
     _emb,
     _norm,
+    batch_topk,
 )
 from watermill_kinesis_spark.registry import query
 
@@ -141,7 +142,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 approx += tables[:, s, codes[:, s]].T  # n × q
             approx[ids[:, None] == qids[None, :]] = -np.inf
             k = min(PQ_RERANK, len(ids))
-            top = np.argpartition(-approx, k - 1, axis=0)[:k]
+            top = batch_topk(approx, ids, k)  # tie-exact (similarity.batch_topk)
             out_q = np.repeat(qids[None, :], k, axis=0).ravel()
             out_n = ids[top].ravel()
             out_s = np.take_along_axis(approx, top, axis=0).ravel()
@@ -232,7 +233,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             S = Mn @ Qn.T  # |batch| × |queries|
             S[labels[:, None] == qlabels[None, :]] = -np.inf  # same label: out
             k = min(TOP_K, len(ids))
-            top = np.argpartition(-S, k - 1, axis=0)[:k]
+            top = batch_topk(S, ids, k)  # tie-exact
             out_q = np.repeat(qids[None, :], k, axis=0).ravel()
             out_n = ids[top].ravel()
             out_l = labels[top].ravel()
@@ -425,7 +426,7 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 S[:, q_zero[variant]] = -1.0
                 S[ids[:, None] == qids[None, :]] = -np.inf
                 k = min(TOP_K, len(ids))
-                top = np.argpartition(-S, k - 1, axis=0)[:k]
+                top = batch_topk(S, ids, k)  # tie-exact
                 sc = np.take_along_axis(S, top, axis=0).ravel()
                 keep = np.isfinite(sc)
                 out["variant"] += [variant] * int(keep.sum())
@@ -652,7 +653,7 @@ def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = S.max(axis=1).sum(axis=2)  # (batch, nq)
             score[ids[:, None] == qids[None, :]] = -np.inf
             k = min(TOP_K, len(ids))
-            top = np.argpartition(-score, k - 1, axis=0)[:k]
+            top = batch_topk(score, ids, k)  # tie-exact
             out_s = np.take_along_axis(score, top, axis=0).ravel()
             keep = np.isfinite(out_s)
             yield pd.DataFrame(
