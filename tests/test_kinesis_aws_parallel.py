@@ -881,3 +881,34 @@ def test_file_stub_journal_appends_linear_and_compacts(tmp_path):
     # and the sequence counter survived the generation swap
     w2 = FileStubKinesisClient(sdir)
     assert w2._seq == w._seq == 550
+
+
+def test_file_stub_torn_journal_tail_is_terminated(tmp_path):
+    """ADVICE r12: a writer that crashes mid-append leaves a torn
+    final line with no newline. The next writer must terminate that
+    tail with a lone newline before appending, or O_APPEND glues its
+    JSON onto the torn prefix — one unparseable line that replay
+    silently skips, losing the NEW mutation to every reader and to
+    compaction from any other process."""
+    sdir = str(tmp_path / "stub")
+    w = FileStubKinesisClient(sdir)
+    w.put("shardId-000000000000", b"before", partition_key="k")
+    # simulate the crash: chop the journal mid-line (no trailing \n)
+    with open(w._jpath, "rb+") as f:
+        raw = f.read()
+        f.seek(0)
+        f.truncate()
+        f.write(raw + raw[: len(raw) // 2].rstrip(b"\n"))
+    # fresh writer process: replays to the last newline, then appends
+    w2 = FileStubKinesisClient(sdir)
+    w2.put("shardId-000000000000", b"after", partition_key="k")
+    with open(w2._jpath, "rb") as f:
+        data = f.read()
+    assert data.endswith(b"\n")
+    # the torn line and the new entry are SEPARATE lines
+    lines = data.splitlines()
+    assert lines[-1].startswith(b"{") and b"}{" not in lines[-1]
+    # a cold reader sees both complete mutations; the torn one is gone
+    r = FileStubKinesisClient(sdir)
+    recs = r._shards["shardId-000000000000"]
+    assert len(recs) == 2

@@ -507,3 +507,21 @@ def test_sql_named_window_matches_inline_over(spark, sf_dir):
     a = sorted(map(tuple, sql_named_window(spark, sf_dir).collect()))
     b = sorted(map(tuple, inline.collect()))
     assert a == b and len(a) > 0
+
+
+def test_recursive_cte_child_session_memoized(spark, sf_dir):
+    """ADVICE r12: sql_recursive_cte must reuse ONE child session per
+    parent — a fresh spark.newSession() per call accumulates a JVM
+    SessionState (catalog, temp views, conf) per invocation in a
+    resident engine, reclaimable only by GC."""
+    from watermill_kinesis_spark.operators import sqltext
+
+    sqltext._RECURSIVE_CHILD_MEMO.pop(spark, None)
+    n1 = sqltext.sql_recursive_cte(spark, sf_dir).count()
+    child1 = sqltext._RECURSIVE_CHILD_MEMO[spark]
+    n2 = sqltext.sql_recursive_cte(spark, sf_dir).count()
+    child2 = sqltext._RECURSIVE_CHILD_MEMO[spark]
+    assert child1 is child2 and child1 is not spark
+    assert n1 == n2 > 0
+    # the fuse override stays scoped to the child
+    assert int(child1.conf.get("spark.sql.cteRecursionRowLimit")) == 2**31 - 1

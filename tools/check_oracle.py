@@ -155,6 +155,16 @@ def main() -> int:
             )
             .appName("check-oracle-vanilla")
             .config("spark.ui.showConsoleProgress", "false")
+            .config(
+                # SPARK_GRAFT_VANILLA_MEM: heap for replica-scale solo
+                # certification runs. Default stays the gate-accurate
+                # 1g; the 100x pair-dense dedup faces are certified at
+                # an explicitly recorded larger heap (SCALE.md r13) —
+                # a single-node stand-in for the executor memory any
+                # real deployment of those shuffles would have.
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_VANILLA_MEM", "1g"),
+            )
             .getOrCreate()
         )
     else:

@@ -437,6 +437,15 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 128-512 MB object size every lake writer targets
 _BINFILE_DOCS_PER_CONTAINER = 512
 
+#: target container size in bytes. Containers are sliced with
+#: ``substring(content, offset+1, n)`` whose offsets are INT — a
+#: container over 2 GiB would silently WRAP the slice, not error, so
+#: bucket count is derived from total corpus bytes too, not just doc
+#: count. 128 MB leaves a 16x skew margin below 2^31 (xxhash64 on
+#: doc_id is uniform, so per-bucket totals concentrate tightly) and
+#: matches the 128-512 MB object size lake writers target anyway.
+_BINFILE_TARGET_CONTAINER_BYTES = 128 * 1024 * 1024
+
 
 @query(
     "binaryfile_ingest",
@@ -475,8 +484,19 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.mkdtemp(prefix=f"wk_binfile_{uuidlib.uuid4().hex[:6]}_"), "docs"
     )
-    n_docs = d.count()
-    n_buckets = max(1, -(-n_docs // _BINFILE_DOCS_PER_CONTAINER))
+    sizing = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text") + 1).alias("b"),
+    ).first()
+    n_docs, total_bytes = sizing["n"], int(sizing["b"] or 0)
+    # bucket count bounded BOTH ways: >= n_docs/512 keeps driver
+    # FileStatus metadata O(n/512); >= total/128MB keeps every
+    # container far below the 2^31 substring-offset wrap point
+    n_buckets = max(
+        1,
+        -(-n_docs // _BINFILE_DOCS_PER_CONTAINER),
+        -(-total_bytes // _BINFILE_TARGET_CONTAINER_BYTES),
+    )
     from pyspark.sql import Window as W
 
     docs = d.select(

@@ -221,7 +221,14 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("est")
     )
-    agg = exact.join(F.broadcast(approx), "event_type")
+    # eqNullSafe: a NULL event_type group survives GROUP BY on both
+    # legs but a plain INNER join key would drop it — the fused
+    # aggregate (and the oracle's GROUP BY) keep it, so the split
+    # must too (latent until the generator emits NULL event_types)
+    agg = exact.join(
+        F.broadcast(approx),
+        exact["event_type"].eqNullSafe(approx["event_type"]),
+    ).drop(approx["event_type"])
     slack = F.greatest(F.lit(3.0), F.col("n_users_exact") * F.lit(0.05))
     return agg.select(
         "event_type",

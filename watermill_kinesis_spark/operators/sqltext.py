@@ -13,6 +13,8 @@ surface (CTEs, joins, grouping, HAVING, window functions)."""
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from watermill_kinesis_spark.registry import query
@@ -101,6 +103,12 @@ def sql_text_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _SQL_PARITY_2)
 
 
+#: one memoized child session per parent session — the recursion-fuse
+#: override lives on the child; WeakKey so a discarded parent frees it
+_RECURSIVE_CHILD_MEMO: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
+
 #: one SQL text, two engines: WITH RECURSIVE chain traversal (Spark 4
 #: added recursive CTEs; DuckDB has them natively)
 _SQL_RECURSIVE = """
@@ -145,8 +153,15 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     The override is SCOPED: it is set on a dedicated child session
     (``spark.newSession()`` — same SparkContext, isolated SQLConf and
     temp-view namespace), so the caller's session keeps the default
-    runaway-recursion fuse for every other query."""
-    child = spark.newSession()
+    runaway-recursion fuse for every other query. The child is
+    MEMOIZED per parent (WeakKeyDictionary, the tables.py memo
+    pattern): a resident engine calling this repeatedly reuses one
+    child SessionState instead of accumulating a JVM catalog +
+    temp-view set per call with only GC to reclaim them."""
+    child = _RECURSIVE_CHILD_MEMO.get(spark)
+    if child is None:
+        child = spark.newSession()
+        _RECURSIVE_CHILD_MEMO[spark] = child
     cur = int(child.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
     if cur < 2**31 - 1:
         child.conf.set("spark.sql.cteRecursionRowLimit", 2**31 - 1)

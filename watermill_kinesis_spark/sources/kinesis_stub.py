@@ -416,6 +416,16 @@ class FileStubKinesisClient(StubKinesisClient):
         line = (json.dumps(entry) + "\n").encode("utf-8")
         fd = os.open(self._jpath, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
         try:
+            # A writer that crashed mid-append leaves a torn final line
+            # with no newline; replay stops at the last newline, so
+            # _jpos < EOF detects it. Terminate the torn tail with a
+            # lone "\n" first so our entry starts on a fresh line —
+            # otherwise O_APPEND would glue our JSON onto the torn
+            # prefix and BOTH mutations would be silently skipped.
+            size = os.fstat(fd).st_size
+            if size > self._jpos:
+                os.write(fd, b"\n")
+                self._jpos = size + 1
             os.write(fd, line)
         finally:
             os.close(fd)
