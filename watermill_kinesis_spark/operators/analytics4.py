@@ -618,12 +618,15 @@ XCORR_MAX_LAG = 7
                SUM(x * x) AS s_xx, SUM(y * y) AS s_yy
         FROM pairs GROUP BY lag)
     SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
-           (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)
-              - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
-           / (SQRT(CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)
-                 - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
-            * SQRT(CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)
-                 - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))) AS xcorr
+           CASE WHEN n * s_xx - s_x * s_x <= 0
+                     OR n * s_yy - s_y * s_y <= 0 THEN NULL
+                ELSE (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)
+                        - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+                     / (SQRT(CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)
+                           - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                      * SQRT(CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)
+                           - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)))
+           END AS xcorr
     FROM sums
     """,
     tags=("event-time", "statistics"),
@@ -686,13 +689,21 @@ def lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sums.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("bigint").alias("n_days"),
+        # zero-variance guard (r13 fixture-suite find): a degenerate
+        # lag window (constant series, or a 1-pair window at high lag
+        # on a short spine) has no defined correlation — emit NULL
+        # instead of ANSI-mode DIVIDE_BY_ZERO; identical spelling in
+        # the oracle so the gate compares the same contract
         F.expr(
-            "(CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)"
+            "CASE WHEN n * s_xx - s_x * s_x <= 0"
+            " OR n * s_yy - s_y * s_y <= 0 THEN NULL"
+            " ELSE (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)"
             " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
             " / (SQRT(CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)"
             " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
             " * SQRT(CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)"
             " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)))"
+            " END"
         ).alias("xcorr"),
     )
     daily.unpersist()

@@ -446,8 +446,8 @@ def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells),
     agg AS (
         SELECT MAX(n) AS n,
-               SUM((o * n - r * c) * (o * n - r * c) * 1000000
-                   // (n * r * c)) AS chi2_micro,
+               GREATEST(SUM(o * o * n * 1000000 // (r * c))
+                        - MAX(n) * 1000000, 0) AS chi2_micro,
                (SELECT COUNT(DISTINCT a) FROM cells) AS nr,
                (SELECT COUNT(DISTINCT b) FROM cells) AS nc
         FROM m)
@@ -469,12 +469,20 @@ def cramers_v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately stops short of: V = √(χ²/(N·min(r−1, c−1))),
     comparable across tables of any shape, the number a data-mixing
     report quotes for "how strongly is label X entangled with
-    source Y". The χ² mass is carried as the exact integer
-    Σ(O·N − r·c)²·10⁶/(N·r·c) — per cell algebraically (O−E)²·10⁶/E,
-    so the sum is χ²·10⁶ (the chi2_statistic_exact spelling summed) —
-    and everything up to the final √ is HUGEINT ↔ DECIMAL(38,0)
-    integer arithmetic; the lone double is one sqrt of one exact
-    ratio written token-for-token identically in both engines. The
+    source Y". The χ² mass is carried as the exact integer identity
+    χ²·10⁶ = N·10⁶·(Σ O²/(r·c) − 1) = Σ O²·N·10⁶/(r·c) − N·10⁶ over
+    the OBSERVED cells — the identity form is load-bearing: summing
+    per-cell (O−E)²/E over observed cells SKIPS the structural-zero
+    cells (whose contribution is r·c/N each), which understated χ²
+    whenever the contingency table had empty cells — a perfect 2×2
+    association scored V=√½, not 1 (r13 fixture-suite find; the
+    shared-author error class the oracle gate is blind to). Under
+    the identity, zero cells contribute 0 to Σ O²/(r·c), so the
+    observed-cell sum is the FULL-table χ². Everything up to the
+    final √ is HUGEINT ↔ DECIMAL(38,0) integer arithmetic (the ≤1
+    micro floor loss per cell is clamped at 0 so independence can't
+    round to a negative χ²); the lone double is one sqrt of one
+    exact ratio written token-for-token identically in both engines. The
     level counts fold into the same single aggregate (the oracle's
     COUNT(DISTINCT …) subselects over the cell table) — no eager
     driver-side jobs, no literals baked into the plan. One corpus
@@ -487,7 +495,9 @@ def cramers_v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.sum("o").over(W.partitionBy("a")).cast("decimal(38,0)")
     c = F.sum("o").over(W.partitionBy("b")).cast("decimal(38,0)")
     n = F.sum("o").over(W.partitionBy()).cast("decimal(38,0)")
-    # integer χ²·10⁶: per-cell (O·N − r·c)²·10⁶ div (N·r·c), summed
+    # integer χ²·10⁶ via the full-table identity Σ O²·N·10⁶/(r·c)
+    # − N·10⁶: observed cells carry the whole χ² (zero cells add 0
+    # to Σ O²/(rc)), so structural zeros need no cross-join
     contrib = cells.select(
         "a",
         "b",
@@ -499,14 +509,19 @@ def cramers_v_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         "b",
         "n",
-        "(o * n - r * c) * (o * n - r * c) * 1000000 div (n * r * c)"
-        " AS contrib_micro",
+        "o * o * n * 1000000 div (r * c) AS term_micro",
     )
     agg = contrib.agg(
         F.max("n").alias("n"),
-        F.sum("contrib_micro").alias("chi2_micro"),
+        F.sum("term_micro").alias("s_micro"),
         F.countDistinct("a").alias("nr"),
         F.countDistinct("b").alias("nc"),
+    ).selectExpr(
+        "n",
+        "greatest(s_micro - n * 1000000, CAST(0 AS DECIMAL(38,0)))"
+        " AS chi2_micro",
+        "nr",
+        "nc",
     )
     return agg.selectExpr(
         "CAST(n AS BIGINT) AS n_rows",
