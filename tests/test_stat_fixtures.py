@@ -816,3 +816,532 @@ def test_sax_known_values(spark, tmp_path):
     assert list(out["n_days"]) == [7, 7]
     assert list(out["sum_events"]) == [7, 21]
     assert list(out["symbol"]) == ["a", "d"]
+
+
+# ---------------------------------------------------------------------------
+# documents-based statistics
+
+
+def _doc(i, text=None, lang="en", source="s1", n_chars=None):
+    d = {"doc_id": i, "lang": lang, "source": source}
+    d["text"] = text if text is not None else "x"
+    if n_chars is not None:
+        d["n_chars"] = n_chars
+    return d
+
+
+def test_gini_known_values(spark, tmp_path):
+    """Equal sizes => Gini 0; one doc holds everything => Gini
+    (n-1)/n = 750 permille at n=4 (textbook extremals)."""
+    docs = [_doc(i, source="eq", n_chars=5) for i in range(1, 5)]
+    docs += [_doc(i, source="uneq", n_chars=0) for i in range(5, 8)]
+    docs += [_doc(8, source="uneq", n_chars=8)]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("gini_corpus_inequality", spark, sf), "source")
+    eq = out[out["source"] == "eq"].iloc[0]
+    un = out[out["source"] == "uneq"].iloc[0]
+    assert eq["gini_permille"] == 0
+    assert un["gini_permille"] == 750
+
+
+def test_hhi_known_values(spark, tmp_path):
+    """Two equal sources => HHI = 1/2 (500000 ppm), equal to the
+    uniform benchmark."""
+    docs = [_doc(1, source="s1"), _doc(2, source="s1"),
+            _doc(3, source="s2"), _doc(4, source="s2")]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = run("hhi_concentration", spark, sf).iloc[0]
+    assert out["n_sources"] == 2 and out["n_docs"] == 4
+    assert out["hhi_ppm"] == 500000
+    assert out["uniform_hhi_ppm"] == 500000
+
+
+def test_herfindahl_normalized_known_values(spark, tmp_path):
+    """Normalized HHI: single group => 1 by convention; two equal
+    groups => exactly 0 ((1/2*2 - 1)/(2-1))."""
+    docs = [_doc(1, source="s1", lang="en"), _doc(2, source="s1", lang="en"),
+            _doc(3, source="s2", lang="en"), _doc(4, source="s2", lang="en")]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("herfindahl_concentration", spark, sf), "axis")
+    lang = out[out["axis"] == "lang"].iloc[0]
+    src = out[out["axis"] == "source"].iloc[0]
+    assert lang["k_groups"] == 1
+    assert lang["hhi_micro"] == 1_000_000
+    assert lang["hhi_normalized_micro"] == 1_000_000
+    assert src["k_groups"] == 2
+    assert src["hhi_micro"] == 500_000
+    assert src["hhi_normalized_micro"] == 0
+
+
+def test_quantile_normalization_known_values(spark, tmp_path):
+    """Classic 2-sample quantile normalization: the r-th value maps
+    to the cross-sample mean of the r-th order statistics: rank 1 ->
+    (10+30)/2 = 20, rank 2 -> (20+40)/2 = 30."""
+    docs = [
+        _doc(1, source="s1", n_chars=10), _doc(2, source="s1", n_chars=20),
+        _doc(3, source="s2", n_chars=30), _doc(4, source="s2", n_chars=40),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("quantile_normalization", spark, sf), "source", "r")
+    assert list(out["normalized_milli"]) == [20000, 30000, 20000, 30000]
+
+
+def test_quantile_buckets_known_values(spark, tmp_path):
+    """8 docs into 8 octile buckets: one doc per bucket in length
+    order, so min == max == the doc's own length."""
+    docs = [_doc(i, n_chars=i * 10) for i in range(1, 9)]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("quantile_bucket_stats", spark, sf), "bucket")
+    assert list(out["bucket"]) == list(range(1, 9))
+    assert list(out["n_docs"]) == [1] * 8
+    assert list(out["min_chars"]) == [i * 10 for i in range(1, 9)]
+
+
+def test_cliffs_delta_known_values(spark, tmp_path):
+    """Complete separation: every 'a' text longer than every 'b'
+    text => delta = +1 for a, -1 for b (the effect-size extremals)."""
+    docs = [
+        _doc(1, text="aaaaa", lang="a"), _doc(2, text="aaaaaa", lang="a"),
+        _doc(3, text="b", lang="b"), _doc(4, text="bb", lang="b"),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("cliffs_delta_lengths", spark, sf), "lang")
+    a = out[out["lang"] == "a"].iloc[0]
+    b = out[out["lang"] == "b"].iloc[0]
+    assert (a["n_in"], a["n_out"]) == (2, 2)
+    assert a["n_greater"] == 4 and a["n_less"] == 0
+    assert a["cliffs_delta_micro"] == 1_000_000
+    assert b["cliffs_delta_micro"] == -1_000_000
+
+
+def test_welch_t2_known_values(spark, tmp_path):
+    """s1=(8,12) vs s2=(18,22): means 10/20, sample variances 8/8 =>
+    t^2 = 100/(8/2+8/2) = 12.5 exactly, symmetric in both rows."""
+    docs = [
+        _doc(1, source="s1", n_chars=8), _doc(2, source="s1", n_chars=12),
+        _doc(3, source="s2", n_chars=18), _doc(4, source="s2", n_chars=22),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("welch_ttest_lengths", spark, sf), "source")
+    assert list(out["welch_t2"]) == pytest.approx([12.5, 12.5])
+
+
+def test_mann_whitney_known_values(spark, tmp_path):
+    """Complete separation (en lengths 10,20 vs others 1,2): U1 =
+    n1*n2 = 4, U2 = 0; z = (U1 - n1n2/2)/sqrt(n1n2(n+1)/12) =
+    2/sqrt(5/3) (textbook normal approximation, no ties)."""
+    docs = [
+        _doc(1, lang="en", n_chars=10), _doc(2, lang="en", n_chars=20),
+        _doc(3, lang="fr", n_chars=1), _doc(4, lang="fr", n_chars=2),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = run("mann_whitney_u_lengths", spark, sf).iloc[0]
+    assert (out["n1"], out["n0"]) == (2, 2)
+    assert out["u1_x2"] == 8 and out["u2_x2"] == 0
+    assert out["tie_t3t"] == 0
+    assert out["z"] == pytest.approx(2.0 / math.sqrt(5.0 / 3.0))
+
+
+def test_mood_median_known_values(spark, tmp_path):
+    """en entirely at/below the grand median, fr entirely above:
+    each of the four cells contributes chi2 exactly 1 (1e6 micro) —
+    hand-worked 2x2 with all margins 2."""
+    docs = [
+        _doc(1, lang="en", n_chars=1), _doc(2, lang="en", n_chars=2),
+        _doc(3, lang="fr", n_chars=3), _doc(4, lang="fr", n_chars=4),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = run("mood_median_test_langs", spark, sf)
+    assert len(out) == 4
+    assert list(out["expected_permille"]) == [1000] * 4
+    assert list(out["chi2_contrib_micro"]) == [1_000_000] * 4
+
+
+def test_cramer_von_mises_known_values(spark, tmp_path):
+    """Identical samples => T = 0 exactly; the minimal separated
+    pair (1) vs (2) gives the hand-worked 250000 micro."""
+    docs = [
+        _doc(1, lang="en", n_chars=5), _doc(2, lang="en", n_chars=7),
+        _doc(3, lang="fr", n_chars=5), _doc(4, lang="fr", n_chars=7),
+    ]
+    sf = make_sf(tmp_path / "ident", documents=docs)
+    out = run("cramer_von_mises_lengths", spark, sf).iloc[0]
+    assert (out["n1"], out["n0"]) == (2, 2)
+    assert out["t_micro"] == 0
+
+    sf2 = make_sf(
+        tmp_path / "sep",
+        documents=[_doc(1, lang="en", n_chars=1),
+                   _doc(2, lang="fr", n_chars=2)],
+    )
+    out2 = run("cramer_von_mises_lengths", spark, sf2).iloc[0]
+    assert out2["t_micro"] == 250000
+
+
+def test_ansari_bradley_known_values(spark, tmp_path):
+    """en=(2,3) nested inside fr=(1,4): AB scores 1,2,2,1 => en sum
+    4 vs E[AB] = n1(n+2)/4 = 3 (even n, no ties) => +333 permille
+    deviation."""
+    docs = [
+        _doc(1, lang="en", n_chars=2), _doc(2, lang="en", n_chars=3),
+        _doc(3, lang="fr", n_chars=1), _doc(4, lang="fr", n_chars=4),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = run("ansari_bradley_dispersion", spark, sf).iloc[0]
+    assert (out["n1"], out["n0"]) == (2, 2)
+    assert out["ab_x1e6"] == 4_000_000
+    assert out["ab_expected_x1e6"] == 3_000_000
+    assert out["dev_sign"] == 1
+    assert out["abs_dev_permille"] == 333
+
+
+def test_kruskal_wallis_known_values(spark, tmp_path):
+    """en ranks {1,3}, fr ranks {2,4}: H = 12/(n(n+1)) * sum nj
+    (rbar_j - (n+1)/2)^2 = 0.6 by hand; no ties so the tie-corrected
+    H equals it."""
+    docs = [
+        _doc(1, lang="en", n_chars=1), _doc(2, lang="en", n_chars=3),
+        _doc(3, lang="fr", n_chars=2), _doc(4, lang="fr", n_chars=4),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("kruskal_wallis_lengths", spark, sf), "lang")
+    en = out[out["lang"] == "en"].iloc[0]
+    fr = out[out["lang"] == "fr"].iloc[0]
+    assert en["mean_rank_x2"] == 4 and fr["mean_rank_x2"] == 6
+    assert en["tie_t3t"] == 0
+    assert en["h_x1e6"] == 600000
+    assert en["h_tie_x1e6"] == 600000
+
+
+def test_levene_bf_known_values(spark, tmp_path):
+    """Identical |deviation-from-median| profiles in both groups =>
+    Brown-Forsythe W exactly 0."""
+    docs = [
+        _doc(1, source="s1", n_chars=1), _doc(2, source="s1", n_chars=3),
+        _doc(3, source="s2", n_chars=11), _doc(4, source="s2", n_chars=13),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = run("levene_brown_forsythe", spark, sf)
+    assert list(out["w_x1e6"]) == [0, 0]
+
+
+def test_chao1_known_values(spark, tmp_path):
+    """Chao1 = S_obs + f1(f1-1)/(2(f2+1)): 'a b b c c' => 3 + 0 = 3;
+    'x y' => 2 + 2*1/2 = 3 (both 3000 milli, different routes)."""
+    docs = [
+        _doc(1, text="a b b c c", source="s"),
+        _doc(2, text="x y", source="t"),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("chao1_vocab_richness", spark, sf), "source")
+    s = out[out["source"] == "s"].iloc[0]
+    t = out[out["source"] == "t"].iloc[0]
+    assert (s["n_types"], s["f1"], s["f2"]) == (3, 1, 2)
+    assert s["chao1_x1000"] == 3000
+    assert (t["n_types"], t["f1"], t["f2"]) == (2, 2, 0)
+    assert t["chao1_x1000"] == 3000
+
+
+def test_good_turing_known_values(spark, tmp_path):
+    """Good-Turing r* = (r+1) N_{r+1}/N_r on a hand-built bigram
+    table (N_1=2, N_2=1): r=1 -> 1.0, r=2 -> 0 (no N_3)."""
+    docs = [
+        _doc(1, text="a b"),
+        _doc(2, text="c d c d"),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("good_turing_discounts", spark, sf), "r")
+    assert list(out["r"]) == [1, 2]
+    assert list(out["n_r"]) == [2, 1]
+    assert list(out["n_r1"]) == [1, 0]
+    assert list(out["r_star_x1000"]) == [1000, 0]
+
+
+def test_token_dispersion_known_values(spark, tmp_path):
+    """Perfectly even spread (every doc identical, one source):
+    Fano factor and Gries DP both exactly 0."""
+    docs = [_doc(1, text="a a b"), _doc(2, text="a a b")]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("token_dispersion_stats", spark, sf), "tok")
+    a = out[out["tok"] == "a"].iloc[0]
+    b = out[out["tok"] == "b"].iloc[0]
+    assert (a["c_tok"], a["df"]) == (4, 2)
+    assert a["fano_x1000"] == 0 and a["dp_x1000"] == 0
+    assert (b["c_tok"], b["df"]) == (2, 2)
+    assert b["fano_x1000"] == 0 and b["dp_x1000"] == 0
+
+
+def test_token_burstiness_known_values(spark, tmp_path):
+    """'a' recurs within 1 of its 2 docs => burstiness 500, mean
+    in-doc tf 1500 milli; 'b' never recurs => 0 and 1000."""
+    docs = [_doc(1, text="a a"), _doc(2, text="a"), _doc(3, text="b")]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("token_burstiness_topk", spark, sf), "tok")
+    a = out[out["tok"] == "a"].iloc[0]
+    b = out[out["tok"] == "b"].iloc[0]
+    assert (a["df"], a["tf"]) == (2, 3)
+    assert a["burstiness_permille"] == 500
+    assert a["mean_in_doc_permille"] == 1500
+    assert (b["df"], b["tf"]) == (1, 1)
+    assert b["burstiness_permille"] == 0
+    assert b["mean_in_doc_permille"] == 1000
+
+
+def test_unigram_tvd_known_values(spark, tmp_path):
+    """Identical unigram distributions => TVD 0; disjoint
+    vocabularies => TVD 1 (1000 permille)."""
+    docs = [
+        _doc(1, text="a b", source="sa"),
+        _doc(2, text="a b", source="sb"),
+        _doc(3, text="c c", source="sc"),
+    ]
+    sf = make_sf(tmp_path / "sf", documents=docs)
+    out = rows_by(run("unigram_tvd_sources", spark, sf), "src_a", "src_b")
+    got = {(r["src_a"], r["src_b"]): r["tvd_permille"]
+           for _, r in out.iterrows()}
+    assert got == {("sa", "sb"): 0, ("sa", "sc"): 1000, ("sb", "sc"): 1000}
+
+
+def test_yule_sichel_known_values(spark, tmp_path):
+    """'a a b c': Yule K = 10^4 (S2 - N)/N^2 = 10^4*2/16 = 1250;
+    Sichel f2/V = 1/3; hapax f1/V = 2/3 (floor permille)."""
+    sf = make_sf(tmp_path / "sf", documents=[_doc(1, text="a a b c")])
+    out = run("yule_sichel_richness", spark, sf).iloc[0]
+    assert (out["n_tokens"], out["v_types"]) == (4, 3)
+    assert out["yule_k_x1000"] == 1_250_000
+    assert out["sichel_s_permille"] == 333
+    assert out["hapax_permille"] == 666
+
+
+def test_simpson_diversity_known_values(spark, tmp_path):
+    """'a a b b': Simpson D = 1 - sum n_i(n_i-1)/(N(N-1)) = 1 - 4/12
+    = 2/3 (667 floor permille)."""
+    sf = make_sf(tmp_path / "sf", documents=[_doc(1, text="a a b b")])
+    out = run("simpson_diversity_tokens", spark, sf).iloc[0]
+    assert (out["n_tok"], out["n_types"]) == (4, 2)
+    assert out["simpson_permille"] == 667
+
+
+# ---------------------------------------------------------------------------
+# lineitem-based statistics
+
+
+def _li(okey=1, part=1, supp=1, qty=1.0, price=1.0, disc=0.0,
+        flag="N", ship="2024-01-01"):
+    return {
+        "l_orderkey": okey, "l_partkey": part, "l_suppkey": supp,
+        "l_quantity": qty, "l_extendedprice": price, "l_discount": disc,
+        "l_returnflag": flag, "l_shipdate": ship,
+    }
+
+
+def test_linreg_known_values(spark, tmp_path):
+    """price = exactly $1 per unit of quantity => OLS slope is
+    exactly 100 cents/unit (1e8 micro-cents), mean x = 2.5."""
+    sf = make_sf(
+        tmp_path / "sf",
+        lineitem=[_li(qty=float(x), price=float(x)) for x in range(1, 5)],
+    )
+    out = run("linreg_closed_form", spark, sf).iloc[0]
+    assert out["n"] == 4
+    assert out["slope_micro_cents"] == 100_000_000
+    assert out["mean_x_milli"] == 2500
+
+
+def test_odds_ratio_known_values(spark, tmp_path):
+    """2x2 of (a,b,c,d) = (2,1,1,2): OR = ad/bc = 4 exactly; risk
+    difference = 2/3 - 1/3 = 1/3 (floor micro 333333)."""
+    sf = make_sf(
+        tmp_path / "sf",
+        lineitem=[_li(flag="R", ship="2024-03-01")] * 2
+        + [_li(flag="N", ship="2024-03-01")]
+        + [_li(flag="R", ship="2024-09-01")]
+        + [_li(flag="N", ship="2024-09-01")] * 2,
+    )
+    out = run("odds_ratio_returns", spark, sf).iloc[0]
+    assert (out["h1_returned"], out["h1_kept"]) == (2, 1)
+    assert (out["h2_returned"], out["h2_kept"]) == (1, 2)
+    assert out["odds_ratio_micro"] == 4_000_000
+    assert out["risk_diff_micro"] == 333_333
+
+
+def test_wilson_lower_bound_known_values(spark, tmp_path):
+    """Published Wilson 95% lower bounds: p-hat=0.5, n=10 =>
+    0.2365896...; p-hat=1.0, n=10 => 0.7224599... (z=1.96)."""
+    rows = [_li(supp=1, flag="R" if i < 5 else "N") for i in range(10)]
+    rows += [_li(supp=2, flag="R") for _ in range(10)]
+    sf = make_sf(tmp_path / "sf", lineitem=rows)
+    out = rows_by(run("wilson_lower_bound_rank", spark, sf), "l_suppkey")
+    s1 = out[out["l_suppkey"] == 1].iloc[0]
+    s2 = out[out["l_suppkey"] == 2].iloc[0]
+    assert (s1["n"], s1["r"]) == (10, 5)
+    assert s1["wilson_lb"] == pytest.approx(0.2365896, abs=1e-6)
+    assert s2["wilson_lb"] == pytest.approx(0.7224599, abs=1e-6)
+
+
+def test_stats_moments_known_values(spark, tmp_path):
+    """Perfectly linear price-in-quantity: mean 2.0, sample stddev
+    1.0 (of 1,2,3 dollars), correlation exactly 1."""
+    sf = make_sf(
+        tmp_path / "sf",
+        lineitem=[_li(qty=float(x), price=float(x), flag="A")
+                  for x in (1, 2, 3)],
+    )
+    out = run("stats_moments", spark, sf).iloc[0]
+    assert out["n_items"] == 3
+    assert out["mean_price"] == pytest.approx(2.0)
+    assert out["stddev_price"] == pytest.approx(1.0)
+    assert out["corr_qty_price"] == pytest.approx(1.0)
+
+
+def test_corr_matrix_known_values(spark, tmp_path):
+    """qty, price and discount all exactly collinear => every
+    pairwise Pearson correlation is exactly +1."""
+    sf = make_sf(
+        tmp_path / "sf",
+        lineitem=[_li(qty=float(x), price=float(x), disc=x / 100.0,
+                      flag="A") for x in (1, 2, 3)],
+    )
+    out = run("corr_matrix_exact", spark, sf).iloc[0]
+    assert out["n"] == 3
+    assert out["corr_qty_price"] == pytest.approx(1.0)
+    assert out["corr_qty_disc"] == pytest.approx(1.0)
+
+
+def test_skew_kurt_known_values(spark, tmp_path):
+    """Symmetric (1,2,3): skew exactly 0, excess kurtosis -1.5 (m4/
+    sigma^4 = 1.5); skewed (1,1,1,5): skew = 2/sqrt(3), excess kurt
+    = 21/9 - 3 (population moments, hand-worked)."""
+    rows = [_li(qty=float(q), flag="S") for q in (1, 2, 3)]
+    rows += [_li(qty=float(q), flag="K") for q in (1, 1, 1, 5)]
+    sf = make_sf(tmp_path / "sf", lineitem=rows)
+    out = rows_by(run("agg_skew_kurt", spark, sf), "l_returnflag")
+    s = out[out["l_returnflag"] == "S"].iloc[0]
+    k = out[out["l_returnflag"] == "K"].iloc[0]
+    assert s["mean_qty"] == pytest.approx(2.0)
+    assert s["skew_qty"] == pytest.approx(0.0, abs=1e-12)
+    assert s["kurt_qty"] == pytest.approx(-1.5)
+    assert k["skew_qty"] == pytest.approx(2.0 / math.sqrt(3.0))
+    assert k["kurt_qty"] == pytest.approx(21.0 / 9.0 - 3.0)
+
+
+def test_cochran_armitage_known_values(spark, tmp_path):
+    """Complete separation over two dose classes (0/2 then 2/2
+    returned): hand-worked z = a*sqrt(N)/sqrt(b) = 4*2/4 = 2."""
+    sf = make_sf(
+        tmp_path / "sf",
+        orders=[
+            {"o_orderkey": 1, "o_orderpriority": "1-URGENT"},
+            {"o_orderkey": 2, "o_orderpriority": "2-HIGH"},
+        ],
+        lineitem=[_li(okey=1, flag="N")] * 2 + [_li(okey=2, flag="R")] * 2,
+    )
+    out = rows_by(run("cochran_armitage_trend", spark, sf), "priority_class")
+    assert list(out["priority_class"]) == [1, 2]
+    assert list(out["return_permille"]) == [0, 1000]
+    assert list(out["z"]) == pytest.approx([2.0, 2.0])
+
+
+def test_mcnemar_known_values(spark, tmp_path):
+    """Discordant pairs b=2, c=0: McNemar chi2 = (b-c)^2/(b+c) = 2;
+    continuity-corrected (|b-c|-1)^2/(b+c) = 0.5."""
+    orders, items, ok = [], [], 1
+    # custs 1,2: returned in H1 only; cust 3: both halves; cust 4: none
+    for cust, (h1f, h2f) in ((1, ("R", "N")), (2, ("R", "N")),
+                             (3, ("R", "R")), (4, ("N", "N"))):
+        for half, flag in (("2024-03-01", h1f), ("2024-09-01", h2f)):
+            orders.append({"o_orderkey": ok, "o_custkey": cust,
+                           "o_orderdate": half})
+            items.append(_li(okey=ok, flag=flag, ship=half))
+            ok += 1
+    sf = make_sf(tmp_path / "sf", orders=orders, lineitem=items)
+    out = run("mcnemar_paired_returns", spark, sf).iloc[0]
+    assert out["n_pairs"] == 4
+    assert (out["both_ret"], out["h1_only"], out["h2_only"],
+            out["neither"]) == (1, 2, 0, 1)
+    assert out["mcnemar_x2_micro"] == 2_000_000
+    assert out["mcnemar_x2_corrected_micro"] == 500_000
+
+
+def test_revenue_waterfall_known_values(spark, tmp_path):
+    """Hand-built PVM decomposition: shared part doubles volume at
+    flat price (+200c volume, 0 price), one part lost (-500c), one
+    new (+300c); the identity leaves residual exactly 0."""
+    items = (
+        [_li(part=1, qty=1.0, price=1.0, ship="1995-06-01")] * 2
+        + [_li(part=1, qty=1.0, price=1.0, ship="1996-06-01")] * 4
+        + [_li(part=2, qty=1.0, price=5.0, ship="1995-06-01")]
+        + [_li(part=3, qty=1.0, price=3.0, ship="1996-06-01")]
+    )
+    sf = make_sf(tmp_path / "sf", lineitem=items)
+    out = run("revenue_waterfall_decomposition", spark, sf).iloc[0]
+    assert (out["rev0_cents"], out["rev1_cents"]) == (700, 700)
+    assert out["delta_cents"] == 0
+    assert out["volume_eff_cents"] == 200
+    assert out["price_eff_cents"] == 0
+    assert out["new_parts_cents"] == 300
+    assert out["lost_parts_cents"] == 500
+    assert out["residual_cents"] == 0
+
+
+# ---------------------------------------------------------------------------
+# sketch-accuracy audits (flags are the operator's own verdicts; the
+# fixture pins the exact legs and that the audits hold on tiny input)
+
+
+def test_hll_audit_known_values(spark, tmp_path):
+    sf = make_sf(
+        tmp_path / "sf",
+        events=[_ev(i + 1, "2024-01-01", user=u, etype=t)
+                for i, (t, u) in enumerate(
+                    [("A", u) for u in range(5)] + [("B", 1), ("B", 2)])],
+    )
+    out = rows_by(run("hll_accuracy_audit", spark, sf), "event_type")
+    assert list(out["n_distinct_exact"]) == [5, 2]
+    assert list(out["hll_within_bound"]) == [1, 1]
+
+
+def test_cms_audit_known_values(spark, tmp_path):
+    sf = make_sf(
+        tmp_path / "sf",
+        events=[_ev(i + 1, "2024-01-01", user=u)
+                for i, u in enumerate((1, 1, 1, 2))],
+    )
+    out = rows_by(run("count_min_accuracy_audit", spark, sf), "user_id")
+    assert list(out["true_count"]) == [3, 1]
+    assert list(out["cms_within_bound"]) == [1, 1]
+
+
+def test_bloom_audit_known_values(spark, tmp_path):
+    sf = make_sf(
+        tmp_path / "sf",
+        events=[_ev(i + 1, "2024-01-01", user=u)
+                for i, u in enumerate((1, 2, 3, 3))],
+    )
+    out = run("bloom_fpp_audit", spark, sf).iloc[0]
+    assert out["n_members"] == 3
+    assert out["all_members_contained"] == 1
+    assert out["fpp_within_budget"] == 1
+
+
+def test_approx_quantile_audit_known_values(spark, tmp_path):
+    """Single-valued distribution: every exact quantile is that
+    value under every convention, and the sketch must agree."""
+    sf = make_sf(
+        tmp_path / "sf",
+        events=[_ev(i + 1, "2024-01-01", value=5.0) for i in range(20)],
+    )
+    out = rows_by(run("approx_quantile_audit", spark, sf), "pct")
+    assert list(out["exact_value"]) == [5.0] * 6
+    assert list(out["approx_within_bound"]) == [1] * 6
+
+
+def test_approx_percentile_rank_audit_known_values(spark, tmp_path):
+    sf = make_sf(
+        tmp_path / "sf",
+        events=[_ev(i + 1, "2024-01-01", value=float(i)) for i in range(10)],
+    )
+    out = run("approx_percentile_rank_audit", spark, sf).iloc[0]
+    assert out["n_rows"] == 10
+    assert out["p50_within_guarantee"] == 1
+    assert out["p99_within_guarantee"] == 1

@@ -448,13 +448,23 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = spark.createDataFrame(
         rows, "pct int, approx_value double, lo long, hi long"
     )
-    # the approx value's actual rank = count of values ≤ it (one
-    # distributed filtered count per pct, no ordering needed)
+    # the approx value's actual rank under ties is an INTERVAL
+    # [count(<av)+1, count(<=av)] — a point check against count(<=av)
+    # false-alarms whenever the quantile lands inside a heavy tie
+    # mass (r13 fixture-suite find: a constant-valued corpus put
+    # count(<=av)=n while the sketch was exactly right). The sketch
+    # is within budget iff its rank interval OVERLAPS [lo, hi].
     le_counts = (
         ev.crossJoin(F.broadcast(audit))
-        .where(F.col("value") <= F.col("approx_value"))
         .groupBy("pct", "lo", "hi")
-        .agg(F.count(F.lit(1)).alias("approx_rank"))
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("approx_value"), 1).otherwise(0)
+            ).alias("rank_lo_m1"),
+            F.sum(
+                F.when(F.col("value") <= F.col("approx_value"), 1).otherwise(0)
+            ).alias("rank_hi"),
+        )
     )
     # distributed exact selection: parallel range-partitioned sort +
     # per-partition local ranks + broadcast prefix offsets
@@ -498,8 +508,8 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct",
             "exact_value",
             F.when(
-                (F.col("approx_rank") >= F.col("lo"))
-                & (F.col("approx_rank") <= F.col("hi")),
+                (F.col("rank_lo_m1") + 1 <= F.col("hi"))
+                & (F.col("rank_hi") >= F.col("lo")),
                 1,
             )
             .otherwise(0)
