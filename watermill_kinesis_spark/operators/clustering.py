@@ -392,12 +392,21 @@ def kcenter_greedy_fit(spark: SparkSession, sf_dir: str, k: int = KCENTER_K):
     center_ids = [first.vec_id]
     centers = [list(first.emb)]
     for _ in range(1, k):
-        far = (
+        # exclude already-selected ids (tiny isin, k ≤ KCENTER_K):
+        # on a duplicate-heavy corpus every remaining mind can be 0,
+        # and without the exclusion the (mind DESC, vec_id ASC) pick
+        # re-selects center 0 forever — duplicate center ids, breaking
+        # the audit's distinctness guarantee (r13 tie-safety find)
+        far_rows = (
             mind_df(centers)
+            .where(~F.col("vec_id").isin(center_ids))
             .orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not far_rows:  # corpus smaller than k
+            break
+        far = far_rows[0]
         center_ids.append(far.vec_id)
         centers.append(list(far.emb))
     # the radius pass consumes only max(mind) — skip the full-corpus
