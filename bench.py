@@ -131,6 +131,18 @@ HEADLINE = [
     "theta_sketch_pair_audit",
     "ndcg_at_k",
     "cochran_armitage_trend",
+    # r11+ additions (r12 VERDICT task 4): the widest operators added
+    # or RE-PLANNED in r11-r13 that previously had no round-over-round
+    # bench row — the iterative BFS frontier loop, the survival-table
+    # double window, the weekly PAA/SAX spine, the split-leg
+    # approx_distinct (r12 re-plan), the container-packed binaryFile
+    # ingest (r12 re-plan), and the DF-capped containment twin (r13)
+    "graph_bfs_hops",
+    "kaplan_meier_hazard",
+    "sax_symbolic_daily",
+    "approx_distinct",
+    "binaryfile_ingest",
+    "dedup_containment_capped",
 ]
 
 #: index where the r4-added heavies start in HEADLINE
@@ -147,6 +159,8 @@ _R8_START = HEADLINE.index("knn_mutual_label_blocked")
 _R9_START = HEADLINE.index("dedup_substring_excise")
 #: index where the r10-added heavies start
 _R10_START = HEADLINE.index("yule_sichel_richness")
+#: index where the r11+ additions start (r12 VERDICT task 4)
+_R11P_START = HEADLINE.index("graph_bfs_hops")
 
 #: Calibration anchors (r5 VERDICT "what's wrong #3"; widened to a
 #: 3-anchor median by r8 VERDICT task 4): the machine is co-tenant, so
@@ -194,6 +208,10 @@ INBLOCK_ANCHOR_QUERIES = (
     "kcenter_diversity_audit",
     "ann_model_save_load_audit",
     "bloom_fpp_audit",
+    # r13: the two r11+ additions measuring over ~2 s get the same
+    # same-moment adjudication (r12 VERDICT task 4 done-criterion)
+    "graph_bfs_hops",
+    "dedup_containment_capped",
 )
 
 
@@ -339,8 +357,10 @@ def main() -> int:
     r8_total = round(sum(timings.get(n, 0.0) for n in r8_heavies), 3)
     r9_heavies = HEADLINE[_R9_START:_R10_START]
     r9_total = round(sum(timings.get(n, 0.0) for n in r9_heavies), 3)
-    r10_heavies = HEADLINE[_R10_START:]
+    r10_heavies = HEADLINE[_R10_START:_R11P_START]
     r10_total = round(sum(timings.get(n, 0.0) for n in r10_heavies), 3)
+    r11p_heavies = HEADLINE[_R11P_START:]
+    r11p_total = round(sum(timings.get(n, 0.0) for n in r11p_heavies), 3)
     heavy_total = round(
         total
         - core_total
@@ -350,7 +370,8 @@ def main() -> int:
         - r7_total
         - r8_total
         - r9_total
-        - r10_total,
+        - r10_total
+        - r11p_total,
         3,
     )
     import statistics
@@ -381,6 +402,7 @@ def main() -> int:
                     "heavies_added_r8": r8_total,
                     "heavies_added_r9": r9_total,
                     "heavies_added_r10": r10_total,
+                    "heavies_added_r10plus": r11p_total,
                 },
                 "calibration": {
                     # legacy single-anchor fields (scan) for continuity

@@ -113,3 +113,54 @@ def test_unigram_freq_score_bounds(spark, sf_dir):
         assert bad.count() == 0
     finally:
         out.unpersist()
+
+
+def test_containment_capped_drops_hot_shingles(spark, tmp_path):
+    """The DF-capped twin: a boilerplate shingle shared by 150 docs
+    (df > CONTAIN_DF_CAP=100) must generate NO candidate pairs — the
+    exact face would emit all 150*149/2 of them — while a genuine
+    containment pair built from sub-cap shingles still surfaces."""
+    import pandas as pd
+
+    from watermill_kinesis_spark.operators.analytics2 import CONTAIN_DF_CAP
+
+    assert CONTAIN_DF_CAP < 150
+    rows = [
+        {"doc_id": 1, "text": "a b c d e"},
+        {"doc_id": 2, "text": "a b c d e f"},
+    ]
+    rows += [{"doc_id": 100 + i, "text": "h1 h2 h3 h4 h5"} for i in range(150)]
+    pdf = pd.DataFrame(rows)
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf[["doc_id", "text", "lang", "source", "n_chars"]].to_parquet(
+        str(sf / "documents.parquet"), index=False
+    )
+    capped = queries()["dedup_containment_capped"](spark, str(sf)).collect()
+    got = {(r["doc_sub"], r["doc_super"]) for r in capped}
+    assert got == {(1, 2)}  # hot-shingle docs generate nothing
+    assert all(r["containment"] == 1.0 for r in capped)
+    # the exact face, by contrast, pairs every hot-shingle doc
+    exact = queries()["dedup_containment_ngram"](spark, str(sf))
+    assert exact.count() == 2 * (150 * 149 // 2) + 1  # both directions + (1,2)
+
+
+def test_containment_capped_equals_exact_below_cap(spark, sf_dir):
+    """With no shingle above the cap (true at sf0.001), the capped
+    face must emit exactly the exact face's pairs."""
+    from watermill_kinesis_spark.operators.dedup import _docs, _shingles
+
+    df_max = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+        .groupBy("sh").count().agg(F.max("count")).first()[0]
+    )
+    if df_max > 100:  # fixture condition not met at this SF
+        return
+    a = {tuple(r) for r in queries()["dedup_containment_capped"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in queries()["dedup_containment_ngram"](spark, sf_dir).collect()}
+    assert a == b and len(a) > 0

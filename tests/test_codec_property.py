@@ -251,3 +251,59 @@ def test_proto_envelope_pure_roundtrip_property(uuid, metadata, payload):
     assert decode_envelope(wire) == (uuid, metadata, payload)
     reordered = dict(reversed(list(metadata.items())))
     assert encode_envelope(uuid, reordered, payload) == wire
+
+
+def test_fast_decode_agrees_with_runtime_on_fuzz():
+    """The specialized wire walk must agree with the descriptor
+    runtime on every input: identical triple where both accept,
+    and the fallback path makes runtime rejection authoritative.
+    Deterministic LCG fuzz: valid wires, bit-flipped wires,
+    truncations, and random garbage."""
+    from watermill_kinesis_spark import protocodec as pc
+    from watermill_kinesis_spark.streaming.pbcompat import ensure_protobuf
+
+    ensure_protobuf()
+    from google.protobuf.message import DecodeError
+
+    def runtime_decode(d):
+        cls = pc.envelope_class()
+        env = cls()
+        env.ParseFromString(bytes(d))
+        return env.uuid, dict(env.metadata), bytes(env.payload)
+
+    state = 0xDEADBEEF
+    def rnd(n):
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return state % n
+
+    wires = []
+    for i in range(200):
+        md = {f"k{j}": "v" * rnd(40) for j in range(rnd(4))}
+        wires.append(
+            pc.encode_envelope(f"uuid-{i}", md, bytes(rnd(256) for _ in range(rnd(60))))
+        )
+    # mutations: flip a byte / truncate / pure garbage
+    mutated = []
+    for w in wires[:100]:
+        b = bytearray(w)
+        if b:
+            b[rnd(len(b))] ^= 1 << rnd(8)
+        mutated.append(bytes(b))
+        mutated.append(w[: rnd(len(w) + 1)])
+    mutated += [bytes(rnd(256) for _ in range(rnd(30))) for _ in range(100)]
+
+    for w in wires + mutated:
+        try:
+            expected = runtime_decode(w)
+            ok = True
+        except (DecodeError, UnicodeDecodeError):
+            ok = False
+        if ok:
+            assert pc.decode_envelope(w) == expected
+        else:
+            try:
+                pc.decode_envelope(w)
+                raise AssertionError(f"accepted wire the runtime rejects: {w!r}")
+            except (DecodeError, UnicodeDecodeError):
+                pass

@@ -96,6 +96,18 @@ def main() -> int:
 
         spark = get_spark("census-check")
     con = duckdb.connect()
+    # SPARK_GRAFT_DUCKDB_MEM: raise the oracle's memory ceiling for
+    # pair-dense recomputes whose spill exceeds the disk budget (the
+    # knn_mutual 100x wall was DuckDB temp, not the engine) — an
+    # instrument knob, it cannot change values
+    if os.environ.get("SPARK_GRAFT_DUCKDB_MEM"):
+        con.execute(
+            f"SET memory_limit='{os.environ['SPARK_GRAFT_DUCKDB_MEM']}'"
+        )
+    if os.environ.get("SPARK_GRAFT_DUCKDB_THREADS"):
+        con.execute(
+            f"SET threads={int(os.environ['SPARK_GRAFT_DUCKDB_THREADS'])}"
+        )
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

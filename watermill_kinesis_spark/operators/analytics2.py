@@ -451,6 +451,119 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(rev)
 
 
+#: document-frequency ceiling for the capped containment face: a
+#: shingle appearing in more docs than this is boilerplate, carries
+#: ~no near-dup signal, and is the Σ|posting|² skew magnet — the
+#: standard inverted-index hot-term drop
+CONTAIN_DF_CAP = 100
+
+
+@query(
+    "dedup_containment_capped",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split(text, ' ')) - {SHINGLE_N}, 0) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '),
+                                                   CAST(i + 1 AS INT),
+                                                   CAST(i + {SHINGLE_N} AS INT)), ' ')
+               )) AS shingles
+        FROM documents),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    df AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+    kept AS (
+        SELECT ex.doc_id, ex.shingle
+        FROM ex JOIN df USING (shingle) WHERE df.df <= {CONTAIN_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM kept a JOIN kept b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+        SELECT p.doc_a, p.doc_b, p.n_common, sa.n AS na, sb.n AS nb
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b)
+    SELECT doc_a AS doc_sub, doc_b AS doc_super,
+           CAST(n_common AS DOUBLE) / na AS containment
+    FROM scored WHERE CAST(n_common AS DOUBLE) / na >= {CONTAIN_T}
+    UNION ALL
+    SELECT doc_b AS doc_sub, doc_a AS doc_super,
+           CAST(n_common AS DOUBLE) / nb AS containment
+    FROM scored WHERE CAST(n_common AS DOUBLE) / nb >= {CONTAIN_T}
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped twin of ``dedup_containment_ngram`` (VERDICT r12 task
+    7): drop shingles whose document frequency exceeds CONTAIN_DF_CAP
+    before the posting-list self-join — the standard inverted-index
+    hot-term trick. The exact face's Σ|posting|² candidate generation
+    is quadratic in per-shingle document frequency, so one hot
+    boilerplate shingle ("all rights reserved …" in a crawl, or every
+    shingle of a ×100-duplicated corpus) dominates the join; capping
+    bounds every posting's pair contribution at CONTAIN_DF_CAP² and
+    makes the whole plan's shuffle O(Σ min(df, cap)²) — flat in corpus
+    duplication, the property the exact face lacks (its 100× OOM,
+    SCALE.md r12).
+
+    CONTRACT, stated honestly: containment is computed over the
+    sub-cap shingle VOCABULARY — both |A∩B| and |A| count only kept
+    shingles, a self-consistent redefinition rather than a biased
+    estimate of the exact score. The recall trade: a pair whose
+    overlap is mostly boilerplate no longer qualifies (that's the
+    point); a pair whose distinctive shingles overlap still scores
+    ≥ the threshold. Docs whose every shingle is hot leave the
+    relation (no zero-denominator row). On corpora with no shingle
+    above the cap the output EQUALS the exact face's, which is the
+    sf0.01 oracle condition; the cap behavior itself is pinned by a
+    hot-shingle pytest fixture (tests/test_analytics2.py)."""
+    from watermill_kinesis_spark.operators.dedup import _docs, _shingles
+
+    ex = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    )
+    df = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        ex.join(df.where(F.col("df") <= CONTAIN_DF_CAP).hint("shuffle_hash"),
+                "shingle")
+        .select("doc_id", "shingle")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("na")
+    c_ba = F.col("n_common").cast("double") / F.col("nb")
+    fwd = scored.where(c_ab >= CONTAIN_T).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        c_ab.alias("containment"),
+    )
+    rev = scored.where(c_ba >= CONTAIN_T).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        c_ba.alias("containment"),
+    )
+    return fwd.unionAll(rev)
+
+
 # ---------------------------------------------------------------------------
 # corpus-frequency quality score (count-based LM proxy)
 
