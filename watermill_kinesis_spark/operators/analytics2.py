@@ -533,7 +533,12 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingle")
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = kept.alias("a"), kept.alias("b")
+    # shuffle_hash pin on the self-join: `kept` is a corpus-derived
+    # posting list that AQE sizes by its COMPRESSED post-filter stats —
+    # the DictBcast under-estimate class (plan_audit guard; the r9
+    # ngram_novelty OOM). A corpus-scale relation must never be the
+    # broadcast build side, however small one SF's sample looks.
+    a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(
             b,
