@@ -107,6 +107,32 @@ def driver_canon_df(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _canon_str_series(s: pd.Series) -> pd.Series:
+    """Canonical string form of one column, vectorized where the dtype
+    makes it provably identical to the per-cell :func:`canon_cell`:
+
+    - numpy signed/unsigned ints (no NaN possible): ``str(int(v))`` ==
+      ``astype(str)`` elementwise.
+    - float64: ``canon_cell`` returns ``repr(float(v))``; numpy's
+      float64 str IS the shortest round-trip repr (same algorithm since
+      numpy 1.14), including ``nan``, ``-0.0`` and ``inf`` spellings,
+      so ``astype(str)`` is elementwise identical. float32 is NOT
+      eligible (``float(np.float32(x))`` widens before repr).
+
+    Everything else (objects, lists, decimals, timestamps, nullable
+    extension dtypes) falls back to the exact per-cell map. The 100×
+    replica compares hash 10^8-row pair outputs — the per-cell python
+    map was the dominant instrument cost (~6 s/M rows; the vector path
+    is ~20× that throughput)."""
+    dt = s.dtype
+    if isinstance(dt, np.dtype):
+        if dt.kind in ("i", "u"):
+            return s.astype(str)
+        if dt == np.float64:
+            return s.astype(str)
+    return s.map(canon_cell).astype(str)
+
+
 def hash_df(df: pd.DataFrame) -> tuple[list[str], int, int]:
     """Order-insensitive digest of a large result: every cell goes
     through the SAME :func:`canon_cell` as the exact path (so float
@@ -121,9 +147,9 @@ def hash_df(df: pd.DataFrame) -> tuple[list[str], int, int]:
     cols = sorted(df.columns)
     if not len(df):
         return cols, 0, 0
-    joined = df[cols[0]].map(canon_cell).astype(str)
+    joined = _canon_str_series(df[cols[0]])
     for c in cols[1:]:
-        joined = joined + "\x1f" + df[c].map(canon_cell).astype(str)
+        joined = joined + "\x1f" + _canon_str_series(df[c])
     hashes = pd.util.hash_pandas_object(joined, index=False).to_numpy(
         dtype=np.uint64
     )
