@@ -1,0 +1,167 @@
+"""Known-value formula pins, batch 5: the retrieval-ranking scorecard
+and the BFS traversal census (extending VERDICT r12 task 2 beyond the
+statistics family).
+
+Same doctrine as tests/test_stat_fixtures.py — the engine-vs-oracle
+gate cannot see a formula error both spellings share, so each metric
+is pinned to a HAND-COMPUTED fixture evaluated through the operator's
+real registered code path.
+
+Retrieval fixture geometry: the 8 queries (vec_id < N_QUERIES = 8)
+all carry the IDENTICAL vector [1, 0], so every query's neighbors at
+cosine 1.0 are exactly the other seven queries, ranked by the
+family's (score DESC, vec_id ASC) tie order — i.e. each query's
+top-5 is the five smallest OTHER query ids, a ranking that needs no
+floating-point reasoning at all. Four distractor vectors (labels
+never matching any query) sit at strictly smaller cosines so they can
+never crack the top-5. Labels: queries 0-3 → label 1, queries 4-7 →
+label 2, giving two hand-worked relevance patterns:
+
+  label-1 queries: top-5 ids (four smallest others + next), relevance
+      [1,1,1,0,0] — relevant at ranks 1,2,3
+  label-2 queries: relevance [0,0,0,0,1] — relevant at rank 5 only
+
+and n_relevant_corpus = 3 for every query (its label appears on 4
+vectors, minus self).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_stat_fixtures import make_sf, run, rows_by
+
+# family constants, re-derived here by hand (NOT imported from the
+# operator modules — the pin must fail if the module constants drift)
+TOP_K = 5
+N_QUERIES = 8
+RR_SCALE = 60  # lcm(1..5)
+ERR_SCALE = 60 * 2**5  # 1920
+
+
+def write_embeddings(path, rows) -> None:
+    """rows: (vec_id, [float components], label) with the testdata
+    schema (embedding = list<float32>, label = int32)."""
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(path / "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def retrieval_sf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("retrieval_fixture")
+    rows = [(i, [1.0, 0.0], 1 if i < 4 else 2) for i in range(8)]
+    rows += [
+        (8, [1.0, 1.0], 3),  # cos = 0.7071…
+        (9, [0.0, 1.0], 3),  # cos = 0
+        (10, [-1.0, 0.0], 3),  # cos = -1
+        (11, [0.5, 0.5], 3),  # cos = 0.7071…
+    ]
+    write_embeddings(path, rows)
+    return str(path)
+
+
+# per-query hand expectations shared by the tests below:
+#   queries 0-3 (label 1): rel pattern [1,1,1,0,0]
+#   queries 4-7 (label 2): rel pattern [0,0,0,0,1]
+LABEL1_QUERIES = [0, 1, 2, 3]
+LABEL2_QUERIES = [4, 5, 6, 7]
+
+
+def test_precision_recall_at_k_known_values(spark, retrieval_sf):
+    out = rows_by(run("precision_recall_at_k", spark, retrieval_sf), "query_id")
+    assert list(out.query_id) == list(range(8))
+    assert list(out.k) == [5] * 8
+    # label-1: 3 of 5 retrieved relevant; all 3 corpus-relevant found
+    # label-2: 1 of 5; 1 of 3 corpus-relevant found
+    assert list(out.n_relevant_topk) == [3, 3, 3, 3, 1, 1, 1, 1]
+    assert list(out.n_relevant_corpus) == [3] * 8
+    # precision = 1000*3 div 5 = 600 / 1000*1 div 5 = 200
+    assert list(out.precision_permille) == [600] * 4 + [200] * 4
+    # recall = 1000*3 div 3 = 1000 / 1000*1 div 3 = 333
+    assert list(out.recall_permille) == [1000] * 4 + [333] * 4
+
+
+def test_mrr_at_k_known_values(spark, retrieval_sf):
+    out = rows_by(run("mrr_at_k_exact", spark, retrieval_sf), "query_id")
+    # label-1: first relevant at rank 1 -> 60/1; label-2: rank 5 -> 60/5
+    assert list(out.first_relevant_rank) == [1] * 4 + [5] * 4
+    assert list(out[f"rr_scaled_{RR_SCALE}"]) == [60] * 4 + [12] * 4
+
+
+def test_expected_reciprocal_rank_known_values(spark, retrieval_sf):
+    out = rows_by(run("expected_reciprocal_rank", spark, retrieval_sf), "query_id")
+    assert list(out.n_relevant_topk) == [3, 3, 3, 3, 1, 1, 1, 1]
+    # cascade terms rel·(60 div r)·2^(k-1-m), k=5:
+    # label-1 (ranks 1,2,3 with m=0,1,2): 60·16 + 30·8 + 20·4 = 1280
+    #   check: 1280/1920 = 2/3 = 1/1·1/2 + 1/2·1/4 + 1/3·1/8
+    # label-2 (rank 5, m=0): 12·16 = 192; 192/1920 = 1/10 = 1/5·1/2
+    assert list(out[f"err_scaled_{ERR_SCALE}"]) == [1280] * 4 + [192] * 4
+
+
+def test_ndcg_at_k_known_values(spark, retrieval_sf):
+    # discounts re-derived by hand from the textbook DCG definition:
+    # W_r = round(10^12 / log2(r+1))
+    W = [round(10**12 / math.log2(r + 1)) for r in range(1, 6)]
+    out = rows_by(run("ndcg_at_k", spark, retrieval_sf), "query_id")
+    assert list(out.n_relevant_topk) == [3, 3, 3, 3, 1, 1, 1, 1]
+    assert list(out.n_relevant_corpus) == [3] * 8
+    idcg = W[0] + W[1] + W[2]  # ideal: 3 relevant fill ranks 1-3
+    # label-1: relevant at ranks 1,2,3 -> DCG == IDCG -> NDCG = 1
+    # label-2: relevant at rank 5 only -> DCG = W_5
+    assert list(out.dcg_scaled) == [idcg] * 4 + [W[4]] * 4
+    assert list(out.idcg_scaled) == [idcg] * 8
+    assert list(out.ndcg_permille) == [1000] * 4 + [1000 * W[4] // idcg] * 4
+
+
+def test_map_at_k_known_values(spark, retrieval_sf):
+    out = rows_by(run("map_at_k_exact", spark, retrieval_sf), "query_id")
+    # AP terms rel·prefix_rel·(60 div r):
+    # label-1: 1·1·60 + 2·30 + 3·20 = 180; AP = 1000·180 div (3·60) = 1000
+    #   (P@1 = P@2 = P@3 = 1 -> perfect AP)
+    # label-2: 1·1·12 = 12; AP = 1000·12 div 60 = 200 (P@5 = 1/5)
+    assert list(out[f"ap_sum_scaled_{RR_SCALE}"]) == [180] * 4 + [12] * 4
+    assert list(out.ap_permille) == [1000] * 4 + [200] * 4
+
+
+# ---------------------------------------------------------------------------
+# BFS hop census on a hand-drawn part<->supplier graph
+
+
+def test_graph_bfs_hops_known_values(spark, tmp_path):
+    # bipartite graph: s1-{p1,p2}, s2-{p1,p3}, s3-{p4} (s3/p4 are a
+    # separate component, unreachable from the seed).  Seed = MIN
+    # supplier = s1. Hand BFS:
+    #   hop 0: {s1}            -> 1 supplier, key sum 1
+    #   hop 1: parts of s1     -> {p1,p2}: 2 parts, key sum 3
+    #   hop 2: new suppliers   -> p1:{s1,s2}, p2:{s1} -> {s2}: sum 2
+    #   hop 3: new parts of s2 -> {p3}: 1 part, key sum 3
+    #   hop 4: suppliers of p3 = {s2}, already seen -> NO hop-4 row
+    sf = make_sf(
+        tmp_path / "bfs",
+        lineitem=[
+            {"l_partkey": 1, "l_suppkey": 1},
+            {"l_partkey": 2, "l_suppkey": 1},
+            {"l_partkey": 1, "l_suppkey": 2},
+            {"l_partkey": 3, "l_suppkey": 2},
+            {"l_partkey": 4, "l_suppkey": 3},
+            # duplicate sale of an existing edge: must not change BFS
+            {"l_partkey": 1, "l_suppkey": 1},
+        ],
+    )
+    out = rows_by(run("graph_bfs_hops", spark, sf), "hop")
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (0, 0, 1, 0, 1),
+        (1, 2, 0, 3, 0),
+        (2, 0, 1, 0, 2),
+        (3, 1, 0, 3, 0),
+    ]
