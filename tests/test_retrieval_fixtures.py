@@ -165,3 +165,107 @@ def test_graph_bfs_hops_known_values(spark, tmp_path):
         (2, 0, 1, 0, 2),
         (3, 1, 0, 3, 0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# sparse retrieval: BM25 ranking, RBO ranking agreement
+
+
+@pytest.fixture(scope="module")
+def bm25_sf(tmp_path_factory):
+    # dl=2 with one hit each of two query terms vs dl=4 with tf=3 of
+    # one term: BM25's tf saturation + length normalization must rank
+    # doc 1 ABOVE doc 2 even though doc 2 has more total query-term
+    # hits (raw tf would rank doc 2 first — the discriminating case).
+    # Hand scores (k1=1.2, b=0.75, rational idf (N-df+.5)/(df+.5)):
+    #   idf(any term) = (3-1+0.5)/(1+0.5) = 5/3   [df=1 for each, N=3
+    #   docs with text... plus doc 4 -> N=4: recomputed below]
+    path = tmp_path_factory.mktemp("bm25_fixture")
+    make_sf(
+        path,
+        documents=[
+            {"doc_id": 1, "text": "hash merge"},
+            {"doc_id": 2, "text": "stream stream stream x"},
+            {"doc_id": 3, "text": "y z"},
+            {"doc_id": 4, "text": "y z"},
+        ],
+    )
+    return str(path)
+
+
+def test_bm25_topk_known_values(spark, bm25_sf):
+    # N=4, sumdl=2+4+2+2=10, df=1 per term, idf=(4-1+0.5)/1.5=7/3.
+    # doc1: dl*N/sumdl=0.8, damp=0.25+0.6=0.85, denom=1+1.02=2.02,
+    #       per-term (1*2.2)/2.02*7/3=2.5413..., two terms -> 5.0825
+    # doc2: dl*N/sumdl=1.6, damp=0.25+1.2=1.45, denom=3+1.74=4.74,
+    #       (3*2.2)/4.74*7/3=3.2489  -> doc1 > doc2 despite tf 2 vs 3
+    # docs 3,4: score 0, tie broken by doc_id
+    out = rows_by(run("bm25_topk", spark, bm25_sf), "rank")
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+        (4, 4),
+    ]
+
+
+def test_rank_biased_overlap_known_values(spark, bm25_sf):
+    # suffix weights re-derived from the documented closed form:
+    # w_d = 9^d * 10^(10-d) * (2520/d), suffix(m) = sum_{d=m..10} w_d
+    w = [9**d * 10 ** (10 - d) * (2520 // d) for d in range(1, 11)]
+    suffix = [sum(w[m:]) for m in range(10)]
+    # BM25 top-10: [1,2,3,4] (test above); TF top-10 by total query tf
+    # (doc1=2, doc2=3, doc3=doc4=0, ties by id): [2,1,3,4].
+    # maxrank per matched doc (bm25 rank vs tf rank):
+    #   doc1 max(1,2)=2; doc2 max(2,1)=2; doc3 max(3,3)=3; doc4 4
+    expected = suffix[1] + suffix[1] + suffix[2] + suffix[3]
+    out = run("rank_biased_overlap_exact", spark, bm25_sf)
+    assert [tuple(r) for r in out.itertuples(index=False)] == [(4, expected)]
+
+
+# ---------------------------------------------------------------------------
+# collocation PMI and Kneser-Ney continuation counts
+
+
+def test_collocation_pmi_known_values(spark, tmp_path):
+    # doc1 = "a b" * 25 -> bigrams (a,b) x25, (b,a) x24; doc2 = "a c".
+    # unigrams: a=26, b=25, c=1; N=52 tokens. min-count 20 keeps only
+    # (a,b) and (b,a):
+    #   lift(a,b) = 25*52/(26*25) = 2.0 exactly
+    #   lift(b,a) = 24*52/(25*26) = 48/25 = 1.92 exactly
+    sf = make_sf(
+        tmp_path / "pmi",
+        documents=[
+            {"doc_id": 1, "text": " ".join(["a", "b"] * 25)},
+            {"doc_id": 2, "text": "a c"},
+        ],
+    )
+    out = run("collocation_pmi", spark, sf)
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        ("a", "b", 25, 26, 25, 2.0),
+        ("b", "a", 24, 25, 26, 1.92),
+    ]
+
+
+def test_kneser_ney_continuation_known_values(spark, tmp_path):
+    # docs: "a b", "b c", "a c", "a b" -> bigram TYPES {(a,b),(b,c),
+    # (a,c)} (the repeat of "a b" must NOT count twice — type counts,
+    # the heart of KN). unigram tokens: a=3, b=3, c=2.
+    #   N1+(.w): b <- {a} = 1; c <- {b,a} = 2; a = 0
+    #   N1+(w.): a -> {b,c} = 2; b -> {c} = 1; c = 0
+    #   |bigram types| = 3; cont_permille = 1000*nl // 3
+    sf = make_sf(
+        tmp_path / "kn",
+        documents=[
+            {"doc_id": 1, "text": "a b"},
+            {"doc_id": 2, "text": "b c"},
+            {"doc_id": 3, "text": "a c"},
+            {"doc_id": 4, "text": "a b"},
+        ],
+    )
+    out = rows_by(run("kneser_ney_continuation", spark, sf), "tok")
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        ("a", 3, 0, 2, 0),
+        ("b", 3, 1, 1, 333),
+        ("c", 2, 2, 0, 666),
+    ]
