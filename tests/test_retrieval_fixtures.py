@@ -269,3 +269,68 @@ def test_kneser_ney_continuation_known_values(spark, tmp_path):
         ("b", 3, 1, 1, 333),
         ("c", 2, 2, 0, 666),
     ]
+
+
+# ---------------------------------------------------------------------------
+# dedup ratio formulas: word-5-gram Jaccard and containment
+
+
+W10 = " ".join(f"w{i}" for i in range(1, 11))  # w1..w10: 6 shingles
+
+
+@pytest.fixture(scope="module")
+def shingle_sf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("shingle_fixture")
+    make_sf(
+        path,
+        documents=[
+            # doc1 and doc2 differ only in the last word: shingle sets
+            # share positions 1-5 of 6 -> |A∩B|=5, |A∪B|=7
+            {"doc_id": 1, "text": W10},
+            {"doc_id": 2, "text": " ".join(W10.split()[:9]) + " x"},
+            # doc3 shares exactly ONE shingle (w1..w5) with docs 1,2:
+            # jaccard 1/11 — must be filtered by the 0.6 threshold
+            {"doc_id": 3, "text": "w1 w2 w3 w4 w5 y1 y2 y3 y4 y5"},
+            # doc4 disjoint vocabulary: no candidate pair at all
+            {"doc_id": 4, "text": " ".join(f"z{i}" for i in range(1, 11))},
+        ],
+    )
+    return str(path)
+
+
+def test_dedup_ngram_jaccard_known_values(spark, shingle_sf):
+    out = run("dedup_ngram_jaccard", spark, shingle_sf)
+    # only (1,2) clears 0.6: jaccard = 5/7 exactly (int/int in double)
+    assert [tuple(r) for r in out.itertuples(index=False)] == [(1, 2, 5.0 / 7.0)]
+
+
+@pytest.fixture(scope="module")
+def containment_sf(tmp_path_factory):
+    # doc1 (6 words, 2 shingles) is FULLY contained in doc2 (10 words,
+    # 6 shingles): C(1->2) = 2/2 = 1.0 but jaccard = 2/6 = 0.33 —
+    # the asymmetric case containment exists to catch.  C(2->1) = 2/6
+    # stays under the 0.8 threshold, so only one direction is emitted.
+    path = tmp_path_factory.mktemp("containment_fixture")
+    make_sf(
+        path,
+        documents=[
+            {"doc_id": 1, "text": " ".join(W10.split()[:6])},
+            {"doc_id": 2, "text": W10},
+        ],
+    )
+    return str(path)
+
+
+def test_dedup_containment_known_values(spark, containment_sf):
+    out = run("dedup_containment_ngram", spark, containment_sf)
+    assert [tuple(r) for r in out.itertuples(index=False)] == [(1, 2, 1.0)]
+    # jaccard on the same corpus emits NOTHING (2/6 < 0.6): the
+    # asymmetry claim in the containment docstring, pinned
+    assert len(run("dedup_ngram_jaccard", spark, containment_sf)) == 0
+
+
+def test_dedup_containment_capped_matches_exact_below_cap(spark, containment_sf):
+    # every shingle here has df <= 2, far under the df cap: the capped
+    # twin must agree with the exact face bit-for-bit
+    out = run("dedup_containment_capped", spark, containment_sf)
+    assert [tuple(r) for r in out.itertuples(index=False)] == [(1, 2, 1.0)]
