@@ -334,3 +334,50 @@ def test_dedup_containment_capped_matches_exact_below_cap(spark, containment_sf)
     # twin must agree with the exact face bit-for-bit
     out = run("dedup_containment_capped", spark, containment_sf)
     assert [tuple(r) for r in out.itertuples(index=False)] == [(1, 2, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf scores and the integer-weight EWMA
+
+
+def test_tfidf_top_terms_known_values(spark, tmp_path):
+    # doc1 = "a a b", doc2 = "b c": n_docs=2, df(a)=1, df(b)=2, df(c)=1
+    #   doc1: a -> 2*ln(2) = 1.386294 (6dp), b -> 1*ln(1) = 0
+    #   doc2: c -> ln(2) = 0.693147, b -> 0
+    sf = make_sf(
+        tmp_path / "tfidf",
+        documents=[
+            {"doc_id": 1, "text": "a a b"},
+            {"doc_id": 2, "text": "b c"},
+        ],
+    )
+    out = rows_by(run("tfidf_top_terms", spark, sf), "doc_id", "token")
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, "a", round(2 * math.log(2), 6)),
+        (1, "b", 0.0),
+        (2, "b", 0.0),
+        (2, "c", round(math.log(2), 6)),
+    ]
+
+
+def test_ewma_halflife_known_values(spark, tmp_path):
+    # alpha=1/2 EWMA, truncated (not padded) at the partition head:
+    #   e1: 1.0
+    #   e2: (1/2*2 + 1/4*1) / (3/4)          = 5/3
+    #   e3: (1/2*4 + 1/4*2 + 1/8*1) / (7/8)  = 2.625/0.875 = 3.0 exact
+    # (integer form: num/den with num = sum(cents*2^(15-j)), den =
+    # 100*(65536 - 2^(16-rn)) — both exact BIGINTs, one IEEE divide)
+    sf = make_sf(
+        tmp_path / "ewma",
+        events=[
+            {"event_id": 1, "user_id": 1, "ts": "2024-01-01", "value": 1.0},
+            {"event_id": 2, "user_id": 1, "ts": "2024-01-02", "value": 2.0},
+            {"event_id": 3, "user_id": 1, "ts": "2024-01-03", "value": 4.0},
+        ],
+    )
+    out = rows_by(run("ewma_halflife", spark, sf), "event_id")
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, 1, 1.0),
+        (2, 1, 5 / 3),
+        (3, 1, 3.0),
+    ]
