@@ -35,22 +35,29 @@ sys.path.insert(0, "/root/repo")
 from watermill_kinesis_spark.operators.similarity2 import KNN_MUTUAL_K  # noqa: E402
 from watermill_kinesis_spark.registry import all_specs  # noqa: E402
 
-#: per-label top-k pass — ONE block's pair window at a time. The
-#: r12 all-blocks-in-one-query spelling put every block's pair rows
-#: into a single window sort (>51 GB temp); per-label, the sort input
-#: is one block's |block|² (src, dst, score) rows (~11 GB at the
-#: 100× replica's 21.8k-max blocks), which an 80 GB memory limit
-#: holds entirely in RAM. Identical ranking semantics: the oracle's
-#: (cos DESC, dst ASC) ROW_NUMBER, label by label.
+#: per-label top-k pass — ONE block's pair window at a time, with the
+#: cosine PRE-PROJECTED in an inner subquery so the window's
+#: materialized sort input is exactly (src, dst, score) = 24 B/row
+#: (~11 GB at the 100× replica's 21.8k-max blocks, held in RAM by an
+#: 80 GB memory limit). The r12 all-blocks spelling sorted every
+#: block's pairs at once (>51 GB temp); the r13 first cut windowed
+#: per label but spelled ``list_cosine_similarity(a.emb, b.emb)``
+#: directly in the window ORDER BY — DuckDB then materializes the
+#: sort input WITH every column the order expression references,
+#: i.e. two 64-double lists per pair row (~400 GB at the 100× block
+#: sizes; measured as temp-disk exhaustion at 51 GB free). Identical
+#: ranking semantics: the oracle's (cos DESC, dst ASC) ROW_NUMBER,
+#: label by label.
 PER_LABEL_SQL = f"""
 INSERT INTO knn_edges
 SELECT src, dst FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           ROW_NUMBER() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY list_cosine_similarity(a.emb, b.emb) DESC,
-                        b.vec_id) AS rk
-    FROM block a JOIN block b ON a.vec_id <> b.vec_id)
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY score DESC, dst) AS rk
+    FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.emb, b.emb) AS score
+        FROM block a JOIN block b ON a.vec_id <> b.vec_id))
 WHERE rk <= {KNN_MUTUAL_K}
 """
 
