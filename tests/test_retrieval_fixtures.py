@@ -381,3 +381,58 @@ def test_ewma_halflife_known_values(spark, tmp_path):
         (2, 1, 5 / 3),
         (3, 1, 3.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# text quality: per-doc stats and the Gopher rule gate
+
+
+def test_text_stats_known_values(spark, tmp_path):
+    # "the cat sat": 11 chars, 3 tokens, avg token len (11-2)/3 = 3.0,
+    # one stopword ("the") -> ratio 1/3
+    # "to to be": 8 chars, 3 tokens (2 distinct), avg (8-2)/3 = 2.0,
+    # two stopword TOKENS ("to" twice; "be" is not in STOPWORDS)
+    sf = make_sf(
+        tmp_path / "tstats",
+        documents=[
+            {"doc_id": 1, "text": "the cat sat"},
+            {"doc_id": 2, "text": "to to be"},
+        ],
+    )
+    out = rows_by(run("text_stats", spark, sf), "doc_id")
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, "en", 11, 3, 3, 3.0, 1, 1 / 3),
+        (2, "en", 8, 3, 2, 2.0, 2, 2 / 3),
+    ]
+
+
+def test_gopher_quality_rules_known_values(spark, tmp_path):
+    # six docs, each isolating one rule (constants: words in [50,1e5],
+    # mean word length in [3,10] as 3n <= chars <= 10n, symbols/words
+    # <= 10%, alpha words >= 80%, >= 2 distinct stopwords present):
+    ok = "the and " + " ".join(["word"] * 48)  # 50 words AT the lower bound
+    docs = [
+        {"doc_id": 1, "text": ok},
+        # 49 words: fails ONLY word count
+        {"doc_id": 2, "text": "the and " + " ".join(["word"] * 47)},
+        # 48 x 11-char words: chars 534 > 10*50 -> fails ONLY word len
+        {"doc_id": 3, "text": "the and " + " ".join(["abcdefghijk"] * 48)},
+        # 6 '#' symbols: 100*6 > 10*50 -> fails ONLY symbol ratio
+        {"doc_id": 4, "text": "the and " + " ".join(["word#"] * 6 + ["word"] * 42)},
+        # 11 digit-only words: alpha 39/50 = 78% < 80% -> fails ONLY alpha
+        {"doc_id": 5, "text": "the and " + " ".join(["123"] * 11 + ["word"] * 37)},
+        # no stopwords at all -> fails ONLY stopword presence
+        {"doc_id": 6, "text": " ".join(["word"] * 50)},
+    ]
+    sf = make_sf(tmp_path / "gopher", documents=docs)
+    out = rows_by(run("gopher_quality_rules", spark, sf), "doc_id")
+    # (doc_id, n_words, n_chars_nospace, r_word_count, r_word_len,
+    #  r_symbol_ratio, r_alpha_words, r_stopwords, gopher_pass)
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, 50, 3 + 3 + 48 * 4, 1, 1, 1, 1, 1, 1),
+        (2, 49, 3 + 3 + 47 * 4, 0, 1, 1, 1, 1, 0),
+        (3, 50, 3 + 3 + 48 * 11, 1, 0, 1, 1, 1, 0),
+        (4, 50, 3 + 3 + 6 * 5 + 42 * 4, 1, 1, 0, 1, 1, 0),
+        (5, 50, 3 + 3 + 11 * 3 + 37 * 4, 1, 1, 1, 0, 1, 0),
+        (6, 50, 50 * 4, 1, 1, 1, 1, 0, 0),
+    ]
