@@ -436,19 +436,34 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watermill_kinesis_spark.operators.dedup import _shared_shingle_pairs
 
     scored = _shared_shingle_pairs(spark, sf_dir)
+    # BOTH directions in one pass (optimization round 13): the former
+    # fwd.unionAll(rev) planned the whole pair pipeline TWICE (union
+    # children are independent subtrees; nothing merged them). Each
+    # surviving pair row explodes into its two direction candidates and
+    # one filter keeps whichever clear the threshold — output-identical
+    # (the oracle compare is order-insensitive), half the work.
     c_ab = F.col("n_common").cast("double") / F.col("na")
     c_ba = F.col("n_common").cast("double") / F.col("nb")
-    fwd = scored.where(c_ab >= CONTAIN_T).select(
-        F.col("doc_a").alias("doc_sub"),
-        F.col("doc_b").alias("doc_super"),
-        c_ab.alias("containment"),
+    return (
+        scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_sub"),
+                        F.col("doc_b").alias("doc_super"),
+                        c_ab.alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_sub"),
+                        F.col("doc_a").alias("doc_super"),
+                        c_ba.alias("containment"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .where(F.col("containment") >= CONTAIN_T)
     )
-    rev = scored.where(c_ba >= CONTAIN_T).select(
-        F.col("doc_b").alias("doc_sub"),
-        F.col("doc_a").alias("doc_super"),
-        c_ba.alias("containment"),
-    )
-    return fwd.unionAll(rev)
 
 
 #: document-frequency ceiling for the capped containment face: a
@@ -520,32 +535,37 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the cap the output EQUALS the exact face's, which is the
     sf0.01 oracle condition; the cap behavior itself is pinned by a
     hot-shingle pytest fixture (tests/test_analytics2.py)."""
-    from watermill_kinesis_spark.operators.dedup import _docs, _shingles
+    from watermill_kinesis_spark.operators.dedup import _shingle_rows
 
-    ex = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    # ONE corpus kernel pass (shared _shingle_rows, see its docstring
+    # for why the declarative HOF spelling planned pathologically),
+    # then posting arrays per shingle. The DF cap is a size filter on
+    # the posting array — the former separate df aggregate + join back
+    # (two more corpus-scale shuffles) is gone; the hot-shingle rows
+    # still never reach the pair stage, which is the property that
+    # bounds the plan at 100 TB. The shingle repartition carries an
+    # EXPLICIT count (REPARTITION_BY_NUM, exempt from AQE coalescing):
+    # posting bytes are tiny, the pair inline explodes
+    # Σ min(df, cap)² rows AQE cannot see (guide §2.5).
+    posting = (
+        _shingle_rows(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") <= CONTAIN_DF_CAP)
     )
-    df = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    kept = (
-        ex.join(df.where(F.col("df") <= CONTAIN_DF_CAP).hint("shuffle_hash"),
-                "shingle")
-        .select("doc_id", "shingle")
-    )
+    kept = posting.select(F.explode("docs").alias("doc_id"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # shuffle_hash pin on the self-join: `kept` is a corpus-derived
-    # posting list that AQE sizes by its COMPRESSED post-filter stats —
-    # the DictBcast under-estimate class (plan_audit guard; the r9
-    # ngram_novelty OOM). A corpus-scale relation must never be the
-    # broadcast build side, however small one SF's sample looks.
-    a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        posting.where(F.size("docs") >= 2)
+        .select(
+            F.expr(
+                "inline(flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs) - i - 1), y ->"
+                " struct(x AS doc_a, y AS doc_b)))))"
+            )
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     scored = (
@@ -554,19 +574,29 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("n", "nb"), "doc_b")
     )
+    # both directions in one pass (see dedup_containment_ngram)
     c_ab = F.col("n_common").cast("double") / F.col("na")
     c_ba = F.col("n_common").cast("double") / F.col("nb")
-    fwd = scored.where(c_ab >= CONTAIN_T).select(
-        F.col("doc_a").alias("doc_sub"),
-        F.col("doc_b").alias("doc_super"),
-        c_ab.alias("containment"),
+    return (
+        scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_sub"),
+                        F.col("doc_b").alias("doc_super"),
+                        c_ab.alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_sub"),
+                        F.col("doc_a").alias("doc_super"),
+                        c_ba.alias("containment"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .where(F.col("containment") >= CONTAIN_T)
     )
-    rev = scored.where(c_ba >= CONTAIN_T).select(
-        F.col("doc_b").alias("doc_sub"),
-        F.col("doc_a").alias("doc_super"),
-        c_ba.alias("containment"),
-    )
-    return fwd.unionAll(rev)
 
 
 # ---------------------------------------------------------------------------

@@ -145,32 +145,98 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("jaccard") >= 0.6)
 
 
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded distinct-shingle posting rows ``(doc_id, n, shingle)``
+    — n is the doc's DISTINCT shingle count — computed in ONE
+    Arrow-vectorized pass over documents (optimization round 13,
+    guide §4.2/§4.4).
+
+    Why a kernel and not the ``_shingles`` HOF projection: the
+    declarative spelling planned pathologically. (1) Catalyst's
+    InferFiltersFromGenerate inferred ``size(shingles) > 0`` from the
+    explode and pushed it below the repartition exchange into the
+    parquet SCAN stage — the whole interpreted HOF pipeline
+    (split → sequence → slice → array_join → array_distinct) ran per
+    row in the single-split scan task just to evaluate the filter,
+    then ran AGAIN post-exchange for the projection (profiled: a
+    2.4 CPU-second serial stage at sf0.1). (2) The pair self-join
+    planned the scan+shingle subtree on BOTH sides with no exchange
+    reuse, so the corpus was shingled four times per query. An opaque
+    kernel is not duplicated by filter inference, not re-planned per
+    join side, and tokenizes ~10× faster than the interpreted HOFs.
+
+    Emission semantics are IDENTICAL to the old projection: tokens =
+    split(text, ' ', -1) (empty strings kept), shingles i..i+4 for
+    i in 0..max(len−5, 0) (short docs yield their whole text as the
+    one shingle), first-occurrence dedup (= array_distinct order),
+    NULL text emits nothing (= explode of NULL)."""
+    import pandas as pd
+
+    n_gram = SHINGLE_N
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id, out_n, out_sh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                k = max(len(toks) - n_gram, 0) + 1
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n_gram]) for i in range(k)
+                    )
+                )
+                out_id.extend([doc_id] * len(sh))
+                out_n.extend([len(sh)] * len(sh))
+                out_sh.extend(sh)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "n": out_n, "shingle": out_sh}
+            )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(kernel, "doc_id long, n int, shingle string")
+    )
+
+
 def _shared_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs from the shared-shingle inverted index:
     (doc_a, doc_b, n_common, na, nb) with doc_a < doc_b — the common
-    core of the Jaccard and containment near-dup operators."""
-    ex = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .select(
-            "doc_id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("shingle"),
+    core of the Jaccard and containment near-dup operators.
+
+    Pair generation (optimization round 13): group the posting rows by
+    shingle into a doc_id-sorted posting array and emit each unordered
+    pair ONCE with an array-combination inline — replacing the former
+    posting self-join, which shuffled the exploded corpus twice, sorted
+    both sides, and planned the scan+shingle pipeline once per side.
+    One corpus kernel pass, one shuffle on shingle, one shuffle on the
+    pair key. The shingle repartition carries an EXPLICIT count
+    (REPARTITION_BY_NUM — exempt from AQE coalescing): the posting
+    bytes are tiny so AQE would coalesce the exchange to one partition,
+    but the combination inline explodes Σ C(|posting|, 2) pairs that
+    AQE's input-byte sizing cannot see (guide §2.5, exploding joins) —
+    cost is Σ|posting|² exactly as before, spread over every core."""
+    posting = (
+        _shingle_rows(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pairs = posting.select(
+        F.expr(
+            "inline(flatten(transform(ds, (x, i) ->"
+            " transform(slice(ds, i + 2, size(ds) - i - 1), y ->"
+            " struct(x.doc_id AS doc_a, x.n AS na,"
+            "        y.doc_id AS doc_b, y.n AS nb)))))"
         )
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.min("a.n").alias("na"),
-            F.min("b.n").alias("nb"),
-        )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
     )
 
 
@@ -311,30 +377,59 @@ def _simhash_fp_col(th: F.Column) -> F.Column:
     recall audit computes (doc_id, census-key, fp) in ONE pass over
     documents instead of joining two derivations on doc_id). Each
     token hash votes ±1 on each of 64 bits; the sign vector is the
-    fingerprint."""
+    fingerprint.
 
-    def bitmask(b: int) -> int:
-        return (1 << b) if b < 63 else -(1 << 63)
+    Vectorized (optimization round 13, guide §4.2): the original
+    spelling was 64 interpreted ``F.aggregate`` HOF folds (one per
+    bit) — HOF lambdas never enter codegen, and the 64-fold expression
+    tree was so large that task deserialization alone dominated the
+    downstream stages. This Arrow kernel computes the IDENTICAL exact
+    integer votes — bit b of the fingerprint is set iff
+    Σ_tokens (bit b of xxhash64(token) ? +1 : −1) > 0, sign bit
+    included — via one uint64 bit-unpack + sum per row. Token hashes
+    still come from JVM ``xxhash64`` upstream, so fingerprint VALUES
+    are bit-identical to the previous rounds' (pinned by the pytest
+    fingerprint fixtures)."""
+    return _simhash_fp_kernel(th)
 
-    def vote(b: int):
-        """sign of Σ_tokens (bit b set ? +1 : -1)"""
-        mask = F.lit(bitmask(b))
-        return F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
 
-    return F.aggregate(
-        F.array(
-            *[
-                F.when(vote(b) > 0, F.lit(bitmask(b))).otherwise(F.lit(0).cast("bigint"))
-                for b in range(64)
-            ]
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+from pyspark.sql.types import LongType as _LongType  # noqa: E402
+
+
+# DataType instance, not a DDL string: a string returnType is parsed
+# through the active SparkContext, which doesn't exist at import time
+@F.pandas_udf(_LongType())
+def _simhash_fp_kernel(th_series):
+    """votes[b] = Σ ±1 over token-hash bit b; fp bit b ⇔ votes[b] > 0.
+    Exact integer arithmetic, elementwise identical to the former HOF
+    fold (two's-complement int64 out, numpy uint64 internally)."""
+    import numpy as np
+    import pandas as pd
+
+    bits = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(th_series), dtype=np.int64)
+    for i, row in enumerate(th_series):
+        if row is None:
+            # parity with the former HOF fold: the outer OR-fold ran
+            # over a LITERAL array of 64 when(vote>0) items, and a NULL
+            # th made every vote NULL → every item 0 → fp 0 (verified
+            # empirically before the rewrite), NOT NULL
+            out[i] = 0
+            continue
+        H = np.asarray(row, dtype=np.int64).astype(np.uint64)
+        if len(H) == 0:
+            out[i] = 0
+            continue
+        # (n_tokens × 64) bit matrix → per-bit vote sums
+        votes = ((H[:, None] >> bits[None, :]) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        ) * 2 - len(H)
+        fp = np.uint64(0)
+        set_bits = bits[votes > 0]
+        if len(set_bits):
+            fp = np.bitwise_or.reduce(np.uint64(1) << set_bits)
+        out[i] = int(fp.astype(np.int64))
+    return pd.Series(out)
 
 
 def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:

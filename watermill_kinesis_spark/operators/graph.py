@@ -15,7 +15,7 @@ models in clustering.py, because rank state is O(|nodes|).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from watermill_kinesis_spark.registry import query
@@ -670,12 +670,23 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     _bfs_final = []
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
+    par = spark.sparkContext.defaultParallelism
+    dedup = (
         li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .repartition(F.col("p"), F.col("s"))
         .distinct()
-        .persist()
     )
+    # TWO persisted copies, pre-partitioned on each traversal key
+    # (optimization round 13, guide §2.4 "two operations keyed the same
+    # way share one exchange"): every BFS level joins the edge relation
+    # once on s and once on p — with a single unkeyed persist each of
+    # the ≤2·BFS_MAX_HOPS level joins re-shuffled the full edge relation
+    # to its key; pre-partitioned copies make the edge side of every
+    # level join exchange-free (only the tiny frontier still shuffles).
+    # Memory cost is one extra edge copy — per-node-key partitioned, the
+    # same layout any production BFS keeps resident.
+    edges_s = dedup.repartition(par, "s").persist()
+    edges_p = dedup.repartition(par, "p").persist()
     seed = li.agg(F.min("l_suppkey").alias("k")).select(
         (F.col("k") * 2 + 1).alias("node"), F.lit(0).alias("hop")
     )
@@ -694,10 +705,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("node div 2").alias("p")
             )
             nxt = (
-                edges.join(f_s.hint("shuffle_hash"), "s")
+                edges_s.join(f_s.hint("shuffle_hash"), "s")
                 .select((F.col("p") * 2).alias("node"))
                 .unionByName(
-                    edges.join(f_p.hint("shuffle_hash"), "p").select(
+                    edges_p.join(f_p.hint("shuffle_hash"), "p").select(
                         (F.col("s") * 2 + 1).alias("node")
                     )
                 )
@@ -709,10 +720,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .select("node", F.lit(hop).alias("hop"))
             )
-            new_visited = visited.unionByName(nxt).localCheckpoint(
-                eager=True
+            # the level count rides the checkpoint materialization job
+            # via observe() — no separate count() job per level (the
+            # connected_components convention)
+            obs = Observation(f"bfs_hop_{hop}")
+            new_visited = (
+                visited.unionByName(nxt)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
             )
-            n_new = new_visited.count()
+            n_new = obs.get["n"]
             if n_new == n_visited:
                 _release_local_checkpoint(new_visited)
                 break  # frontier exhausted — the graph is fully reached
@@ -724,7 +741,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_visited = n_new
             frontier = new_visited.where(F.col("hop") == hop)
     finally:
-        edges.unpersist(False)
+        edges_s.unpersist(False)
+        edges_p.unpersist(False)
     _bfs_final = [visited]
     return (
         visited.groupBy("hop")

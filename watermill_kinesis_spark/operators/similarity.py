@@ -36,19 +36,39 @@ LSH_BANDS, LSH_BITS = 16, 4
 EMB_DIM = 64
 
 
-def _emb(spark: SparkSession, sf_dir: str, distribute: bool = False) -> DataFrame:
+def _emb(
+    spark: SparkSession,
+    sf_dir: str,
+    distribute: bool = False,
+    fixed: bool = False,
+) -> DataFrame:
     """embeddings; ``distribute=True`` spreads the one small input split
     across all cores — needed when an operator does CPU-bound per-row
     work over the whole corpus (e.g. 64 LSH projections/row). Left off
     for broadcast-probe shapes, where the extra shuffle costs more than
-    it buys."""
+    it buys.
+
+    The partition count is derived from on-disk size, not a constant
+    (guide §2): tiny corpora stop paying the per-Python-task fixed cost
+    32× per kernel stage, real corpora still fan out to every core.
+    ``fixed=True`` keeps the old defaultParallelism layout — for the
+    one consumer (similarity_ann_pq) whose batch-local candidate pool
+    makes its approximate OUTPUT depend on the batch layout; its
+    results must stay identical to previous rounds'."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         "label",
     )
     if distribute:
-        e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+        from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
+        n = (
+            spark.sparkContext.defaultParallelism
+            if fixed
+            else adaptive_partitions(spark, sf_dir, "embeddings")
+        )
+        e = e.repartition(n, "vec_id")
     return e
 
 

@@ -82,7 +82,10 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = _emb(spark, sf_dir, distribute=True)
+    # fixed layout: the ADC stage emits a batch-local candidate pool
+    # with no exact global merge of the full pool, so the approximate
+    # output depends on the batch layout — keep it bit-stable
+    e = _emb(spark, sf_dir, distribute=True, fixed=True)
     cap = PQ_TRAIN_CAP
     # Deterministic training sample: orderBy+limit compiles to
     # TakeOrderedAndProject — every partition keeps a local top-`cap`
@@ -870,6 +873,12 @@ def ann_model_save_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="wk_ann_model_")
     try:
+        # coalesce(1): the models are KB-sized driver artifacts — the
+        # default createDataFrame parallelism wrote them as 32 one-row
+        # parquet files through 32 Python-RDD tasks (profiled ~24 s of
+        # executor run time for ~1 KB of data); one file per model is
+        # also the artifact shape an apply job broadcast-loads
+        # (guide §6: output file sizing)
         spark.createDataFrame(
             [
                 (s, j, [float(x) for x in books[s][j]])
@@ -877,14 +886,14 @@ def ann_model_save_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(PQ_CODES)
             ],
             "subspace int, code int, centroid array<double>",
-        ).write.mode("overwrite").parquet(f"{tmp}/pq_codebooks")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/pq_codebooks")
         spark.createDataFrame(
             [
                 (int(lab), [float(x) for x in Cn[lab_idx[lab]]])
                 for lab in labels
             ],
             "label int, centroid array<double>",
-        ).write.mode("overwrite").parquet(f"{tmp}/ivf_centroids")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/ivf_centroids")
 
         books2 = np.zeros_like(books)
         for r in spark.read.parquet(f"{tmp}/pq_codebooks").collect():
