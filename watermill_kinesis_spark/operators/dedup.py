@@ -597,8 +597,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     shortcut halves label-chain height every sweep, so a chain of
     diameter d converges in O(log d) sweeps instead of O(d); labels
     never leave the cluster (the driver only sees a 0/1 changed count).
-    ``localCheckpoint`` truncates the growing loop lineage."""
-    labels = nodes.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    ``localCheckpoint`` truncates the growing loop lineage.
+
+    The sweeps iterate over EDGE-TOUCHED nodes only (optimization
+    round 13, guide §2.3): an isolated node is its own component by
+    definition and never changes, yet the old per-sweep groupBy +
+    shortcut self-join shuffled every corpus label every sweep. The
+    near-dup edge set is orders of magnitude smaller than the corpus,
+    so at 100 TB this removes sweeps × corpus-size shuffles; isolated
+    nodes are appended once at the end with ``comp = doc_id`` (one
+    anti-join) — output identical."""
+    touched = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = touched.select(
+        "doc_id", F.col("doc_id").alias("comp")
+    ).localCheckpoint()
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     changed = 1
     for sweep in range(CC_MAX_ITERS):
@@ -649,7 +661,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             f"connected_components did not converge in {CC_MAX_ITERS} "
             "pointer-doubling sweeps — raise CC_MAX_ITERS"
         )
-    return labels
+    isolated = nodes.join(touched, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("comp")
+    )
+    return labels.unionByName(isolated)
 
 
 @query(
@@ -709,9 +724,22 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure."""
     docs = _docs(spark, sf_dir).select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    # keyed repartition WITHOUT an explicit count before the persist:
+    # REPARTITION_BY_COL is AQE-coalescible, so the persisted edge
+    # relation's partition count tracks its actual bytes (a handful of
+    # near-dup edges → 1-2 partitions; a duplicate-heavy crawl → many)
+    # instead of inheriting the corpus pipeline's full fan-out — every
+    # CC sweep's map stages iterate over these partitions (optimization
+    # round 13; the loop stages ran 96 near-empty tasks per sweep)
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .repartition(F.col("doc_a"))
+        .persist()
+    )
     labels = connected_components(docs, edges)
     edges.unpersist()
     return labels.select(

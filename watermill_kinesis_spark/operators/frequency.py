@@ -847,6 +847,11 @@ def _kmv_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & F.col("source").isNotNull())
+        # repartition before the bigram explode (optimization round 13):
+        # the explode otherwise runs inside the single-split scan task
+        # (profiled ~0.6 s serial per consumer); text bytes shuffle
+        # once, the map-side distinct then uses every core
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("source", F.split("text", " ").alias("w"))
         .select("source", F.explode(bigram_structs("w")).alias("b"))
         .select("source", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
@@ -854,7 +859,9 @@ def _kmv_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmv_sketches(
+    spark: SparkSession, sf_dir: str, bi: DataFrame | None = None
+) -> DataFrame:
     """(source, ks) — per-source KMV sketch over the DISTINCT bigram
     relation: ks is the ascending array of the ≤k smallest rotated
     bigram hashes. Built mergeable-summaries style (the
@@ -867,7 +874,8 @@ def _kmv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    hashed = _kmv_bigrams(spark, sf_dir).select(
+    bi = _kmv_bigrams(spark, sf_dir) if bi is None else bi
+    hashed = bi.select(
         "source",
         F.xxhash64("x", "y").bitwiseXOR(F.lit(_KMV_ROT)).alias("h"),
     )
@@ -927,10 +935,16 @@ def kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hll_accuracy_audit`` convention). A sketch smaller than k IS
     the exact set, and the shared CASE pins est = size exactly, so
     small sources audit at zero slack... within the same bound."""
-    sk = _kmv_sketches(spark, sf_dir).select(
+    # ONE materialization of the distinct-bigram relation feeds both
+    # the sketch and the exact leg (optimization round 13): the two
+    # legs otherwise re-plan the full scan→explode→distinct pipeline
+    # each. localCheckpoint runs inside the timed region on every
+    # invocation — a within-query intermediate, not a cross-run cache.
+    bi = _kmv_bigrams(spark, sf_dir).localCheckpoint()
+    sk = _kmv_sketches(spark, sf_dir, bi=bi).select(
         "source", F.expr(_kmv_est_x1000("ks")).alias("est_x1000")
     )
-    exact = _kmv_bigrams(spark, sf_dir).groupBy("source").agg(
+    exact = bi.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_exact")
     )
     return exact.join(F.broadcast(sk), "source").select(
@@ -994,7 +1008,12 @@ def theta_sketch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-dictionary class must never broadcast), a complete pair
     frame via the bounded size table so zero-overlap pairs audit as
     exact 0, not missing rows."""
-    sk = _kmv_sketches(spark, sf_dir)
+    # one materialization of the distinct-bigram relation for all three
+    # consumers (sketches, sizes, exact-intersection self-join) — see
+    # kmv_distinct_audit; the self-join's two sides also read the same
+    # checkpointed RDD instead of re-planning the corpus pipeline
+    bi = _kmv_bigrams(spark, sf_dir).localCheckpoint()
+    sk = _kmv_sketches(spark, sf_dir, bi=bi)
     a = sk.select(F.col("source").alias("src_a"), F.col("ks").alias("ks_a"))
     b = sk.select(F.col("source").alias("src_b"), F.col("ks").alias("ks_b"))
     pairs_sk = (
@@ -1028,7 +1047,7 @@ def theta_sketch_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_est_x1000"),
         )
     )
-    st = _kmv_bigrams(spark, sf_dir)
+    st = bi
     sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
     sa, sb = st.alias("a"), st.alias("b")
     inter = (

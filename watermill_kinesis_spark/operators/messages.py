@@ -352,6 +352,11 @@ def envelope_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
+        # repartition before the encode/decode UDF chain: the whole
+        # python roundtrip otherwise runs inside the single-split scan
+        # task (profiled ~0.9 s serial at sf0.1); text bytes shuffle
+        # once, the codec work then uses every core
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             F.md5(F.col("doc_id").cast("string")).alias("uuid"),
             "lang",

@@ -126,8 +126,21 @@ def _bloom_hit(
         packed = [0] * (bits // 64)
         for r in words.collect():
             packed[r["w"]] = r["word"]
-        bloom = F.lit(packed)
-        helper_cols = []
+        # The packed words ride a ONE-ROW broadcast relation, not a
+        # plan literal (optimization round 13): F.lit(packed) builds a
+        # CreateArray of bits/64 literal nodes that the probe columns
+        # referenced once per hash — a 4×1024-node expression tree that
+        # cost ~2.4 s of driver analysis/codegen per call (profiled:
+        # stage wall 0.7 s vs query wall 3.2 s). A broadcast-joined
+        # array column is the same probe arithmetic and the same
+        # whole-stage-codegen shift/AND — the 8 KB sketch just ships as
+        # broadcast DATA instead of expression-tree nodes.
+        bloom_df = probed.sparkSession.createDataFrame(
+            [(packed,)], "__bloom array<bigint>"
+        )
+        probed = probed.crossJoin(F.broadcast(bloom_df))
+        bloom = F.col("__bloom")
+        helper_cols = ["__bloom"]
         hit = F.lit(True)
         for i, h in enumerate(_bloom_hashes(F.col(key_col), bits)):
             probed = probed.withColumn(f"h{i}", h).withColumn(
@@ -218,7 +231,15 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build: positions → (word, bit) → BIT_OR per word → 1024 longs;
     # at 2^16 bits the probe densifies it into an ~8 KB plan literal
     words = _bloom_words(eval_grams, "gram")
-    train_grams = _grams(d.where(F.col("doc_id") >= 50), BLOOM_N)
+    # repartition the train side before its gram explode: the explode +
+    # 4-hash bloom probe otherwise run inside the single-split scan
+    # task (profiled serial); raw text bytes shuffle, gram rows don't
+    train_grams = _grams(
+        d.where(F.col("doc_id") >= 50).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ),
+        BLOOM_N,
+    )
     candidates = (
         _bloom_hit(words, train_grams, "gram")
         .where("hit")

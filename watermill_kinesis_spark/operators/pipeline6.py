@@ -138,7 +138,20 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the doc's minhash over all windows). One explode + one w-row
     window frame + one groupBy — all partitioned by doc_id, so the
     whole plan is one doc-keyed shuffle at any corpus size."""
-    grams = _char_gram_hashes(_docs(spark, sf_dir), WINNOW_K)
+    # Repartition by doc_id BEFORE the gram explode (optimization
+    # round 13, guide §2.3 "project before the exchange", inverted:
+    # exchange before the explode): the explode+md5 otherwise runs in
+    # the single-split scan task (profiled 3.7 s serial) and the
+    # doc_id window then shuffles the EXPLODED rows — 52 MB of md5
+    # strings at sf0.1 versus ~0.6 MB of raw text. With the text
+    # exchanged first, hashing is parallel and the window + final
+    # groupBy reuse the doc_id partitioning: zero post-explode
+    # exchanges. Partition count is the excise pair's input-geometry
+    # rule (gram volume / ~128 MB tasks, floored at cores).
+    d = _docs(spark, sf_dir).repartition(
+        _gram_explode_partitions(spark, sf_dir), "doc_id"
+    )
+    grams = _char_gram_hashes(d, WINNOW_K)
     win = (
         W.partitionBy("doc_id")
         .orderBy("i")
@@ -195,7 +208,12 @@ def chunk_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported separately. Per-doc windowing only — one doc-keyed
     shuffle; positions explode is Catalyst-vectorized; linear at
     100 TB."""
-    d = _docs(spark, sf_dir)
+    # pre-explode doc_id repartition: parallel gram hashing + the LAG
+    # window and the final doc_id join reuse the partitioning (see
+    # winnowing_fingerprints)
+    d = _docs(spark, sf_dir).repartition(
+        _gram_explode_partitions(spark, sf_dir), "doc_id"
+    )
     grams = _char_gram_hashes(d, CDC_K)
     bounds = grams.where(
         F.substr("h", F.lit(1), F.lit(2)) == CDC_BOUNDARY_PREFIX
@@ -634,7 +652,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint join is the only corpus-wide shuffle; the verify
     join touches candidate docs only (dup-heavy inputs degrade toward
     the plain gram join, never past it)."""
-    d = _docs(spark, sf_dir).where(F.col("doc_id") < SUB_MAX_DOC)
+    # pre-explode doc_id repartition: parallel gram hashing for BOTH
+    # gram passes + the winnowing window reuses the partitioning (see
+    # winnowing_fingerprints)
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < SUB_MAX_DOC)
+        .repartition(_gram_explode_partitions(spark, sf_dir), "doc_id")
+    )
     grams = _char_gram_hashes(d, SUB_L).select("doc_id", "h").distinct()
     # 1. winnowing selection over the SUB_K-gram hash sequence
     kg = _char_gram_hashes(d, SUB_K)

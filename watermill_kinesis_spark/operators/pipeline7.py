@@ -70,7 +70,16 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries only the distinct pair counts (vocabulary²,
     min-count-filtered), never the corpus.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # repartition BEFORE the pair generation (optimization round 13):
+    # the nested-transform pair mining otherwise runs inside the
+    # single-split scan task (profiled 5.1 s serial at sf0.1); the
+    # exchange moves raw text bytes, far less than the ~2W× pair rows
+    # it would otherwise take to distribute the work
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     pairs = F.expr(
         f"""
         flatten(transform(

@@ -127,16 +127,19 @@ def adaptive_partitions(
     """Partition count for fanning a small-on-disk table out to Python
     kernel work, derived from the table's on-disk size instead of a
     constant (optimization guide §2: scale-adaptive partitioning).
-    ``max(1, min(defaultParallelism, ceil(bytes / target_bytes)))`` —
+    ``max(2, min(defaultParallelism, ceil(bytes / target_bytes)))`` —
     tiny inputs stop paying 32 Python-task fixed costs per stage
     (measured 0.64 s vs 0.28 s per stage on a 2000-row table at
-    local[32]), big inputs still use every core."""
+    local[32]), big inputs still use every core. Floor 2, not 1: a
+    repartition(1) plans as Exchange SinglePartition, the global-
+    funnel shape plan_audit red-flags (and a 2-task stage costs the
+    same ~20 ms as a 1-task one)."""
     try:
         size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
     except OSError:
         return spark.sparkContext.defaultParallelism
     want = -(-size // target_bytes)  # ceil
-    return max(1, min(spark.sparkContext.defaultParallelism, want))
+    return max(2, min(spark.sparkContext.defaultParallelism, want))
 
 
 #: per-table cache budget for ``cache_tables`` (bytes on disk). Tables
