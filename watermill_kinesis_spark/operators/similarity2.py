@@ -873,27 +873,36 @@ def ann_model_save_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="wk_ann_model_")
     try:
-        # coalesce(1): the models are KB-sized driver artifacts — the
-        # default createDataFrame parallelism wrote them as 32 one-row
-        # parquet files through 32 Python-RDD tasks (profiled ~24 s of
-        # executor run time for ~1 KB of data); one file per model is
-        # also the artifact shape an apply job broadcast-loads
-        # (guide §6: output file sizing)
+        # single-slice parallelize: the models are KB-sized driver
+        # artifacts — default createDataFrame parallelism wrote them as
+        # 32 one-row parquet files through 32 Python-RDD tasks
+        # (profiled ~24 s of executor run time for ~1 KB of data), and
+        # a coalesce(1) is WORSE (the one coalesced task computes all
+        # 32 parent slices, paying 32 sequential Python-worker
+        # handshakes — profiled 4.5 s blocked per write). One slice =
+        # one task, one handshake, one file — also the artifact shape
+        # an apply job broadcast-loads (guide §6: output file sizing).
         spark.createDataFrame(
-            [
-                (s, j, [float(x) for x in books[s][j]])
-                for s in range(PQ_SUBSPACES)
-                for j in range(PQ_CODES)
-            ],
+            spark.sparkContext.parallelize(
+                [
+                    (s, j, [float(x) for x in books[s][j]])
+                    for s in range(PQ_SUBSPACES)
+                    for j in range(PQ_CODES)
+                ],
+                1,
+            ),
             "subspace int, code int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/pq_codebooks")
+        ).write.mode("overwrite").parquet(f"{tmp}/pq_codebooks")
         spark.createDataFrame(
-            [
-                (int(lab), [float(x) for x in Cn[lab_idx[lab]]])
-                for lab in labels
-            ],
+            spark.sparkContext.parallelize(
+                [
+                    (int(lab), [float(x) for x in Cn[lab_idx[lab]]])
+                    for lab in labels
+                ],
+                1,
+            ),
             "label int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/ivf_centroids")
+        ).write.mode("overwrite").parquet(f"{tmp}/ivf_centroids")
 
         books2 = np.zeros_like(books)
         for r in spark.read.parquet(f"{tmp}/pq_codebooks").collect():
