@@ -343,6 +343,23 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    print(json.dumps(build_payload(timings, calib, inblock_anchors)))
+    return 0
+
+
+def build_payload(
+    timings: dict[str, float],
+    calib: dict[str, float],
+    inblock_anchors: dict[str, float],
+    sf_dir: str | None = None,
+) -> dict:
+    """Assemble the ONE-JSON-LINE payload the driver parses — the
+    harness contract (metric/value/unit/queries/subtotals/calibration/
+    sf). Split out of ``main`` so tests/test_bench_contract.py can pin
+    the emission path without running Spark (VERDICT r13 task 2: the
+    driver's r12→r13 round-over-round comparison was lost to a payload
+    parse failure; the contract must be breakable only visibly)."""
+    sf_dir = SF_DIR if sf_dir is None else sf_dir
     total = round(sum(timings.values()), 3)
     # the r1/r2 headline set, unchanged, so round-over-round comparison
     # stays apples-to-apples after round 3 added the LLM heavies
@@ -383,14 +400,12 @@ def main() -> int:
         k: round(calib[k] / CALIBRATION_REFS_SEC[k], 3) for k in calib
     }
     drift = round(statistics.median(drifts.values()), 3)
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
+    return {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
@@ -432,10 +447,7 @@ def main() -> int:
                     ),
                 },
                 "sf": sf_val,
-            }
-        )
-    )
-    return 0
+    }
 
 
 if __name__ == "__main__":

@@ -353,6 +353,38 @@ def test_connected_components_multi_component(spark):
         assert labels[d] == d
 
 
+def test_connected_components_asymmetric_edges(spark):
+    """An edge list carrying only ONE direction per edge yields the
+    same undirected components (VERDICT r13 task 8: the r13 sweep
+    rework silently required symmetric input — a node appearing only
+    as doc_b was labeled isolated while labels flowed one way). The
+    default symmetrizes internally; ``symmetric_edges=True`` is the
+    compliant hot caller's opt-out."""
+    from watermill_kinesis_spark.operators.dedup import connected_components
+
+    nodes = spark.range(10).select(F.col("id").alias("doc_id"))
+    # directed-only edges: 5→3 (label must flow BACK to 5), 1→2→8,
+    # and 9 reached only as doc_b; 0, 4, 6, 7 isolated
+    edges = spark.createDataFrame(
+        [(5, 3), (1, 2), (2, 8), (8, 9)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.doc_id: r.comp for r in connected_components(nodes, edges).collect()
+    }
+    assert labels == {
+        0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 3, 6: 6, 7: 7, 8: 1, 9: 1,
+    }
+    # symmetric input gives identical output on both paths
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    fast = {
+        r.doc_id: r.comp
+        for r in connected_components(nodes, sym, symmetric_edges=True).collect()
+    }
+    assert fast == labels
+
+
 def test_frame_sample_framing_math(spark, sf_dir):
     """Every sampled frame reproduces the local reference: stride-4
     sampling of 64-byte frames, crc32 per frame, offsets aligned."""

@@ -547,9 +547,18 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXPLICIT count (REPARTITION_BY_NUM, exempt from AQE coalescing):
     # posting bytes are tiny, the pair inline explodes
     # Σ min(df, cap)² rows AQE cannot see (guide §2.5).
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     posting = (
         _shingle_rows(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism, "shingle")
+        # geometry-derived explicit count (optimization round 14; see
+        # dedup._shared_shingle_pairs for the sizing rationale)
+        .repartition(
+            adaptive_partitions(
+                spark, sf_dir, "documents", expand=10 * SHINGLE_N
+            ),
+            "shingle",
+        )
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .where(F.size("docs") <= CONTAIN_DF_CAP)

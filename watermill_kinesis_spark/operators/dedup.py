@@ -217,10 +217,21 @@ def _shared_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes are tiny so AQE would coalesce the exchange to one partition,
     but the combination inline explodes Σ C(|posting|, 2) pairs that
     AQE's input-byte sizing cannot see (guide §2.5, exploding joins) —
-    cost is Σ|posting|² exactly as before, spread over every core."""
+    cost is Σ|posting|² exactly as before, spread over every core.
+    The count is geometry-derived (optimization round 14, VERDICT r13
+    task 1): expand = 10 (parquet→text) × SHINGLE_N (each token lands
+    in ~SHINGLE_N shingle strings) sizes the exchange from the shingle
+    rows it actually carries, clamped to the core count."""
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     posting = (
         _shingle_rows(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism, "shingle")
+        .repartition(
+            adaptive_partitions(
+                spark, sf_dir, "documents", expand=10 * SHINGLE_N
+            ),
+            "shingle",
+        )
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .where(F.size("ds") >= 2)
@@ -438,7 +449,18 @@ def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each of 64 bits; the sign vector is the fingerprint. One long
     per doc: downstream shuffles are 16 bytes/row regardless of
     document size."""
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
+    d = (
+        _docs(spark, sf_dir)
+        # fan the vote kernel out of the single-split scan task (the
+        # simhash_recall_audit rationale, optimization round 14)
+        .repartition(
+            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            "doc_id",
+        )
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
     tok_hash = F.transform(F.array_distinct("toks"), lambda t: F.xxhash64(t))
     return d.withColumn("th", tok_hash).select(
         "doc_id", _simhash_fp_col(F.col("th")).alias("fp")
@@ -582,14 +604,25 @@ def _simhash_pairs(fps: DataFrame, dfp: DataFrame | None = None) -> DataFrame:
 CC_MAX_ITERS = 20
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, *, symmetric_edges: bool = False
+) -> DataFrame:
     """Distributed connected components: min-label propagation (Pregel
     pattern) with per-sweep *pointer doubling*.
 
     ``nodes`` must have a ``doc_id`` column; ``edges`` must have
-    ``doc_a``/``doc_b`` columns and be symmetric (both directions
-    present). Returns ``(doc_id, comp)`` with ``comp`` = min doc_id of
-    the component.
+    ``doc_a``/``doc_b`` columns. Returns ``(doc_id, comp)`` with
+    ``comp`` = min doc_id of the component.
+
+    Edges are treated as UNDIRECTED: unless ``symmetric_edges=True``,
+    the relation is symmetrized internally (optimization round 14,
+    VERDICT r13 task 8 — the r13 sweep rework made the helper silently
+    directional for an asymmetric edge list: a node appearing only as
+    ``doc_b`` was labeled isolated while still receiving labels, and
+    labels only flowed a→b). A caller that already materializes both
+    directions — ``dedup_cluster_canonical`` persists the symmetric
+    relation for the sweep loop — passes ``symmetric_edges=True`` and
+    skips the doubled join work the internal union would cost it.
 
     Each sweep does two things: (1) every node takes the min label among
     itself and its neighbors — one groupBy shuffle; (2) the shortcut
@@ -607,6 +640,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     so at 100 TB this removes sweeps × corpus-size shuffles; isolated
     nodes are appended once at the end with ``comp = doc_id`` (one
     anti-join) — output identical."""
+    if not symmetric_edges:
+        e = edges.select("doc_a", "doc_b")
+        edges = e.union(
+            e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    # with symmetric edges every endpoint appears as doc_a
     touched = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = touched.select(
         "doc_id", F.col("doc_id").alias("comp")
@@ -661,7 +700,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             f"connected_components did not converge in {CC_MAX_ITERS} "
             "pointer-doubling sweeps — raise CC_MAX_ITERS"
         )
-    isolated = nodes.join(touched, "doc_id", "left_anti").select(
+    # Anti-join against the FINAL labels, not ``touched`` (optimization
+    # round 14, ADVICE r13): labels is a localCheckpointed flat RDD with
+    # exactly the touched doc_id set, while touched's lineage is the
+    # caller's edge relation — dedup_cluster_canonical unpersists edges
+    # before the returned plan executes, so an anti-join on touched
+    # re-ran the entire shingle-pair/jaccard pipeline a second time at
+    # action time.
+    isolated = nodes.join(labels.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("comp")
     )
     return labels.unionByName(isolated)
@@ -740,7 +786,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("doc_a"))
         .persist()
     )
-    labels = connected_components(docs, edges)
+    labels = connected_components(docs, edges, symmetric_edges=True)
     edges.unpersist()
     return labels.select(
         "doc_id",
@@ -1186,9 +1232,22 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cached_simhash_fps.unpersist(False)
         except Exception:
             pass  # previous session stopped; nothing left to release
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     base = (
         _docs(spark, sf_dir)
         .where(F.col("text").isNotNull())
+        # repartition before the sha2-census-key + xxhash64 + vote
+        # kernel projection (optimization round 14, VERDICT r13 task
+        # 6): the whole fingerprint pass otherwise runs inside the
+        # single-split scan task at persist materialization — the
+        # serial stage behind the entry's 0.82 8-vs-32-core ratio;
+        # raw text shuffles once, the kernel then uses the cores the
+        # geometry supports (expand=10: parquet→text decompression)
+        .repartition(
+            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            "doc_id",
+        )
         # th is materialized as a COLUMN before the 64 vote folds
         # reference it: inlining the transform expression into the
         # interpreted HOF lambdas would re-hash every token 65× per

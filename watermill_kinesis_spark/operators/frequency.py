@@ -844,14 +844,22 @@ def _kmv_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales."""
     from watermill_kinesis_spark.functions.textexpr import bigram_structs
 
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     return (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & F.col("source").isNotNull())
         # repartition before the bigram explode (optimization round 13):
         # the explode otherwise runs inside the single-split scan task
         # (profiled ~0.6 s serial per consumer); text bytes shuffle
-        # once, the map-side distinct then uses every core
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # once, the map-side distinct then uses every core.
+        # Geometry-derived count (optimization round 14, VERDICT r13
+        # task 1): expand=10 (parquet→text); the bigram rows stay in
+        # the same stage as the explode, so text bytes are the size
+        .repartition(
+            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            "doc_id",
+        )
         .select("source", F.split("text", " ").alias("w"))
         .select("source", F.explode(bigram_structs("w")).alias("b"))
         .select("source", F.col("b.x").alias("x"), F.col("b.y").alias("y"))

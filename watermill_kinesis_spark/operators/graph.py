@@ -574,12 +574,13 @@ def pagerank_mass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (bipartite graphs alternate node kinds per hop)
 BFS_MAX_HOPS = 4
 
-#: the FINAL visited relation of the latest invocation — the only BFS
-#: state that must outlive the call (the returned census DataFrame
-#: reads it lazily). Everything else (edges, intermediate visited
-#: generations) is released before the function returns (ADVICE r10:
-#: the old module-global kept EVERY level's full visited set alive
-#: until the next invocation). Replaced, never accumulated.
+#: the per-level frontier checkpoints of the latest invocation — the
+#: only BFS state that must outlive the call (the returned census
+#: DataFrame reads their union lazily). The edge caches are released
+#: before the function returns; the frontiers are disjoint, so the
+#: total retained bytes equal ONE copy of the final visited set (the
+#: pre-r14 loop retained the same bytes as a single checkpoint).
+#: Replaced, never accumulated.
 _bfs_final: list = []
 
 
@@ -647,22 +648,26 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap-per-core budget, while the repartition exchange itself is a
     sort-free spill-safe write and the dedup then runs on post-shuffle
     partitions Catalyst co-locates with the agg's requirement; (2)
-    each BFS level is MATERIALIZED **and its lineage TRUNCATED** via
-    ``localCheckpoint(eager=True)`` (VERDICT r10 task 4): the
+    each BFS level's FRONTIER is MATERIALIZED **and its lineage
+    TRUNCATED** via ``localCheckpoint(eager=True)`` (VERDICT r10 task
+    4; narrowed to frontier-only by r13 task 5): the
     declaratively-unrolled form references the frontier twice and
     visited once per level, so the lazy lineage — and Catalyst's
     re-analysis cost — grew O(hops²) even though persist+count
     materialized execution (the old PLANS.md row printed 689
-    composed shuffles); with per-level checkpoints every level plans
-    against a flat LogicalRDD and the registered plan is a single
-    aggregate over it; (3) frontier/visited join sides are
+    composed shuffles); checkpointing the full accumulated visited
+    set per level in turn wrote O(levels·|V|) block-manager bytes,
+    so only the per-level frontier (the genuinely new rows) is
+    checkpointed and ``visited`` is the lazy union of the flat
+    frontier RDDs — every level still plans against LogicalRDDs and
+    the registered plan is a single aggregate over their union; (3) frontier/visited join sides are
     shuffle_hash-pinned: they are node-scale but corpus-derived, and
     AQE's size estimate must never elect to broadcast a node-scale
     relation at 100 TB. Checkpoint storage is scoped per invocation
-    (ADVICE r10): each superseded visited generation and the edge
-    cache are released as soon as the next level materializes /
-    before returning — only the FINAL visited (which the returned
-    census plan reads) survives the call, replaced on the next one.
+    (ADVICE r10): the edge caches are released before returning, and
+    only the disjoint per-level frontiers (whose union the returned
+    census plan reads — one visited set's worth of bytes in total)
+    survive the call, replaced on the next one.
     Output is ≤{BFS_MAX_HOPS + 1} census rows of exact integers."""
     global _bfs_final
     for df in _bfs_final:
@@ -690,9 +695,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = li.agg(F.min("l_suppkey").alias("k")).select(
         (F.col("k") * 2 + 1).alias("node"), F.lit(0).alias("hop")
     )
-    visited = seed.localCheckpoint(eager=True)
-    n_visited = visited.count()
-    frontier = visited
+    # Per-level FRONTIER checkpoints (optimization round 14, VERDICT
+    # r13 task 5): the former loop checkpointed the full accumulated
+    # visited set every level — O(levels·|V|) block-manager writes,
+    # with each superseded generation released by hand. Now only each
+    # level's frontier (the genuinely new rows) is materialized;
+    # ``visited`` is the lazy union of the ≤BFS_MAX_HOPS+1 flat
+    # checkpointed levels, so the anti-join and the final census read
+    # the same bytes as before while each level's job writes only
+    # frontier-sized data. Lineage still stays flat: every level plans
+    # against LogicalRDDs, never a growing recursive plan.
+    frontier = seed.localCheckpoint(eager=True)
+    levels = [frontier]
+    visited = frontier
     try:
         for hop in range(1, BFS_MAX_HOPS + 1):
             # bipartite: an odd (supplier) frontier expands over
@@ -704,6 +719,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             f_p = frontier.where(F.col("node") % 2 == 0).select(
                 F.expr("node div 2").alias("p")
             )
+            # the level count rides the checkpoint materialization job
+            # via observe() — no separate count() job per level (the
+            # connected_components convention)
+            obs = Observation(f"bfs_hop_{hop}")
             nxt = (
                 edges_s.join(f_s.hint("shuffle_hash"), "s")
                 .select((F.col("p") * 2).alias("node"))
@@ -719,31 +738,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "left_anti",
                 )
                 .select("node", F.lit(hop).alias("hop"))
-            )
-            # the level count rides the checkpoint materialization job
-            # via observe() — no separate count() job per level (the
-            # connected_components convention)
-            obs = Observation(f"bfs_hop_{hop}")
-            new_visited = (
-                visited.unionByName(nxt)
                 .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            n_new = obs.get["n"]
-            if n_new == n_visited:
-                _release_local_checkpoint(new_visited)
+            if obs.get["n"] == 0:
+                _release_local_checkpoint(nxt)
                 break  # frontier exhausted — the graph is fully reached
-            # the superseded generation is referenced by no live plan
-            # (new_visited is already materialized and flat): free it
-            # NOW, not at the next invocation
-            _release_local_checkpoint(visited)
-            visited = new_visited
-            n_visited = n_new
-            frontier = new_visited.where(F.col("hop") == hop)
+            levels.append(nxt)
+            visited = visited.unionByName(nxt)
+            frontier = nxt
     finally:
         edges_s.unpersist(False)
         edges_p.unpersist(False)
-    _bfs_final = [visited]
+    _bfs_final = levels
     return (
         visited.groupBy("hop")
         .agg(

@@ -349,14 +349,24 @@ def envelope_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, columns=["uuid", "lang", "source", "payload", "n_meta"]
         )
 
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         # repartition before the encode/decode UDF chain: the whole
         # python roundtrip otherwise runs inside the single-split scan
         # task (profiled ~0.9 s serial at sf0.1); text bytes shuffle
-        # once, the codec work then uses every core
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # once, the codec work then uses every core. Geometry-derived
+        # count (optimization round 14, VERDICT r13 task 1): the flat
+        # defaultParallelism fan-out made this the worst scaling entry
+        # in the driver's 8-vs-32-core data (1.21 s at 32c vs 0.45 s
+        # at 8c — 32 Python-runner fixed costs × 2 codec stages for
+        # ~6 MB of work); expand=10 models parquet→text decompression
+        .repartition(
+            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            "doc_id",
+        )
         .select(
             F.md5(F.col("doc_id").cast("string")).alias("uuid"),
             "lang",

@@ -233,10 +233,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _bloom_words(eval_grams, "gram")
     # repartition the train side before its gram explode: the explode +
     # 4-hash bloom probe otherwise run inside the single-split scan
-    # task (profiled serial); raw text bytes shuffle, gram rows don't
+    # task (profiled serial); raw text bytes shuffle, gram rows don't.
+    # Geometry-derived count (optimization round 14, VERDICT r13 task
+    # 1): expand=10 models parquet→text decompression; the flat
+    # defaultParallelism fan-out over-fanned small inputs
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     train_grams = _grams(
         d.where(F.col("doc_id") >= 50).repartition(
-            spark.sparkContext.defaultParallelism, "doc_id"
+            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            "doc_id",
         ),
         BLOOM_N,
     )

@@ -74,11 +74,22 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the nested-transform pair mining otherwise runs inside the
     # single-split scan task (profiled 5.1 s serial at sf0.1); the
     # exchange moves raw text bytes, far less than the ~2W× pair rows
-    # it would otherwise take to distribute the work
+    # it would otherwise take to distribute the work. Geometry-derived
+    # count (optimization round 14, VERDICT r13 task 1): expand =
+    # 10 (parquet→text) × 2·SKIP_W (pair rows per token) sizes the
+    # mining stage from its actual work, clamped to the core count —
+    # tiny inputs stop paying a constant 32 task fixed costs
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(
+            adaptive_partitions(
+                spark, sf_dir, "documents", expand=10 * 2 * SKIP_W
+            ),
+            "doc_id",
+        )
     )
     pairs = F.expr(
         f"""

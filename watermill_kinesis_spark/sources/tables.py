@@ -118,27 +118,56 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 ADAPTIVE_TARGET_BYTES = 512 * 1024
 
 
+def _input_bytes(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """On-disk byte size of a table, stat'ed through the Hadoop
+    FileSystem API resolved from the session's Hadoop conf (one
+    namenode/list call; works identically for local paths, s3a://,
+    hdfs://, … — the VERDICT r11 task 4 rationale: a driver-local stat
+    silently returns nothing for the remote stores a 100 TB deployment
+    reads from). Falls back to a driver-local stat, then ``None`` for
+    a genuinely unstattable path."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
+
+
 def adaptive_partitions(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     target_bytes: int = ADAPTIVE_TARGET_BYTES,
+    expand: float = 1.0,
 ) -> int:
     """Partition count for fanning a small-on-disk table out to Python
-    kernel work, derived from the table's on-disk size instead of a
-    constant (optimization guide §2: scale-adaptive partitioning).
-    ``max(2, min(defaultParallelism, ceil(bytes / target_bytes)))`` —
-    tiny inputs stop paying 32 Python-task fixed costs per stage
+    kernel / explode work, derived from the table's on-disk size
+    instead of a constant (optimization guide §2: scale-adaptive
+    partitioning).
+    ``max(2, min(defaultParallelism, ceil(bytes·expand / target_bytes)))``
+    — tiny inputs stop paying 32 Python-task fixed costs per stage
     (measured 0.64 s vs 0.28 s per stage on a 2000-row table at
-    local[32]), big inputs still use every core. Floor 2, not 1: a
-    repartition(1) plans as Exchange SinglePartition, the global-
-    funnel shape plan_audit red-flags (and a 2-task stage costs the
-    same ~20 ms as a 1-task one)."""
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
+    local[32]), big inputs still use every core. ``expand`` models the
+    amplification between the parquet bytes and the bytes the sized
+    stage actually processes (text decompresses ~10× out of parquet;
+    an explode multiplies further) — the pipeline6
+    ``_gram_explode_partitions`` estimation idea, with the [2, cores]
+    clamp of the kernel sites (optimization round 14: the r13 sites
+    that fanned to a flat defaultParallelism over-fanned small inputs;
+    the driver's 8-core run beat the 32-core run on exactly those
+    queries). Floor 2, not 1: a repartition(1) plans as Exchange
+    SinglePartition, the global-funnel shape plan_audit red-flags (and
+    a 2-task stage costs the same ~20 ms as a 1-task one)."""
+    size = _input_bytes(spark, sf_dir, name)
+    if size is None:
         return spark.sparkContext.defaultParallelism
-    want = -(-size // target_bytes)  # ceil
+    want = -(-int(size * expand) // target_bytes)  # ceil
     return max(2, min(spark.sparkContext.defaultParallelism, want))
 
 
