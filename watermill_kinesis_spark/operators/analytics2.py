@@ -539,18 +539,17 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ONE corpus kernel pass (shared _shingle_rows, see its docstring
     # for why the declarative HOF spelling planned pathologically),
-    # then posting arrays per shingle. The DF cap is a size filter on
-    # the posting array — the former separate df aggregate + join back
-    # (two more corpus-scale shuffles) is gone; the hot-shingle rows
-    # still never reach the pair stage, which is the property that
-    # bounds the plan at 100 TB. The shingle repartition carries an
-    # EXPLICIT count (REPARTITION_BY_NUM, exempt from AQE coalescing):
-    # posting bytes are tiny, the pair inline explodes
-    # Σ min(df, cap)² rows AQE cannot see (guide §2.5).
+    # then posting arrays per shingle; hot-shingle rows never reach
+    # the pair stage, which is the property that bounds the plan at
+    # 100 TB. The shingle repartition carries an EXPLICIT count
+    # (REPARTITION_BY_NUM, exempt from AQE coalescing): posting bytes
+    # are tiny, the pair inline explodes Σ min(df, cap)² rows AQE
+    # cannot see (guide §2.5).
     from watermill_kinesis_spark.sources.tables import adaptive_partitions
 
-    posting = (
+    ex = (
         _shingle_rows(spark, sf_dir)
+        .select("doc_id", "shingle")
         # geometry-derived explicit count (optimization round 14; see
         # dedup._shared_shingle_pairs for the sizing rationale)
         .repartition(
@@ -559,9 +558,29 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "shingle",
         )
+    )
+    # The DF cap is enforced on a DISK-SPILLABLE operator BEFORE any
+    # posting array is materialized (optimization round 14, ADVICE
+    # r13): a collect_list over an uncapped group buffers O(df)
+    # doc_ids in one in-memory aggregation buffer, so a hot
+    # boilerplate shingle at the 100 TB design point would hold an
+    # O(corpus) array in one task — the cap no longer bounded executor
+    # memory, only the pair stage. A count window over the same
+    # shingle partitioning computes df while its partition-group
+    # buffer (ExternalAppendOnlyUnsafeRowArray) spills to disk past
+    # the in-memory threshold, so a hot shingle costs disk, not heap;
+    # only surviving rows reach collect_list, bounding every posting
+    # buffer at CONTAIN_DF_CAP entries. Cost stays one corpus
+    # shuffle + one spillable sort: the window and the groupBy both
+    # reuse the explicit shingle exchange. (A count-aggregate +
+    # semi-join spelling was measured first: column pruning makes the
+    # two exchange subtrees non-identical, so the serial shingle
+    # kernel ran TWICE — profiled +1.2 s at sf0.1.)
+    posting = (
+        ex.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .where(F.col("df") <= CONTAIN_DF_CAP)
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .where(F.size("docs") <= CONTAIN_DF_CAP)
     )
     kept = posting.select(F.explode("docs").alias("doc_id"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

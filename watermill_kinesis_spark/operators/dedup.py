@@ -1241,11 +1241,16 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # kernel projection (optimization round 14, VERDICT r13 task
         # 6): the whole fingerprint pass otherwise runs inside the
         # single-split scan task at persist materialization — the
-        # serial stage behind the entry's 0.82 8-vs-32-core ratio;
-        # raw text shuffles once, the kernel then uses the cores the
-        # geometry supports (expand=10: parquet→text decompression)
+        # serial stage behind the entry's 0.82 8-vs-32-core ratio.
+        # expand=2, NOT the text-decompression 10: the persisted
+        # relation's partition count is inherited by every downstream
+        # aggregate of the audit (~7 stages), so the sweep optimum
+        # sits well below the kernel-alone breakeven
+        # (tools/tune_fanout.py best-of-4 at sf0.1: serial→2.45 s,
+        # 2→1.22, 4→1.27, 12→1.66, 32→1.95); a real corpus still
+        # reaches full parallelism through the ∝-bytes clamp
         .repartition(
-            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            adaptive_partitions(spark, sf_dir, "documents", expand=2),
             "doc_id",
         )
         # th is materialized as a COLUMN before the 64 vote folds

@@ -854,10 +854,11 @@ def _kmv_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (profiled ~0.6 s serial per consumer); text bytes shuffle
         # once, the map-side distinct then uses every core.
         # Geometry-derived count (optimization round 14, VERDICT r13
-        # task 1): expand=10 (parquet→text); the bigram rows stay in
-        # the same stage as the explode, so text bytes are the size
+        # task 1): expand=7 centers the measured sweep optimum
+        # (tools/tune_fanout.py best-of-4 at sf0.1: 4→0.648 s,
+        # 8→0.631, 16→0.647, 32→0.725 on kmv_distinct_audit)
         .repartition(
-            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            adaptive_partitions(spark, sf_dir, "documents", expand=7),
             "doc_id",
         )
         .select("source", F.split("text", " ").alias("w"))

@@ -362,9 +362,12 @@ def envelope_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # defaultParallelism fan-out made this the worst scaling entry
         # in the driver's 8-vs-32-core data (1.21 s at 32c vs 0.45 s
         # at 8c — 32 Python-runner fixed costs × 2 codec stages for
-        # ~6 MB of work); expand=10 models parquet→text decompression
+        # ~6 MB of work). expand=7 centers the measured sweep optimum
+        # (tools/tune_fanout.py best-of-4 at sf0.1: 4→0.511 s,
+        # 8→0.503, 16→0.550, 32→0.583); ∝-bytes scaling still reaches
+        # full cluster parallelism on a real corpus via the clamp
         .repartition(
-            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            adaptive_partitions(spark, sf_dir, "documents", expand=7),
             "doc_id",
         )
         .select(

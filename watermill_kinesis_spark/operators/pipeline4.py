@@ -235,13 +235,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-hash bloom probe otherwise run inside the single-split scan
     # task (profiled serial); raw text bytes shuffle, gram rows don't.
     # Geometry-derived count (optimization round 14, VERDICT r13 task
-    # 1): expand=10 models parquet→text decompression; the flat
-    # defaultParallelism fan-out over-fanned small inputs
+    # 1): expand=75 ≈ the 8-token-gram bytes per parquet byte (~10×
+    # text decompression × ~7.5× gram materialization) — the probe is
+    # compute-heavy enough that the sweep prefers full width at sf0.1
+    # (tools/tune_fanout.py best-of-4: 8→0.722 s, 16→0.720, 32→0.658),
+    # and the clamp keeps tiny inputs from paying 32 fixed task costs
     from watermill_kinesis_spark.sources.tables import adaptive_partitions
 
     train_grams = _grams(
         d.where(F.col("doc_id") >= 50).repartition(
-            adaptive_partitions(spark, sf_dir, "documents", expand=10),
+            adaptive_partitions(spark, sf_dir, "documents", expand=75),
             "doc_id",
         ),
         BLOOM_N,

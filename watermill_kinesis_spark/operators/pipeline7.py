@@ -75,19 +75,20 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-split scan task (profiled 5.1 s serial at sf0.1); the
     # exchange moves raw text bytes, far less than the ~2W× pair rows
     # it would otherwise take to distribute the work. Geometry-derived
-    # count (optimization round 14, VERDICT r13 task 1): expand =
-    # 10 (parquet→text) × 2·SKIP_W (pair rows per token) sizes the
-    # mining stage from its actual work, clamped to the core count —
-    # tiny inputs stop paying a constant 32 task fixed costs
+    # count (optimization round 14, VERDICT r13 task 1): the flat
+    # defaultParallelism fan-out over-fanned small inputs (8-core run
+    # beat the 32-core run, PERF_r13 ratio 0.73). expand=14 centers
+    # the measured partition-sweep optimum (tools/tune_fanout.py,
+    # best-of-4 at sf0.1: 8→0.309 s, 16→0.265, 32→0.365; see
+    # OPTIMIZATION_r14.md) while the ∝-input-bytes scaling keeps a
+    # real corpus at full cluster parallelism via the clamp
     from watermill_kinesis_spark.sources.tables import adaptive_partitions
 
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .repartition(
-            adaptive_partitions(
-                spark, sf_dir, "documents", expand=10 * 2 * SKIP_W
-            ),
+            adaptive_partitions(spark, sf_dir, "documents", expand=14),
             "doc_id",
         )
     )
