@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import lcents, sql_dsum
 from watermill_kinesis_spark.functions.textexpr import bigram_structs
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -801,7 +802,7 @@ def watermark_droprate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr(f"CAST({_LATENESS_EXPR} AS BIGINT)").alias("late_s")
     )
     cand = F.broadcast(
-        ev.sparkSession.createDataFrame(
+        local_relation(ev.sparkSession, 
             [(d,) for d in WATERMARK_CANDIDATES], "delay_s int"
         )
     )

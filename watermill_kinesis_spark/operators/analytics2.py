@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql import types as T
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.operators.distscan import range_slices
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
@@ -153,7 +154,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("next_ts", ts_type),
         ]
     )
-    seams = spark.createDataFrame(seam_rows, seam_schema)
+    seams = local_relation(spark, seam_rows, seam_schema)
     patched = seq.join(F.broadcast(seams), ["__pid", "event_type"], "left").select(
         "event_type",
         "value",

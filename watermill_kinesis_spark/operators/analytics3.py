@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import lcents
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.operators.distscan import grouped_scan
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
@@ -608,7 +609,7 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar total folded from the aggregated ≤9-row relation — a
     # benign 1-row broadcast build side per the plan-audit rules
     tot1 = counts.agg(F.sum("n").alias("tot"))
-    ref = spark.createDataFrame(
+    ref = local_relation(spark, 
         [(d + 1, p) for d, p in enumerate(BENFORD_PERMILLE)],
         "digit bigint, benford_permille bigint",
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import lcents
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.operators.distscan import (
     grouped_order_stats,
     grouped_scan,
@@ -306,7 +307,7 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # the "real" pass
     m = obs.get
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [
             (
                 m["n_input"],
@@ -1026,7 +1027,7 @@ def quantile_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets.append((pid, acc))
         acc += sizes[pid]
     off = F.broadcast(
-        d.sparkSession.createDataFrame(offsets, "pid int, off long")
+        local_relation(d.sparkSession, offsets, "pid int, off long")
     )
     rk = F.col("off") + F.col("lrk")
     q, r = n // 8, n % 8

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -460,7 +461,7 @@ def kcenter_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     np.fill_diagonal(pair, np.inf)
     separation = float(pair.min())
     n = _emb(spark, sf_dir).count()
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [
             (
                 n,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -194,9 +195,22 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": out_id, "n": out_n, "shingle": out_sh}
             )
 
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        # fan the kernel out of the single-split scan task
+        # (optimization round 14): the tokenize+dedup pass profiled
+        # 0.65 s SERIAL at sf0.1 inside every consumer of the shingle
+        # family (jaccard, cross-source, both containment faces,
+        # cluster_canonical). Raw text shuffles once; expand=7 is the
+        # envelope/kmv sweep optimum for text-kernel stages, and the
+        # ∝-bytes clamp keeps a real corpus at full parallelism
+        .repartition(
+            adaptive_partitions(spark, sf_dir, "documents", expand=7),
+            "doc_id",
+        )
         .mapInPandas(kernel, "doc_id long, n int, shingle string")
     )
 
@@ -852,7 +866,7 @@ def embedding_cosine_pairs(
         "emb",
         F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
     )
-    grid = spark.createDataFrame(
+    grid = local_relation(spark, 
         [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
         "cell int, gi int, gj int",
     )
@@ -1083,7 +1097,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.count()
     n_missed = missed.count()
     budget = (n_exact * LSH_MISS_BUDGET_PPM) // 1_000_000
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(n_exact, 1 if n_missed <= budget else 0)],
         "n_exact_pairs bigint, lsh_recall_ok int",
     )

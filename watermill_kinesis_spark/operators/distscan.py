@@ -30,6 +30,7 @@ from decimal import Decimal
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from watermill_kinesis_spark.functions.localrel import local_relation
 from pyspark.sql.types import (
     DecimalType,
     IntegerType,
@@ -141,7 +142,7 @@ def grouped_scan(
             for c in sum_cols
         ]
     )
-    off_df = df.sparkSession.createDataFrame(off_rows, StructType(fields))
+    off_df = local_relation(df.sparkSession, off_rows, StructType(fields))
 
     out = local.join(F.broadcast(off_df), ["__pid", *group_cols])
     out = out.withColumn(
@@ -176,7 +177,7 @@ def group_sizes_df(
         (*g, t["n"], *[Decimal(t[c]) for c in extra])
         for g, t in totals.items()
     ]
-    return spark.createDataFrame(rows, StructType(fields))
+    return local_relation(spark, rows, StructType(fields))
 
 
 def _int_div(a: Column, b: Column) -> Column:
@@ -258,7 +259,7 @@ def grouped_order_stats(
         pick_rows.append(
             tuple(g) + tuple(ranks) + ((int(t["n"]),) if count_col else ())
         )
-    picks_df = spark.createDataFrame(
+    picks_df = local_relation(spark, 
         pick_rows,
         StructType(list(gschema.fields) + pick_fields + count_fields),
     )

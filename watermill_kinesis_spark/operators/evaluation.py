@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.operators.distscan import (
     N_SLICES,
     grouped_order_stats,
@@ -238,7 +239,7 @@ def auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact truncating quotient: all terms are non-negative ints,
         # so Python // matches SQL div and DuckDB // bit-for-bit
         out.append((g, n_pos, n_neg, (u2 * 1000) // (2 * n_pos * n_neg)))
-    return spark.createDataFrame(
+    return local_relation(spark, 
         out,
         StructType(
             [
@@ -326,7 +327,7 @@ def ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the event-type enum is bounded (it is a code, not data): collect
     # to build the pair list driver-side, then broadcast
     types = sorted(r.t for r in vals.select("t").distinct().collect())
-    pairs = spark.createDataFrame(
+    pairs = local_relation(spark, 
         [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]],
         "t1 string, t2 string",
     )
@@ -1161,7 +1162,7 @@ def runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = [
         (g[0], (t["n"] + 1) // 2, t["n"] // 2 + 1) for g, t in vtot.items()
     ]
-    mdf = spark.createDataFrame(mid, "event_type string, lo long, hi long")
+    mdf = local_relation(spark, mid, "event_type string, lo long, hi long")
     med = (
         vs.join(F.broadcast(mdf), "event_type")
         .where((F.col("rn") == F.col("lo")) | (F.col("rn") == F.col("hi")))
@@ -1218,7 +1219,7 @@ def runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (et, s["bounds"] + 1, n1, n2, 1000 + (2000 * n1 * n2) // (n1 + n2))
         )
-    return spark.createDataFrame(
+    return local_relation(spark, 
         rows,
         "event_type string, n_runs bigint, n1 bigint, n2 bigint,"
         " expected_runs_milli bigint",
@@ -1450,7 +1451,7 @@ def isotonic_pav_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bi != len(blocks) or in_block != 0:
         boundaries = False
 
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [
             (
                 n_rows,

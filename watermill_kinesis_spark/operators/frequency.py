@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -370,7 +371,7 @@ def minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     prime, pure int64). Equality of the two columns IS the merge
     law, value-checked per (source, hash_idx)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
-    params = spark.createDataFrame(
+    params = local_relation(spark, 
         list(MINHASH_PARAMS), "j int, a long, b long"
     )
     hashes = d.crossJoin(F.broadcast(params)).select(
@@ -445,7 +446,7 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = int(p / 100 * n)
         lo, hi = target - n // APPROX_Q_ACC - 1, target + n // APPROX_Q_ACC + 1
         rows.append((p, float(av), lo, hi))
-    audit = spark.createDataFrame(
+    audit = local_relation(spark, 
         rows, "pct int, approx_value double, lo long, hi long"
     )
     # the approx value's actual rank under ties is an INTERVAL
@@ -489,7 +490,7 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(sizes):
         offsets.append((pid, acc))
         acc += sizes[pid]
-    off = spark.createDataFrame(offsets, "pid int, off long")
+    off = local_relation(spark, offsets, "pid int, off long")
     ranked = local.join(F.broadcast(off), "pid").select(
         "value", (F.col("off") + F.col("lrk")).alias("rk")
     )
@@ -593,7 +594,7 @@ def count_min_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = keyed.count()
     est_rows = [(uid, int(sketch.estimateCount(uid))) for uid in range(30)]
-    est = spark.createDataFrame(est_rows, "user_id long, est long")
+    est = local_relation(spark, est_rows, "user_id long, est long")
     true = (
         keyed.where(F.col("user_id") < 30)
         .groupBy("user_id")
@@ -778,7 +779,7 @@ def heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged: dict[str, int] = {}
     for pid in sorted(per_part):
         merged = _mg_merge(merged, per_part[pid], MG_K)
-    est_df = spark.createDataFrame(
+    est_df = local_relation(spark, 
         sorted(merged.items()) or [("", 0)], "token string, est long"
     )
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -337,7 +338,7 @@ def ttl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     key a time-partitioned table would use."""
     ev = load_table(spark, sf_dir, "events")
     now = ev.agg(F.max("ts")).first()[0]
-    policy = spark.createDataFrame(
+    policy = local_relation(spark, 
         sorted(TTL_POLICY.items()), "event_type string, keep_days int"
     )
     tagged = (

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -274,7 +275,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     e.unpersist()
     oriented.unpersist()
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [
             (
                 int(stats.n_nodes),
@@ -674,8 +675,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _release_local_checkpoint(df)
     _bfs_final = []
 
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     li = load_table(spark, sf_dir, "lineitem")
-    par = spark.sparkContext.defaultParallelism
+    # edge-relation partition count derived from the input geometry
+    # (optimization round 14, guide §2): the distinct (p, s) relation
+    # shuffles ~0.5× the lineitem parquet bytes, and EVERY level join
+    # stage iterates these partitions — a flat defaultParallelism
+    # pinned 32 near-empty tasks per level at sf0.1 (profiled ~0.2 s
+    # task-overhead wall per join stage for KB-scale frontiers)
+    par = adaptive_partitions(spark, sf_dir, "lineitem", expand=0.5)
     dedup = (
         li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .repartition(F.col("p"), F.col("s"))
@@ -689,9 +698,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to its key; pre-partitioned copies make the edge side of every
     # level join exchange-free (only the tiny frontier still shuffles).
     # Memory cost is one extra edge copy — per-node-key partitioned, the
-    # same layout any production BFS keeps resident.
+    # same layout any production BFS keeps resident. The p-copy derives
+    # from the PERSISTED s-copy (optimization round 14): deriving both
+    # from the lazy dedup plan ran the scan+distinct pipeline twice,
+    # once per copy's materialization.
     edges_s = dedup.repartition(par, "s").persist()
-    edges_p = dedup.repartition(par, "p").persist()
+    edges_p = edges_s.repartition(par, "p").persist()
     seed = li.agg(F.min("l_suppkey").alias("k")).select(
         (F.col("k") * 2 + 1).alias("node"), F.lit(0).alias("hop")
     )
@@ -710,28 +722,34 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = frontier
     try:
         for hop in range(1, BFS_MAX_HOPS + 1):
-            # bipartite: an odd (supplier) frontier expands over
-            # s-matches, an even (part) frontier over p-matches — one
-            # join each level
-            f_s = frontier.where(F.col("node") % 2 == 1).select(
-                F.expr("node div 2").alias("s")
-            )
-            f_p = frontier.where(F.col("node") % 2 == 0).select(
-                F.expr("node div 2").alias("p")
-            )
+            # bipartite PARITY (optimization round 14): the graph has
+            # only supplier↔part edges and the seed is a supplier
+            # (odd node), so by induction the hop-(h−1) frontier is
+            # all-odd when h is odd and all-even when h is even — the
+            # other side's join input is provably empty. The former
+            # loop still planned, scheduled, and ran BOTH joins every
+            # level: half the level-join stages were full-width scans
+            # of an edge cache against an empty frontier.
+            if hop % 2 == 1:
+                expanded = edges_s.join(
+                    frontier.select(F.expr("node div 2").alias("s")).hint(
+                        "shuffle_hash"
+                    ),
+                    "s",
+                ).select((F.col("p") * 2).alias("node"))
+            else:
+                expanded = edges_p.join(
+                    frontier.select(F.expr("node div 2").alias("p")).hint(
+                        "shuffle_hash"
+                    ),
+                    "p",
+                ).select((F.col("s") * 2 + 1).alias("node"))
             # the level count rides the checkpoint materialization job
             # via observe() — no separate count() job per level (the
             # connected_components convention)
             obs = Observation(f"bfs_hop_{hop}")
             nxt = (
-                edges_s.join(f_s.hint("shuffle_hash"), "s")
-                .select((F.col("p") * 2).alias("node"))
-                .unionByName(
-                    edges_p.join(f_p.hint("shuffle_hash"), "p").select(
-                        (F.col("s") * 2 + 1).alias("node")
-                    )
-                )
-                .distinct()
+                expanded.distinct()
                 .join(
                     visited.select("node").hint("shuffle_hash"),
                     "node",

@@ -16,6 +16,7 @@ import uuid as uuidlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -135,7 +136,7 @@ def _bloom_hit(
         # array column is the same probe arithmetic and the same
         # whole-stage-codegen shift/AND — the 8 KB sketch just ships as
         # broadcast DATA instead of expression-tree nodes.
-        bloom_df = probed.sparkSession.createDataFrame(
+        bloom_df = local_relation(probed.sparkSession, 
             [(packed,)], "__bloom array<bigint>"
         )
         probed = probed.crossJoin(F.broadcast(bloom_df))

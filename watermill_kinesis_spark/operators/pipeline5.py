@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.textexpr import bigram_structs
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -417,7 +418,7 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sfx"),
     )
-    rules = spark.createDataFrame([(e,) for e in BLOCKLIST], "entry string")
+    rules = local_relation(spark, [(e,) for e in BLOCKLIST], "entry string")
     matched = suffixes.join(
         F.broadcast(rules), suffixes.sfx == rules.entry, "left"
     )
@@ -499,7 +500,7 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets.append((pid, acc))
         acc += sums[pid]
     off = F.broadcast(
-        d.sparkSession.createDataFrame(offsets, "pid int, off long")
+        local_relation(d.sparkSession, offsets, "pid int, off long")
     )
     assigned = local.join(off, "pid").select(
         "doc_id",

@@ -18,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -415,7 +416,7 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(
         F.sum("f").alias("total_tokens"), F.count(F.lit(1)).alias("n_types")
     )
-    ks = d.sparkSession.createDataFrame([(10,), (100,), (1000,)], "k int")
+    ks = local_relation(d.sparkSession, [(10,), (100,), (1000,)], "k int")
     covered = F.coalesce(F.sum(F.when(F.col("rn") <= F.col("k"), F.col("f"))), F.lit(0))
     return (
         ranked.crossJoin(F.broadcast(ks))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from watermill_kinesis_spark.functions.exact import dsum, sql_dsum
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.operators.distscan import (
     grouped_scan,
     group_sizes_df,
@@ -426,7 +427,7 @@ def corpus_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets.append((b, acc))
         acc += n
     off = F.broadcast(
-        numbered.sparkSession.createDataFrame(offsets, "bucket int, offset long")
+        local_relation(numbered.sparkSession, offsets, "bucket int, offset long")
     )
     return (
         numbered.join(off, "bucket")

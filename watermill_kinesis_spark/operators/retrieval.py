@@ -29,6 +29,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
@@ -380,7 +381,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     rows = _bm25_scored_topk(spark, sf_dir).select("doc_id").collect()
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(r.doc_id, i + 1) for i, r in enumerate(rows)],
         StructType(
             [
@@ -501,7 +502,7 @@ def rank_biased_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = [max(i + 1, pos2[d]) for i, d in enumerate(r1) if d in pos2]
     from pyspark.sql.types import LongType, StructField, StructType
 
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(len(ms), sum(RBO_SUFFIX[m - 1] for m in ms))],
         StructType(
             [

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -404,7 +405,7 @@ def _ann_recall_audit(
     finally:
         exact.unpersist()
     ok = 1 if n_hits * 1000 >= floor_permille * base.n_queries * TOP_K else 0
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(base.n_queries, TOP_K, base.exact_top1_sum, ok)],
         "n_queries bigint, k bigint, exact_top1_sum bigint, recall_ok int",
     )

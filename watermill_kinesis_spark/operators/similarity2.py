@@ -24,6 +24,7 @@ from watermill_kinesis_spark.operators.similarity import (
     _norm,
     batch_topk,
 )
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 
 PQ_SUBSPACES = 8
@@ -158,7 +159,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global candidate cut happens at re-rank; dedup batch overlaps
     cand = cand.dropDuplicates(["query_id", "neighbor_id"])
 
-    qdf = spark.createDataFrame(
+    qdf = local_relation(spark, 
         [(int(i), [float(x) for x in Qn[j]]) for j, i in enumerate(qids)],
         "query_id long, qe array<double>",
     )
@@ -882,25 +883,21 @@ def ann_model_save_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # handshakes — profiled 4.5 s blocked per write). One slice =
         # one task, one handshake, one file — also the artifact shape
         # an apply job broadcast-loads (guide §6: output file sizing).
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [
-                    (s, j, [float(x) for x in books[s][j]])
-                    for s in range(PQ_SUBSPACES)
-                    for j in range(PQ_CODES)
-                ],
-                1,
-            ),
+        local_relation(
+            spark,
+            [
+                (s, j, [float(x) for x in books[s][j]])
+                for s in range(PQ_SUBSPACES)
+                for j in range(PQ_CODES)
+            ],
             "subspace int, code int, centroid array<double>",
         ).write.mode("overwrite").parquet(f"{tmp}/pq_codebooks")
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [
-                    (int(lab), [float(x) for x in Cn[lab_idx[lab]]])
-                    for lab in labels
-                ],
-                1,
-            ),
+        local_relation(
+            spark,
+            [
+                (int(lab), [float(x) for x in Cn[lab_idx[lab]]])
+                for lab in labels
+            ],
             "label int, centroid array<double>",
         ).write.mode("overwrite").parquet(f"{tmp}/ivf_centroids")
 
@@ -952,7 +949,7 @@ def ann_model_save_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(int(agg.n), model_ok, int(agg.bc == 0), int(agg.bl == 0))],
         "n_vectors bigint, model_roundtrip_identical int, "
         "codes_identical int, cells_identical int",

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from watermill_kinesis_spark.functions.localrel import local_relation
 from watermill_kinesis_spark.registry import query
 from watermill_kinesis_spark.sources.tables import load_table
 
@@ -182,7 +183,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_tokenizer.py, and ``bpe_pair_counts`` oracle-checks the
     per-iteration counting arithmetic."""
     merges = _trained(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_relation(spark, 
         merges, "rank int, left string, right string, pair_freq bigint"
     ).orderBy("rank")
 
