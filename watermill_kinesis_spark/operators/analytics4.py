@@ -1376,8 +1376,23 @@ def arrival_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts"
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        # EXPLICIT count on the grouping exchange (optimization round
+        # 14, guide §2.5 — AQE is blind to per-group Python cost): the
+        # groupBy-applyInPandas shuffle carries ~1.6 MB at sf0.1, so
+        # AQE coalesced it to ONE partition and a single Python worker
+        # walked every user group sequentially (profiled 5.6 s wall,
+        # 0.26 s JVM CPU — per-group pandas-frame overhead × ~1k
+        # groups). REPARTITION_BY_NUM is exempt from coalescing and
+        # the groupBy reuses the partitioning.
+        .repartition(
+            adaptive_partitions(spark, sf_dir, "events", expand=10),
+            "user_id",
+        )
     )
 
     def count_inversions(vals: "np.ndarray") -> int:

@@ -40,7 +40,7 @@ def custom_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     transport bit-for-bit (no loss, no duplication)."""
     kinesis_sim.register(spark)
     topic = tempfile.mkdtemp(prefix="kinesis_sim_topic_")
-    wire = codec.marshal(messages_from_events(spark, sf_dir))
+    wire = codec.marshal(messages_from_events(spark, sf_dir, fanout=True))
     (
         wire.write.format("kinesis_sim")
         .option("path", topic)
@@ -80,7 +80,7 @@ def custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuidlib.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix=f"kinesis_sim_stream_{run_id}_")
     topic = os.path.join(base, "topic")
-    msgs = messages_from_events(spark, sf_dir)
+    msgs = messages_from_events(spark, sf_dir, fanout=True)
     uid = F.col("uuid").cast("bigint")
     for lo, hi in ((0, 1500), (1500, 2000)):  # two publish batches
         (
@@ -149,7 +149,7 @@ def aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watermill_kinesis_spark.sources.kinesis_stub import FileStubKinesisClient
 
     FileStubKinesisClient(stub_dir)  # init empty stream state
-    wire = codec.marshal(messages_from_events(spark, sf_dir))
+    wire = codec.marshal(messages_from_events(spark, sf_dir, fanout=True))
     (
         wire.write.format("kinesis_aws")
         .option("streamName", "gate")

@@ -326,8 +326,24 @@ def pagerank(
     referential_integrity OOM class; a shuffled-hash pin was tried
     first and refused the per-task hash build at the 100× replica —
     sort-merge spills and streams at any scale)."""
-    edges = bipartite_edges(spark, sf_dir)
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
+    # persist the base edge relation for the setup phase (optimization
+    # round 14): it feeds deg, the deg-count, AND both sides of the
+    # edges_deg join — unpersisted, the orders⋈lineitem distinct
+    # pipeline was planned and EXECUTED four times at materialization
+    # (profiled: 4 × ~0.5 s identical 5.5 MB exchange-write stages)
+    edges = bipartite_edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    # Geometry-derived partition count for the persisted loop state
+    # (optimization round 14, guide §2): the caches previously pinned
+    # spark.sql.shuffle.partitions (32) partitions, and EVERY
+    # iteration's map stages — cache scan, sort, shuffle write — ran
+    # 32 near-empty tasks over ~5 MB of edges at sf0.1 (profiled
+    # 9-19 s of per-stage task run time carrying ~2 s of CPU). The
+    # explicit src repartition also makes the edge side of every
+    # iteration join exchange-free (the BFS two-copy rationale).
+    par = adaptive_partitions(spark, sf_dir, "lineitem", expand=0.5)
     # DISK_ONLY (r11): edge- and node-scale caches on the heap starve
     # the execution pool at replica scale — the 100× vanilla session
     # died UNABLE_TO_ACQUIRE_MEMORY with the default MEMORY_AND_DISK
@@ -335,13 +351,17 @@ def pagerank(
     # cached edges while every iteration's sorts competed for the
     # rest; disk caches cost one serialization pass and nothing at
     # cluster heaps
-    edges_deg = edges.join(deg.hint("merge"), "src").persist(
-        StorageLevel.DISK_ONLY
+    edges_deg = (
+        edges.join(deg.hint("merge"), "src")
+        .repartition(par, "src")
+        .persist(StorageLevel.DISK_ONLY)
     )
     n_nodes = deg.count()  # also materializes edges_deg's inputs
     base = (1.0 - damping) / n_nodes
-    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank")).persist(
-        StorageLevel.DISK_ONLY
+    ranks = (
+        deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
+        .repartition(par, "src")
+        .persist(StorageLevel.DISK_ONLY)
     )
     for _ in range(iters):
         contribs = (
@@ -350,14 +370,23 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = contribs.select(
-            F.col("dst").alias("src"),
-            (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
-        ).persist(StorageLevel.DISK_ONLY)
+        new_ranks = (
+            contribs.select(
+                F.col("dst").alias("src"),
+                (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
+            )
+            # re-keying on the renamed node column keeps the cached
+            # rank state co-partitioned with edges_deg: the alias
+            # erases the groupBy's hash partitioning metadata, so
+            # without this every iteration re-exchanged the edge side
+            .repartition(par, "src")
+            .persist(StorageLevel.DISK_ONLY)
+        )
         new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks
     edges_deg.unpersist()
+    edges.unpersist()
     return ranks.select(F.col("src").alias("node"), "rank")
 
 

@@ -42,9 +42,30 @@ _ORACLE_ENV = f"""
 """.strip()
 
 
-def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → canonical messages (uuid, payload, metadata)."""
+def messages_from_events(
+    spark: SparkSession, sf_dir: str, fanout: bool = False
+) -> DataFrame:
+    """events → canonical messages (uuid, payload, metadata).
+
+    ``fanout=True`` repartitions the events BEFORE the message
+    projection (optimization round 14, guide §2): events.parquet is a
+    single row group, so a codec-heavy consumer (JSON envelope
+    marshal/unmarshal, base64, binary framing — all whole-stage
+    codegen but 4-5 CPU-seconds over 100k rows at sf0.1) otherwise
+    runs its entire chain inside ONE scan task (corrupt_skip profiled
+    5.4 s serial). Raw event bytes shuffle once; the geometry clamp
+    keeps tiny inputs at a few partitions and a real stream at full
+    cluster width. Aggregate-only consumers keep the default — their
+    per-row work is light and the scan's partial aggregate needs no
+    exchange."""
     ev = load_table(spark, sf_dir, "events")
+    if fanout:
+        from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
+        ev = ev.repartition(
+            adaptive_partitions(spark, sf_dir, "events", expand=10),
+            "event_id",
+        )
     return ev.select(
         F.col("event_id").cast("string").alias("uuid"),
         F.concat(F.col("props"), F.repeat(F.lit("#"), _PAYLOAD_PAD))
@@ -73,7 +94,7 @@ def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def envelope_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marshal messages into the wire envelope (reference marshaller.go:52-71)."""
-    msgs = messages_from_events(spark, sf_dir)
+    msgs = messages_from_events(spark, sf_dir, fanout=True)
     return msgs.select(
         "event_id",
         F.col("metadata").getItem(META_PARTITION_KEY).alias("partition_key"),
@@ -97,7 +118,7 @@ def envelope_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip: marshal → unmarshal (reference marshaller.go:28-50)."""
-    msgs = messages_from_events(spark, sf_dir)
+    msgs = messages_from_events(spark, sf_dir, fanout=True)
     wire = codec.marshal(msgs)
     decoded = codec.unmarshal(wire, partition_key_col=None)
     return decoded.select(
@@ -124,7 +145,7 @@ def corrupt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every 97th envelope is mangled into invalid JSON; the decode path
     must null it out and ``skip_corrupt`` drops it.
     """
-    msgs = messages_from_events(spark, sf_dir)
+    msgs = messages_from_events(spark, sf_dir, fanout=True)
     wire = msgs.select(
         "event_id",
         codec.envelope_json(F.col("uuid"), F.col("payload"), F.col("metadata")).alias(
@@ -134,6 +155,22 @@ def corrupt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data",
         F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("{broken"), F.col("data")))
         .otherwise(F.col("data")),
+    )
+    # Optimizer barrier on the roundtrip wire (optimization round 14,
+    # guide §4.4 applied to JVM expressions): unmarshal's corrupt
+    # filter references from_json(data), and with data still an
+    # expression (this query marshals and unmarshals in ONE plan)
+    # predicate pushdown substituted the ENTIRE marshal tree into the
+    # filter and sank it below the fan-out exchange — the full
+    # JSON+base64 encode ran 3× per row inside the single-split scan
+    # task (profiled 3.3 s serial). shuffle() is non-deterministic, so
+    # the filter cannot cross this projection; on a 1-element array it
+    # is the identity, so the wire bytes are unchanged (oracle-pinned).
+    # Real stored-wire consumers go through codec.unmarshal directly
+    # and keep full scan-level filter pushdown.
+    wire = wire.select(
+        "event_id",
+        F.element_at(F.shuffle(F.array("data")), 1).alias("data"),
     )
     decoded = codec.unmarshal(wire, partition_key_col=None, drop_corrupt=True)
     return (
@@ -164,10 +201,19 @@ def envelope_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins it to zero, and pins payload/uuid byte totals straight
     from the source table, so the binary transport is proven lossless
     without the oracle having to model the byte layout."""
-    msgs = messages_from_events(spark, sf_dir).select(
+    msgs = messages_from_events(spark, sf_dir, fanout=True).select(
         "uuid", "payload", "metadata", "event_type"
     )
     wire = codec.marshal_binary(msgs)
+    # optimizer barrier (the corrupt_skip rationale): the roundtrip
+    # join's inferred isnotnull(b.uuid) predicate otherwise inlines the
+    # encode+decode tree and sinks below the fan-out exchange —
+    # profiled 0.95 s serial in the scan task. shuffle() on a
+    # 1-element array is a non-deterministic identity, so the wire
+    # bytes are unchanged and the codec runs once, post-exchange.
+    wire = wire.withColumn(
+        "data", F.element_at(F.shuffle(F.array("data")), 1)
+    )
     back = codec.unmarshal_binary(wire)
     joined = msgs.alias("a").join(
         back.alias("b"), F.col("a.uuid") == F.col("b.uuid"), "inner"

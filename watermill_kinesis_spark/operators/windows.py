@@ -239,6 +239,8 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is allowed to emit it. No distinct, no second dedup shuffle, no
     quadratic blowup beyond each bin's local density. DuckDB evaluates
     the reference theta-join; results must match exactly."""
+    from watermill_kinesis_spark.sources.tables import adaptive_partitions
+
     li = load_table(spark, sf_dir, "lineitem")
     epoch = F.to_date(F.lit(OVERLAP_EPOCH))
     iv = li.select(
@@ -250,6 +252,13 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("l_quantity").cast("int") % 14
             + 1
         ).alias("e"),
+    ).repartition(
+        # fan the pair stage out of the input splits (optimization
+        # round 14, guide §2.5): the per-bin pair emission is work AQE
+        # and the scan splitter cannot see — the join stage ran as 3
+        # tasks (one per lineitem split) with ~0.7 s of CPU each
+        adaptive_partitions(spark, sf_dir, "lineitem", expand=2),
+        "l_suppkey",
     )
     binned = iv.withColumn(
         "bin",
