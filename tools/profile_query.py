@@ -49,6 +49,9 @@ def main() -> int:
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        .config(
+            "spark.python.daemon.module", "watermill_kinesis_spark.fastdaemon"
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

@@ -101,6 +101,31 @@ def _char_gram_hashes(d: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _char_gram_hashes_bin(d: DataFrame, k: int) -> DataFrame:
+    """ENGINE-INTERNAL twin of :func:`_char_gram_hashes` whose hash is
+    the 16-byte BINARY md5 (``unhex``) instead of the 32-char hex
+    string. For consumers where ``h`` never reaches the output —
+    equality joins, distinct, and window ranking/min — the two are
+    value-equivalent: hex encoding is byte-order-preserving, so
+    ``min()`` selects the same gram and equality groups the same rows,
+    while the shuffled key halves (16 B vs 32 B + string overhead) and
+    the sort comparisons run on raw bytes. Measured on the excise
+    ranking at sf0.1: 2.82 s → 0.74 s for the identical dup-row set
+    (optimization round 14, guide §2.3 "narrower types"). Consumers
+    that EXPOSE the hash (winnowing_fingerprints, chunk_cdc_rolling)
+    keep the hex form."""
+    starts = F.sequence(F.lit(1), F.length("text") - k + 1)
+    return (
+        d.where(F.length("text") >= k)
+        .select("doc_id", F.explode(starts).alias("i"), "text")
+        .select(
+            "doc_id",
+            "i",
+            F.unhex(F.md5(F.substr("text", F.col("i"), F.lit(k)))).alias("h"),
+        )
+    )
+
+
 @query(
     "winnowing_fingerprints",
     oracle=f"""
@@ -661,9 +686,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < SUB_MAX_DOC)
         .repartition(_gram_explode_partitions(spark, sf_dir), "doc_id")
     )
-    grams = _char_gram_hashes(d, SUB_L).select("doc_id", "h").distinct()
+    # binary md5 grams (engine-internal — h never reaches the output;
+    # see _char_gram_hashes_bin: same selection/equality semantics,
+    # half the shuffled key bytes, byte-wise sort comparisons)
+    grams = _char_gram_hashes_bin(d, SUB_L).select("doc_id", "h").distinct()
     # 1. winnowing selection over the SUB_K-gram hash sequence
-    kg = _char_gram_hashes(d, SUB_K)
+    kg = _char_gram_hashes_bin(d, SUB_K)
     win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(SUB_W - 1), 0)
     rn = W.partitionBy("doc_id").orderBy("i")
     fps = (
@@ -843,8 +871,10 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
     one, so the superset guarantee — and with it the oracle-proved
     output — is untouched while every gate row shrinks from a 32-char
     md5 string to 8 bytes and the hashing itself vectorizes ~3×
-    cheaper. Only the VERIFY stage's duplicate ranking needs the
-    md5-string content hash the oracle can recompute. On a vanilla
+    cheaper. Only the VERIFY stage's duplicate ranking needs a
+    collision-FREE content hash; it rides the 16-byte BINARY md5
+    (:func:`_char_gram_hashes_bin` — same equality/order semantics as
+    the hex form at half the shuffled key bytes). On a vanilla
     1 GiB session at 100× the md5-string gate OOM'd its
     sort/aggregate spill-merges (140M × 56B gram rows; each spill
     file's reader buffers ~1 MB of heap); the long-gram gate carries
@@ -906,7 +936,8 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     cand = cross_cand.union(intra_cand).distinct()
-    g = _char_gram_hashes(d.join(cand, "doc_id", "left_semi"), SUB_L)
+    # binary md5 (h internal to the ranking — _char_gram_hashes_bin)
+    g = _char_gram_hashes_bin(d.join(cand, "doc_id", "left_semi"), SUB_L)
     rk = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "i"))
     dup = (
         g.select("doc_id", "i", rk.alias("rk"))

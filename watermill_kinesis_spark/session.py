@@ -33,6 +33,17 @@ def get_spark(app_name: str = "watermill-kinesis-spark", cpus: int | None = None
       against the DuckDB oracle.
     """
     n = cpus or default_parallelism()
+    # the fastdaemon worker entry point (see fastdaemon.py: CPython 3.12
+    # zipimport-invalidation backport, ~115 ms fixed cost off EVERY
+    # Python task) must be importable by the worker python, whose
+    # sys.path comes from the PYTHONPATH the JVM/daemon inherit — make
+    # sure the repo root is on it before the gateway launches
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + pp if pp else repo_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -54,6 +65,12 @@ def get_spark(app_name: str = "watermill-kinesis-spark", cpus: int | None = None
         # Python Data Source readers that implement pushFilters()
         # (sources/kinesis_sim.py shard pruning) fail without this
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # stock pyspark.daemon plus the CPython 3.12 zipimport
+        # cache-invalidation backport (fastdaemon.py): on 3.11 every
+        # Python task re-parses pyspark.zip+py4j.zip central
+        # directories inside setup_spark_files — ~115 ms/task of pure
+        # fixed latency, the dominant cost of every small Python stage
+        .config("spark.python.daemon.module", "watermill_kinesis_spark.fastdaemon")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
