@@ -332,7 +332,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One scan emits both the signature (for banding) and the shingle-
     # hash set (for the verify join); persisted because three plan
     # branches read it — ~200 B/doc, far cheaper than recomputing the
-    # kernel per branch.
+    # kernel per branch. (A localCheckpoint spelling was A/B-measured
+    # in optimization round 14 — the simhash-audit win did not
+    # reproduce here: this plan has far fewer downstream AQE stages.)
     base = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -791,6 +793,14 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of inheriting the corpus pipeline's full fan-out — every
     # CC sweep's map stages iterate over these partitions (optimization
     # round 13; the loop stages ran 96 near-empty tasks per sweep)
+    # localCheckpoint, not persist (optimization round 14, the
+    # simhash-audit finding): every CC sweep replans against the edge
+    # relation, and with a persisted python-kernel lineage each AQE
+    # replan dragged the full shingle-pair cached plan along — the
+    # sweep map stages ran ~45 ms/task of zero-CPU wall. The eager
+    # checkpoint is a flat LogicalRDD with the same AQE-coalesced
+    # keyed layout; alternating A/B at sf0.1: persist 2.27/1.66 s vs
+    # checkpoint 1.64/1.25 s, identical output.
     edges = (
         pairs.union(
             pairs.select(
@@ -798,10 +808,18 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .repartition(F.col("doc_a"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = connected_components(docs, edges, symmetric_edges=True)
-    edges.unpersist()
+    from watermill_kinesis_spark.operators.graph import (
+        _release_local_checkpoint,
+    )
+
+    # labels is itself checkpointed (flat) and the isolated leg
+    # anti-joins labels, not edges — nothing in the returned plan
+    # reads the edge blocks, so release them now (the persist-era
+    # unpersist point)
+    _release_local_checkpoint(edges)
     return labels.select(
         "doc_id",
         F.col("comp").alias("cluster_id"),
@@ -1237,15 +1255,17 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_hash = F.transform(
         F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
     )
-    # one live cached fingerprint slot (the clustering-module
+    # one live materialized fingerprint slot (the clustering-module
     # convention): repeated runs — bench loops, driver sweeps —
-    # replace rather than accumulate cached RDDs (r7 ADVICE)
+    # replace rather than accumulate block-manager state (r7 ADVICE)
     global _cached_simhash_fps
     if _cached_simhash_fps is not None:
-        try:
-            _cached_simhash_fps.unpersist(False)
-        except Exception:
-            pass  # previous session stopped; nothing left to release
+        from watermill_kinesis_spark.operators.graph import (
+            _release_local_checkpoint,
+        )
+
+        _release_local_checkpoint(_cached_simhash_fps)
+        _cached_simhash_fps = None
     from watermill_kinesis_spark.sources.tables import adaptive_partitions
 
     base = (
@@ -1274,7 +1294,15 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the projection because th is non-cheap and multiply-used)
         .select("doc_id", F.sha2(key, 256).alias("kh"), tok_hash.alias("th"))
         .select("doc_id", "kh", _simhash_fp_col(F.col("th")).alias("fp"))
-        .persist()
+        # localCheckpoint, NOT persist (optimization round 14): the
+        # persisted form kept an ArrowEvalPython node above the
+        # InMemoryTableScan in every downstream plan — each of the
+        # ~16 AQE stage jobs of this audit re-ran the vote kernel on
+        # the cached token hashes (profiled: 3 tasks × ~150 ms of
+        # zero-JVM-CPU run per job). The checkpoint materializes the
+        # fingerprints ONCE into flat RDD blocks; measured 1.96 → 1.33 s
+        # on the identical audit body, bit-identical output.
+        .localCheckpoint(eager=True)
     )
     _cached_simhash_fps = base
     fps = base.select("doc_id", "fp")

@@ -902,40 +902,54 @@ def _excise_spans(spark: SparkSession, sf_dir: str):
             F.xxhash64(F.substr("text", F.col("i"), F.lit(SUB_K))).alias("h"),
         )
     )
+    # ONE linear pass computes BOTH candidate signals (optimization
+    # round 14, guide §2.4): the old plan branched kg into a fps
+    # subtree and an intra-count subtree, and Spark re-ran the whole
+    # gram explode per branch (~12 s CPU each at sf0.1, profiled).
+    # All three windows below are satisfied by the existing doc_id
+    # hash partitioning ({doc_id,h} ⊇ {doc_id}), so the fused form is
+    # explode-once, exchange-free until the (doc_id, fp) distinct:
+    # per-row k-gram multiplicity rides as ``rep`` next to the
+    # winnowing min/row_number, and the per-DOC intra flag is a
+    # max-over-doc window on the same partitioning. A doc with
+    # SUB_K ≤ len < SUB_L has no rn ≥ SUB_W row to carry its flag,
+    # but it also has no SUB_L-grams — it contributed nothing to the
+    # verify join under the old gate either (spans proven identical
+    # at sf0.1, 10856 rows).
     win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(SUB_W - 1), 0)
     rn = W.partitionBy("doc_id").orderBy("i")
-    fps = (
+    sel = (
         kg.select(
             "doc_id",
             F.min("h").over(win).alias("fp"),
             F.row_number().over(rn).alias("rn"),
+            (F.count(F.lit(1)).over(W.partitionBy("doc_id", "h")) >= 2)
+            .cast("int")
+            .alias("rep"),
+        )
+        .select(
+            "doc_id",
+            "fp",
+            "rn",
+            F.max("rep").over(W.partitionBy("doc_id")).alias("intra"),
         )
         .where(F.col("rn") >= SUB_W)
-        .select("doc_id", "fp")
+        .select("doc_id", "fp", "intra")
         .distinct()
     )
-    # cross-doc candidates: docs sharing a selected fingerprint value
-    multi = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("fp")
-    )
-    cross_cand = (
-        fps.join(multi, "fp", "left_semi").select("doc_id").distinct()
-    )
-    # intra-doc candidates: some k-gram repeats within the doc (a
-    # duplicated L-window duplicates its leading k-gram) — grouped on
-    # (doc_id, h) AFTER the doc-partitioned exchange, so Catalyst
-    # reuses the doc_id hash partitioning (no extra shuffle)
-    intra_cand = (
-        kg.groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).alias("np"))
-        .where(F.col("np") >= 2)
+    # candidates: docs sharing a selected fingerprint with another doc
+    # (count over the fp partition of the distinct (doc, fp) rows ≥ 2)
+    # or with an intra-doc k-gram repeat — same gate, no union/semi-join
+    cand = (
+        sel.select(
+            "doc_id",
+            "intra",
+            F.count(F.lit(1)).over(W.partitionBy("fp")).alias("nd"),
+        )
+        .where((F.col("nd") >= 2) | (F.col("intra") == 1))
         .select("doc_id")
         .distinct()
     )
-    cand = cross_cand.union(intra_cand).distinct()
     # binary md5 (h internal to the ranking — _char_gram_hashes_bin)
     g = _char_gram_hashes_bin(d.join(cand, "doc_id", "left_semi"), SUB_L)
     rk = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "i"))
