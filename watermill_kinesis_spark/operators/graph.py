@@ -305,6 +305,10 @@ def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the one live checkpointed rank state of the latest pagerank call
+_pagerank_final = None
+
+
 def pagerank(
     spark: SparkSession,
     sf_dir: str,
@@ -356,12 +360,33 @@ def pagerank(
         .repartition(par, "src")
         .persist(StorageLevel.DISK_ONLY)
     )
+    # the returned rank state of the previous invocation — replaced,
+    # never accumulated (the r7 ADVICE slot convention; the persist
+    # spelling leaked one node-scale cache per call the same way)
+    global _pagerank_final
+    if _pagerank_final is not None:
+        _release_local_checkpoint(_pagerank_final)
+        _pagerank_final = None
     n_nodes = deg.count()  # also materializes edges_deg's inputs
     base = (1.0 - damping) / n_nodes
+    # Rank state rides eager DISK_ONLY localCheckpoints, not persist
+    # (optimization round 14, the BFS lineage rule): persist caches
+    # execution but does NOT truncate lineage, so iteration i's
+    # analyzed plan chained every previous iteration — analysis/AQE
+    # planning cost grew O(iters²) (profiled: 615 stages, ~8 s of
+    # driver gap on a 14.5 s wall at sf0.1). The checkpoint keeps each
+    # iteration's plan a flat LogicalRDD join — measured 13.3-13.9 →
+    # 5.6-8.4 s same-session A/B. The checkpoint also materializes
+    # eagerly, replacing the per-iteration count() job. Rank values
+    # can differ from the persist spelling by float summation order
+    # (≤1 ulp, ~1e-15 relative measured); every consumer is
+    # insensitive by construction — pagerank_bipartite rounds to 9 dp
+    # and is rows-only, the mass audit's verdicts carry explicit
+    # tolerances, and test_graph.py pins tolerance-based invariants.
     ranks = (
         deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
         .repartition(par, "src")
-        .persist(StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     for _ in range(iters):
         contribs = (
@@ -380,13 +405,15 @@ def pagerank(
             # erases the groupBy's hash partitioning metadata, so
             # without this every iteration re-exchanged the edge side
             .repartition(par, "src")
-            .persist(StorageLevel.DISK_ONLY)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
         )
-        new_ranks.count()
-        ranks.unpersist()
+        _release_local_checkpoint(ranks)
         ranks = new_ranks
     edges_deg.unpersist()
     edges.unpersist()
+    _pagerank_final = ranks
     return ranks.select(F.col("src").alias("node"), "rank")
 
 
@@ -706,6 +733,21 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from watermill_kinesis_spark.sources.tables import adaptive_partitions
 
+    # AQE off for the LEVEL LOOP only (optimization round 14, guide
+    # §1.2 "configuration after algorithm"): every exchange inside the
+    # loop is already explicitly sized (geometry-derived ``par``) and
+    # strategy-pinned (shuffle_hash hints), so adaptive re-planning
+    # contributes nothing but one stage-materialization round trip per
+    # exchange per level — a pure driver-latency tax on an iterative
+    # operator (alternating A/B at sf0.1: 2.24/2.61 s AQE-on vs
+    # 1.89/1.95 s off; identical plans otherwise). This is NOT a
+    # local[32] tune: the loop's partition counts scale with input
+    # geometry, and the conf is restored in the existing ``finally``
+    # before the returned census plan compiles, so the corpus-facing
+    # aggregate still runs under AQE.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     li = load_table(spark, sf_dir, "lineitem")
     # edge-relation partition count derived from the input geometry
     # (optimization round 14, guide §2): the distinct (p, s) relation
@@ -797,6 +839,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         edges_s.unpersist(False)
         edges_p.unpersist(False)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     _bfs_final = levels
     return (
         visited.groupBy("hop")

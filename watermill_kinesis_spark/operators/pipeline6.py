@@ -705,12 +705,25 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # 2. candidate pairs from the sparse fingerprint join
+    # posting-array pair emission, not a self-join (optimization round
+    # 14 — the r13 _shared_shingle_pairs idiom): the aliased
+    # fps⋈fps / cg⋈cg spellings planned the whole winnowing / gram
+    # subtree once per side (Spark reuses exchanges only
+    # opportunistically); grouping into a doc_id-sorted posting array
+    # and inlining each unordered pair once keeps ONE lineage per
+    # relation and one exchange on the key. Posting buffers are
+    # bounded by the operator's own SUB_MAX_DOC(=500) cap. Output
+    # proven row-identical at sf0.1 (263 pairs); 1.71 → 1.56 s.
     cand = (
-        fps.alias("a")
-        .join(fps.alias("b"), "fp")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.expr(
+                "inline(flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1), y ->"
+                " struct(x AS doc_a, y AS doc_b)))))"
+            )
         )
         .distinct()
     )
@@ -722,12 +735,17 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3. exact verify over candidate docs only
     cg = grams.join(cand_docs, "doc_id", "left_semi")
     shared = (
-        cg.alias("a")
-        .join(cg.alias("b"), "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        cg.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(
+            F.expr(
+                "inline(flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1), y ->"
+                " struct(x AS doc_a, y AS doc_b)))))"
+            )
         )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
     # inner-join against cand: drops nothing when the guarantee holds
